@@ -1,0 +1,271 @@
+"""Coordinate reprojection — the gdalwarp/OGRCoordinateTransformation semantics.
+
+Replicates the array-batched transform surface of GDAL's
+``OGRCoordinateTransformation::TransformWithErrorCodes`` (ogr/ogrct.cpp:2344):
+operate on whole coordinate arrays, per-point failures yield a success flag
+and NaN outputs instead of aborting the batch. Axis order is always lon,lat
+(OAMS_TRADITIONAL_GIS_ORDER, ogr/ogrsf_frmts/generic/ogr_gensql.cpp:400).
+
+pyproj/PROJ is not available in this environment, so the projection math is
+implemented directly (public formulas):
+
+- EPSG:3857 WebMercator: spherical Mercator on the WGS84 semi-major axis.
+- EPSG:326xx UTM: transverse Mercator via the Krüger series to n^6
+  (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers"),
+  nanometer-accurate within UTM extents.
+
+Two execution paths, same formulas:
+
+1. **JVM path** (hot path): a staged list of (column, SQL-expr) assignments —
+   pure Catalyst expressions, whole-stage codegen, zero Python. The identical
+   SQL text also runs under DuckDB, which is how the test oracle checks it.
+2. **numpy path**: vectorized kernels for use inside raster/warp pandas UDFs
+   and for the inverse transforms (Newton iteration, not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+WGS84_E = math.sqrt(WGS84_E2)
+
+_N = WGS84_F / (2.0 - WGS84_F)
+_N2 = _N * _N
+_N3 = _N2 * _N
+_N4 = _N3 * _N
+_N5 = _N4 * _N
+_N6 = _N5 * _N
+
+# Rectifying radius and Krüger series coefficients (Karney 2011, eqs. 14-23).
+KRUGER_A = WGS84_A / (1.0 + _N) * (1.0 + _N2 / 4.0 + _N4 / 64.0 + _N6 / 256.0)
+ALPHA = (
+    _N / 2.0 - 2.0 / 3.0 * _N2 + 5.0 / 16.0 * _N3 + 41.0 / 180.0 * _N4
+    - 127.0 / 288.0 * _N5 + 7891.0 / 37800.0 * _N6,
+    13.0 / 48.0 * _N2 - 3.0 / 5.0 * _N3 + 557.0 / 1440.0 * _N4
+    + 281.0 / 630.0 * _N5 - 1983433.0 / 1935360.0 * _N6,
+    61.0 / 240.0 * _N3 - 103.0 / 140.0 * _N4 + 15061.0 / 26880.0 * _N5
+    + 167603.0 / 181440.0 * _N6,
+    49561.0 / 161280.0 * _N4 - 179.0 / 168.0 * _N5 + 6601661.0 / 7257600.0 * _N6,
+    34729.0 / 80640.0 * _N5 - 3418889.0 / 1995840.0 * _N6,
+    212378941.0 / 319334400.0 * _N6,
+)
+BETA = (
+    _N / 2.0 - 2.0 / 3.0 * _N2 + 37.0 / 96.0 * _N3 - 1.0 / 360.0 * _N4
+    - 81.0 / 512.0 * _N5 + 96199.0 / 604800.0 * _N6,
+    1.0 / 48.0 * _N2 + 1.0 / 15.0 * _N3 - 437.0 / 1440.0 * _N4
+    + 46.0 / 105.0 * _N5 - 1118711.0 / 3870720.0 * _N6,
+    17.0 / 480.0 * _N3 - 37.0 / 840.0 * _N4 - 209.0 / 4480.0 * _N5
+    + 5569.0 / 90720.0 * _N6,
+    4397.0 / 161280.0 * _N4 - 11.0 / 504.0 * _N5 - 830251.0 / 7257600.0 * _N6,
+    4583.0 / 161280.0 * _N5 - 108847.0 / 3991680.0 * _N6,
+    20648693.0 / 638668800.0 * _N6,
+)
+
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+MAX_MERC_LAT = 89.9999999  # beyond this WebMercator y diverges → failure flag
+
+
+def utm_lon0_deg(zone: int) -> float:
+    return zone * 6.0 - 183.0
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def webmercator_fwd_np(lon, lat):
+    """EPSG:4326 → EPSG:3857. Returns (x, y, ok)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = (
+        np.isfinite(lon)
+        & np.isfinite(lat)
+        & (np.abs(lat) < MAX_MERC_LAT)
+        & (np.abs(lon) <= 180.0)
+    )
+    phi = np.radians(np.where(ok, lat, 0.0))
+    x = WGS84_A * np.radians(lon)
+    s = np.sin(phi)
+    y = WGS84_A * 0.5 * np.log((1.0 + s) / (1.0 - s))
+    x = np.where(ok, x, np.nan)
+    y = np.where(ok, y, np.nan)
+    return x, y, ok
+
+
+def webmercator_inv_np(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / WGS84_A)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2.0)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def tmerc_fwd_np(lon, lat, lon0_deg: float, k0: float = UTM_K0,
+                 fe: float = UTM_FE, fn: float = 0.0):
+    """Krüger-series forward transverse Mercator. Returns (E, N, ok)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = (
+        np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    )
+    phi = np.radians(np.where(ok, lat, 0.0))
+    lam = np.radians(lon) - math.radians(lon0_deg)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))  # wrap to (-pi, pi]
+    s = np.sin(phi)
+    # conformal latitude tangent: t = sinh(atanh(s) - e*atanh(e*s))
+    t = np.sinh(np.arctanh(s) - WGS84_E * np.arctanh(WGS84_E * s))
+    cl = np.cos(lam)
+    xi_p = np.arctan2(t, cl)
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = fe + k0 * KRUGER_A * eta
+    N = fn + k0 * KRUGER_A * xi
+    E = np.where(ok, E, np.nan)
+    N = np.where(ok, N, np.nan)
+    return E, N, ok
+
+
+def tmerc_inv_np(E, N, lon0_deg: float, k0: float = UTM_K0,
+                 fe: float = UTM_FE, fn: float = 0.0):
+    """Inverse transverse Mercator (Krüger + Newton on tau). (lon, lat, ok)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    xi = (N - fn) / (k0 * KRUGER_A)
+    eta = (E - fe) / (k0 * KRUGER_A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    sh = np.sinh(eta_p)
+    cx = np.cos(xi_p)
+    tau_p = np.sin(xi_p) / np.sqrt(sh * sh + cx * cx)
+    # Newton-solve tau from tau' (Karney eq. 19-21)
+    tau = tau_p.copy()
+    e = WGS84_E
+    for _ in range(5):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = tau * np.sqrt(1.0 + sigma * sigma) - sigma * np.sqrt(1.0 + tau * tau) - tau_p
+        d_tau = (
+            (np.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau)) - sigma * tau)
+            * (1.0 - e * e)
+            * np.sqrt(1.0 + tau * tau)
+            / (1.0 + (1.0 - e * e) * tau * tau)
+        )
+        tau = tau - f_tau / d_tau
+    lat = np.degrees(np.arctan(tau))
+    lam = np.arctan2(sh, cx)
+    lon = np.degrees(lam) + lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters on the WGS84 sphere (a as radius)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64))
+                              for v in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * WGS84_A * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# Shared staged-SQL pipelines (Spark Catalyst ≡ DuckDB, same text).
+# sinh/cosh/atanh/asinh are spelled via exp/ln so DuckDB 1.0 accepts them.
+# ---------------------------------------------------------------------------
+
+
+def _fmt(x: float) -> str:
+    return repr(float(x))
+
+
+def webmercator_sql_stages(lon: str, lat: str) -> list[tuple[str, str]]:
+    """Stages computing x_3857, y_3857, ok from lon/lat columns."""
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) < {_fmt(MAX_MERC_LAT)} and abs({lon}) <= 180.0)"),
+        ("_s", f"sin(radians(case when ok then {lat} else 0.0 end))"),
+        ("x_3857", f"case when ok then {_fmt(WGS84_A)} * radians({lon})"
+                   f" else cast('nan' as double) end"),
+        ("y_3857", f"case when ok then {_fmt(WGS84_A)} * 0.5 *"
+                   f" ln((1.0 + _s) / (1.0 - _s)) else cast('nan' as double) end"),
+    ]
+
+
+def tmerc_sql_stages(lon: str, lat: str, lon0_deg: float,
+                     k0: float = UTM_K0, fe: float = UTM_FE,
+                     fn: float = 0.0) -> list[tuple[str, str]]:
+    """Stages computing easting/northing/ok — Krüger forward, shared text.
+
+    atanh(x) = 0.5*ln((1+x)/(1-x)); sinh(x) = (exp(x)-exp(-x))/2;
+    asinh(x) = ln(x + sqrt(x*x+1)); cosh(x) = (exp(x)+exp(-x))/2.
+    """
+    e = _fmt(WGS84_E)
+    stages: list[tuple[str, str]] = [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_lam", f"radians({lon}) - radians({_fmt(lon0_deg)})"),
+        ("_lam", "atan2(sin(_lam), cos(_lam))"),
+        ("_sp", "sin(_phi)"),
+        ("_at1", "0.5 * ln((1.0 + _sp) / (1.0 - _sp))"),
+        ("_at2", f"0.5 * ln((1.0 + {e} * _sp) / (1.0 - {e} * _sp))"),
+        ("_w", f"_at1 - {e} * _at2"),
+        ("_t", "(exp(_w) - exp(-_w)) / 2.0"),
+        ("_cl", "cos(_lam)"),
+        ("_xip", "atan2(_t, _cl)"),
+        ("_q", "sin(_lam) / sqrt(_t * _t + _cl * _cl)"),
+        ("_etap", "ln(_q + sqrt(_q * _q + 1.0))"),
+        ("_xi", "_xip"),
+        ("_eta", "_etap"),
+    ]
+    for j, a in enumerate(ALPHA, start=1):
+        stages.append((f"_ch{j}", f"(exp({2*j} * _etap) + exp({-2*j} * _etap)) / 2.0"))
+        stages.append((f"_sh{j}", f"(exp({2*j} * _etap) - exp({-2*j} * _etap)) / 2.0"))
+        stages.append(("_xi", f"_xi + {_fmt(a)} * sin({2*j} * _xip) * _ch{j}"))
+        stages.append(("_eta", f"_eta + {_fmt(a)} * cos({2*j} * _xip) * _sh{j}"))
+    ka = _fmt(k0 * KRUGER_A)
+    stages.append(("easting", f"case when ok then {_fmt(fe)} + {ka} * _eta"
+                              f" else cast('nan' as double) end"))
+    stages.append(("northing", f"case when ok then {_fmt(fn)} + {ka} * _xi"
+                               f" else cast('nan' as double) end"))
+    return stages
+
+
+def apply_sql_stages(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
+    """Run a staged pipeline on a Spark DataFrame (pure Catalyst exprs)."""
+    for name, expr in stages:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[c for c, _ in stages if c.startswith("_")])
+
+
+def stages_to_duckdb_sql(base_select: str, stages: list[tuple[str, str]],
+                         final_cols: list[str]) -> str:
+    """Render the same staged pipeline as nested DuckDB subqueries.
+
+    Re-assigned stage names (e.g. ``_xi`` accumulating series terms) shadow
+    the previous value via ``* EXCLUDE (name)``.
+    """
+    sql = base_select
+    seen: set[str] = set()
+    for name, expr in stages:
+        star = f"* exclude ({name})" if name in seen else "*"
+        sql = f"select {star}, {expr} as {name} from ({sql}) _t"
+        seen.add(name)
+    return f"select {', '.join(final_cols)} from ({sql}) _f"

@@ -1,0 +1,219 @@
+"""Unit tests for the pure-numpy geometry/CRS/cell core (no Spark)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gdal_spark import cells, crs, geom, wkb, zones
+from gdal_spark.pip_join import build_zone_index_from_defs
+from gdal_spark.strtree import STRtree
+
+
+class TestCells:
+    def test_known_tiles(self):
+        # (0,0) at z=1 → tile (1,1) boundary: lon 0 → x=1, lat 0 → y=1
+        tx, ty = cells.tile_xy_np(np.array([0.0]), np.array([0.0]), 1)
+        assert (tx[0], ty[0]) == (1, 1)
+        # Berlin 13.4, 52.5 @ z12 — classic slippy-map reference tile
+        tx, ty = cells.tile_xy_np(np.array([13.4]), np.array([52.5]), 12)
+        assert (tx[0], ty[0]) == (2200, 1343)
+
+    def test_clamping(self):
+        tx, ty = cells.tile_xy_np(np.array([-180.0, 180.0]),
+                                  np.array([89.0, -89.0]), 4)
+        assert tx[0] == 0 and tx[1] == 15
+        assert ty[0] == 0 and ty[1] == 15
+
+    def test_cell_id_roundtrip(self):
+        lon = np.linspace(-179, 179, 100)
+        lat = np.linspace(-84, 84, 100)
+        cid = cells.cell_id_np(lon, lat, 14)
+        z, x, y = cells.unpack_cell_id(cid)
+        assert (z == 14).all()
+        tx, ty = cells.tile_xy_np(lon, lat, 14)
+        assert np.array_equal(x, tx) and np.array_equal(y, ty)
+
+    def test_parent_cell(self):
+        cid = cells.cell_id_np(np.array([13.4]), np.array([52.5]), 12)
+        pid = cells.parent_cell(cid, 11)
+        z, x, y = cells.unpack_cell_id(pid)
+        assert (z[0], x[0], y[0]) == (11, 1100, 671)
+
+    def test_tile_bounds_inverse(self):
+        tx, ty = cells.tile_xy_np(np.array([13.4]), np.array([52.5]), 12)
+        lon0, lat0, lon1, lat1 = cells.tile_bounds_np(tx, ty, 12)
+        assert lon0[0] <= 13.4 <= lon1[0]
+        assert lat0[0] <= 52.5 <= lat1[0]
+
+    def test_k_ring(self):
+        ring = cells.k_ring(0, 5, 4, 1)
+        assert len(ring) == 9
+        assert (15, 5) in ring  # x wraps around antimeridian
+        ring0 = cells.k_ring(3, 0, 4, 1)
+        assert len(ring0) == 6  # clamped at the pole
+
+    def test_ring_cells_np_matches_k_ring(self):
+        idx, cid = cells.ring_cells_np(np.array([3]), np.array([0]), 4, 1)
+        z, x, y = cells.unpack_cell_id(cid)
+        got = set(zip(x.tolist(), y.tolist()))
+        assert got == set(cells.k_ring(3, 0, 4, 1))
+
+
+class TestCRS:
+    def test_utm_zone31_known_points(self):
+        # central meridian on the equator is (FE, 0) exactly
+        E, N, ok = crs.tmerc_fwd_np(np.array([3.0]), np.array([0.0]), 3.0)
+        assert ok[0] and abs(E[0] - 500000.0) < 1e-6 and abs(N[0]) < 1e-6
+
+    def test_utm_roundtrip(self):
+        rng = np.random.default_rng(1)
+        lon = rng.uniform(0, 6, 500)
+        lat = rng.uniform(-80, 84, 500)
+        E, N, _ = crs.tmerc_fwd_np(lon, lat, 3.0)
+        lon2, lat2, _ = crs.tmerc_inv_np(E, N, 3.0)
+        assert np.allclose(lon, lon2, atol=1e-9)
+        assert np.allclose(lat, lat2, atol=1e-9)
+
+    def test_webmercator_known(self):
+        x, y, ok = crs.webmercator_fwd_np(np.array([180.0]), np.array([0.0]))
+        assert abs(x[0] - math.pi * crs.WGS84_A) < 1e-6 and abs(y[0]) < 1e-9
+
+    def test_webmercator_failure_flags(self):
+        x, y, ok = crs.webmercator_fwd_np(np.array([0.0, 0.0]),
+                                          np.array([90.0, 45.0]))
+        assert not ok[0] and np.isnan(x[0]) and np.isnan(y[0])
+        assert ok[1] and np.isfinite(y[1])
+
+    def test_haversine(self):
+        # quarter circumference: equator to pole
+        d = crs.haversine_m(np.array([0.0]), np.array([0.0]),
+                            np.array([0.0]), np.array([90.0]))
+        assert abs(d[0] - math.pi / 2 * crs.WGS84_A) < 1.0
+
+
+class TestGeom:
+    def test_area_with_hole(self):
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)
+        assert geom.polygon_area([ring, hole]) == 15.0
+
+    def test_pip_with_hole(self):
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)
+        px = np.array([0.5, 1.5, 3.0, 5.0])
+        py = np.array([0.5, 1.5, 3.0, 1.0])
+        assert list(geom.points_in_polygon(px, py, [ring, hole])) == [
+            True, False, True, False]
+
+    def test_pip_concave(self):
+        # U-shape: the notch is outside
+        ring = np.array([[0, 0], [6, 0], [6, 5], [4, 5], [4, 2],
+                         [2, 2], [2, 5], [0, 5], [0, 0]], float)
+        px = np.array([1.0, 3.0, 5.0, 3.0])
+        py = np.array([3.0, 3.0, 3.0, 1.0])
+        assert list(geom.points_in_ring(px, py, ring)) == [
+            True, False, True, True]
+
+    def test_clip_ring_to_rect(self):
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        out = geom.clip_ring_to_rect(ring, 2, 2, 6, 6)
+        assert geom.polygon_area([out]) == 4.0
+        empty = geom.clip_ring_to_rect(ring, 10, 10, 12, 12)
+        assert len(empty) == 0
+
+    def test_centroid(self):
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        assert geom.polygon_centroid([ring]) == (2.0, 2.0)
+
+
+class TestWKB:
+    def test_roundtrip_polygon(self):
+        ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        g = wkb.loads(wkb.dumps_polygon([ring]))
+        assert g["type"] == "Polygon"
+        assert np.array_equal(g["coords"][0], ring)
+
+    def test_roundtrip_multipolygon(self):
+        r1 = np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)
+        r2 = np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)
+        buf = wkb.dumps({"type": "MultiPolygon", "coords": [[r1], [r2]]})
+        g = wkb.loads(buf)
+        assert g["type"] == "MultiPolygon" and len(g["coords"]) == 2
+
+    def test_point_fast_path(self):
+        assert wkb.point_xy(wkb.dumps_point(1.5, -2.5)) == (1.5, -2.5)
+
+    def test_auto_close_ring(self):
+        open_ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        g = wkb.loads(wkb.dumps_polygon([open_ring]))
+        assert len(g["coords"][0]) == 5
+
+
+class TestSTRtree:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(7)
+        lo = rng.uniform(0, 100, size=(300, 2))
+        boxes = np.hstack([lo, lo + rng.uniform(0.1, 8, size=(300, 2))])
+        tree = STRtree(boxes)
+        for qb in rng.uniform(0, 100, size=(25, 2)):
+            minx, miny = qb
+            maxx, maxy = minx + 5, miny + 5
+            got = set(tree.query_box(minx, miny, maxx, maxy).tolist())
+            want = set(np.flatnonzero(
+                (boxes[:, 0] <= maxx) & (boxes[:, 2] >= minx)
+                & (boxes[:, 1] <= maxy) & (boxes[:, 3] >= miny)).tolist())
+            assert got == want
+
+    def test_query_points_matches_bruteforce(self):
+        rng = np.random.default_rng(9)
+        lo = rng.uniform(0, 50, size=(200, 2))
+        boxes = np.hstack([lo, lo + rng.uniform(0.1, 6, size=(200, 2))])
+        tree = STRtree(boxes)
+        px = rng.uniform(0, 50, 500)
+        py = rng.uniform(0, 50, 500)
+        pt, it = tree.query_points(px, py)
+        got = set(zip(pt.tolist(), it.tolist()))
+        want = set()
+        for i in range(500):
+            hits = np.flatnonzero(
+                (boxes[:, 0] <= px[i]) & (boxes[:, 2] >= px[i])
+                & (boxes[:, 1] <= py[i]) & (boxes[:, 3] >= py[i]))
+            want.update((i, int(h)) for h in hits)
+        assert got == want
+
+    def test_empty(self):
+        tree = STRtree(np.empty((0, 4)))
+        assert len(tree.query_box(0, 0, 1, 1)) == 0
+
+
+class TestZoneIndex:
+    def test_matches_bruteforce_pip(self):
+        defs = zones.zone_defs()
+        idx = build_zone_index_from_defs(defs)
+        rng = np.random.default_rng(3)
+        # concentrate samples around zone bboxes to get real hits
+        qx, qy = [], []
+        for d in defs:
+            minx, miny, maxx, maxy = geom.rings_bbox(d["rings"])
+            qx.append(rng.uniform(minx - 0.5, maxx + 0.5, 200))
+            qy.append(rng.uniform(miny - 0.5, maxy + 0.5, 200))
+        qx = np.concatenate(qx)
+        qy = np.concatenate(qy)
+        pt, zi = idx.match_points(qx, qy)
+        got = set(zip(pt.tolist(), zi.tolist()))
+        want = set()
+        for j, d in enumerate(defs):
+            ins = geom.points_in_polygon(qx, qy, d["rings"])
+            want.update((int(i), j) for i in np.flatnonzero(ins))
+        assert got == want
+        assert len(got) > 100  # sanity: hits actually happened
+
+    def test_hole_semantics(self):
+        defs = zones.zone_defs()
+        idx = build_zone_index_from_defs(defs)
+        hole_zone = next(d for d in defs if len(d["rings"]) > 1)
+        cx, cy = geom.polygon_centroid([hole_zone["rings"][1]])
+        pt, zi = idx.match_points(np.array([cx]), np.array([cy]))
+        assert not any(defs[z]["zone_id"] == hole_zone["zone_id"]
+                       for z in zi.tolist())
