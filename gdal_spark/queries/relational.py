@@ -1,0 +1,362 @@
+"""Relational operator queries — the OGR SQL surface on TPC-H-ish tables.
+
+Covers SURVEY §2.2 (filters/projection), §2.3 (joins incl. first-match),
+§2.4 (aggregates: summary record, GROUP BY, COUNT DISTINCT), §2.5 (window
+functions via the SQLite-dialect inheritance), §2.6 (sort/limit/top-k),
+§2.7 (UNION ALL), §2.8 (scalar functions: LIKE/ILIKE, SUBSTR, CONCAT,
+CAST, hstore, 3-valued logic, div-0→NULL, date handling).
+
+Float discipline: money sums go through decimal (order-independent);
+averages/stddevs are rounded to 6 digits on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdal_spark.ogrsql import (distinct_list, first_match_join, hstore_get_value,
+                               ogr_ilike, ogr_like, summary_record)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- §2.4 aggregates -------------------------------------------------------
+
+
+def q_summary_record(spark, sf_dir):
+    """OGR SWQM_SUMMARY_RECORD: whole-table aggregate, single row."""
+    return summary_record(_t(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+def q_groupby_agg(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (GROUP BY comes free in Spark —
+    OGR SQL itself has none, SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                  .cast("decimal(28,6)")).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT col) — the only DISTINCT aggregate OGR SQL allows
+    (swq_parser.y:1007)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_distinct_list(spark, sf_dir):
+    """OGR SWQM_DISTINCT_LIST: sorted distinct values."""
+    return distinct_list(_t(spark, sf_dir, "part"), "p_brand")
+
+
+# --- §2.3 joins ------------------------------------------------------------
+
+
+def q_join_groups(spark, sf_dir):
+    """Classic equi-join + aggregate: revenue per nation (shuffle join on
+    the fact table, broadcast on dims — Catalyst decides via AQE)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    dec = F.col("o_totalprice").cast("decimal(28,6)")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec).alias("total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_first_match_join(spark, sf_dir):
+    """OGR SQL LEFT JOIN takes the FIRST secondary match (1:1, not 1:N —
+    ogr_gensql.cpp:1493-1523): orders ← first lineitem by linenumber."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # "first" needs a total order — tiebreak on quantity
+    j = first_match_join(o, li, "o_orderkey", "l_orderkey",
+                         ["l_linenumber", "l_quantity"], how="left")
+    return j.select("o_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """left_semi/left_anti (OGR expresses these only spatially as
+    Clip/Erase; relationally they're native Spark)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey").withColumn("has_orders", F.lit(True))
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey").withColumn("has_orders", F.lit(False))
+    return with_orders.unionByName(without)
+
+
+# --- §2.6 sort / limit / top-k --------------------------------------------
+
+
+def q_orderby_limit_offset(spark, sf_dir):
+    """Multi-key ORDER BY + LIMIT/OFFSET (swq_parser.y:1129; Spark's
+    distributed sort replaces CreateOrderByIndex materialization)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+        .offset(10).limit(50)
+    )
+
+
+def q_topk(spark, sf_dir):
+    """ORDER BY … LIMIT k — Spark TakeOrderedAndProject generalizes the
+    reference's top-1 single-pass optimization (ogr_gensql.cpp:2215)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+                   F.col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber",
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+        .limit(5)
+    )
+
+
+# --- §2.7 set ops ----------------------------------------------------------
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL by field name (OGRUnionLayer schema-merge semantics,
+    ogrunionlayer.cpp → unionByName)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter("p_size < 10").select("p_partkey", "p_brand")
+    b = p.filter("p_size >= 40").select("p_brand", "p_partkey")  # swapped order
+    return a.unionByName(b)
+
+
+# --- §2.2/§2.8 filters & scalar functions ----------------------------------
+
+
+def q_like_ilike(spark, sf_dir):
+    """LIKE case-sensitive vs ILIKE (swq_op_general.cpp:1090-1123)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        ogr_like(F.col("p_name"), "%spring%").alias("like_lower"),
+        ogr_like(F.col("p_name"), "%SPRING%").alias("like_upper"),
+        ogr_ilike(F.col("p_name"), "%SPRING%").alias("ilike_upper"),
+    )
+
+
+def q_scalar_expr(spark, sf_dir):
+    """CONCAT/SUBSTR/CAST/arith with OGR semantics: 1-based SUBSTR with
+    negative start, CONCAT auto-cast, div-0 → NULL."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("concat(p_brand, '#', p_size)").alias("tag"),
+        F.expr("substr(p_name, 2, 5)").alias("sub_mid"),
+        F.expr("substr(p_name, -4)").alias("sub_end"),
+        F.expr("cast(floor(p_retailprice) as bigint)").alias("price_floor"),
+        F.expr("p_size % 7").alias("size_mod"),
+        F.expr("p_size / (p_size - p_size)").alias("div0"),  # NULL, no error
+        F.expr("p_size between 5 and 15").alias("in_band"),
+        F.expr("p_brand in ('Brand#1', 'Brand#2')").alias("in_set"),
+    )
+
+
+def q_hstore(spark, sf_dir):
+    """HSTORE_GET_VALUE (swq_op_general.cpp:169-291) over a constructed
+    key=>value string."""
+    e = _t(spark, sf_dir, "events")
+    kv = F.expr("concat('type=>', event_type, ',uid=>', user_id)")
+    return e.select(
+        "event_id",
+        hstore_get_value(kv, "type").alias("h_type"),
+        hstore_get_value(kv, "uid").alias("h_uid"),
+    )
+
+
+def q_json_field(spark, sf_dir):
+    """JSON field subtype (OFSTJSON, ogr_core.h:818) → extract a key."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def q_datetime(spark, sf_dir):
+    """Date/time comparisons + parts (OGR SQL date columns, SWQ_DATE...)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= "1995-01-01")
+        .groupBy(F.year("o_orderdate").alias("yr"),
+                 F.month("o_orderdate").alias("mo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_window_funcs(spark, sf_dir):
+    """Window functions (inherited via the SQLite dialect — executed by
+    sqlite3 in the reference, ogrsqliteexecutesql.cpp:788; native here)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_value"),
+    )
+
+
+QUERIES = {
+    "sql_summary_record": q_summary_record,
+    "sql_groupby_agg": q_groupby_agg,
+    "sql_count_distinct": q_count_distinct,
+    "sql_distinct_list": q_distinct_list,
+    "sql_join_groups": q_join_groups,
+    "sql_first_match_join": q_first_match_join,
+    "sql_semi_anti_join": q_semi_anti_join,
+    "sql_orderby_limit_offset": q_orderby_limit_offset,
+    "sql_topk": q_topk,
+    "sql_union_all": q_union_all,
+    "sql_like_ilike": q_like_ilike,
+    "sql_scalar_expr": q_scalar_expr,
+    "sql_hstore": q_hstore,
+    "sql_json_field": q_json_field,
+    "sql_datetime": q_datetime,
+    "sql_window_funcs": q_window_funcs,
+}
+
+ORACLES = {
+    "sql_summary_record": """
+select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,
+       round(cast(sum(cast(l_quantity as decimal(28,6))) as double) / count(l_quantity), 6) as avg_l_quantity,
+       sum(cast(l_quantity as decimal(28,6))) as sum_l_quantity,
+       count(l_quantity) as count_l_quantity, count(*) as count_star,
+       round(stddev_pop(l_quantity), 6) as stddev_pop_l_quantity,
+       round(stddev_samp(l_quantity), 6) as stddev_samp_l_quantity
+from lineitem
+""",
+    "sql_groupby_agg": """
+select l_returnflag, l_linestatus,
+       sum(cast(l_quantity as decimal(28,6))) as sum_qty,
+       sum(cast(l_extendedprice as decimal(28,6))) as sum_base_price,
+       sum(cast(cast(l_extendedprice as decimal(28,6)) * (1 - cast(l_discount as decimal(28,6))) as decimal(28,6))) as sum_disc_price,
+       round(avg(l_quantity), 6) as avg_qty,
+       round(avg(l_discount), 6) as avg_disc,
+       count(*) as count_order
+from lineitem where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+    "sql_count_distinct": """
+select count(distinct o_orderpriority) as n_priorities,
+       count(distinct o_custkey) as n_custkeys, count(*) as n_rows
+from orders
+""",
+    "sql_distinct_list": "select distinct p_brand from part order by p_brand",
+    "sql_join_groups": """
+select n_name, sum(cast(o_totalprice as decimal(28,6))) as total_price,
+       count(*) as n_orders
+from orders join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+""",
+    "sql_first_match_join": """
+with first_li as (
+  select l_orderkey, l_linenumber, l_quantity,
+         row_number() over (partition by l_orderkey
+                            order by l_linenumber, l_quantity) as rn
+  from lineitem
+)
+select o_orderkey, l_linenumber, l_quantity
+from orders left join first_li on o_orderkey = l_orderkey and rn = 1
+""",
+    "sql_semi_anti_join": """
+select c_custkey, true as has_orders from customer
+ where c_custkey in (select o_custkey from orders)
+union all
+select c_custkey, false as has_orders from customer
+ where c_custkey not in (select o_custkey from orders)
+""",
+    "sql_orderby_limit_offset": """
+select o_orderkey, cast(o_totalprice as decimal(18,2)) as price
+from orders order by o_totalprice desc, o_orderkey asc
+limit 50 offset 10
+""",
+    "sql_topk": """
+select l_orderkey, l_linenumber, cast(l_extendedprice as decimal(18,2)) as price
+from lineitem order by l_extendedprice desc, l_orderkey, l_linenumber
+limit 5
+""",
+    "sql_union_all": """
+select p_partkey, p_brand from part where p_size < 10
+union all
+select p_partkey, p_brand from part where p_size >= 40
+""",
+    "sql_like_ilike": """
+select p_partkey,
+       p_name like '%spring%' as like_lower,
+       p_name like '%SPRING%' as like_upper,
+       p_name ilike '%SPRING%' as ilike_upper
+from part
+""",
+    "sql_scalar_expr": """
+select p_partkey,
+       concat(p_brand, '#', p_size) as tag,
+       substr(p_name, 2, 5) as sub_mid,
+       substr(p_name, -4) as sub_end,
+       cast(floor(p_retailprice) as bigint) as price_floor,
+       p_size % 7 as size_mod,
+       cast(p_size as double) / nullif(p_size - p_size, 0) as div0,
+       p_size between 5 and 15 as in_band,
+       p_brand in ('Brand#1', 'Brand#2') as in_set
+from part
+""",
+    "sql_hstore": """
+select event_id,
+       regexp_extract(concat('type=>', event_type, ',uid=>', user_id),
+                      'type=>([^,]*)', 1) as h_type,
+       regexp_extract(concat('type=>', event_type, ',uid=>', user_id),
+                      'uid=>([^,]*)', 1) as h_uid
+from events
+""",
+    "sql_json_field": """
+select event_id, cast(props->>'k' as int) as k_val from events
+""",
+    "sql_datetime": """
+select year(o_orderdate) as yr, month(o_orderdate) as mo, count(*) as n
+from orders where o_orderdate >= timestamp '1995-01-01'
+group by 1, 2
+""",
+    "sql_window_funcs": """
+select event_id, user_id,
+       row_number() over w as rn,
+       lag(event_type, 1) over w as prev_type,
+       sum(cast(value as decimal(28,6))) over (partition by user_id
+           order by ts, event_id rows between unbounded preceding
+           and current row) as running_value
+from events
+window w as (partition by user_id order by ts, event_id)
+""",
+}

@@ -1,0 +1,156 @@
+"""Spatial operator queries (driver contract) — extraction, cells, PIP.
+
+Each entry: QUERIES[name](spark, sf_dir) -> DataFrame and ORACLES[name] =
+DuckDB SQL over the pre-registered views. Spatial inputs derive from
+``documents`` via integer-only arithmetic (gdal_spark.pages) so both
+engines see bit-identical geometry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import cells
+from gdal_spark.cells import cell_id_sql, tile_x_sql, tile_y_sql
+from gdal_spark.crs import stages_to_duckdb_sql
+from gdal_spark.extract import geocode_pages
+from gdal_spark.pages import (geotag_text_sql, pages_from_documents,
+                              points_from_documents, points_oracle_sql,
+                              synth_stages)
+from gdal_spark.pip_join import build_zone_index_from_defs, pip_join
+from gdal_spark.zones import pip_oracle_sql, zone_defs
+
+
+def q_extract_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag extraction (Arrow UDF) — emits the byte-stable token."""
+    pages = pages_from_documents(spark, sf_dir)
+    geo = geocode_pages(pages).filter(F.col("lat").isNotNull())
+    return geo.select(
+        "doc_id", "extracted_text",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+    )
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import geocoded_pages
+
+    return geocoded_pages(spark, sf_dir).select("doc_id", "cell_id")
+
+
+def q_tile_counts_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-assignment aggregation (gdal raster tile GetTileIndices math)."""
+    pts = points_from_documents(spark, sf_dir)
+    return (
+        pts.withColumn("tile_x", cells.tile_x_col("lon", 8))
+        .withColumn("tile_y", cells.tile_y_col("lat", 8))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast R-tree PIP inner join (layer-algebra Intersection for
+    points, ogrlayer.cpp:3345)."""
+    pts = points_from_documents(spark, sf_dir)
+    joined = pip_join(pts, build_zone_index_from_defs(zone_defs()), how="inner")
+    return joined.select("doc_id", "zone_id")
+
+
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip semantics (ogrlayer.cpp:5497): keep points inside ≥1 zone."""
+    pts = points_from_documents(spark, sf_dir)
+    return pip_join(pts, build_zone_index_from_defs(zone_defs()),
+                    how="semi").select("doc_id", "lon_mic", "lat_mic")
+
+
+def q_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase semantics (ogrlayer.cpp:5806): anti spatial join."""
+    pts = points_from_documents(spark, sf_dir)
+    return pip_join(pts, build_zone_index_from_defs(zone_defs()),
+                    how="anti").select("doc_id", "lon_mic", "lat_mic")
+
+
+def q_zonal_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.pipeline import pages_per_zone
+
+    return pages_per_zone(spark, sf_dir)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal summary after the PIP join (groupBy(zone).agg — SURVEY §2.4
+    'zonal-style summaries'): count + integer-exact coordinate stats."""
+    pts = points_from_documents(spark, sf_dir)
+    joined = pip_join(pts, build_zone_index_from_defs(zone_defs()), how="inner")
+    return joined.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("lon_mic").alias("min_lon_mic"),
+        F.max("lat_mic").alias("max_lat_mic"),
+        F.sum("lon_mic").alias("sum_lon_mic"),
+    )
+
+
+def _extract_oracle() -> str:
+    synth = stages_to_duckdb_sql(
+        "select doc_id, text from documents",
+        synth_stages("doc_id") + [("gtext", geotag_text_sql("text"))],
+        ["doc_id", "has_geo", "gtext"],
+    )
+    pat = "'geo:([+-]?[0-9]+),([+-]?[0-9]+)'"
+    return f"""
+with g as ({synth})
+select doc_id,
+       regexp_extract(gtext, {pat}, 0) as extracted_text,
+       round(cast(regexp_extract(gtext, {pat}, 1) as bigint) / 1000000.0, 6) as lat,
+       round(cast(regexp_extract(gtext, {pat}, 2) as bigint) / 1000000.0, 6) as lon
+from g where has_geo
+"""
+
+
+_PTS = points_oracle_sql("documents")
+
+QUERIES = {
+    "extract_geotags": q_extract_geotags,
+    "cell_assign": q_cell_assign,
+    "tile_counts_z8": q_tile_counts_z8,
+    "pip_join": q_pip_join,
+    "clip": q_clip,
+    "erase": q_erase,
+    "zonal_count": q_zonal_count,
+    "zonal_stats": q_zonal_stats,
+}
+
+ORACLES = {
+    "extract_geotags": _extract_oracle(),
+    "cell_assign": (
+        f"select doc_id, {cell_id_sql('lon', 'lat', 12)} as cell_id"
+        f" from ({_PTS}) p"
+    ),
+    "tile_counts_z8": (
+        f"select {tile_x_sql('lon', 8)} as tile_x,"
+        f" {tile_y_sql('lat', 8)} as tile_y,"
+        f" count(*) as n_points from ({_PTS}) p group by 1, 2"
+    ),
+    "pip_join": pip_oracle_sql(_PTS),
+    "clip": (
+        f"select doc_id, lon_mic, lat_mic from ({_PTS}) p"
+        f" where doc_id in (select doc_id from ({pip_oracle_sql(_PTS)}) j)"
+    ),
+    "erase": (
+        f"select doc_id, lon_mic, lat_mic from ({_PTS}) p"
+        f" where doc_id not in (select doc_id from ({pip_oracle_sql(_PTS)}) j)"
+    ),
+    "zonal_count": (
+        f"select zone_id, count(*) as n_pages from ({pip_oracle_sql(_PTS)}) j"
+        f" group by zone_id order by zone_id"
+    ),
+    "zonal_stats": f"""
+with j as ({pip_oracle_sql(_PTS)}),
+p as ({_PTS})
+select j.zone_id, count(*) as n_points,
+       min(p.lon_mic) as min_lon_mic, max(p.lat_mic) as max_lat_mic,
+       sum(p.lon_mic) as sum_lon_mic
+from j join p on j.doc_id = p.doc_id
+group by j.zone_id
+""",
+}

@@ -58,6 +58,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # OGR SQL arithmetic semantics: division by zero yields NULL, not an
+        # error (ogr/swq_op_general.cpp:637-718) — Spark 4 defaults to ANSI.
+        .config("spark.sql.ansi.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
