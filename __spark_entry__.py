@@ -26,6 +26,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _QUERY_MODULES = (
     "gdal_spark.queries.spatial",
     "gdal_spark.queries.relational",
+    "gdal_spark.queries.geodesy",
 )
 
 

@@ -185,6 +185,17 @@ def haversine_m(lon1, lat1, lon2, lat2):
     return 2.0 * WGS84_A * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Great-circle distance (m) — same expression text for Spark & DuckDB,
+    so engine and oracle compute bit-identical doubles."""
+    return (
+        f"(2.0 * {WGS84_A!r} * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2))))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared staged-SQL pipelines (Spark Catalyst ≡ DuckDB, same text).
 # sinh/cosh/atanh/asinh are spelled via exp/ln so DuckDB 1.0 accepts them.

@@ -1,0 +1,113 @@
+"""Reprojection + kNN queries (driver contract).
+
+Reprojection replicates gdalwarp's EPSG transform semantics
+(OGRCoordinateTransformation, ogr/ogrct.cpp:2344) as staged Catalyst
+expressions; the identical SQL text runs under DuckDB, so parity is
+bit-level before the mm-rounding applied for display.
+
+kNN is the iterative cell-ring expansion join (gdal_spark.knn) checked
+against a brute-force cross-join oracle — exactness of the expansion
+guarantee is what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.crs import (apply_sql_stages, haversine_sql,
+                            stages_to_duckdb_sql, tmerc_sql_stages,
+                            webmercator_sql_stages)
+from gdal_spark.knn import knn_join
+from gdal_spark.pages import points_from_documents, points_oracle_sql
+
+_PTS = points_oracle_sql("documents")
+K = 5
+QUERY_FILTER = "doc_id % 13 = 3"
+
+
+def q_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, webmercator_sql_stages("lon", "lat"))
+    return out.select(
+        "doc_id",
+        F.round("x_3857", 3).alias("x_3857"),
+        F.round("y_3857", 3).alias("y_3857"),
+        "ok",
+    )
+
+
+def q_reproject_utm31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:32631 (UTM 31N), Krüger series. Restricted to the
+    zone's ±6° neighborhood (the series' operating envelope; gdalwarp
+    would likewise be driven zone-by-zone)."""
+    pts = points_from_documents(spark, sf_dir).filter(
+        "lon >= -3.0 and lon <= 9.0")
+    out = apply_sql_stages(pts, tmerc_sql_stages("lon", "lat", 3.0))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN: every 13th doc queries the geotagged point set."""
+    pts = points_from_documents(spark, sf_dir)
+    queries = pts.filter(QUERY_FILTER).select(
+        F.col("doc_id").alias("qid"), "lon", "lat")
+    out = knn_join(pts, queries, k=K)
+    return out.select("qid", "doc_id", "rank",
+                      F.round("dist_m", 6).alias("dist_m"))
+
+
+QUERIES = {
+    "reproject_webmercator": q_reproject_webmercator,
+    "reproject_utm31": q_reproject_utm31,
+    "knn": q_knn,
+}
+
+
+def _webmerc_oracle() -> str:
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p",
+        webmercator_sql_stages("lon", "lat"),
+        ["doc_id", "x_3857", "y_3857", "ok"],
+    )
+    return (f"select doc_id, round(x_3857, 3) as x_3857,"
+            f" round(y_3857, 3) as y_3857, ok from ({inner}) q")
+
+
+def _utm_oracle() -> str:
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p"
+        f" where lon >= -3.0 and lon <= 9.0",
+        tmerc_sql_stages("lon", "lat", 3.0),
+        ["doc_id", "easting", "northing", "ok"],
+    )
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
+
+
+def _knn_oracle() -> str:
+    dist = haversine_sql("q.lon", "q.lat", "p.lon", "p.lat")
+    return f"""
+with p as ({_PTS}),
+q as (select doc_id as qid, lon, lat from ({_PTS}) x where {QUERY_FILTER.replace('doc_id', 'x.doc_id')}),
+ranked as (
+  select q.qid, p.doc_id, {dist} as dist_m,
+         row_number() over (partition by q.qid
+                            order by {dist}, p.doc_id) as rank
+  from q cross join p
+)
+select qid, doc_id, rank, round(dist_m, 6) as dist_m
+from ranked where rank <= {K}
+"""
+
+
+ORACLES = {
+    "reproject_webmercator": _webmerc_oracle(),
+    "reproject_utm31": _utm_oracle(),
+    "knn": _knn_oracle(),
+}
