@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver-side collect). The flagship spatial-join +
+tile-assignment pipeline also reports pages/sec — the north-rule metric
+(BASELINE.json). Scaling-efficiency runs (local[8] vs local[32]) live in
+``scripts/scaling_bench.py`` which reuses ``run_bench`` at two parallelism
+levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline subset: the north-star spatial pipeline + representative
+# relational / geodesy / kNN operators. Names must exist in
+# __spark_entry__.queries().
+HEADLINE = [
+    "extract_geotags",
+    "cell_assign",
+    "tile_counts_z8",
+    "pip_join",
+    "zonal_count",
+    "zonal_stats",
+    "knn",
+    "reproject_webmercator",
+    "sql_groupby_agg",
+    "sql_join_groups",
+    "sql_topk",
+    "sql_window_funcs",
+]
+# Queries counted toward the pages/sec throughput metric (each consumes
+# the full geocoded pages table once).
+THROUGHPUT_QUERIES = {"pip_join", "cell_assign", "tile_counts_z8", "zonal_count"}
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count without collecting rows."""
+    return df.count()
+
+
+def run_bench(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = names or [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+    return {"timings": timings, "rows": rows}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from gdal_spark.session import get_spark
+
+    spark = get_spark("gdal_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches with a trivial action so the
+    # first timed query doesn't pay one-time startup cost.
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    res = run_bench(spark, sf_dir)
+    timings = res["timings"]
+    total = round(sum(timings.values()), 3)
+
+    tp_sec = sum(timings[q] for q in THROUGHPUT_QUERIES if q in timings)
+    n_tp = sum(1 for q in THROUGHPUT_QUERIES if q in timings)
+    pages_per_sec = round(n_docs * n_tp / tp_sec, 1) if tp_sec > 0 else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    out = {
+        "metric": "spatial-join + tile-assignment pipeline, total sec over headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "pages_per_sec": pages_per_sec,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
