@@ -9,6 +9,9 @@ equivalent over the same parquet views. Query implementations live in
 - spatial.py     — geotag extraction, cell index, PIP join, zonal stats
 - relational.py  — the OGR SQL surface (aggregates, joins, sorts, scalar
                    functions, windows) on the TPC-H-ish tables
+- geodesy.py     — reprojection (WebMercator, UTM/Krüger) + exact kNN
+- textpipe.py    — dedup (exact/MinHash-LSH/SimHash/n-gram/embedding),
+                   similarity search, text analysis, multimodal plumbing
 
 Spatial inputs are synthesized deterministically from ``documents`` with
 integer-only arithmetic (gdal_spark.pages), so both engines compute
@@ -27,6 +30,7 @@ _QUERY_MODULES = (
     "gdal_spark.queries.spatial",
     "gdal_spark.queries.relational",
     "gdal_spark.queries.geodesy",
+    "gdal_spark.queries.textpipe",
 )
 
 

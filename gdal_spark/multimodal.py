@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride in the pages table as opaque `binary` columns
+(here: the `html` payload stands in). The engine's job at 100 TB is the
+Spark-side plumbing — schema, Arrow batch shape, partitioning, UDF
+signatures — not the codecs: real decoders (PIL/ffmpeg/librosa) are not
+in this container, so `decode_real` raises NotImplementedError and
+`decode_stub_meta` substitutes a deterministic md5-derived fake decode
+whose arithmetic the DuckDB oracle reproduces exactly (so even the stub
+is correctness-gated, not just shape-gated).
+
+Scale notes: payload bytes never leave the executor — metadata extraction
+is a mapInPandas pass emitting small typed rows; batches are bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch so a batch of 65,536 payload
+rows streams through Arrow without materializing the whole partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "url string, n_bytes long, width long, height long, n_frames long, "
+    "feat double"
+)
+
+
+def decode_real(payload: bytes) -> dict:
+    """Placeholder for a real image/audio decode (PIL/ffmpeg). The
+    container ships no codec libraries — deliberately stubbed."""
+    raise NotImplementedError(
+        "real multimodal decode requires image/audio codecs not present "
+        "in this environment; use decode_stub_meta (deterministic fake)")
+
+
+def _stub_fields(digest_hex: str) -> tuple[int, int, int, float]:
+    """Deterministic fake decode: dimensions/frames/feature derived from
+    the payload's md5. Mirrors the oracle SQL in queries/textpipe.py."""
+    w = 16 + int(digest_hex[0:2], 16)
+    h = 16 + int(digest_hex[2:4], 16)
+    frames = 1 + int(digest_hex[4:6], 16) % 8
+    # plain IEEE division, no rounding — bit-identical to the oracle SQL
+    feat = int(digest_hex[6:10], 16) / 65535.0
+    return w, h, frames, feat
+
+
+def decode_stub_meta(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages → (url, n_bytes, width, height, n_frames, feat) via
+    mapInPandas over the binary payload column."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            rows = {
+                "url": pdf["url"],
+                "n_bytes": payloads.map(len).astype("int64"),
+            }
+            metas = [
+                _stub_fields(hashlib.md5(p).hexdigest()) for p in payloads
+            ]
+            rows["width"] = pd.Series([m[0] for m in metas], dtype="int64")
+            rows["height"] = pd.Series([m[1] for m in metas], dtype="int64")
+            rows["n_frames"] = pd.Series([m[2] for m in metas], dtype="int64")
+            rows["feat"] = pd.Series([m[3] for m in metas], dtype="float64")
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", payload_col).mapInPandas(
+        _decode, schema=DECODE_SCHEMA)
+
+
+def payload_meta(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Pure-Catalyst payload metadata: byte length, content digest, and a
+    magic-prefix format sniff — the cheap pass run before any decode."""
+    return pages.select(
+        "url",
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("content_md5"),
+        F.when(
+            F.decode(F.col(payload_col), "utf-8").startswith("<html>"),
+            F.lit("text/html"),
+        ).otherwise(F.lit("application/octet-stream")).alias("format"),
+    )

@@ -1,0 +1,263 @@
+"""Training-data pipeline queries (driver contract): dedup, similarity
+search, text analysis, multimodal plumbing.
+
+Every oracle-checked entry shares its arithmetic with the DuckDB SQL via
+the engine-parameterized builders in gdal_spark.textops / simsearch —
+equality is bit-exact, not tolerance-based. The two approximate scale-path
+operators (LSH ANN) are rows-only checked, by design: exactness is the
+brute-force baseline's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import simsearch, textops
+from gdal_spark.crs import apply_sql_stages, stages_to_duckdb_sql
+from gdal_spark.dedup import (crawl_from_documents, dedup_exact,
+                              minhash_neardup_pairs, ngram_jaccard_pairs,
+                              simhash_neardup_pairs)
+from gdal_spark.multimodal import decode_stub_meta, payload_meta
+from gdal_spark.pages import geotag_text_sql, pages_from_documents, synth_stages
+from gdal_spark.simsearch import (aug_embeddings, brute_topk, lsh_bucket_topk,
+                                  neardup_pairs)
+from gdal_spark.textops import DUCKDB
+
+EMB_DIM = 64
+ANN_QUERY_FILTER = "vec_id % 100 = 0 and vec_id < 100000"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl_from_documents(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_crawl(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_neardup_pairs(_crawl(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(_crawl(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
+
+
+def _crawl_d() -> str:
+    return textops.crawl_sql("documents", DUCKDB)
+
+
+def _exact_jaccard_oracle(k: int, threshold: float) -> str:
+    sh = textops.shingle_rows_sql("documents", DUCKDB, k=k)
+    return f"""
+with sh as ({sh}),
+sz as (select crawl_id, count(*) as n from sh group by crawl_id),
+i as (
+  select a.crawl_id as id_a, b.crawl_id as id_b, count(*) as c
+  from sh a join sh b on a.sh = b.sh and a.crawl_id < b.crawl_id
+  group by 1, 2
+)
+select id_a, id_b,
+       round(cast(c as double) / (za.n + zb.n - c), 6) as jaccard
+from i
+join sz za on i.id_a = za.crawl_id
+join sz zb on i.id_b = zb.crawl_id
+where cast(c as double) / (za.n + zb.n - c) >= {threshold}
+"""
+
+
+def _simhash_oracle() -> str:
+    s = textops.simhash_table_sql("documents", DUCKDB)
+    return f"""
+with s as ({s})
+select a.crawl_id as id_a, b.crawl_id as id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from s a join s b on a.crawl_id < b.crawl_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs(aug_embeddings(_emb(spark, sf_dir)), threshold=0.9)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_topk(aug_embeddings(_emb(spark, sf_dir)),
+                      ANN_QUERY_FILTER, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucket_topk(aug_embeddings(_emb(spark, sf_dir)),
+                           ANN_QUERY_FILTER, dim=EMB_DIM, k=10)
+
+
+def _aug_d() -> str:
+    return simsearch.aug_sql("embeddings", DUCKDB)
+
+
+def _embed_neardup_oracle() -> str:
+    cos = (f"{simsearch.dot_sql('x.vec', 'y.vec', DUCKDB)}"
+           f" / (sqrt(x.n2) * sqrt(y.n2))")
+    return f"""
+with a as ({_aug_d()})
+select x.vec_id as vec_a, y.vec_id as vec_b, round({cos}, 6) as cosine
+from a x join a y on x.vec_id < y.vec_id
+where {cos} >= 0.9
+"""
+
+
+def _ann_topk_oracle() -> str:
+    cos = (f"{simsearch.dot_sql('q.qv', 'a.vec', DUCKDB)}"
+           f" / (sqrt(q.qn2) * sqrt(a.n2))")
+    return f"""
+with a as ({_aug_d()}),
+q as (select vec_id as qid, vec as qv, n2 as qn2 from a
+      where {ANN_QUERY_FILTER})
+select qid, vec_id,
+       cast(row_number() over (partition by qid
+            order by {cos} desc, vec_id) as int) as "rank",
+       round({cos}, 6) as cosine
+from a cross join q
+where a.vec_id <> q.qid
+qualify "rank" <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _staged_query(stages_fn, out_cols):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = apply_sql_stages(_docs(spark, sf_dir).select("doc_id", "text"),
+                              stages_fn(textops.SPARK))
+        return df.select(*out_cols)
+
+    return q
+
+
+def _staged_oracle(stages_fn, out_cols) -> str:
+    return stages_to_duckdb_sql("select doc_id, text from documents",
+                                stages_fn(DUCKDB), out_cols)
+
+
+_LANG_COLS = ["doc_id"] + [f"hits_{lg}" for lg in textops.LANG_MARKERS] + [
+    "lang_pred"]
+_QUALITY_COLS = ["doc_id", "n_tokens", "n_chars_t", "punct_cnt", "stop_hits",
+                 "avg_wlen", "punct_ratio", "stop_ratio", "quality"]
+_TOKEN_COLS = ["doc_id", "ws_tokens", "re_tokens"]
+_FP_COLS = ["doc_id", "fp", "fp64"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload_meta(pages_from_documents(spark, sf_dir))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_stub_meta(pages_from_documents(spark, sf_dir))
+
+
+def _html_src_sql() -> str:
+    inner = stages_to_duckdb_sql(
+        "select doc_id, text from documents",
+        synth_stages("doc_id") + [("gtext", geotag_text_sql("text"))],
+        ["doc_id", "gtext"],
+    )
+    return (
+        "select concat('https://site', doc_id % 100, '.example/p/', doc_id)"
+        " as url,"
+        " concat('<html><body><p>', gtext, '</p></body></html>') as html_str"
+        f" from ({inner}) h"
+    )
+
+
+def _multimodal_meta_oracle() -> str:
+    return f"""
+select url, cast(strlen(html_str) as bigint) as n_bytes,
+       md5(html_str) as content_md5,
+       case when html_str like '<html>%' then 'text/html'
+            else 'application/octet-stream' end as format
+from ({_html_src_sql()}) p
+"""
+
+
+def _multimodal_decode_oracle() -> str:
+    def hx(start: int, width: int) -> str:
+        return (f"cast(('0x' || substr(md5(html_str), {start}, {width}))"
+                f" as bigint)")
+
+    return f"""
+select url, cast(strlen(html_str) as bigint) as n_bytes,
+       16 + {hx(1, 2)} as width,
+       16 + {hx(3, 2)} as height,
+       1 + ({hx(5, 2)} % 8) as n_frames,
+       {hx(7, 4)} / 65535.0 as feat
+from ({_html_src_sql()}) p
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "embed_neardup_cosine": q_embed_neardup,
+    "ann_topk_cosine": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_langid": _staged_query(textops.langid_stages, _LANG_COLS),
+    "text_quality": _staged_query(textops.quality_stages, _QUALITY_COLS),
+    "text_token_counts": _staged_query(textops.token_count_stages,
+                                       _TOKEN_COLS),
+    "text_fingerprint": _staged_query(textops.fingerprint_stages, _FP_COLS),
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "dedup_exact": f"""
+select min(crawl_id) as rep_id, count(*) as n_copies
+from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
+""",
+    "dedup_minhash_lsh": _exact_jaccard_oracle(k=3, threshold=0.8),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
+    "embed_neardup_cosine": _embed_neardup_oracle(),
+    "ann_topk_cosine": _ann_topk_oracle(),
+    # ann_lsh_topk: approximate by design → rows-only check (no oracle)
+    "text_langid": _staged_oracle(textops.langid_stages, _LANG_COLS),
+    "text_quality": _staged_oracle(textops.quality_stages, _QUALITY_COLS),
+    "text_token_counts": _staged_oracle(textops.token_count_stages,
+                                        _TOKEN_COLS),
+    "text_fingerprint": _staged_oracle(textops.fingerprint_stages, _FP_COLS),
+    "multimodal_meta": _multimodal_meta_oracle(),
+    "multimodal_decode": _multimodal_decode_oracle(),
+}

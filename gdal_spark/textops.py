@@ -1,0 +1,315 @@
+"""Web-text dedup + analysis kernels: portable SQL builders.
+
+The training-data-pipeline operators (exact dedup, MinHash+LSH, SimHash,
+n-gram Jaccard, language-ID, quality scoring, token counting, document
+fingerprinting) are expressed as **engine-parameterized SQL expression
+builders**: the same arithmetic emitted in Spark SQL and DuckDB SQL
+spellings, so the DuckDB oracle checks the exact math, not an
+approximation. All Spark-side hot-path math is JVM Catalyst expressions
+(whole-stage codegen; no Python in the scan path) — the same stance as
+gdal_spark.cells/crs.
+
+Reference precedent: GDAL's text processing surface is the OGR SQL string
+functions (CONCAT/SUBSTR/LIKE, ogr/swq_op_general.cpp) and the geocoding
+cache (ogr/ogr_geocoding.cpp:118-243); the dedup/fingerprint family is the
+web-scale extension this engine adds on top (SURVEY.md §7 stance).
+
+Scale design (100 TB pages table):
+- every per-doc signature (minhash sig, simhash, fingerprints) is computed
+  in one narrow pass over the table — shingle explode → groupBy(doc) is
+  the only shuffle, keyed by doc id (uniform, no skew);
+- LSH banding joins are equi-joins on (band, key) — AQE skew-join splits
+  the hot buckets that exact-duplicate clusters create;
+- candidate verification joins only candidate pairs (output of banding),
+  never the full cross product.
+"""
+
+from __future__ import annotations
+
+import random
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+P32 = 4294967291  # largest prime < 2^32: minhash permutation modulus
+FP_MOD = 1000000007  # polynomial fingerprint modulus
+FP_BASE = 31
+
+N_MINHASH = 128
+LSH_BANDS = 32
+LSH_ROWS = 4  # 32 bands x 4 rows; catch prob at J=0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8
+
+SIMHASH_BITS = 60  # bigint-safe in both engines (1<<63 overflows DuckDB)
+SIMHASH_BANDS = 4  # 4 x 15 bits: hamming<=3 pairs share >=1 band (pigeonhole)
+
+# Deterministic minhash permutation constants: a in [1, 2^30) keeps
+# a*h32 + b < 2^63 (no bigint overflow in either engine).
+_rng = random.Random(1234567)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(N_MINHASH)]
+MINHASH_B = [_rng.randrange(0, P32) for _ in range(N_MINHASH)]
+
+
+# ---------------------------------------------------------------------------
+# Portable primitives
+# ---------------------------------------------------------------------------
+
+
+def h60_sql(expr: str, engine: str) -> str:
+    """Deterministic 60-bit string hash: first 15 hex digits of md5."""
+    if engine == SPARK:
+        return f"cast(conv(substr(md5({expr}),1,15),16,10) as bigint)"
+    return f"cast(('0x' || substr(md5({expr}),1,15)) as bigint)"
+
+
+def tokens_sql(text: str, engine: str) -> str:
+    """Whitespace word tokens (regex ' +' after trim)."""
+    if engine == SPARK:
+        return f"split(trim({text}), ' +')"
+    return f"string_split_regex(trim({text}), ' +')"
+
+
+def shingles_sql(toks: str, k: int, engine: str) -> str:
+    """k-word shingles joined by single spaces; a doc shorter than k words
+    yields its single full-token shingle."""
+    if engine == SPARK:
+        return (
+            f"transform(sequence(1, greatest(size({toks})-{k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k})))"
+        )
+    return (
+        f"list_transform(range(1, greatest(length({toks})-{k - 1}, 1)+1),"
+        f" i -> array_to_string(list_slice({toks}, i, i+{k - 1}), ' '))"
+    )
+
+
+def explode_sql(arr_expr: str, alias: str, engine: str) -> str:
+    if engine == SPARK:
+        return f"explode({arr_expr}) as {alias}"
+    return f"unnest({arr_expr}) as {alias}"
+
+
+def bit_sql(expr: str, b: int, engine: str) -> str:
+    """(expr >> b) & 1 in each dialect."""
+    if engine == SPARK:
+        return f"(shiftright({expr}, {b}) % 2)"
+    return f"(({expr} >> {b}) & 1)"
+
+
+def xor_sql(a: str, b: str, engine: str) -> str:
+    return f"({a} ^ {b})" if engine == SPARK else f"xor({a}, {b})"
+
+
+def char_fold_sql(text: str, engine: str, mod: int = FP_MOD,
+                  base: int = FP_BASE) -> str:
+    """Polynomial rolling fingerprint over characters:
+    h = fold(chars, (h,c) -> (h*base + ascii(c)) % mod) — the document
+    fingerprint (Karp–Rabin family)."""
+    if engine == SPARK:
+        return (
+            f"aggregate(split({text}, ''), 0L,"
+            f" (h, c) -> (h * {base} + ascii(c)) % {mod})"
+        )
+    return (
+        f"list_reduce(list_concat([0],"
+        f" list_transform(string_split({text}, ''), c -> ascii(c)::bigint)),"
+        f" (h, c) -> (h * {base} + c) % {mod})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl synthesis: deterministic re-crawls with exact + near duplicates
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_SUFFIX = " updatednote"  # one appended word: J = (w-2)/(w-1) >= 8/9
+
+
+def crawl_sql(doc_view: str, engine: str) -> str:
+    """documents → crawl table with deterministic duplicate structure:
+
+    - every doc appears once as kind 'orig' (crawl_id = doc_id)
+    - docs with doc_id % 5 == 2 are re-crawled byte-identically under a
+      new crawl_id (+1,000,000) — exact duplicates
+    - docs with doc_id % 7 == 3 are re-crawled with one appended word
+      (+2,000,000) — near duplicates, 3-shingle Jaccard ≥ 8/9
+
+    Identical SQL text in both engines (pure ANSI).
+    """
+    _ = engine  # shared spelling
+    return f"""
+select doc_id as crawl_id, doc_id as orig_id, text, lang, 'orig' as crawl_kind
+from {doc_view}
+union all
+select doc_id + 1000000, doc_id, text, lang, 'dup' from {doc_view}
+where doc_id % 5 = 2
+union all
+select doc_id + 2000000, doc_id, concat(text, '{NEAR_DUP_SUFFIX}'), lang, 'near'
+from {doc_view} where doc_id % 7 = 3
+"""
+
+
+def shingle_rows_sql(doc_view: str, engine: str, k: int = 3) -> str:
+    """crawl → distinct (crawl_id, sh) shingle rows with 32-bit hash h32."""
+    toks = tokens_sql("text", engine)
+    sh = shingles_sql("_toks", k, engine)
+    h = h60_sql("sh", engine)
+    return f"""
+select crawl_id, sh, ({h}) % {P32} as h32 from (
+  select distinct crawl_id, {explode_sql(sh, 'sh', engine)} from (
+    select crawl_id, {toks} as _toks from ({crawl_sql(doc_view, engine)}) c
+  ) t
+) s
+"""
+
+
+def minhash_agg_exprs() -> list[str]:
+    """The 128 per-doc signature aggregates (Spark SQL spellings; the
+    oracle never needs the signature — it checks the exact-Jaccard
+    ground truth instead)."""
+    return [
+        f"min(({a} * h32 + {b}) % {P32}) as s{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def simhash_sql(engine: str) -> str:
+    """Aggregate expression list + combiner for the 60-bit SimHash over a
+    doc's distinct-word hash set: bit b of the simhash is 1 iff
+    sum(±1 per word, + if word-hash bit b set) > 0."""
+    parts = []
+    for b in range(SIMHASH_BITS):
+        bit = bit_sql("wh", b, engine)
+        parts.append(
+            f"(case when sum(case when {bit} = 1 then 1 else -1 end) > 0"
+            f" then cast({1 << b} as bigint) else 0 end)"
+        )
+    return " + ".join(parts)
+
+
+def word_hash_rows_sql(doc_view: str, engine: str) -> str:
+    """crawl → distinct (crawl_id, wh) word-hash rows (simhash features)."""
+    toks = tokens_sql("text", engine)
+    h = h60_sql("w", engine)
+    return f"""
+select distinct crawl_id, {h} as wh from (
+  select crawl_id, {explode_sql('_toks', 'w', engine)} from (
+    select crawl_id, {toks} as _toks from ({crawl_sql(doc_view, engine)}) c
+  ) t
+) s
+"""
+
+
+def simhash_table_sql(doc_view: str, engine: str) -> str:
+    """crawl → (crawl_id, simhash)."""
+    return (
+        f"select crawl_id, {simhash_sql(engine)} as simhash"
+        f" from ({word_hash_rows_sql(doc_view, engine)}) w group by crawl_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality, token counting
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # n-gram-heuristic language ID: characteristic high-frequency words.
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es": ("el", "los", "que", "las", "una", "por", "con", "para"),
+    "pt": ("o", "os", "uma", "não", "mais", "como", "mas", "pelo"),
+}
+
+
+def lang_hits_sql(toks: str, lang: str, engine: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    if engine == SPARK:
+        return (
+            f"size(filter({toks}, t -> array_contains(array({words}), t)))"
+        )
+    return f"length(list_filter({toks}, t -> list_contains([{words}], t)))"
+
+
+def langid_pred_sql(engine: str) -> str:
+    """argmax over language marker-hit counts; 'und' when all zero.
+    Ties resolve in the fixed key order of LANG_MARKERS (first max wins),
+    expressed as a deterministic CASE chain valid in both engines."""
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"hits_{lg} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"hits_{lg} > hits_{other}")
+            elif j > i:
+                conds.append(f"hits_{lg} >= hits_{other}")
+        cases.append(f"when {' and '.join(conds)} then '{lg}'")
+    return "case " + " ".join(cases) + " else 'und' end"
+
+
+# BPE-ish token regex: letter runs, digit runs, single non-alnum marks.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_count_sql(text: str, pattern: str, engine: str) -> str:
+    if engine == SPARK:
+        return f"cast(regexp_count({text}, '{pattern}') as bigint)"
+    return f"cast(length(regexp_extract_all({text}, '{pattern}')) as bigint)"
+
+
+def arr_len_sql(arr: str, engine: str) -> str:
+    if engine == SPARK:
+        return f"cast(size({arr}) as bigint)"
+    return f"cast(length({arr}) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Staged pipelines (crs.apply_sql_stages / crs.stages_to_duckdb_sql shape):
+# the same stage list, rendered per engine, runs as Catalyst withColumns and
+# as nested DuckDB subqueries.
+# ---------------------------------------------------------------------------
+
+
+def langid_stages(engine: str) -> list[tuple[str, str]]:
+    stages = [("_toks", tokens_sql("text", engine))]
+    for lg in LANG_MARKERS:
+        stages.append((f"hits_{lg}",
+                       f"cast({lang_hits_sql('_toks', lg, engine)} as bigint)"))
+    stages.append(("lang_pred", langid_pred_sql(engine)))
+    return stages
+
+
+def quality_stages(engine: str) -> list[tuple[str, str]]:
+    """Quality scoring: length/stopword/punctuation ratios combined into a
+    [0,1] score. Raw doubles feed the score; rounded views are emitted."""
+    return [
+        ("_toks", tokens_sql("text", engine)),
+        ("n_tokens", arr_len_sql("_toks", engine)),
+        ("n_chars_t", "cast(length(text) as bigint)"),
+        ("punct_cnt", regex_count_sql("text", "[.,!?;:]", engine)),
+        ("stop_hits",
+         f"cast({lang_hits_sql('_toks', 'en', engine)} as bigint)"),
+        ("_awl", "cast(length(replace(text, ' ', '')) as double) / n_tokens"),
+        ("_pr", "cast(punct_cnt as double) / n_chars_t"),
+        ("_sr", "cast(stop_hits as double) / n_tokens"),
+        ("quality",
+         "round(0.4 * least(n_tokens, 100) / 100.0 + 0.4 * _sr"
+         " + 0.2 * (1.0 - _pr), 6)"),
+        ("avg_wlen", "round(_awl, 6)"),
+        ("punct_ratio", "round(_pr, 6)"),
+        ("stop_ratio", "round(_sr, 6)"),
+    ]
+
+
+def token_count_stages(engine: str) -> list[tuple[str, str]]:
+    return [
+        ("_toks", tokens_sql("text", engine)),
+        ("ws_tokens", arr_len_sql("_toks", engine)),
+        ("re_tokens", regex_count_sql("text", TOKEN_REGEX, engine)),
+    ]
+
+
+def fingerprint_stages(engine: str) -> list[tuple[str, str]]:
+    return [
+        ("fp", char_fold_sql("text", engine)),
+        ("fp64", char_fold_sql("substr(text, 1, 64)", engine)),
+    ]

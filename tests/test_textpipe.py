@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis.
+
+Mirrors the reference's operator-level golden style (SURVEY §5): small
+deterministic inputs, independent expected values. The cross-engine
+bit-parity of every oracle-checked query is covered by the driver
+contract; these tests pin the *semantics* (blocking guarantees, duplicate
+structure, stub arithmetic) independently of DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.dedup import (crawl_from_documents, dedup_exact,
+                              minhash_neardup_pairs, ngram_jaccard_pairs,
+                              simhash_neardup_pairs, simhash_table)
+from gdal_spark.multimodal import _stub_fields, decode_stub_meta, decode_real
+from gdal_spark.simsearch import aug_embeddings, brute_topk, neardup_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def crawl(docs):
+    return crawl_from_documents(docs).cache()
+
+
+def test_crawl_duplicate_structure(docs, crawl):
+    n = docs.count()
+    n_dup = docs.filter("doc_id % 5 = 2").count()
+    n_near = docs.filter("doc_id % 7 = 3").count()
+    assert crawl.count() == n + n_dup + n_near
+    # every 'dup' crawl is byte-identical to its original
+    by_kind = {r["crawl_kind"]: r["c"] for r in
+               crawl.groupBy("crawl_kind").agg(F.count("*").alias("c"))
+               .collect()}
+    assert by_kind == {"orig": n, "dup": n_dup, "near": n_near}
+
+
+def test_dedup_exact_matches_dup_synthesis(docs, crawl):
+    groups = dedup_exact(crawl).collect()
+    n_dup = docs.filter("doc_id % 5 = 2").count()
+    # each %5==2 doc forms exactly one 2-member group (texts are unique)
+    assert len(groups) == n_dup
+    assert all(g["n_copies"] == 2 for g in groups)
+    assert all(g["rep_id"] < 1000000 for g in groups)  # keeper = original
+
+
+def test_minhash_catches_all_synthetic_neardups(docs, crawl):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_neardup_pairs(crawl, threshold=0.8).collect()}
+    # exact duplicates: J = 1.0 exactly
+    for r in docs.filter("doc_id % 5 = 2").select("doc_id").collect():
+        d = r["doc_id"]
+        assert pairs.get((d, d + 1000000)) == 1.0
+    # near duplicates (one appended word): J = (w-2)/(w-1) >= 8/9 > 0.8
+    for r in docs.filter("doc_id % 7 = 3").select("doc_id").collect():
+        d = r["doc_id"]
+        assert (d, d + 2000000) in pairs
+        assert pairs[(d, d + 2000000)] >= 0.88
+
+
+def test_simhash_banding_equals_quadratic(spark, crawl):
+    """The 4×15-bit band join must find exactly the hamming≤3 pairs a
+    quadratic scan finds (pigeonhole guarantee, not an approximation)."""
+    sample = crawl.filter("crawl_id % 3 = 0")
+    blocked = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_neardup_pairs(sample, max_hamming=3).collect()}
+    s = simhash_table(sample).collect()
+    quad = set()
+    for i, a in enumerate(s):
+        for b in s[i + 1:]:
+            h = bin(a["simhash"] ^ b["simhash"]).count("1")
+            if h <= 3:
+                x, y = sorted((a["crawl_id"], b["crawl_id"]))
+                quad.add((x, y, h))
+    assert blocked == quad
+
+
+def test_ngram_jaccard_bounds(crawl):
+    rows = ngram_jaccard_pairs(crawl, k=2, threshold=0.7).collect()
+    assert all(0.7 <= r["jaccard"] <= 1.0 for r in rows)
+    exact = [r for r in rows if r["jaccard"] == 1.0]
+    assert len(exact) >= 1
+
+
+@pytest.fixture(scope="module")
+def aug(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return aug_embeddings(emb).cache()
+
+
+def test_embed_neardup_is_exactly_the_perturbed_pairs(spark, aug):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expect = {(r["vec_id"], r["vec_id"] + 100000)
+              for r in emb.filter("vec_id % 4 = 1").collect()}
+    got = {(r["vec_a"], r["vec_b"])
+           for r in neardup_pairs(aug, threshold=0.9).collect()}
+    assert got == expect  # natural pairs max out near cos 0.5
+    for r in neardup_pairs(aug, threshold=0.9).collect():
+        assert r["cosine"] > 0.99
+
+
+def test_brute_topk_shape_and_order(aug):
+    rows = brute_topk(aug, "vec_id % 100 = 0 and vec_id < 100000",
+                      k=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_multimodal_stub_matches_md5_arithmetic(spark):
+    from gdal_spark.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(20)
+    out = {r["url"]: r for r in decode_stub_meta(pages).collect()}
+    for r in pages.collect():
+        h = hashlib.md5(bytes(r["html"])).hexdigest()
+        w, ht, fr, feat = _stub_fields(h)
+        got = out[r["url"]]
+        assert (got["width"], got["height"], got["n_frames"]) == (w, ht, fr)
+        assert got["feat"] == feat
+        assert got["n_bytes"] == len(bytes(r["html"]))
+
+
+def test_decode_real_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG")
