@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "gdal_spark.queries.relational",
     "gdal_spark.queries.geodesy",
     "gdal_spark.queries.textpipe",
+    "gdal_spark.queries.raster",
 )
 
 

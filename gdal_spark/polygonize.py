@@ -1,0 +1,204 @@
+"""Polygonize: raster → vector connected components (alg/polygonize.cpp).
+
+GDAL's polygonize sweeps the raster two rows at a time, merging runs of
+equal-valued pixels into polygons (alg/polygonize_polygonizer.cpp). The
+distributed restatement splits the work the way the north star requires:
+
+1. **per-tile labeling** — inside each tile an iterative min-label
+   propagation over the occupancy mask (4-connected) assigns every pixel
+   the minimum global pixel id of its tile-local component (vectorized
+   numpy; no Python per pixel);
+2. **border adjacency** — tiles emit their border pixels' labels; an
+   equi-join on neighboring pixel coordinates yields the cross-tile
+   component edges (the only data that leaves a tile: O(perimeter));
+3. **label propagation join loop** — iterated min-label join+groupBy
+   until fixpoint (≤ component diameter in tiles; the standard
+   distributed CC pattern) produces the global component label = the
+   minimum pixel id of the whole component;
+4. **summary aggregation** — per-component pixel counts and bbox.
+
+This mirrors the structure of GDAL's algorithm (per-chunk polygonization,
+then merging features that touch chunk borders) while every cross-tile
+step is a DataFrame join, never driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.raster import TILE_PX
+
+
+def _label_tile(mask: np.ndarray, pid: np.ndarray) -> np.ndarray:
+    """4-connected min-label propagation within one tile. Returns labels
+    (-1 where empty)."""
+    lbl = np.where(mask, pid, np.int64(2**62))
+    while True:
+        prev = lbl
+        m = lbl
+        m = np.minimum(m, np.pad(lbl[1:, :], ((0, 1), (0, 0)),
+                                 constant_values=2**62))
+        m = np.minimum(m, np.pad(lbl[:-1, :], ((1, 0), (0, 0)),
+                                 constant_values=2**62))
+        m = np.minimum(m, np.pad(lbl[:, 1:], ((0, 0), (0, 1)),
+                                 constant_values=2**62))
+        m = np.minimum(m, np.pad(lbl[:, :-1], ((0, 0), (1, 0)),
+                                 constant_values=2**62))
+        lbl = np.where(mask, m, np.int64(2**62))
+        if np.array_equal(lbl, prev):
+            break
+    return np.where(mask, lbl, -1)
+
+
+def tile_components(tiles: DataFrame, grid_w: int,
+                    dtype: str = "int64") -> tuple[DataFrame, DataFrame]:
+    """Per-tile labeling pass.
+
+    Returns (parts, borders):
+    parts   — (lbl, n_pixels, min_gx, min_gy, max_gx, max_gy) per
+              tile-local component (lbl = min global pid in the tile part)
+    borders — (gx, gy, lbl) for occupied tile-border pixels
+    """
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_parts = []
+            out_borders = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["data"], dtype=np_dtype).reshape(t, t)
+                mask = buf != 0
+                if not mask.any():
+                    continue
+                ty0 = int(row["ty"]) * t
+                tx0 = int(row["tx"]) * t
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + tx0
+                gy = gy + ty0
+                pid = gy * np.int64(grid_w) + gx
+                lbl = _label_tile(mask, pid)
+                flat_l = lbl[mask]
+                flat_x = gx[mask]
+                flat_y = gy[mask]
+                for li in np.unique(flat_l):
+                    sel = flat_l == li
+                    out_parts.append((
+                        int(li), int(sel.sum()),
+                        int(flat_x[sel].min()), int(flat_y[sel].min()),
+                        int(flat_x[sel].max()), int(flat_y[sel].max())))
+                edge = mask.copy()
+                edge[1:-1, 1:-1] = False
+                for yy, xx in zip(*np.nonzero(edge)):
+                    out_borders.append((int(gx[yy, xx]), int(gy[yy, xx]),
+                                        int(lbl[yy, xx]), 1))
+            yield pd.DataFrame(
+                [p + (0,) for p in out_parts] + [
+                    (b[2], 0, b[0], b[1], 0, 0, 1) for b in out_borders],
+                columns=["lbl", "n_pixels", "min_gx", "min_gy",
+                         "max_gx", "max_gy", "is_border"],
+            )
+
+    mixed = tiles.mapInPandas(
+        run, "lbl long, n_pixels long, min_gx long, min_gy long, "
+             "max_gx long, max_gy long, is_border int").cache()
+    parts = mixed.filter("is_border = 0").drop("is_border")
+    borders = mixed.filter("is_border = 1").select(
+        F.col("min_gx").alias("gx"), F.col("min_gy").alias("gy"), "lbl")
+    return parts, borders
+
+
+def cross_tile_edges(borders: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
+    """(la, lb) label pairs for 4-adjacent occupied pixels in *different*
+    tiles (same-tile adjacency is already merged)."""
+    a = borders.select(F.col("gx").alias("ax"), F.col("gy").alias("ay"),
+                       F.col("lbl").alias("la"))
+    b = borders.select(F.col("gx").alias("bx"), F.col("gy").alias("by"),
+                       F.col("lbl").alias("lb"))
+    right = a.join(b, (F.col("bx") == F.col("ax") + 1)
+                   & (F.col("by") == F.col("ay"))
+                   & (F.expr(f"ax % {tile_px}") == tile_px - 1))
+    down = a.join(b, (F.col("by") == F.col("ay") + 1)
+                  & (F.col("bx") == F.col("ax"))
+                  & (F.expr(f"ay % {tile_px}") == tile_px - 1))
+    return (right.select("la", "lb").unionByName(down.select("la", "lb"))
+            .filter("la <> lb").distinct())
+
+
+def propagate_labels(parts: DataFrame, edges: DataFrame,
+                     max_iter: int = 50) -> DataFrame:
+    """Distributed min-label propagation to fixpoint: (lbl, comp)."""
+    labels = parts.select("lbl").distinct().withColumn("comp", F.col("lbl"))
+    sym = edges.unionByName(
+        edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+    ).distinct().cache()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("lbl", "lb")
+                     .withColumnRenamed("comp", "nc"), "lb")
+            .groupBy("la").agg(F.min("nc").alias("nmin"))
+            .withColumnRenamed("la", "lbl")
+        )
+        updated = (
+            labels.join(neigh, "lbl", "left")
+            .withColumn("new", F.least("comp", F.coalesce("nmin", "comp")))
+        )
+        n_changed = updated.filter("new < comp").count()
+        labels = updated.select("lbl", F.col("new").alias("comp")).cache()
+        if n_changed == 0:
+            break
+    return labels
+
+
+def polygonize_summary(tiles: DataFrame, grid_w: int,
+                       dtype: str = "int64") -> DataFrame:
+    """Full polygonize: (comp, n_pixels, min_gx, min_gy, max_gx, max_gy)
+    per 4-connected component of the nonzero mask; comp = min global
+    pixel id (gy*grid_w + gx) of the component."""
+    parts, borders = tile_components(tiles, grid_w, dtype)
+    labels = propagate_labels(parts, cross_tile_edges(borders))
+    return (
+        parts.join(labels, "lbl")
+        .groupBy("comp").agg(
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("min_gx").alias("min_gx"), F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"), F.max("max_gy").alias("max_gy"))
+    )
+
+
+def polygonize_oracle_sql(points_sql: str, z: int, tile_px_log2: int = 6) -> str:
+    """DuckDB recursive-CTE ground truth: min-label propagation over the
+    occupied-pixel adjacency graph of the z-zoom point burn."""
+    from gdal_spark.raster import gpixel_exprs
+
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    grid_w = 1 << (z + tile_px_log2)
+    return f"""
+with recursive px as (
+  select gx, gy, gy * {grid_w} + gx as pid from (
+    select distinct {gxe} as gx, {gye} as gy from ({points_sql}) p
+  ) d
+),
+e as (
+  select a.pid as u, b.pid as v from px a join px b
+    on (b.gx = a.gx + 1 and b.gy = a.gy) or (b.gx = a.gx and b.gy = a.gy + 1)
+),
+esym as (select u, v from e union select v, u from e),
+lbl(pid, l) as (
+  select pid, pid from px
+  union
+  select es.v, lbl.l from lbl join esym es on es.u = lbl.pid
+    where lbl.l < es.v
+),
+final as (select pid, min(l) as comp from lbl group by pid)
+select f.comp, count(*) as n_pixels,
+       min(px.gx) as min_gx, min(px.gy) as min_gy,
+       max(px.gx) as max_gx, max(px.gy) as max_gy
+from final f join px on px.pid = f.pid
+group by f.comp
+"""

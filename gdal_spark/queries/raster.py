@@ -1,0 +1,135 @@
+"""Raster operator queries (driver contract): rasterize→checksum,
+overview pyramid, point sampling, focal Horn gradient.
+
+The raster oracles exploit two invariants so DuckDB can check real
+tile-buffer computations exactly:
+
+- a point-count burn is a pixel-keyed aggregation, so the oracle
+  recomputes pixel values by the shared cell formula and applies the
+  GDALChecksumImage arithmetic in SQL (zero pixels contribute 0 to the
+  checksum sum);
+- a 2×2 SUM overview of a count raster equals direct counting at the
+  coarser grid (floor-halving is exact), so the pyramid path is checked
+  against a first-principles z-1 burn;
+- the synthetic DEM is a closed form of (gx, gy), so the oracle evaluates
+  the 3×3 Horn window without ever materializing tiles — checking the
+  halo-exchange machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.pages import points_from_documents, points_oracle_sql
+from gdal_spark.raster import (DEM_ELEV_SQL, checksum_oracle_sql,
+                               gpixel_exprs, halo_gradient, overview_sum,
+                               rasterize_points, sample_at_points,
+                               synth_dem_tiles, tile_checksums)
+
+RASTER_Z = 5
+DEM_PX = 256
+
+_PTS = points_oracle_sql("documents")
+
+
+def q_rasterize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(tiles)
+
+
+def q_overview_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(overview_sum(tiles))
+
+
+def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    queries = pts.filter("doc_id % 13 = 3").select(
+        F.col("doc_id").alias("qid"), "lon", "lat")
+    return sample_at_points(tiles, queries, RASTER_Z)
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.polygonize import polygonize_summary
+
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    grid_w = 1 << (RASTER_Z + 6)
+    return polygonize_summary(tiles, grid_w)
+
+
+def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ = sf_dir  # fixed-size synthetic DEM exercises the focal machinery
+    return halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
+
+
+def _sample_oracle() -> str:
+    gxe, gye = gpixel_exprs("lon", "lat", RASTER_Z)
+    return f"""
+with px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({_PTS}) p group by 1, 2
+),
+q as (
+  select doc_id, {gxe} as gx, {gye} as gy
+  from ({_PTS}) p where doc_id % 13 = 3
+)
+select q.doc_id as qid, coalesce(px.cnt, 0) as value
+from q left join px using (gx, gy)
+"""
+
+
+def _dem_elev(x: str, y: str) -> str:
+    return DEM_ELEV_SQL.replace("gx", f"({x})").replace("gy", f"({y})")
+
+
+def _dem_slope_oracle() -> str:
+    e = _dem_elev
+    num_x = (
+        f"(({e('gx-1', 'gy-1')}) + 2*({e('gx-1', 'gy')})"
+        f" + ({e('gx-1', 'gy+1')}))"
+        f" - (({e('gx+1', 'gy-1')}) + 2*({e('gx+1', 'gy')})"
+        f" + ({e('gx+1', 'gy+1')}))"
+    )
+    num_y = (
+        f"(({e('gx-1', 'gy+1')}) + 2*({e('gx', 'gy+1')})"
+        f" + ({e('gx+1', 'gy+1')}))"
+        f" - (({e('gx-1', 'gy-1')}) + 2*({e('gx', 'gy-1')})"
+        f" + ({e('gx+1', 'gy-1')}))"
+    )
+    hi = DEM_PX - 1
+    return f"""
+with g as (
+  select a.range as gx, b.range as gy
+  from range(1, {hi}) a cross join range(1, {hi}) b
+)
+select gx, gy, {num_x} as num_x, {num_y} as num_y from g
+"""
+
+
+QUERIES = {
+    "rasterize_checksum_z5": q_rasterize_checksum,
+    "raster_overview_z4": q_overview_checksum,
+    "raster_sample_nearest": q_raster_sample,
+    "polygonize_components": q_polygonize,
+    "dem_slope_horn": q_dem_slope,
+}
+
+
+def _polygonize_oracle() -> str:
+    from gdal_spark.polygonize import polygonize_oracle_sql
+
+    return polygonize_oracle_sql(_PTS, RASTER_Z)
+
+
+ORACLES = {
+    "rasterize_checksum_z5": checksum_oracle_sql(_PTS, RASTER_Z),
+    "raster_overview_z4": checksum_oracle_sql(_PTS, RASTER_Z - 1),
+    "raster_sample_nearest": _sample_oracle(),
+    "polygonize_components": _polygonize_oracle(),
+    "dem_slope_horn": _dem_slope_oracle(),
+}

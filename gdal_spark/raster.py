@@ -1,0 +1,325 @@
+"""Tiled raster engine: rasterize, checksum, overviews, sampling, focal ops.
+
+The raster data model is GDAL's blocked-band model re-expressed as rows
+(SURVEY §1.2): one DataFrame row per tile —
+``(z, tx, ty, band, gt: array<double>[6], data: binary)`` where ``data``
+is a ``tile_px × tile_px`` numpy buffer and ``gt`` the 6-coefficient
+affine geotransform (gcore/gdal_priv.h:728 semantics, WebMercator
+meters). Pixel addressing matches `gdal raster tile`'s WebMercatorQuad
+(apps/gdalalg_raster_tile.cpp:274): global pixel (gx, gy) at zoom z is
+the cell of zoom z + log2(tile_px); tile = (gx >> log2(tile_px), ...).
+
+Operators:
+- rasterize_points  — point burn (gdal_rasterize -burn/MERGE_ALG=ADD,
+  alg/gdalrasterize.cpp:861 semantics for points): pixel assignment is
+  pure Catalyst math; buffers assemble per tile in applyInPandas.
+- checksum          — GDALChecksumImage arithmetic
+  (alg/gdalchecksum.cpp:56-216): sum(value % primes[i % 11]) & 0xffff
+  over row-major window pixels, primes {7,11,13,17,19,23,29,31,37,41,43}.
+- overview_sum      — z → z-1 pyramid level by 2×2 SUM reduction
+  (gcore/overview.cpp chunk-resampler semantics, SUM variant): a
+  groupBy(parent tile) over 4 children.
+- sample_at_points  — InterpolateAtPoint nearest
+  (gcore/gdalrasterband.cpp:9963): join points → tiles on tile id, numpy
+  gather from the buffer.
+- halo_exchange + slope gradient — the 3×3 focal pattern of gdaldem
+  (apps/gdaldem_lib.cpp:767-772, Horn 1981): every tile ships its buffer
+  to its 8 neighbors' assembly groups; kernels see tile_px+2 halos.
+
+Scale: pixel→tile assignment and all aggregations are Catalyst;
+buffers only exist inside Arrow batches, one tile per row (a 10^12-page
+burn at z=12 is ~16M tile rows — partitioned by (tx, ty) range with AQE
+handling hot city tiles). Python touches data only in vectorized numpy
+kernels over whole tiles.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.cells import tile_x_sql, tile_y_sql
+
+CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
+                           dtype=np.int64)
+TILE_PX = 64
+TILE_PX_LOG2 = 6
+EARTH_CIRCUM_M = 2.0 * math.pi * 6378137.0
+
+TILE_SCHEMA = ("z int, tx long, ty long, band int, gt array<double>, "
+               "data binary")
+
+
+def gpixel_exprs(lon: str, lat: str, z: int,
+                 tile_px_log2: int = TILE_PX_LOG2) -> tuple[str, str]:
+    """Global pixel indices at zoom z with 2**tile_px_log2-px tiles —
+    the cell formula evaluated at zoom z + tile_px_log2 (floor-consistent
+    with the tile index: tx == gx >> tile_px_log2)."""
+    pz = z + tile_px_log2
+    return tile_x_sql(lon, pz), tile_y_sql(lat, pz)
+
+
+def pixel_counts(points: DataFrame, z: int, lon: str = "lon",
+                 lat: str = "lat") -> DataFrame:
+    """Burn points: (gx, gy, cnt) — MERGE_ALG=ADD with burn value 1
+    (alg/gdalrasterize.cpp:779-817). One shuffle keyed by pixel."""
+    gxe, gye = gpixel_exprs(lon, lat, z)
+    return (
+        points.withColumn("gx", F.expr(gxe)).withColumn("gy", F.expr(gye))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def tile_geotransform(tx: int, ty: int, z: int,
+                      tile_px: int = TILE_PX) -> list[float]:
+    """WebMercator affine geotransform of a tile
+    (gcore/gdal_misc.cpp:3297 apply semantics)."""
+    n = 1 << z
+    res = EARTH_CIRCUM_M / (n * tile_px)
+    origin_x = -EARTH_CIRCUM_M / 2.0 + tx * tile_px * res
+    origin_y = EARTH_CIRCUM_M / 2.0 - ty * tile_px * res
+    return [origin_x, res, 0.0, origin_y, 0.0, -res]
+
+
+def tiles_from_pixel_counts(px: DataFrame, z: int, clamp: int | None = None,
+                            dtype: str = "int64") -> DataFrame:
+    """(gx, gy, cnt) → tile rows with assembled numpy buffers."""
+    tile_px = TILE_PX
+    np_dtype = np.dtype(dtype)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        buf = np.zeros((tile_px, tile_px), dtype=np_dtype)
+        py = (pdf["gy"].to_numpy() - ty * tile_px).astype(np.int64)
+        pxx = (pdf["gx"].to_numpy() - tx * tile_px).astype(np.int64)
+        vals = pdf["cnt"].to_numpy()
+        if clamp is not None:
+            vals = np.minimum(vals, clamp)
+        buf[py, pxx] = vals
+        return pd.DataFrame({
+            "z": [z], "tx": [tx], "ty": [ty], "band": [1],
+            "gt": [tile_geotransform(tx, ty, z)],
+            "data": [buf.tobytes()],
+        })
+
+    keyed = px.withColumn("_tx", F.expr(f"gx div {tile_px}")) \
+              .withColumn("_ty", F.expr(f"gy div {tile_px}"))
+    return keyed.groupBy("_tx", "_ty").applyInPandas(assemble, TILE_SCHEMA)
+
+
+def rasterize_points(points: DataFrame, z: int, clamp: int | None = None,
+                     dtype: str = "int64") -> DataFrame:
+    return tiles_from_pixel_counts(pixel_counts(points, z), z, clamp, dtype)
+
+
+def checksum_np(buf: np.ndarray) -> int:
+    """GDALChecksumImage over one full tile window
+    (alg/gdalchecksum.cpp:212-216 arithmetic, vectorized)."""
+    flat = buf.ravel().astype(np.int64)
+    primes = CHECKSUM_PRIMES[np.arange(flat.size) % 11]
+    return int(np.sum(flat % primes) % 65536)
+
+
+def tile_checksums(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
+    """(z, tx, ty) → checksum + nonzero-pixel count, via mapInPandas."""
+    np_dtype = np.dtype(dtype)
+
+    def per_tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            nnz = []
+            for raw in pdf["data"]:
+                buf = np.frombuffer(raw, dtype=np_dtype)
+                sums.append(checksum_np(buf))
+                nnz.append(int(np.count_nonzero(buf)))
+            yield pd.DataFrame({
+                "z": pdf["z"], "tx": pdf["tx"], "ty": pdf["ty"],
+                "checksum": pd.Series(sums, dtype="int64"),
+                "n_nonzero": pd.Series(nnz, dtype="int64"),
+            })
+
+    return tiles.mapInPandas(
+        per_tile, "z int, tx long, ty long, checksum long, n_nonzero long")
+
+
+def checksum_oracle_sql(points_sql: str, z: int) -> str:
+    """DuckDB SQL reproducing rasterize→checksum exactly: pixel counts by
+    the shared cell formula, per-pixel value % primes[(py*64+px) % 11],
+    summed mod 65536 per tile (zero pixels contribute 0)."""
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    t = TILE_PX
+    return f"""
+with px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({points_sql}) p group by 1, 2
+)
+select {z} as z, gx // {t} as tx, gy // {t} as ty,
+       sum(cnt % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
+         % 65536 as checksum,
+       count(*) as n_nonzero
+from px group by 1, 2, 3
+"""
+
+
+def overview_sum(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
+    """One pyramid level up: 4 child tiles → 1 parent tile, 2×2 SUM
+    reduction (overview.cpp chunk-reduce pattern; SUM resampler).
+    groupBy(parent) — partial aggregation is the tile buffer itself."""
+    np_dtype = np.dtype(dtype)
+    tile_px = TILE_PX
+
+    def reduce_children(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        z = int(pdf["z"].iloc[0]) - 1
+        out = np.zeros((tile_px, tile_px), dtype=np_dtype)
+        for _, row in pdf.iterrows():
+            child = np.frombuffer(row["data"], dtype=np_dtype).reshape(
+                tile_px, tile_px)
+            half = child.reshape(tile_px // 2, 2, tile_px // 2, 2) \
+                        .sum(axis=(1, 3))
+            oy = (int(row["ty"]) % 2) * (tile_px // 2)
+            ox = (int(row["tx"]) % 2) * (tile_px // 2)
+            out[oy:oy + tile_px // 2, ox:ox + tile_px // 2] = half
+        return pd.DataFrame({
+            "z": [z], "tx": [ptx], "ty": [pty], "band": [1],
+            "gt": [tile_geotransform(ptx, pty, z)],
+            "data": [out.tobytes()],
+        })
+
+    keyed = tiles.withColumn("_ptx", F.expr("tx div 2")) \
+                 .withColumn("_pty", F.expr("ty div 2"))
+    return keyed.groupBy("_ptx", "_pty").applyInPandas(
+        reduce_children, TILE_SCHEMA)
+
+
+def sample_at_points(tiles: DataFrame, points: DataFrame, z: int,
+                     dtype: str = "int64", point_id: str = "qid") -> DataFrame:
+    """Nearest-neighbour raster sampling at world coordinates
+    (InterpolateAtPoint nearest, gcore/gdalrasterband.cpp:9963): points
+    outside any materialized tile sample 0 (sparse raster semantics)."""
+    np_dtype = np.dtype(dtype)
+    tile_px = TILE_PX
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    pts = (
+        points.withColumn("gx", F.expr(gxe)).withColumn("gy", F.expr(gye))
+        .withColumn("tx", F.expr(f"gx div {tile_px}"))
+        .withColumn("ty", F.expr(f"gy div {tile_px}"))
+    )
+    joined = pts.join(tiles.select("tx", "ty", "data"), ["tx", "ty"], "left")
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = np.zeros(len(pdf), dtype=np.int64)
+            for i, (raw, gx, gy, tx, ty) in enumerate(zip(
+                    pdf["data"], pdf["gx"], pdf["gy"], pdf["tx"], pdf["ty"])):
+                if raw is None:
+                    continue
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(
+                    tile_px, tile_px)
+                vals[i] = int(buf[int(gy) - int(ty) * tile_px,
+                                  int(gx) - int(tx) * tile_px])
+            yield pd.DataFrame({point_id: pdf[point_id],
+                                "value": pd.Series(vals, dtype="int64")})
+
+    return joined.mapInPandas(gather, f"{point_id} long, value long")
+
+
+# ---------------------------------------------------------------------------
+# Focal ops: halo exchange + Horn gradient (gdaldem 3×3 pattern)
+# ---------------------------------------------------------------------------
+
+
+def halo_gradient(tiles: DataFrame, raster_px: int,
+                  dtype: str = "int64") -> DataFrame:
+    """3×3 Horn gradient over a tiled integer raster with 1-px halo
+    exchange: every tile is shipped to the 9 assembly groups that need any
+    of its pixels; each group builds a (tile_px+2)² window and evaluates
+    the integer Horn numerators (apps/gdaldem_lib.cpp:767-772):
+
+        num_x = (w0 + 2·w3 + w6) − (w2 + 2·w5 + w8)
+        num_y = (w6 + 2·w7 + w8) − (w0 + 2·w1 + w2)
+
+    Raster-edge pixels are skipped (gdaldem default: no edge values unless
+    -compute_edges). Output: one row per interior pixel.
+    """
+    np_dtype = np.dtype(dtype)
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+
+    shifted = tiles.select(
+        "tx", "ty", "data",
+        F.explode(F.expr(
+            "transform(sequence(0, 8),"
+            " k -> struct(tx + k % 3 - 1 as htx, ty + k div 3 - 1 as hty))"
+        )).alias("h"),
+    ).select(F.col("h.htx").alias("htx"), F.col("h.hty").alias("hty"),
+             "tx", "ty", "data") \
+     .filter(f"htx >= 0 and htx < {n_tiles} and hty >= 0 and hty < {n_tiles}")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        win = np.zeros((tile_px + 2, tile_px + 2), dtype=np.int64)
+        for _, row in pdf.iterrows():
+            buf = np.frombuffer(row["data"], dtype=np_dtype).reshape(
+                tile_px, tile_px)
+            dy = (int(row["ty"]) - hty) * tile_px
+            dx = (int(row["tx"]) - htx) * tile_px
+            ys = slice(max(0, 1 + dy), min(tile_px + 2, 1 + dy + tile_px))
+            xs = slice(max(0, 1 + dx), min(tile_px + 2, 1 + dx + tile_px))
+            by = slice(ys.start - (1 + dy), ys.stop - (1 + dy))
+            bx = slice(xs.start - (1 + dx), xs.stop - (1 + dx))
+            win[ys, xs] = buf[by, bx]
+        w = win
+        num_x = ((w[:-2, :-2] + 2 * w[1:-1, :-2] + w[2:, :-2])
+                 - (w[:-2, 2:] + 2 * w[1:-1, 2:] + w[2:, 2:]))
+        num_y = ((w[2:, :-2] + 2 * w[2:, 1:-1] + w[2:, 2:])
+                 - (w[:-2, :-2] + 2 * w[:-2, 1:-1] + w[:-2, 2:]))
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        gx = gx + htx * tile_px
+        gy = gy + hty * tile_px
+        interior = ((gx > 0) & (gx < raster_px - 1)
+                    & (gy > 0) & (gy < raster_px - 1))
+        return pd.DataFrame({
+            "gx": gx[interior].ravel(), "gy": gy[interior].ravel(),
+            "num_x": num_x[interior].ravel(),
+            "num_y": num_y[interior].ravel(),
+        })
+
+    return shifted.groupBy("htx", "hty").applyInPandas(
+        assemble, "gx long, gy long, num_x long, num_y long")
+
+
+def synth_dem_tiles(spark, raster_px: int = 256,
+                    dtype: str = "int64") -> DataFrame:
+    """Deterministic synthetic DEM: elev(gx, gy) = (gx·gx·5 + gy·gy·3 +
+    gx·gy) % 211 — closed-form, so the oracle can evaluate any neighbor
+    without tiles. Built as tile rows via applyInPandas."""
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+    np_dtype = np.dtype(dtype)
+    keys = spark.range(n_tiles * n_tiles).select(
+        (F.col("id") % n_tiles).alias("_tx"),
+        (F.col("id") / n_tiles).cast("long").alias("_ty"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        gx = gx + tx * tile_px
+        gy = gy + ty * tile_px
+        elev = ((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211).astype(np_dtype)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [1],
+            "gt": [tile_geotransform(tx, ty, 0)],
+            "data": [elev.tobytes()],
+        })
+
+    return keys.groupBy("_tx", "_ty").applyInPandas(build, TILE_SCHEMA)
+
+
+DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"

@@ -1,0 +1,130 @@
+"""Raster engine: rasterize, checksum, overview, sampling, focal, polygonize.
+
+Style per SURVEY §5: independent numpy/pure-Python oracles (the raster
+reference uses golden checksums, alg/gdalchecksum.cpp, as THE oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.pages import points_from_documents
+from gdal_spark.polygonize import polygonize_summary
+from gdal_spark.raster import (TILE_PX, checksum_np, halo_gradient,
+                               overview_sum, rasterize_points,
+                               sample_at_points, synth_dem_tiles,
+                               tile_checksums)
+
+SF = "/root/testdata/sf0.001"
+Z = 5
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return points_from_documents(spark, SF).cache()
+
+
+@pytest.fixture(scope="module")
+def tiles(pts):
+    return rasterize_points(pts, Z).cache()
+
+
+def test_checksum_formula_reference_arithmetic():
+    # hand-computed: pixels [5, 300, 0, 7] at window positions 0..3
+    # primes cycle 7,11,13,17 → 5%7 + 300%11 + 0%13 + 7%17 = 5+3+0+7 = 15
+    buf = np.array([5, 300, 0, 7], dtype=np.int64)
+    assert checksum_np(buf) == 15
+    # mod-65536 wrap
+    big = np.full(4096, 1_000_003, dtype=np.int64)
+    assert 0 <= checksum_np(big) < 65536
+
+
+def test_rasterize_conserves_points(pts, tiles):
+    n_pts = pts.count()
+    total = tile_checksums(tiles)  # forces assembly
+    assert total.count() > 0
+    # sum of all pixel values == number of burned points (MERGE_ALG=ADD)
+    import pandas as pd  # noqa: F401
+
+    sums = tiles.toPandas()["data"].map(
+        lambda b: int(np.frombuffer(b, dtype=np.int64).sum())).sum()
+    assert sums == n_pts
+
+
+def test_overview_preserves_mass_and_grid(tiles, pts):
+    parents = overview_sum(tiles).toPandas()
+    child_total = tiles.toPandas()["data"].map(
+        lambda b: int(np.frombuffer(b, dtype=np.int64).sum())).sum()
+    parent_total = parents["data"].map(
+        lambda b: int(np.frombuffer(b, dtype=np.int64).sum())).sum()
+    assert parent_total == child_total
+    assert (parents["z"] == Z - 1).all()
+
+
+def test_sample_at_points_hits_own_pixel(pts, tiles):
+    qs = pts.limit(25).select(F.col("doc_id").alias("qid"), "lon", "lat")
+    vals = sample_at_points(tiles, qs, Z).collect()
+    assert len(vals) == 25
+    # every query point was itself burned → its pixel count >= 1
+    assert all(r["value"] >= 1 for r in vals)
+
+
+def test_halo_gradient_matches_whole_raster_numpy(spark):
+    px = 128
+    tiles = synth_dem_tiles(spark, px)
+    got = halo_gradient(tiles, px).toPandas().set_index(["gy", "gx"])
+    gy, gx = np.mgrid[0:px, 0:px]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    w = elev
+    num_x = ((w[:-2, :-2] + 2 * w[1:-1, :-2] + w[2:, :-2])
+             - (w[:-2, 2:] + 2 * w[1:-1, 2:] + w[2:, 2:]))
+    num_y = ((w[2:, :-2] + 2 * w[2:, 1:-1] + w[2:, 2:])
+             - (w[:-2, :-2] + 2 * w[:-2, 1:-1] + w[:-2, 2:]))
+    assert len(got) == (px - 2) * (px - 2)
+    # spot-check pixels spanning tile borders (TILE_PX=64 → border at 63/64)
+    for y, x in [(1, 1), (63, 63), (64, 63), (63, 64), (64, 64), (100, 20),
+                 (126, 126)]:
+        r = got.loc[(y, x)]
+        assert r["num_x"] == num_x[y - 1, x - 1], (y, x)
+        assert r["num_y"] == num_y[y - 1, x - 1], (y, x)
+
+
+def _bfs_components(pixels: set) -> list[dict]:
+    seen = set()
+    comps = []
+    for p in sorted(pixels):
+        if p in seen:
+            continue
+        stack = [p]
+        seen.add(p)
+        comp = []
+        while stack:
+            x, y = stack.pop()
+            comp.append((x, y))
+            for nx, ny in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                if (nx, ny) in pixels and (nx, ny) not in seen:
+                    seen.add((nx, ny))
+                    stack.append((nx, ny))
+        comps.append(comp)
+    return comps
+
+
+def test_polygonize_matches_bfs(pts, tiles):
+    grid_w = 1 << (Z + 6)
+    got = {r["comp"]: r for r in
+           polygonize_summary(tiles, grid_w).collect()}
+    from gdal_spark.raster import gpixel_exprs
+
+    gxe, gye = gpixel_exprs("lon", "lat", Z)
+    pix = {(r["gx"], r["gy"]) for r in
+           pts.selectExpr(f"{gxe} as gx", f"{gye} as gy").collect()}
+    comps = _bfs_components(pix)
+    assert len(got) == len(comps)
+    for comp in comps:
+        label = min(y * grid_w + x for x, y in comp)
+        r = got[label]
+        assert r["n_pixels"] == len(comp)
+        assert r["min_gx"] == min(x for x, _ in comp)
+        assert r["max_gy"] == max(y for _, y in comp)
