@@ -77,6 +77,18 @@ def q_zonal_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_per_zone(spark, sf_dir)
 
 
+def q_layer_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon×polygon layer algebra (Intersection/Union/SymDifference/
+    Erase areas) for the convex zones vs a shifted method layer —
+    ogrlayer.cpp:3345/3763/4300/5806 semantics via the candidate-vertex
+    convex overlay (gdal_spark.layer_algebra)."""
+    from gdal_spark.layer_algebra import overlay_areas, shift_defs
+
+    _ = sf_dir  # layer-vs-layer op; inputs are the zone fixtures
+    defs = zone_defs()
+    return overlay_areas(spark, defs, shift_defs(defs, 0.31, 0.17))
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal summary after the PIP join (groupBy(zone).agg — SURVEY §2.4
     'zonal-style summaries'): count + integer-exact coordinate stats."""
@@ -118,7 +130,16 @@ QUERIES = {
     "erase": q_erase,
     "zonal_count": q_zonal_count,
     "zonal_stats": q_zonal_stats,
+    "layer_algebra_overlay": q_layer_overlay,
 }
+
+
+def _overlay_oracle() -> str:
+    from gdal_spark.layer_algebra import (DUCKDB as _D, overlay_areas_sql,
+                                          shift_defs)
+
+    defs = zone_defs()
+    return overlay_areas_sql(defs, shift_defs(defs, 0.31, 0.17), _D)
 
 ORACLES = {
     "extract_geotags": _extract_oracle(),
@@ -153,4 +174,5 @@ select j.zone_id, count(*) as n_points,
 from j join p on j.doc_id = p.doc_id
 group by j.zone_id
 """,
+    "layer_algebra_overlay": _overlay_oracle(),
 }
