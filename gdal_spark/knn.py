@@ -72,14 +72,25 @@ def _guarantee_expr(z: int, ty: str) -> str:
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
-             z0: int = 10, point_id: str = "doc_id",
+             z0: int | None = None, point_id: str = "doc_id",
              query_id: str = "qid") -> DataFrame:
     """Exact k nearest points for every query row.
 
     points:  (point_id, lon, lat, …);  queries: (query_id, lon, lat, …)
     returns: (query_id, point_id, rank, dist_m)
+
+    ``z0`` (start zoom) defaults to a density heuristic: ~12 points per
+    starting cell, so the first 5×5 ring already resolves typical
+    queries, while sparse datasets skip straight to coarse levels
+    instead of burning join rounds that cannot find k candidates.
+    Exactness does not depend on z0 — only the number of rounds does.
     """
     spark = points.sparkSession
+    if z0 is None:
+        n = points.count()
+        z0 = min(14, max(2, round(math.log(max(n, 13) / 12.0, 4.0))))
+        if z0 % 2 == 1:
+            z0 += 1
     levels = list(range(z0, 1, -2))  # e.g. 10, 8, 6, 4, 2
     pts = points.select(
         point_id,
