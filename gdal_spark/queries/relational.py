@@ -228,7 +228,35 @@ def q_window_funcs(spark, sf_dir):
     )
 
 
+def q_execute_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExecuteSQL string surface (gcore/gdaldataset.cpp:6872 →
+    gdal_spark.sqlapi): projection + LIKE + ORDER BY + LIMIT/OFFSET
+    parsed from an OGR SQL statement."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT p_partkey, p_brand, SUBSTR(p_type, 1, 6) AS type6 "
+        "FROM part WHERE p_brand LIKE 'Brand#1%' "
+        "ORDER BY p_partkey LIMIT 40 OFFSET 10",
+        {"part": _t(spark, sf_dir, "part")})
+
+
+def q_execute_sql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL SUMMARY_RECORD mode from a statement string."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, "
+        "COUNT(*) AS cnt, COUNT(DISTINCT l_returnflag) AS n_flags "
+        "FROM lineitem WHERE l_discount > 0.05",
+        {"lineitem": _t(spark, sf_dir, "lineitem")})
+
+
 QUERIES = {
+    "ogrsql_execute_select": q_execute_sql_select,
+    "ogrsql_execute_summary": q_execute_sql_summary,
     "sql_summary_record": q_summary_record,
     "sql_groupby_agg": q_groupby_agg,
     "sql_count_distinct": q_count_distinct,
@@ -248,6 +276,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ogrsql_execute_select": """
+select p_partkey, p_brand, substr(p_type, 1, 6) as type6
+from part where p_brand like 'Brand#1%'
+order by p_partkey limit 40 offset 10
+""",
+    "ogrsql_execute_summary": """
+select min(l_quantity) as min_q, max(l_quantity) as max_q,
+       count(*) as cnt, count(distinct l_returnflag) as n_flags
+from lineitem where l_discount > 0.05
+""",
     "sql_summary_record": """
 select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,
        round(cast(sum(cast(l_quantity as decimal(28,6))) as double) / count(l_quantity), 6) as avg_l_quantity,
