@@ -25,10 +25,20 @@ from gdal_spark.pages import points_from_documents, points_oracle_sql
 from gdal_spark.raster import (DEM_ELEV_SQL, checksum_oracle_sql,
                                gpixel_exprs, halo_gradient, overview_sum,
                                rasterize_points, sample_at_points,
-                               synth_dem_tiles, tile_checksums)
+                               synth_dem_tiles, tile_checksums,
+                               tile_geotransform, warp_nearest,
+                               warp_pixel_sql)
 
 RASTER_Z = 5
 DEM_PX = 256
+# warp fixture: src grid = the DEM's global affine; dst grid is shifted
+# and non-integer-scaled (1.37×), 180×180 px — exercises resampling.
+_SRC_GT = tile_geotransform(0, 0, 0)
+_DST_PX = 180
+_DST_GT = [
+    _SRC_GT[0] + 13.7 * _SRC_GT[1], _SRC_GT[1] * 1.37, 0.0,
+    _SRC_GT[3] - 9.3 * abs(_SRC_GT[5]), 0.0, _SRC_GT[5] * 1.37,
+]
 
 _PTS = points_oracle_sql("documents")
 
@@ -65,6 +75,14 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ = sf_dir  # fixed-size synthetic DEM exercises the focal machinery
     return halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
+
+
+def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp nearest: DEM tiles resampled onto a shifted 1.37×-scaled
+    grid (dst→world→src pixel path in Catalyst, gather per tile)."""
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
 
 
 def _sample_oracle() -> str:
@@ -117,7 +135,24 @@ QUERIES = {
     "raster_sample_nearest": q_raster_sample,
     "polygonize_components": q_polygonize,
     "dem_slope_horn": q_dem_slope,
+    "warp_nearest_dem": q_warp_nearest,
 }
+
+
+def _warp_oracle() -> str:
+    sgx_e, sgy_e = warp_pixel_sql(_DST_GT, _SRC_GT, "di", "dj")
+    elev = DEM_ELEV_SQL.replace("gx", "sgx").replace("gy", "sgy")
+    return f"""
+with d as (
+  select a.range as di, b.range as dj
+  from range(0, {_DST_PX}) a cross join range(0, {_DST_PX}) b
+),
+m as (
+  select di, dj, {sgx_e} as sgx, {sgy_e} as sgy from d
+)
+select di, dj, {elev} as value from m
+where sgx >= 0 and sgx < {DEM_PX} and sgy >= 0 and sgy < {DEM_PX}
+"""
 
 
 def _polygonize_oracle() -> str:
@@ -132,4 +167,5 @@ ORACLES = {
     "raster_sample_nearest": _sample_oracle(),
     "polygonize_components": _polygonize_oracle(),
     "dem_slope_horn": _dem_slope_oracle(),
+    "warp_nearest_dem": _warp_oracle(),
 }

@@ -323,3 +323,70 @@ def synth_dem_tiles(spark, raster_px: int = 256,
 
 
 DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"
+
+
+# ---------------------------------------------------------------------------
+# Warp: reproject/resample between affine grids (gdalwarp semantics)
+# ---------------------------------------------------------------------------
+
+
+def _lit(v: float) -> str:
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def warp_pixel_sql(dst_gt: list[float], src_gt: list[float],
+                   di: str = "di", dj: str = "dj") -> tuple[str, str]:
+    """Shared SQL: destination pixel (di, dj) → source pixel (sgx, sgy)
+    by composing the dst geotransform (pixel center → world,
+    gcore/gdal_misc.cpp:3297 GDALApplyGeoTransform) with the inverted
+    src geotransform (:3371 GDALInvGeoTransform) and nearest rounding
+    (floor — GDALRasterIO nearest convention)."""
+    wx = f"({_lit(dst_gt[0])} + ({di} + 0.5) * {_lit(dst_gt[1])})"
+    wy = f"({_lit(dst_gt[3])} + ({dj} + 0.5) * {_lit(dst_gt[5])})"
+    sgx = (f"cast(floor(({wx} - {_lit(src_gt[0])}) / {_lit(src_gt[1])})"
+           f" as bigint)")
+    sgy = (f"cast(floor(({wy} - {_lit(src_gt[3])}) / {_lit(src_gt[5])})"
+           f" as bigint)")
+    return sgx, sgy
+
+
+def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                 dst_gt: list[float], dst_px: int,
+                 dtype: str = "int64") -> DataFrame:
+    """Nearest-neighbour warp of a tiled raster onto a new affine grid
+    (the chunked lifecycle of GDALWarpOperation, alg/gdalwarpoperation.cpp
+    restated: dst chunk == partition of dst pixels; the dst→src
+    coordinate path is Catalyst arithmetic; only the buffer gather is a
+    numpy kernel). Out-of-source-bounds dst pixels are dropped
+    (nodata-skip semantics). Output: (di, dj, value)."""
+    spark = tiles.sparkSession
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    sgx_e, sgy_e = warp_pixel_sql(dst_gt, src_gt)
+    dst = (
+        spark.range(dst_px * dst_px, numPartitions=16)
+        .select((F.col("id") % dst_px).alias("di"),
+                (F.col("id") / dst_px).cast("long").alias("dj"))
+        .withColumn("sgx", F.expr(sgx_e))
+        .withColumn("sgy", F.expr(sgy_e))
+        .filter(f"sgx >= 0 and sgx < {raster_px}"
+                f" and sgy >= 0 and sgy < {raster_px}")
+        .withColumn("tx", F.expr(f"sgx div {t}"))
+        .withColumn("ty", F.expr(f"sgy div {t}"))
+    )
+    joined = dst.join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = np.empty(len(pdf), dtype=np.int64)
+            for i, (raw, gx, gy, tx, ty) in enumerate(zip(
+                    pdf["data"], pdf["sgx"], pdf["sgy"],
+                    pdf["tx"], pdf["ty"])):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                vals[i] = int(buf[int(gy) - int(ty) * t,
+                                  int(gx) - int(tx) * t])
+            yield pd.DataFrame({"di": pdf["di"], "dj": pdf["dj"],
+                                "value": pd.Series(vals, dtype="int64")})
+
+    return joined.mapInPandas(gather, "di long, dj long, value long")

@@ -91,6 +91,34 @@ def test_halo_gradient_matches_whole_raster_numpy(spark):
         assert r["num_y"] == num_y[y - 1, x - 1], (y, x)
 
 
+def test_warp_nearest_matches_direct_numpy(spark):
+    from gdal_spark.raster import tile_geotransform, warp_nearest
+
+    px = 128
+    tiles = synth_dem_tiles(spark, px)
+    src_gt = tile_geotransform(0, 0, 0)
+    dst_gt = [src_gt[0] + 3.2 * src_gt[1], src_gt[1] * 0.73, 0.0,
+              src_gt[3] - 5.1 * abs(src_gt[5]), 0.0, src_gt[5] * 0.73]
+    got = {(r["di"], r["dj"]): r["value"] for r in
+           warp_nearest(tiles, src_gt, px, dst_gt, 60).collect()}
+    gy, gx = np.mgrid[0:px, 0:px]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    import math
+    n_checked = 0
+    for dj in range(60):
+        for di in range(60):
+            wx = dst_gt[0] + (di + 0.5) * dst_gt[1]
+            wy = dst_gt[3] + (dj + 0.5) * dst_gt[5]
+            sgx = math.floor((wx - src_gt[0]) / src_gt[1])
+            sgy = math.floor((wy - src_gt[3]) / src_gt[5])
+            if 0 <= sgx < px and 0 <= sgy < px:
+                assert got[(di, dj)] == elev[sgy, sgx], (di, dj)
+                n_checked += 1
+            else:
+                assert (di, dj) not in got
+    assert n_checked == len(got) > 1000
+
+
 def _bfs_components(pixels: set) -> list[dict]:
     seen = set()
     comps = []
