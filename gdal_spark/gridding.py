@@ -1,0 +1,106 @@
+"""Gridding: points → raster interpolation (alg/gdalgrid.cpp).
+
+Implements GDAL's radius-limited inverse-distance-to-a-power
+interpolation (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:109;
+quadtree-accelerated neighbor search :260-276) as relational algebra:
+pixel grid ⋈ candidate points (radius predicate) → per-pixel IDW.
+
+Bit-exactness stance: the per-pixel reduction is an **ordered fold**
+over the candidate list sorted by doc_id (never an unordered SQL SUM of
+doubles), so Spark and the DuckDB oracle produce identical IEEE doubles.
+
+Scale: here candidates come from a broadcast cross join + radius filter
+(the fixture region holds tens of points); at 10^12 scale candidate
+generation swaps in the cell-prejoin used by the PIP join — join pixels
+to the k-ring of cells within the radius — without touching the
+per-pixel fold.
+"""
+
+from __future__ import annotations
+
+from gdal_spark.pages import points_oracle_sql
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# fixture grid over city-hotspot 0 (pages.synth_stages city centers)
+GRID_LON0 = -176.2
+GRID_LAT0 = -61.2
+GRID_STEP = 0.06
+GRID_N = 40
+RADIUS = 0.15
+POWER_SMOOTH = 0.0  # GDAL 'smoothing' default
+
+
+def _lit(v: float) -> str:
+    """e0-suffixed double literal (a bare decimal literal is DECIMAL in
+    Spark SQL and would silently change the arithmetic)."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def idw_sql(engine: str, doc_view: str = "documents") -> str:
+    pts = points_oracle_sql(doc_view)
+    lon_c = f"({_lit(GRID_LON0)} + (i + 0.5e0) * {_lit(GRID_STEP)})"
+    lat_c = f"({_lit(GRID_LAT0)} + (j + 0.5e0) * {_lit(GRID_STEP)})"
+    r2 = _lit(RADIUS * RADIUS)
+    pad = _lit(RADIUS)
+    if engine == SPARK:
+        grid = (f"select a.id as i, b.id as j from range(0, {GRID_N}) a"
+                f" cross join range(0, {GRID_N}) b")
+        lst, srt, trn = "collect_list", "array_sort", "transform"
+
+        def fold(list_expr: str) -> str:
+            return (f"aggregate({list_expr}, cast(0 as double),"
+                    f" (s, v) -> s + v)")
+
+        mk = ("struct(cast(doc_id as double) as did,"
+              " v / d2 as num_t, 1.0 / d2 as den_t)")
+    else:
+        grid = (f"select a.range as i, b.range as j from range(0, {GRID_N}) a"
+                f" cross join range(0, {GRID_N}) b")
+        lst, srt, trn = "list", "list_sort", "list_transform"
+
+        def fold(list_expr: str) -> str:
+            return (f"list_reduce(list_concat([cast(0 as double)],"
+                    f" {list_expr}), (s, v) -> s + v)")
+
+        mk = ("{'did': cast(doc_id as double),"
+              " 'num_t': v / d2, 'den_t': 1.0 / d2}")
+
+    lo_lon = _lit(GRID_LON0)
+    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
+    lo_lat = _lit(GRID_LAT0)
+    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
+    return f"""
+with p as (
+  select doc_id, lon, lat, cast(doc_id % 97 as double) as v
+  from ({pts}) q
+  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
+    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
+),
+g as ({grid}),
+c as (
+  select g.i, g.j, p.doc_id, p.v,
+         (p.lon - {lon_c}) * (p.lon - {lon_c})
+       + (p.lat - {lat_c}) * (p.lat - {lat_c}) as d2
+  from g cross join p
+  where (p.lon - {lon_c}) * (p.lon - {lon_c})
+      + (p.lat - {lat_c}) * (p.lat - {lat_c}) <= {r2}
+),
+packed as (
+  select i, j, count(*) as n_pts, {srt}({lst}({mk})) as arr
+  from c group by i, j
+)
+select i, j, n_pts,
+       {fold(f"{trn}(arr, a -> a.num_t)")}
+     / {fold(f"{trn}(arr, a -> a.den_t)")} as idw_value
+from packed
+"""
+
+
+def idw_grid(spark, sf_dir: str):
+    """Spark DataFrame of the IDW grid over the fixture region."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return spark.sql(idw_sql(SPARK))

@@ -77,6 +77,14 @@ def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
 
 
+def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points → raster IDW interpolation (GDALGridInverseDistanceToAPower,
+    alg/gdalgrid.cpp:109) over the city-0 hotspot region."""
+    from gdal_spark.gridding import idw_grid
+
+    return idw_grid(spark, sf_dir)
+
+
 def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp nearest: DEM tiles resampled onto a shifted 1.37×-scaled
     grid (dst→world→src pixel path in Catalyst, gather per tile)."""
@@ -136,6 +144,7 @@ QUERIES = {
     "polygonize_components": q_polygonize,
     "dem_slope_horn": q_dem_slope,
     "warp_nearest_dem": q_warp_nearest,
+    "grid_idw": q_grid_idw,
 }
 
 
@@ -168,4 +177,6 @@ ORACLES = {
     "polygonize_components": _polygonize_oracle(),
     "dem_slope_horn": _dem_slope_oracle(),
     "warp_nearest_dem": _warp_oracle(),
+    "grid_idw": __import__(
+        "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
 }

@@ -1,0 +1,47 @@
+"""IDW gridding semantics (alg/gdalgrid.cpp IDW-to-a-power analogue)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdal_spark.gridding import (GRID_LAT0, GRID_LON0, GRID_N, GRID_STEP,
+                                 RADIUS, idw_grid)
+from gdal_spark.pages import points_from_documents
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return idw_grid(spark, "/root/testdata/sf0.001").toPandas()
+
+
+def test_grid_bounds_and_weights(grid):
+    assert (grid["i"] >= 0).all() and (grid["i"] < GRID_N).all()
+    assert (grid["n_pts"] >= 1).all()
+    # IDW is a convex combination → value within the point-value range
+    assert (grid["idw_value"] >= 0).all() and (grid["idw_value"] <= 96).all()
+
+
+def test_single_point_pixels_take_point_value(spark, grid):
+    pts = points_from_documents(spark, "/root/testdata/sf0.001").toPandas()
+    singles = grid[grid["n_pts"] == 1]
+    assert len(singles) > 0
+    vals = set((pts["doc_id"] % 97).astype(float))
+    for _, r in singles.iterrows():
+        assert r["idw_value"] in vals
+
+
+def test_pixels_without_nearby_points_are_absent(spark, grid):
+    """Radius-limited search: empty neighborhoods emit no row (nodata),
+    so the grid has fewer rows than GRID_N² and every present pixel has
+    a point within RADIUS of its center."""
+    import numpy as np
+
+    pts = points_from_documents(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(grid) < GRID_N * GRID_N
+    px = pts["lon"].to_numpy()
+    py = pts["lat"].to_numpy()
+    for _, r in grid.sample(20, random_state=1).iterrows():
+        cx = GRID_LON0 + (r["i"] + 0.5) * GRID_STEP
+        cy = GRID_LAT0 + (r["j"] + 0.5) * GRID_STEP
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        assert (d2 <= RADIUS * RADIUS).sum() == r["n_pts"]
