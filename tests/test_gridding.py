@@ -25,9 +25,12 @@ def test_single_point_pixels_take_point_value(spark, grid):
     pts = points_from_documents(spark, "/root/testdata/sf0.001").toPandas()
     singles = grid[grid["n_pts"] == 1]
     assert len(singles) > 0
-    vals = set((pts["doc_id"] % 97).astype(float))
+    vals = sorted(set((pts["doc_id"] % 97).astype(float)))
     for _, r in singles.iterrows():
-        assert r["idw_value"] in vals
+        # (v/d²)/(1/d²) carries one ulp of division rounding (the same
+        # arithmetic the oracle runs — cross-engine equality is exact,
+        # recovery of v is not)
+        assert min(abs(float(r["idw_value"]) - v) for v in vals) < 1e-10
 
 
 def test_pixels_without_nearby_points_are_absent(spark, grid):
@@ -38,8 +41,8 @@ def test_pixels_without_nearby_points_are_absent(spark, grid):
 
     pts = points_from_documents(spark, "/root/testdata/sf0.001").toPandas()
     assert len(grid) < GRID_N * GRID_N
-    px = pts["lon"].to_numpy()
-    py = pts["lat"].to_numpy()
+    px = pts["lon"].astype(float).to_numpy()
+    py = pts["lat"].astype(float).to_numpy()
     for _, r in grid.sample(20, random_state=1).iterrows():
         cx = GRID_LON0 + (r["i"] + 0.5) * GRID_STEP
         cy = GRID_LAT0 + (r["j"] + 0.5) * GRID_STEP
