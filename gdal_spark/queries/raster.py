@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 from gdal_spark.pages import points_from_documents, points_oracle_sql
 from gdal_spark.raster import (DEM_ELEV_SQL, checksum_oracle_sql,
-                               gpixel_exprs, halo_gradient, overview_sum,
-                               rasterize_points, sample_at_points,
-                               synth_dem_tiles, tile_checksums,
-                               tile_geotransform, warp_nearest,
-                               warp_pixel_sql)
+                               contour_cells, gpixel_exprs, halo_gradient,
+                               overview_sum, rasterize_points,
+                               sample_at_points, synth_dem_tiles,
+                               tile_checksums, tile_geotransform,
+                               warp_nearest, warp_pixel_sql)
+
+CONTOUR_T = 105
 
 RASTER_Z = 5
 DEM_PX = 256
@@ -83,6 +85,13 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.gridding import idw_grid
 
     return idw_grid(spark, sf_dir)
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-cell classification (alg/contour.cpp) at
+    threshold CONTOUR_T over the synthetic DEM."""
+    _ = sf_dir
+    return contour_cells(synth_dem_tiles(spark, DEM_PX), DEM_PX, CONTOUR_T)
 
 
 def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +154,29 @@ QUERIES = {
     "dem_slope_horn": q_dem_slope,
     "warp_nearest_dem": q_warp_nearest,
     "grid_idw": q_grid_idw,
+    "contour_cells": q_contour,
 }
+
+
+def _contour_oracle() -> str:
+    e = _dem_elev
+    bit = [f"(case when ({e('gx', 'gy')}) > {CONTOUR_T} then 8 else 0 end)",
+           f"(case when ({e('gx+1', 'gy')}) > {CONTOUR_T} then 4 else 0 end)",
+           f"(case when ({e('gx+1', 'gy+1')}) > {CONTOUR_T} then 2 else 0 end)",
+           f"(case when ({e('gx', 'gy+1')}) > {CONTOUR_T} then 1 else 0 end)"]
+    idx = " + ".join(bit)
+    hi = DEM_PX - 1
+    return f"""
+with g as (
+  select a.range as gx, b.range as gy
+  from range(0, {hi}) a cross join range(0, {hi}) b
+),
+m as (select gx, gy, {idx} as ms_case from g)
+select gx, gy, cast(ms_case as bigint) as ms_case,
+       cast(case when ms_case in (5, 10) then 2 else 1 end as bigint)
+         as n_segments
+from m where ms_case <> 0 and ms_case <> 15
+"""
 
 
 def _warp_oracle() -> str:
@@ -179,4 +210,5 @@ ORACLES = {
     "warp_nearest_dem": _warp_oracle(),
     "grid_idw": __import__(
         "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
+    "contour_cells": _contour_oracle(),
 }

@@ -325,6 +325,69 @@ def synth_dem_tiles(spark, raster_px: int = 256,
 DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"
 
 
+def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
+                  dtype: str = "int64") -> DataFrame:
+    """Marching-squares cell classification (alg/contour.cpp,
+    alg/marching_squares/): per 2×2 pixel block with top-left (gx, gy),
+    the 4-bit case index
+
+        idx = 8·[e(gx,gy)>t] + 4·[e(gx+1,gy)>t]
+            + 2·[e(gx+1,gy+1)>t] + 1·[e(gx,gy+1)>t]
+
+    Emits the non-trivial cells (idx ∉ {0,15}) with their iso-segment
+    count (saddle cases 5/10 carry two segments). Cross-tile blocks are
+    handled by the same 1-px halo exchange as the focal ops — the border
+    stitch that makes distributed contouring exact.
+    """
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    n_tiles = raster_px // t
+
+    shifted = tiles.select(
+        "tx", "ty", "data",
+        F.explode(F.expr(
+            "transform(sequence(0, 8),"
+            " k -> struct(tx + k % 3 - 1 as htx, ty + k div 3 - 1 as hty))"
+        )).alias("h"),
+    ).select(F.col("h.htx").alias("htx"), F.col("h.hty").alias("hty"),
+             "tx", "ty", "data") \
+     .filter(f"htx >= 0 and htx < {n_tiles} and hty >= 0 and hty < {n_tiles}")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        win = np.zeros((t + 2, t + 2), dtype=np.int64)
+        for _, row in pdf.iterrows():
+            buf = np.frombuffer(row["data"], dtype=np_dtype).reshape(t, t)
+            dy = (int(row["ty"]) - hty) * t
+            dx = (int(row["tx"]) - htx) * t
+            ys = slice(max(0, 1 + dy), min(t + 2, 1 + dy + t))
+            xs = slice(max(0, 1 + dx), min(t + 2, 1 + dx + t))
+            win[ys, xs] = buf[ys.start - (1 + dy):ys.stop - (1 + dy),
+                              xs.start - (1 + dx):xs.stop - (1 + dx)]
+        above = win > threshold
+        # cells whose top-left pixel lives in this tile: window rows/cols
+        # 1..t (+ their right/bottom neighbors from the halo)
+        tl = above[1:t + 1, 1:t + 1]
+        tr = above[1:t + 1, 2:t + 2]
+        br = above[2:t + 2, 2:t + 2]
+        bl = above[2:t + 2, 1:t + 1]
+        idx = 8 * tl + 4 * tr + 2 * br + 1 * bl
+        gy, gx = np.mgrid[0:t, 0:t]
+        gx = gx + htx * t
+        gy = gy + hty * t
+        valid = (gx < raster_px - 1) & (gy < raster_px - 1) \
+            & (idx != 0) & (idx != 15)
+        nseg = np.where((idx == 5) | (idx == 10), 2, 1)
+        return pd.DataFrame({
+            "gx": gx[valid].ravel(), "gy": gy[valid].ravel(),
+            "ms_case": idx[valid].ravel().astype(np.int64),
+            "n_segments": nseg[valid].ravel().astype(np.int64),
+        })
+
+    return shifted.groupBy("htx", "hty").applyInPandas(
+        assemble, "gx long, gy long, ms_case long, n_segments long")
+
+
 # ---------------------------------------------------------------------------
 # Warp: reproject/resample between affine grids (gdalwarp semantics)
 # ---------------------------------------------------------------------------
