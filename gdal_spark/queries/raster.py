@@ -87,6 +87,21 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idw_grid(spark, sf_dir)
 
 
+RECLASS_BOUNDS = [1, 3, 10]
+
+
+def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster map algebra: reclassify the z5 count raster into density
+    classes (pixel-function RECLASSIFY, vrtreclassifier.cpp) and
+    checksum the result."""
+    from gdal_spark.raster import map_algebra, reclassify_kernel
+
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(map_algebra(tiles,
+                                      reclassify_kernel(RECLASS_BOUNDS)))
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -155,7 +170,11 @@ QUERIES = {
     "warp_nearest_dem": q_warp_nearest,
     "grid_idw": q_grid_idw,
     "contour_cells": q_contour,
+    "raster_calc_reclassify": q_raster_calc,
 }
+
+_RECLS = " + ".join(
+    f"(case when cnt >= {b} then 1 else 0 end)" for b in RECLASS_BOUNDS)
 
 
 def _contour_oracle() -> str:
@@ -211,4 +230,6 @@ ORACLES = {
     "grid_idw": __import__(
         "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
     "contour_cells": _contour_oracle(),
+    "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
+                                                  value_expr=_RECLS),
 }

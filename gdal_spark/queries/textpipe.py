@@ -173,6 +173,38 @@ _TOKEN_COLS = ["doc_id", "ws_tokens", "re_tokens"]
 _FP_COLS = ["doc_id", "fp", "fp64"]
 
 
+def _rare_terms_sql(engine: str) -> str:
+    """Document keyword extraction, TF-IDF family: per doc the 3 terms
+    with the lowest corpus document-frequency (pure integer ranking —
+    the idf ordering without the float logarithm). One shuffle keyed by
+    term for the df, one window keyed by doc."""
+    toks = textops.tokens_sql("text", engine)
+    ex = textops.explode_sql("_toks", "w", engine)
+    return f"""
+with tok as (
+  select distinct doc_id, w from (
+    select doc_id, {ex} from (
+      select doc_id, {toks} as _toks from documents
+    ) t0
+  ) t1
+),
+df as (select w, count(*) as df from tok group by w),
+ranked as (
+  select tok.doc_id, tok.w as term, df.df,
+         row_number() over (partition by tok.doc_id
+                            order by df.df, tok.w) as rnk
+  from tok join df on tok.w = df.w
+)
+select doc_id, term, df, cast(rnk as bigint) as rnk
+from ranked where rnk <= 3
+"""
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_rare_terms_sql(textops.SPARK))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -238,6 +270,7 @@ QUERIES = {
     "text_token_counts": _staged_query(textops.token_count_stages,
                                        _TOKEN_COLS),
     "text_fingerprint": _staged_query(textops.fingerprint_stages, _FP_COLS),
+    "text_rare_terms": q_rare_terms,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -258,6 +291,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "text_token_counts": _staged_oracle(textops.token_count_stages,
                                         _TOKEN_COLS),
     "text_fingerprint": _staged_oracle(textops.fingerprint_stages, _FP_COLS),
+    "text_rare_terms": _rare_terms_sql(DUCKDB),
     "multimodal_meta": _multimodal_meta_oracle(),
     "multimodal_decode": _multimodal_decode_oracle(),
 }

@@ -147,10 +147,13 @@ def tile_checksums(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
         per_tile, "z int, tx long, ty long, checksum long, n_nonzero long")
 
 
-def checksum_oracle_sql(points_sql: str, z: int) -> str:
+def checksum_oracle_sql(points_sql: str, z: int,
+                        value_expr: str = "cnt") -> str:
     """DuckDB SQL reproducing rasterize→checksum exactly: pixel counts by
     the shared cell formula, per-pixel value % primes[(py*64+px) % 11],
-    summed mod 65536 per tile (zero pixels contribute 0)."""
+    summed mod 65536 per tile (zero pixels contribute 0).
+    ``value_expr`` maps the raw count to the burned value (identity for
+    plain counts; a CASE ladder for reclassify map algebra)."""
     gxe, gye = gpixel_exprs("lon", "lat", z)
     primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
     t = TILE_PX
@@ -160,8 +163,9 @@ with px as (
   from ({points_sql}) p group by 1, 2
 )
 select {z} as z, gx // {t} as tx, gy // {t} as ty,
-       sum(cnt % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
-         % 65536 as checksum,
+       cast(sum(({value_expr})
+           % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
+         % 65536 as bigint) as checksum,
        count(*) as n_nonzero
 from px group by 1, 2, 3
 """
@@ -323,6 +327,42 @@ def synth_dem_tiles(spark, raster_px: int = 256,
 
 
 DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"
+
+
+def map_algebra(tiles: DataFrame, kernel, out_dtype: str = "int64",
+                dtype: str = "int64") -> DataFrame:
+    """Raster map algebra: apply a numpy pixel function to every tile
+    buffer (GDAL pixel functions, frmts/vrt/pixelfunctions.cpp:2762 —
+    sum/diff/reclassify/…; Python pixel-function precedent
+    vrtderivedrasterband.cpp:413). ``kernel(buf) -> buf`` runs once per
+    tile inside the Arrow batch — never per pixel in Python."""
+    np_in = np.dtype(dtype)
+    np_out = np.dtype(out_dtype)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["data"] = [
+                np.ascontiguousarray(
+                    kernel(np.frombuffer(raw, dtype=np_in)
+                           .reshape(TILE_PX, TILE_PX)).astype(np_out)
+                ).tobytes()
+                for raw in pdf["data"]
+            ]
+            yield out
+
+    return tiles.mapInPandas(run, TILE_SCHEMA)
+
+
+def reclassify_kernel(bounds: list[int]):
+    """RECLASSIFY pixel function (frmts/vrt/vrtreclassifier.cpp):
+    value → class index by threshold bounds (class i ⟺ v >= bounds[i])."""
+    arr = np.asarray(bounds, dtype=np.int64)
+
+    def kernel(buf: np.ndarray) -> np.ndarray:
+        return np.searchsorted(arr, buf, side="right")
+
+    return kernel
 
 
 def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
