@@ -35,6 +35,12 @@ HEADLINE = [
     "zonal_stats",
     "knn",
     "reproject_webmercator",
+    "rasterize_checksum_z5",
+    "warp_nearest_dem",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk_cosine",
     "sql_groupby_agg",
     "sql_join_groups",
     "sql_topk",
