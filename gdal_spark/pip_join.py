@@ -32,6 +32,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -157,6 +158,65 @@ def zone_tables(spark, defs: list[dict]):
     edges_df = spark.createDataFrame(
         edges, "zone_id long, x0 double, y0 double, x1 double, y1 double")
     return bbox_df, edges_df
+
+
+def zone_cover_cells(defs: list[dict], z: int) -> list[tuple[int, int]]:
+    """(cell_id, zone_id) covering pairs: every z-zoom cell whose bbox
+    intersects the zone bbox (the coarse stage; exactness comes from the
+    per-pair test). Driver-side tiny; at scale this explode runs
+    distributed over the polygon table."""
+    from gdal_spark import geom as G
+    from gdal_spark.cells import tile_xy_np, X_SHIFT, Z_SHIFT
+
+    out = []
+    for zd in defs:
+        minx, miny, maxx, maxy = G.rings_bbox(zd["rings"])
+        tx0, ty1 = tile_xy_np([minx], [miny], z)
+        tx1, ty0 = tile_xy_np([maxx], [maxy], z)
+        for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+            for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+                cell = (z << Z_SHIFT) | (tx << X_SHIFT) | ty
+                out.append((int(cell), int(zd["zone_id"])))
+    return out
+
+
+def pip_join_cells(points: DataFrame, defs: list[dict], z: int = 8,
+                   lon: str = "lon", lat: str = "lat",
+                   point_id: str = "doc_id",
+                   zone_col: str = "zone_id") -> DataFrame:
+    """Cell-prejoin PIP: the two-big-layers spatial join (SURVEY §4).
+
+    Both sides are keyed by the hierarchical cell id — points by their
+    cell, polygons by their covering cells — so the coarse stage is a
+    plain **equi-join** (shuffle- or broadcast-hash, AQE-skew-splittable)
+    instead of a broadcast index. The exact even-odd test then runs only
+    on candidate (point, zone) pairs. Unlike the broadcast R-tree path
+    this needs no driver-side index at all, so it scales to polygon
+    layers that don't fit an executor. Result-identical to pip_join /
+    pip_join_edges.
+    """
+    from gdal_spark.cells import cell_id_sql
+
+    spark = points.sparkSession
+    cover = spark.createDataFrame(zone_cover_cells(defs, z),
+                                  "cell long, zone_id long")
+    p = points.select(point_id, lon, lat).withColumn(
+        "cell", F.expr(cell_id_sql(lon, lat, z)))
+    cand = p.join(cover, "cell").select(point_id, lon, lat, "zone_id")
+    _, edges_df = zone_tables(spark, defs)
+    crossing = (
+        ((F.col("y0") > F.col(lat)) != (F.col("y1") > F.col(lat)))
+        & (F.col(lon) < (F.col("x1") - F.col("x0"))
+           * (F.col(lat) - F.col("y0")) / (F.col("y1") - F.col("y0"))
+           + F.col("x0"))
+    )
+    crossed = (
+        cand.join(F.broadcast(edges_df), "zone_id")
+        .groupBy(point_id, "zone_id")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("_c"))
+        .filter("_c % 2 = 1")
+    )
+    return crossed.select(point_id, F.col("zone_id").alias(zone_col))
 
 
 def pip_join_edges(points: DataFrame, defs: list[dict], lon: str = "lon",

@@ -254,7 +254,30 @@ def q_execute_sql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"lineitem": _t(spark, sf_dir, "lineitem")})
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity cut) — the standard
+    web-log session op a pages/events pipeline needs; GDAL has no
+    streaming (SURVEY §1.3) so this is the batch-window restatement."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gaps = e.withColumn(
+        "_new", F.when(
+            epoch - F.lag(epoch, 1).over(w) > 1800, 1
+        ).otherwise(F.lit(0)).cast("long"))
+    sess = gaps.withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event"),
+             F.max("event_id").alias("last_event"))
+    )
+
+
 QUERIES = {
+    "sql_sessionize": q_sessionize,
     "ogrsql_execute_select": q_execute_sql_select,
     "ogrsql_execute_summary": q_execute_sql_summary,
     "sql_summary_record": q_summary_record,
@@ -276,6 +299,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_sessionize": """
+with g as (
+  select user_id, event_id, ts,
+         case when cast(floor(epoch(ts)) as bigint)
+                   - lag(cast(floor(epoch(ts)) as bigint), 1)
+                over (partition by user_id order by ts, event_id) > 1800
+              then 1 else 0 end as new_s
+  from events
+),
+s as (
+  select user_id, event_id,
+         cast(sum(new_s) over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and current row)
+           as bigint) as session_idx
+  from g
+)
+select user_id, session_idx, count(*) as n_events,
+       min(event_id) as first_event, max(event_id) as last_event
+from s group by user_id, session_idx
+""",
     "ogrsql_execute_select": """
 select p_partkey, p_brand, substr(p_type, 1, 6) as type6
 from part where p_brand like 'Brand#1%'

@@ -77,6 +77,15 @@ def q_zonal_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_per_zone(spark, sf_dir)
 
 
+def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-prejoin PIP (two-big-layers plan: cell equi-join + exact
+    test) — result-identical to the broadcast R-tree path."""
+    from gdal_spark.pip_join import pip_join_cells
+
+    pts = points_from_documents(spark, sf_dir)
+    return pip_join_cells(pts, zone_defs())
+
+
 def q_layer_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon×polygon layer algebra (Intersection/Union/SymDifference/
     Erase areas) for the convex zones vs a shifted method layer —
@@ -130,6 +139,7 @@ QUERIES = {
     "erase": q_erase,
     "zonal_count": q_zonal_count,
     "zonal_stats": q_zonal_stats,
+    "pip_join_cellprejoin": q_pip_join_cells,
     "layer_algebra_overlay": q_layer_overlay,
 }
 
@@ -174,5 +184,6 @@ select j.zone_id, count(*) as n_points,
 from j join p on j.doc_id = p.doc_id
 group by j.zone_id
 """,
+    "pip_join_cellprejoin": pip_oracle_sql(_PTS),
     "layer_algebra_overlay": _overlay_oracle(),
 }
