@@ -75,7 +75,12 @@ def extract_geotags_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"extracted_text": ext, "lat": lat, "lon": lon})
 
 
-_extract_udf = F.pandas_udf(extract_geotags_batch, EXTRACT_SCHEMA)
+# asNondeterministic is a *planning* marker, not a semantic one: the
+# kernel is pure, but without it Catalyst pushes `lat IS NOT NULL` below
+# the projection and plans the UDF twice (once under the filter, once
+# for the output columns) — double extraction work per page.
+_extract_udf = F.pandas_udf(extract_geotags_batch,
+                            EXTRACT_SCHEMA).asNondeterministic()
 
 
 def geocode_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:

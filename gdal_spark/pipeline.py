@@ -54,9 +54,7 @@ def pages_per_zone(spark: SparkSession, sf_dir: str,
         partial = salted.groupBy("zone_id", "_salt").agg(
             F.count(F.lit(1)).alias("_c")
         )
-        return (partial.groupBy("zone_id")
-                .agg(F.sum("_c").alias("n_pages"))
-                .orderBy("zone_id"))
-    return (joined.groupBy("zone_id")
-            .agg(F.count(F.lit(1)).alias("n_pages"))
-            .orderBy("zone_id"))
+        # no final orderBy: it would add a range-partition exchange for a
+        # presentation-only ordering (plan audit, PLANS.md)
+        return partial.groupBy("zone_id").agg(F.sum("_c").alias("n_pages"))
+    return joined.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_pages"))
