@@ -171,6 +171,85 @@ def polygonize_summary(tiles: DataFrame, grid_w: int,
     )
 
 
+def sieve_pixels(px: DataFrame, grid_w: int,
+                 min_pixels: int = 2) -> DataFrame:
+    """Sieve filter (alg/gdalsievefilter.cpp:178): drop pixels whose
+    4-connected occupancy component is smaller than ``min_pixels``.
+    (GDAL merges small polygons into their largest neighbour; on a
+    sparse occupancy raster removal ≡ merging into the zero background —
+    the binary-mask case.)
+
+    Works directly on sparse pixel rows (gx, gy, cnt): adjacency is a
+    coordinate self-join, labels propagate by the same distributed
+    min-label loop as polygonize. At dense-raster scale the tiled
+    two-level labeling in `polygonize_summary` supplies the labels
+    instead; the filter step is identical.
+    """
+    pix = px.withColumn("pid", F.expr(f"gy * {grid_w} + gx"))
+    a = pix.select(F.col("pid").alias("la"), "gx", "gy")
+    b = pix.select(F.col("pid").alias("lb"),
+                   F.col("gx").alias("bx"), F.col("gy").alias("by"))
+    edges = (
+        a.join(b, ((F.col("bx") == F.col("gx") + 1)
+                   & (F.col("by") == F.col("gy")))
+               | ((F.col("bx") == F.col("gx"))
+                  & (F.col("by") == F.col("gy") + 1)))
+        .select("la", "lb")
+    )
+    labels = propagate_labels(pix.select(F.col("pid").alias("lbl")), edges)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
+    keep = sizes.filter(F.col("_n") >= min_pixels).select("comp")
+    return (
+        pix.join(labels, pix.pid == labels.lbl)
+        .join(keep, "comp", "left_semi")
+        .select("gx", "gy", "cnt")
+    )
+
+
+def sieve_checksum_oracle_sql(points_sql: str, z: int, min_pixels: int = 2,
+                              tile_px_log2: int = 6) -> str:
+    """DuckDB ground truth: recursive-CTE components over the occupancy
+    graph, then the GDAL checksum of the sieved count raster per tile."""
+    from gdal_spark.raster import CHECKSUM_PRIMES, gpixel_exprs
+
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    grid_w = 1 << (z + tile_px_log2)
+    t = 1 << tile_px_log2
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    return f"""
+with recursive px as (
+  select gx, gy, cnt, gy * {grid_w} + gx as pid from (
+    select {gxe} as gx, {gye} as gy, count(*) as cnt
+    from ({points_sql}) p group by 1, 2
+  ) d
+),
+e as (
+  select a.pid as u, b.pid as v from px a join px b
+    on (b.gx = a.gx + 1 and b.gy = a.gy) or (b.gx = a.gx and b.gy = a.gy + 1)
+),
+esym as (select u, v from e union select v, u from e),
+lbl(pid, l) as (
+  select pid, pid from px
+  union
+  select es.v, lbl.l from lbl join esym es on es.u = lbl.pid
+    where lbl.l < es.v
+),
+final as (select pid, min(l) as comp from lbl group by pid),
+sizes as (select comp, count(*) as n from final group by comp),
+kept as (
+  select px.* from px
+  join final on final.pid = px.pid
+  join sizes on sizes.comp = final.comp
+  where sizes.n >= {min_pixels}
+)
+select {z} as z, gx // {t} as tx, gy // {t} as ty,
+       cast(sum(cnt % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
+         % 65536 as bigint) as checksum,
+       count(*) as n_nonzero
+from kept group by 1, 2, 3
+"""
+
+
 def polygonize_oracle_sql(points_sql: str, z: int, tile_px_log2: int = 6) -> str:
     """DuckDB recursive-CTE ground truth: min-label propagation over the
     occupied-pixel adjacency graph of the z-zoom point burn."""

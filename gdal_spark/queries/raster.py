@@ -102,6 +102,26 @@ def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       reclassify_kernel(RECLASS_BOUNDS)))
 
 
+def q_overview_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE overview resampler (GDAL default, overview.cpp Average
+    kernels): z5 → z4 with rounded-half-up integer averaging."""
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(overview_sum(tiles, resampler="average"))
+
+
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve filter: singleton occupancy components removed, then the
+    checksum of the surviving count raster per tile."""
+    from gdal_spark.polygonize import sieve_pixels
+    from gdal_spark.raster import pixel_counts, tiles_from_pixel_counts
+
+    pts = points_from_documents(spark, sf_dir)
+    grid_w = 1 << (RASTER_Z + 6)
+    kept = sieve_pixels(pixel_counts(pts, RASTER_Z), grid_w, min_pixels=2)
+    return tile_checksums(tiles_from_pixel_counts(kept, RASTER_Z))
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -171,6 +191,8 @@ QUERIES = {
     "grid_idw": q_grid_idw,
     "contour_cells": q_contour,
     "raster_calc_reclassify": q_raster_calc,
+    "raster_overview_avg": q_overview_avg,
+    "raster_sieve": q_sieve,
 }
 
 _RECLS = " + ".join(
@@ -232,4 +254,11 @@ ORACLES = {
     "contour_cells": _contour_oracle(),
     "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
                                                   value_expr=_RECLS),
+    # AVERAGE overview: z4 pixel = round-half-up mean of its 4 z5
+    # children = (direct z4 count + 2) // 4 (counts sum across children)
+    "raster_overview_avg": checksum_oracle_sql(
+        _PTS, RASTER_Z - 1, value_expr="((cnt + 2) // 4)"),
+    "raster_sieve": __import__(
+        "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
+    ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),
 }

@@ -166,17 +166,24 @@ select {z} as z, gx // {t} as tx, gy // {t} as ty,
        cast(sum(({value_expr})
            % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
          % 65536 as bigint) as checksum,
-       count(*) as n_nonzero
+       cast(sum(case when ({value_expr}) > 0 then 1 else 0 end) as bigint)
+         as n_nonzero
 from px group by 1, 2, 3
 """
 
 
-def overview_sum(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
-    """One pyramid level up: 4 child tiles → 1 parent tile, 2×2 SUM
-    reduction (overview.cpp chunk-reduce pattern; SUM resampler).
-    groupBy(parent) — partial aggregation is the tile buffer itself."""
+def overview_sum(tiles: DataFrame, dtype: str = "int64",
+                 resampler: str = "sum") -> DataFrame:
+    """One pyramid level up: 4 child tiles → 1 parent tile, 2×2
+    reduction (overview.cpp chunk-reduce pattern). Resamplers:
+    'sum' (mass-preserving) or 'average' (GDAL's default overview
+    resampler — integer average rounded half-up, the GDALCopyWords
+    +0.5-floor convention). groupBy(parent) — partial aggregation is the
+    tile buffer itself."""
     np_dtype = np.dtype(dtype)
     tile_px = TILE_PX
+    if resampler not in ("sum", "average"):
+        raise ValueError(resampler)
 
     def reduce_children(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ptx, pty = int(key[0]), int(key[1])
@@ -187,6 +194,8 @@ def overview_sum(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
                 tile_px, tile_px)
             half = child.reshape(tile_px // 2, 2, tile_px // 2, 2) \
                         .sum(axis=(1, 3))
+            if resampler == "average":
+                half = (half + 2) // 4
             oy = (int(row["ty"]) % 2) * (tile_px // 2)
             ox = (int(row["tx"]) % 2) * (tile_px // 2)
             out[oy:oy + tile_px // 2, ox:ox + tile_px // 2] = half
