@@ -86,6 +86,21 @@ def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join_cells(pts, zone_defs())
 
 
+def q_streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming flagship: pages streamed from a landing dir
+    (file source, availableNow) → geocode → PIP → event-time-windowed
+    zonal counts. Returns the completed memory-sink table."""
+    import tempfile
+
+    from gdal_spark.streaming import run_stream_to_memory
+
+    landing = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    pages = pages_from_documents(spark, sf_dir)
+    pages.filter("doc_id % 2 = 0").write.mode("append").parquet(landing)
+    pages.filter("doc_id % 2 = 1").write.mode("append").parquet(landing)
+    return run_stream_to_memory(spark, landing, query_name="q_stream_zonal")
+
+
 def q_layer_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon×polygon layer algebra (Intersection/Union/SymDifference/
     Erase areas) for the convex zones vs a shifted method layer —
@@ -140,8 +155,21 @@ QUERIES = {
     "zonal_count": q_zonal_count,
     "zonal_stats": q_zonal_stats,
     "pip_join_cellprejoin": q_pip_join_cells,
+    "streaming_zonal_window": q_streaming_zonal,
     "layer_algebra_overlay": q_layer_overlay,
 }
+
+
+def _streaming_oracle() -> str:
+    """The streaming windowed count ≡ hour-truncated batch count."""
+    return f"""
+with j as ({pip_oracle_sql(_PTS)})
+select date_trunc('hour',
+         cast(to_timestamp(1735689600 + j.doc_id * 7) as timestamp))
+         as window_start,
+       j.zone_id, count(*) as n_pages
+from j group by 1, 2
+"""
 
 
 def _overlay_oracle() -> str:
@@ -185,5 +213,6 @@ from j join p on j.doc_id = p.doc_id
 group by j.zone_id
 """,
     "pip_join_cellprejoin": pip_oracle_sql(_PTS),
+    "streaming_zonal_window": _streaming_oracle(),
     "layer_algebra_overlay": _overlay_oracle(),
 }
