@@ -59,6 +59,69 @@ def streaming_zone_counts(pages: DataFrame,
     )
 
 
+def streaming_url_dedup(pages: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup: a re-crawled url arriving within the
+    watermark horizon is dropped (the streaming twin of dedup.dedup_exact;
+    state is bounded by the watermark — the scale requirement)."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+
+def stateful_zone_totals(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-zone
+    cumulative page totals maintained across micro-batches (the
+    'hypertable rollup' shape — state = one counter per zone key)."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    import pandas as pd
+
+    geo = geocode_pages_jvm(pages).filter(F.col("lat").isNotNull())
+    joined = pip_join(
+        geo.withColumn("cell_id",
+                       cells.cell_id_col("lon", "lat", CELL_ZOOM)),
+        build_zone_index_from_defs(zone_defs()), how="inner")
+
+    def update(key, pdfs, state: GroupState):
+        n_new = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        yield pd.DataFrame({"zone_id": [key[0]],
+                            "total_pages": pd.Series([total],
+                                                     dtype="int64")})
+
+    return joined.select("zone_id").groupBy("zone_id").applyInPandasWithState(
+        update,
+        outputStructType="zone_id long, total_pages long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals(spark: SparkSession, input_dir: str,
+                        query_name: str = "zone_totals") -> DataFrame:
+    """Drive the stateful rollup over available files one file per
+    micro-batch (so state genuinely carries across batches); the memory
+    sink keeps the latest update per zone."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out = stateful_zone_totals(pages)
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_stream_to_memory(spark: SparkSession, input_dir: str,
                          query_name: str = "zonal_stream") -> DataFrame:
     """Drive the stream to completion over the currently-available files
