@@ -86,6 +86,15 @@ def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join_cells(pts, zone_defs())
 
 
+def q_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line×polygon clipping (ogr2ogr -clipsrc for LineStrings incl. the
+    dimension-drop rule, apps/ogr2ogr_lib.cpp:6889-6936): Cyrus–Beck
+    parametric clip of site-trajectory segments against convex zones."""
+    from gdal_spark.lineclip import clip_lines
+
+    return clip_lines(spark, sf_dir, zone_defs())
+
+
 def q_streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming flagship: pages streamed from a landing dir
     (file source, availableNow) → geocode → PIP → event-time-windowed
@@ -157,6 +166,7 @@ QUERIES = {
     "pip_join_cellprejoin": q_pip_join_cells,
     "streaming_zonal_window": q_streaming_zonal,
     "layer_algebra_overlay": q_layer_overlay,
+    "clip_lines_cyrus_beck": q_clip_lines,
 }
 
 
@@ -215,4 +225,7 @@ group by j.zone_id
     "pip_join_cellprejoin": pip_oracle_sql(_PTS),
     "streaming_zonal_window": _streaming_oracle(),
     "layer_algebra_overlay": _overlay_oracle(),
+    "clip_lines_cyrus_beck": __import__(
+        "gdal_spark.lineclip", fromlist=["clip_lines_sql"]
+    ).clip_lines_sql(zone_defs(), "duckdb"),
 }
