@@ -104,3 +104,48 @@ def idw_grid(spark, sf_dir: str):
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(idw_sql(SPARK))
+
+
+def proximity_sql(engine: str, doc_view: str = "documents") -> str:
+    """Proximity raster (alg/gdalproximity.cpp:94): per grid pixel the
+    distance to the nearest burned point within RADIUS (pixels with no
+    point in range emit nothing — the nodata convention). MIN over
+    candidate distances is order-independent, so no ordered folds are
+    needed for cross-engine exactness."""
+    pts = points_oracle_sql(doc_view)
+    lon_c = f"({_lit(GRID_LON0)} + (i + 0.5e0) * {_lit(GRID_STEP)})"
+    lat_c = f"({_lit(GRID_LAT0)} + (j + 0.5e0) * {_lit(GRID_STEP)})"
+    r2 = _lit(RADIUS * RADIUS)
+    pad = _lit(RADIUS)
+    if engine == SPARK:
+        grid = (f"select a.id as i, b.id as j from range(0, {GRID_N}) a"
+                f" cross join range(0, {GRID_N}) b")
+    else:
+        grid = (f"select a.range as i, b.range as j from range(0, {GRID_N}) a"
+                f" cross join range(0, {GRID_N}) b")
+    lo_lon = _lit(GRID_LON0)
+    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
+    lo_lat = _lit(GRID_LAT0)
+    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
+    return f"""
+with p as (
+  select cast(lon as double) as lon, cast(lat as double) as lat
+  from ({pts}) q
+  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
+    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
+),
+g as ({grid})
+select g.i, g.j, count(*) as n_in_range,
+       sqrt(min((p.lon - {lon_c}) * (p.lon - {lon_c})
+              + (p.lat - {lat_c}) * (p.lat - {lat_c}))) as dist
+from g cross join p
+where (p.lon - {lon_c}) * (p.lon - {lon_c})
+    + (p.lat - {lat_c}) * (p.lat - {lat_c}) <= {r2}
+group by g.i, g.j
+"""
+
+
+def proximity_grid(spark, sf_dir: str):
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return spark.sql(proximity_sql(SPARK))

@@ -129,6 +129,14 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_cells(synth_dem_tiles(spark, DEM_PX), DEM_PX, CONTOUR_T)
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity raster: per-pixel distance to the nearest point within
+    the search radius (alg/gdalproximity.cpp:94)."""
+    from gdal_spark.gridding import proximity_grid
+
+    return proximity_grid(spark, sf_dir)
+
+
 def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp nearest: DEM tiles resampled onto a shifted 1.37×-scaled
     grid (dst→world→src pixel path in Catalyst, gather per tile)."""
@@ -189,6 +197,7 @@ QUERIES = {
     "dem_slope_horn": q_dem_slope,
     "warp_nearest_dem": q_warp_nearest,
     "grid_idw": q_grid_idw,
+    "grid_proximity": q_proximity,
     "contour_cells": q_contour,
     "raster_calc_reclassify": q_raster_calc,
     "raster_overview_avg": q_overview_avg,
@@ -251,6 +260,9 @@ ORACLES = {
     "warp_nearest_dem": _warp_oracle(),
     "grid_idw": __import__(
         "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
+    "grid_proximity": __import__(
+        "gdal_spark.gridding",
+        fromlist=["proximity_sql"]).proximity_sql("duckdb"),
     "contour_cells": _contour_oracle(),
     "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
                                                   value_expr=_RECLS),

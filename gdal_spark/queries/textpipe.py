@@ -114,6 +114,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ANN_QUERY_FILTER, dim=EMB_DIM, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.simsearch import ivf_topk
+
+    return ivf_topk(aug_embeddings(_emb(spark, sf_dir)),
+                    ANN_QUERY_FILTER, k=10, n_probe=3)
+
+
 def _aug_d() -> str:
     return simsearch.aug_sql("embeddings", DUCKDB)
 
@@ -265,6 +272,7 @@ QUERIES = {
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": _staged_query(textops.langid_stages, _LANG_COLS),
     "text_quality": _staged_query(textops.quality_stages, _QUALITY_COLS),
     "text_token_counts": _staged_query(textops.token_count_stages,

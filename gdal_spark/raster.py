@@ -374,6 +374,25 @@ def reclassify_kernel(bounds: list[int]):
     return kernel
 
 
+def hillshade_np(num_x: np.ndarray, num_y: np.ndarray, cellsize: float,
+                 z_factor: float = 1.0, azimuth_deg: float = 315.0,
+                 altitude_deg: float = 45.0) -> np.ndarray:
+    """Horn hillshade from the integer gradient numerators
+    (apps/gdaldem_lib.cpp:812-835): x = z·num_x/(8·cellsize),
+    cang = sin(alt)·cos(slope) + cos(alt)·sin(slope)·cos(az − aspect),
+    scaled to 1..255 (0 reserved for nodata), values < 0 clamped to 1."""
+    x = z_factor * np.asarray(num_x, dtype=np.float64) / (8.0 * cellsize)
+    y = z_factor * np.asarray(num_y, dtype=np.float64) / (8.0 * cellsize)
+    slope = np.arctan(np.sqrt(x * x + y * y))
+    aspect = np.arctan2(y, -x)
+    az = math.radians(360.0 - azimuth_deg + 90.0)
+    alt = math.radians(altitude_deg)
+    cang = (math.sin(alt) * np.cos(slope)
+            + math.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    return np.where(cang <= 0.0, 1.0,
+                    1.0 + np.round(254.0 * cang)).astype(np.int64)
+
+
 def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
                   dtype: str = "int64") -> DataFrame:
     """Marching-squares cell classification (alg/contour.cpp,

@@ -175,6 +175,49 @@ def sign_sketch(df: DataFrame, dim: int, vec_col: str = "vec",
     return df.withColumn(out_col, sketch_udf(F.col(vec_col)))
 
 
+def ivf_topk(aug: DataFrame, query_filter: str, k: int = 10,
+             n_probe: int = 3, centroid_filter: str =
+             "vec_id % 125 = 7 and vec_id < 100000") -> DataFrame:
+    """IVF ANN: coarse quantizer = a deterministic centroid subset;
+    every vector joins its nearest centroid's inverted list, queries
+    probe their ``n_probe`` nearest lists. Candidate generation is an
+    equi-join on the centroid id — the inverted-file structure — so the
+    O(N·Q) term is gone; recall is governed by n_probe (near-duplicate
+    neighbors share their original's list with near-certainty)."""
+    cents = aug.filter(centroid_filter).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"),
+        F.col("n2").alias("cn2"))
+
+    def nearest(df: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_cc", F.expr(cosine_pair_expr("vec", "cvec", "n2", "cn2")))
+        w = Window.partitionBy(id_col).orderBy(F.desc("_cc"), F.asc("cid"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n).drop("_cc", "_rn", "cvec", "cn2"))
+
+    lists = nearest(aug.select("vec_id", "vec", "n2"), "vec_id", 1) \
+        .select("cid", "vec_id", "vec", "n2")
+    probes = nearest(
+        aug.filter(query_filter).select(
+            F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+            F.col("n2").alias("qn2"))
+        .withColumnRenamed("qv", "vec").withColumnRenamed("qn2", "n2"),
+        "qid", n_probe,
+    ).select("cid", "qid", F.col("vec").alias("qv"),
+             F.col("n2").alias("qn2"))
+
+    cand = probes.join(lists, "cid").filter("vec_id <> qid") \
+        .dropDuplicates(["qid", "vec_id"])
+    scored = cand.withColumn(
+        "_cos", F.expr(cosine_pair_expr("qv", "vec", "qn2", "n2")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def lsh_bucket_topk(aug: DataFrame, query_filter: str, dim: int,
                     k: int = 10) -> DataFrame:
     """ANN top-k: candidates share the query's sign sketch or differ in

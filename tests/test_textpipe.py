@@ -121,6 +121,39 @@ def test_brute_topk_shape_and_order(aug):
         assert all(r["vec_id"] != q for r in rs)
 
 
+def test_ivf_recalls_near_duplicates(spark, aug):
+    """Queries that have a perturbed twin (vec_id % 4 == 1) must retrieve
+    it at rank 1 through the inverted lists — the near-dup lives in its
+    original's list with near-certainty."""
+    from gdal_spark.simsearch import ivf_topk
+
+    out = ivf_topk(aug, "vec_id % 20 = 1 and vec_id < 100000",
+                   k=5, n_probe=3).toPandas()
+    assert len(out) > 0
+    rank1 = out[out["rank"] == 1].set_index("qid")
+    n_hit = 0
+    for qid, r in rank1.iterrows():
+        if r["vec_id"] == qid + 100000:
+            assert r["cosine"] > 0.99
+            n_hit += 1
+    assert n_hit >= 0.9 * len(rank1)
+
+
+def test_hillshade_kernel_bounds_and_flat():
+    import numpy as np
+
+    from gdal_spark.raster import hillshade_np
+
+    flat = hillshade_np(np.zeros(5), np.zeros(5), cellsize=30.0)
+    import math
+    expect = 1.0 + round(254.0 * math.sin(math.radians(45.0)))
+    assert (flat == expect).all()
+    rng = np.random.default_rng(7)
+    hs = hillshade_np(rng.integers(-800, 800, 100),
+                      rng.integers(-800, 800, 100), cellsize=30.0)
+    assert hs.min() >= 1 and hs.max() <= 255
+
+
 def test_multimodal_stub_matches_md5_arithmetic(spark):
     from gdal_spark.pages import pages_from_documents
 
