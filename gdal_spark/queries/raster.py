@@ -102,6 +102,20 @@ def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       reclassify_kernel(RECLASS_BOUNDS)))
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tile pyramid (`gdal raster tile`: base zoom burned, coarser
+    zooms derived from finer — apps/gdalalg_raster_tile.cpp): z5 count
+    raster reduced z4 → z3 → z2 by SUM overviews, all levels
+    checksummed in one output."""
+    pts = points_from_documents(spark, sf_dir)
+    level = rasterize_points(pts, RASTER_Z)
+    out = tile_checksums(level)
+    for _ in range(3):
+        level = overview_sum(level)
+        out = out.unionByName(tile_checksums(level))
+    return out
+
+
 def q_overview_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE overview resampler (GDAL default, overview.cpp Average
     kernels): z5 → z4 with rounded-half-up integer averaging."""
@@ -202,6 +216,7 @@ QUERIES = {
     "raster_calc_reclassify": q_raster_calc,
     "raster_overview_avg": q_overview_avg,
     "raster_sieve": q_sieve,
+    "tile_pyramid_z5_z2": q_tile_pyramid,
 }
 
 _RECLS = " + ".join(
@@ -273,4 +288,7 @@ ORACLES = {
     "raster_sieve": __import__(
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),
+    "tile_pyramid_z5_z2": " union all ".join(
+        f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
+        for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),
 }

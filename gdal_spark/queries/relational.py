@@ -276,7 +276,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAYER_FIELDS = {
+    "customer": 5, "documents": 5, "embeddings": 3, "events": 6,
+    "lineitem": 11, "nation": 3, "orders": 6, "part": 6, "region": 2,
+    "supplier": 4,
+}
+
+
+def q_dataset_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo surface: GDALDataset layer summaries (GetFeatureCount /
+    field counts) over the whole table directory."""
+    from gdal_spark.dataset import Dataset
+
+    return Dataset(spark, sf_dir).info().select(
+        "layer", "n_features", "n_fields")
+
+
+def _dataset_info_oracle() -> str:
+    return " union all ".join(
+        f"select '{t}' as layer, count(*) as n_features,"
+        f" cast({n} as int) as n_fields from {t}"
+        for t, n in _LAYER_FIELDS.items())
+
+
 QUERIES = {
+    "dataset_info": q_dataset_info,
     "sql_sessionize": q_sessionize,
     "ogrsql_execute_select": q_execute_sql_select,
     "ogrsql_execute_summary": q_execute_sql_summary,
@@ -299,6 +323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dataset_info": _dataset_info_oracle(),
     "sql_sessionize": """
 with g as (
   select user_id, event_id, ts,
