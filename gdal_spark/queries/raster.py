@@ -102,6 +102,30 @@ def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       reclassify_kernel(RECLASS_BOUNDS)))
 
 
+def q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -scale -ot Byte (apps/gdal_translate_lib.cpp:106):
+    linear rescale of the z5 count raster to 0..255 using the global
+    min/max of the *nonzero* pixels (two-pass: stats, then per-tile map
+    algebra), GDALCopyWords +0.5-floor rounding, then checksums."""
+    from gdal_spark.raster import map_algebra, pixel_counts
+
+    pts = points_from_documents(spark, sf_dir)
+    px = pixel_counts(pts, RASTER_Z)
+    lo, hi = px.agg(F.min("cnt"), F.max("cnt")).collect()[0]
+    lo, hi = int(lo), int(hi)
+    span = max(hi - lo, 1)
+
+    def scale_kernel(buf):
+        import numpy as np
+        nz = buf != 0
+        out = np.zeros_like(buf)
+        out[nz] = ((buf[nz] - lo) * 255 * 2 + span) // (2 * span)
+        return out
+
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(map_algebra(tiles, scale_kernel))
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full tile pyramid (`gdal raster tile`: base zoom burned, coarser
     zooms derived from finer — apps/gdalalg_raster_tile.cpp): z5 count
@@ -217,7 +241,12 @@ QUERIES = {
     "raster_overview_avg": q_overview_avg,
     "raster_sieve": q_sieve,
     "tile_pyramid_z5_z2": q_tile_pyramid,
+    "translate_scale_byte": q_translate_scale,
 }
+
+_SPAN = "greatest((select max(cnt) from px) - (select min(cnt) from px), 1)"
+_SCALED = (f"(((cnt - (select min(cnt) from px)) * 510 + {_SPAN})"
+           f" // (2 * {_SPAN}))")
 
 _RECLS = " + ".join(
     f"(case when cnt >= {b} then 1 else 0 end)" for b in RECLASS_BOUNDS)
@@ -291,4 +320,6 @@ ORACLES = {
     "tile_pyramid_z5_z2": " union all ".join(
         f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),
+    "translate_scale_byte": checksum_oracle_sql(_PTS, RASTER_Z,
+                                                value_expr=_SCALED),
 }
