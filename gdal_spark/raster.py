@@ -506,18 +506,29 @@ def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
         .withColumn("tx", F.expr(f"sgx div {t}"))
         .withColumn("ty", F.expr(f"sgy div {t}"))
     )
-    joined = dst.join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    # Gather dst pixels per source tile BEFORE joining the tile payload:
+    # one chunk row per tile, so each tile buffer crosses the shuffle and
+    # the Arrow bridge exactly once (GDALWarpOperation's chunk queue,
+    # alg/gdalwarpoperation.cpp:1099 — a chunk, not a pixel, is the unit
+    # of work) instead of being replicated per dst pixel.
+    chunks = (
+        dst.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("di", "dj", "sgx", "sgy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = np.empty(len(pdf), dtype=np.int64)
-            for i, (raw, gx, gy, tx, ty) in enumerate(zip(
-                    pdf["data"], pdf["sgx"], pdf["sgy"],
-                    pdf["tx"], pdf["ty"])):
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
                 buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
-                vals[i] = int(buf[int(gy) - int(ty) * t,
-                                  int(gx) - int(tx) * t])
-            yield pd.DataFrame({"di": pdf["di"], "dj": pdf["dj"],
-                                "value": pd.Series(vals, dtype="int64")})
+                p = pd.DataFrame(list(px))
+                ly = p["sgy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["sgx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "di": p["di"].astype("int64"),
+                    "dj": p["dj"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
 
-    return joined.mapInPandas(gather, "di long, dj long, value long")
+    return chunks.mapInPandas(gather, "di long, dj long, value long")
