@@ -277,6 +277,7 @@ areas as (
   from ordered where n_cand >= 3
 )
 select pr.za as zone_a, pr.zb as zone_b,
+       pr.area_a as area_a, pr.area_b as area_b,
        coalesce(a.n_cand, 0) as n_cand,
        coalesce(a.inter_area, 0.0) as inter_area,
        pr.area_a + pr.area_b - coalesce(a.inter_area, 0.0) as union_area,
@@ -291,3 +292,72 @@ left join areas a on a.za = pr.za and a.zb = pr.zb
 def overlay_areas(spark, defs_a: list[dict], defs_b: list[dict]):
     """Spark DataFrame of the overlay areas (runs the shared SQL)."""
     return spark.sql(overlay_areas_sql(defs_a, defs_b, SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Identity / Update (ogrlayer.cpp:4730, :5148)
+# ---------------------------------------------------------------------------
+
+
+def disjoint_method_defs(defs: list[dict]) -> list[dict]:
+    """Greedily keep method polygons whose bboxes are pairwise disjoint.
+    GDAL's Identity/Update leftover is input − union(method); with a
+    disjoint method layer the union area is the plain sum of pairwise
+    intersections, which keeps the whole operator an ordered-fold SQL
+    expression (bit-exact across engines)."""
+    kept: list[dict] = []
+    for z in defs:
+        bb = G.rings_bbox(z["rings"])
+        ok = True
+        for k in kept:
+            kb = G.rings_bbox(k["rings"])
+            if bb[0] <= kb[2] and kb[0] <= bb[2] \
+                    and bb[1] <= kb[3] and kb[1] <= bb[3]:
+                ok = False
+                break
+        if ok:
+            kept.append(z)
+    return kept
+
+
+def identity_update_sql(defs_a: list[dict], defs_b: list[dict],
+                        engine: str) -> str:
+    """Layer-algebra Identity (ogrlayer.cpp:4730) and Update (:5148) area
+    accounting per input feature, over a pairwise-disjoint method layer:
+
+    - Identity output = {A∩B pieces, with both attrs} ∪ {A − union(B),
+      input attrs}: reported as n_pieces, pieces_area and remainder_area
+      (pieces + remainder = area_a, asserted by the oracle compare).
+    - Update output = method features + (input − union(method)): the
+      input side is the same remainder_area; the untouched method side
+      is trivially the method layer.
+
+    The per-A reduction folds the zb-sorted intersection-area list
+    sequentially, never an unordered SQL SUM of doubles."""
+    base = overlay_areas_sql(defs_a, defs_b, engine)
+    if engine == SPARK:
+        packed = "array_sort(collect_list(struct(zone_b, inter_area)))"
+        fold = ("aggregate(transform(arr, s -> s.inter_area),"
+                " cast(0 as double), (s, v) -> s + v)")
+    else:
+        packed = "list_sort(list({'zone_b': zone_b, 'ia': inter_area}))"
+        fold = ("list_reduce(list_concat([cast(0 as double)],"
+                " list_transform(arr, s -> s.ia)), (s, v) -> s + v)")
+    return f"""
+with ov as ({base}),
+areas_a as (
+  select zone_a, max(area_a) as area_a,
+         sum(case when inter_area > 0 then 1 else 0 end) as n_pieces,
+         {packed} as arr
+  from (select zone_a, zone_b, inter_area, area_a from ov) q
+  group by zone_a
+)
+select zone_a, area_a, n_pieces,
+       {fold} as pieces_area,
+       area_a - {fold} as remainder_area
+from areas_a
+"""
+
+
+def identity_update(spark, defs_a: list[dict], defs_b: list[dict]):
+    return spark.sql(identity_update_sql(defs_a, defs_b, SPARK))

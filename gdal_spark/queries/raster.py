@@ -87,6 +87,30 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idw_grid(spark, sf_dir)
 
 
+def q_grid_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points → raster moving-average (GDALGridMovingAverage,
+    alg/gdalgrid.cpp:629) over the city-0 hotspot region."""
+    from gdal_spark.gridding import moving_average_grid
+
+    return moving_average_grid(spark, sf_dir)
+
+
+def q_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points → raster nearest-neighbor value (GDALGridNearestNeighbor,
+    alg/gdalgrid.cpp:879), doc_id tie-break pinned."""
+    from gdal_spark.gridding import nearest_grid
+
+    return nearest_grid(spark, sf_dir)
+
+
+def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-metric kernels (GDALGridDataMetric*): per-pixel count,
+    min/max distance, value range."""
+    from gdal_spark.gridding import data_metrics_grid
+
+    return data_metrics_grid(spark, sf_dir)
+
+
 RECLASS_BOUNDS = [1, 3, 10]
 
 
@@ -236,6 +260,9 @@ QUERIES = {
     "warp_nearest_dem": q_warp_nearest,
     "grid_idw": q_grid_idw,
     "grid_proximity": q_proximity,
+    "grid_moving_average": q_grid_moving_average,
+    "grid_nearest": q_grid_nearest,
+    "grid_data_metrics": q_grid_metrics,
     "contour_cells": q_contour,
     "raster_calc_reclassify": q_raster_calc,
     "raster_overview_avg": q_overview_avg,
@@ -307,6 +334,15 @@ ORACLES = {
     "grid_proximity": __import__(
         "gdal_spark.gridding",
         fromlist=["proximity_sql"]).proximity_sql("duckdb"),
+    "grid_moving_average": __import__(
+        "gdal_spark.gridding",
+        fromlist=["moving_average_sql"]).moving_average_sql("duckdb"),
+    "grid_nearest": __import__(
+        "gdal_spark.gridding",
+        fromlist=["nearest_grid_sql"]).nearest_grid_sql("duckdb"),
+    "grid_data_metrics": __import__(
+        "gdal_spark.gridding",
+        fromlist=["data_metrics_sql"]).data_metrics_sql("duckdb"),
     "contour_cells": _contour_oracle(),
     "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
                                                   value_expr=_RECLS),

@@ -122,6 +122,20 @@ def q_layer_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlay_areas(spark, defs, shift_defs(defs, 0.31, 0.17))
 
 
+def q_layer_identity_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-algebra Identity (ogrlayer.cpp:4730) and Update (:5148) area
+    accounting: input zones split by a pairwise-disjoint shifted method
+    layer — per input feature the piece count, pieces area and the
+    input−union(method) remainder (the Update input side)."""
+    from gdal_spark.layer_algebra import (disjoint_method_defs,
+                                          identity_update, shift_defs)
+
+    _ = sf_dir
+    defs = zone_defs()
+    method = disjoint_method_defs(shift_defs(defs, 0.31, 0.17))
+    return identity_update(spark, defs, method)
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal summary after the PIP join (groupBy(zone).agg — SURVEY §2.4
     'zonal-style summaries'): count + integer-exact coordinate stats."""
@@ -166,6 +180,7 @@ QUERIES = {
     "pip_join_cellprejoin": q_pip_join_cells,
     "streaming_zonal_window": q_streaming_zonal,
     "layer_algebra_overlay": q_layer_overlay,
+    "layer_algebra_identity_update": q_layer_identity_update,
     "clip_lines_cyrus_beck": q_clip_lines,
 }
 
@@ -188,6 +203,15 @@ def _overlay_oracle() -> str:
 
     defs = zone_defs()
     return overlay_areas_sql(defs, shift_defs(defs, 0.31, 0.17), _D)
+
+
+def _identity_update_oracle() -> str:
+    from gdal_spark.layer_algebra import (DUCKDB as _D, disjoint_method_defs,
+                                          identity_update_sql, shift_defs)
+
+    defs = zone_defs()
+    method = disjoint_method_defs(shift_defs(defs, 0.31, 0.17))
+    return identity_update_sql(defs, method, _D)
 
 ORACLES = {
     "extract_geotags": _extract_oracle(),
@@ -225,6 +249,7 @@ group by j.zone_id
     "pip_join_cellprejoin": pip_oracle_sql(_PTS),
     "streaming_zonal_window": _streaming_oracle(),
     "layer_algebra_overlay": _overlay_oracle(),
+    "layer_algebra_identity_update": _identity_update_oracle(),
     "clip_lines_cyrus_beck": __import__(
         "gdal_spark.lineclip", fromlist=["clip_lines_sql"]
     ).clip_lines_sql(zone_defs(), "duckdb"),

@@ -48,3 +48,40 @@ def test_pixels_without_nearby_points_are_absent(spark, grid):
         cy = GRID_LAT0 + (r["j"] + 0.5) * GRID_STEP
         d2 = (px - cx) ** 2 + (py - cy) ** 2
         assert (d2 <= RADIUS * RADIUS).sum() == r["n_pts"]
+
+
+def test_nearest_grid_matches_brute_force(spark):
+    """GDALGridNearestNeighbor analogue: every pixel's chosen point is
+    the true distance-minimum over all points (doc_id tie-break)."""
+    import numpy as np
+
+    from gdal_spark.gridding import nearest_grid
+
+    res = nearest_grid(spark, "/root/testdata/sf0.001").toPandas()
+    pts = points_from_documents(spark, "/root/testdata/sf0.001").toPandas()
+    px = pts["lon"].astype(float).to_numpy()
+    py = pts["lat"].astype(float).to_numpy()
+    ids = pts["doc_id"].to_numpy()
+    assert len(res) > 0
+    for _, r in res.sample(min(30, len(res)), random_state=2).iterrows():
+        cx = GRID_LON0 + (r["i"] + 0.5) * GRID_STEP
+        cy = GRID_LAT0 + (r["j"] + 0.5) * GRID_STEP
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        order = np.lexsort((ids, d2))
+        best = order[0]
+        assert ids[best] == r["src_doc_id"]
+        assert abs(np.sqrt(d2[best]) - r["dist"]) < 1e-12
+
+
+def test_moving_average_within_range_and_counts(spark):
+    from gdal_spark.gridding import data_metrics_grid, moving_average_grid
+
+    avg = moving_average_grid(spark, "/root/testdata/sf0.001").toPandas()
+    met = data_metrics_grid(spark, "/root/testdata/sf0.001").toPandas()
+    assert (avg["avg_value"] >= 0).all() and (avg["avg_value"] <= 96).all()
+    # metrics and moving-average see the identical candidate sets
+    m = avg.merge(met, on=["i", "j"], suffixes=("_a", "_m"))
+    assert len(m) == len(avg) == len(met)
+    assert (m["n_pts_a"] == m["n_pts_m"]).all()
+    assert (m["min_dist"] <= m["max_dist"]).all()
+    assert (m["max_dist"] <= RADIUS + 1e-12).all()

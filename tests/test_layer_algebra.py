@@ -61,3 +61,44 @@ def test_clip_convex_np_identities():
     # disjoint → empty
     far = small + 10.0
     assert len(clip_convex_np(far, sq)) == 0
+
+
+def test_identity_update_against_numpy(spark):
+    """Identity/Update accounting (ogrlayer.cpp:4730/:5148): pieces must
+    match per-pair Sutherland–Hodgman areas; pieces + remainder = area_a;
+    remainder = input − union(method) for the disjoint method layer."""
+    from gdal_spark.layer_algebra import (disjoint_method_defs,
+                                          identity_update)
+
+    defs = zone_defs()
+    method = disjoint_method_defs(shift_defs(defs, 0.31, 0.17))
+    assert 1 <= len(method) < len(defs) + 1
+    res = identity_update(spark, defs, method).toPandas()
+    assert len(res) >= 5
+    for _, r in res.iterrows():
+        za = next(z for z in defs if z["zone_id"] == r["zone_a"])
+        ra = za["rings"][0]
+        pieces = 0.0
+        n_pieces = 0
+        for m in method:
+            clip = clip_convex_np(ra, m["rings"][0])
+            a = abs(G.ring_area(clip)) if len(clip) else 0.0
+            if a > 0:
+                pieces += a
+                n_pieces += 1
+        assert abs(pieces - r["pieces_area"]) < 1e-10
+        assert r["n_pieces"] == n_pieces
+        assert abs(r["pieces_area"] + r["remainder_area"]
+                   - r["area_a"]) < 1e-12
+        assert abs(r["area_a"] - G.polygon_area(za["rings"])) < 1e-12
+
+
+def test_disjoint_method_defs_are_disjoint():
+    from gdal_spark.layer_algebra import disjoint_method_defs
+
+    method = disjoint_method_defs(shift_defs(zone_defs(), 0.31, 0.17))
+    for i, a in enumerate(method):
+        for b in method[i + 1:]:
+            ba, bb = G.rings_bbox(a["rings"]), G.rings_bbox(b["rings"])
+            assert not (ba[0] <= bb[2] and bb[0] <= ba[2]
+                        and ba[1] <= bb[3] and bb[1] <= ba[3])
