@@ -22,10 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdal_spark.pages import points_from_documents, points_oracle_sql
-from gdal_spark.raster import (DEM_ELEV_SQL, checksum_oracle_sql,
-                               contour_cells, gpixel_exprs, halo_gradient,
-                               overview_sum, rasterize_points,
-                               sample_at_points, synth_dem_tiles,
+from gdal_spark.raster import (DEM_ELEV_SQL, bilinear_dem_oracle_sql,
+                               checksum_oracle_sql, contour_cells,
+                               gpixel_exprs, halo_gradient, histogram,
+                               histogram_oracle_sql,
+                               overview_checksum_oracle_sql, overview_sum,
+                               raster_stats, raster_stats_oracle_sql,
+                               rasterize_points, sample_at_points,
+                               sample_bilinear, synth_dem_tiles,
                                tile_checksums, tile_geotransform,
                                warp_nearest, warp_pixel_sql)
 
@@ -85,6 +89,55 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.gridding import idw_grid
 
     return idw_grid(spark, sf_dir)
+
+
+# bilinear fixture: fractional pixel coords synthesized from doc_id by
+# integer-exact arithmetic (identical SQL text in both engines)
+_BILIN_Q = ("select doc_id as qid,"
+            " cast(doc_id * 7 % 249 as double)"
+            " + cast(doc_id % 16 as double) / 16e0 as qx,"
+            " cast(doc_id * 11 % 249 as double)"
+            " + cast(doc_id % 8 as double) / 8e0 as qy"
+            " from documents")
+
+
+def q_overview_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode overview resampler (overview.cpp Mode kernel, first-wins tie
+    rule): z5 → z4 checksummed."""
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(overview_sum(tiles, resampler="mode"))
+
+
+def q_overview_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMS overview resampler (overview.cpp RMS kernel): z5 → z4 with
+    round-half-up integer root-mean-square, checksummed."""
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    return tile_checksums(overview_sum(tiles, resampler="rms"))
+
+
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::ComputeStatistics: per-tile partials reduced to
+    band min/max/mean/stddev."""
+    pts = points_from_documents(spark, sf_dir)
+    return raster_stats(rasterize_points(pts, RASTER_Z))
+
+
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::GetHistogram: integer-bucket pixel histogram of
+    the z5 count raster (last bucket clamps out-of-range)."""
+    pts = points_from_documents(spark, sf_dir)
+    return histogram(rasterize_points(pts, RASTER_Z))
+
+
+def q_sample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear InterpolateAtPoint over the synthetic DEM
+    (alg/gdal_interpolateatpoint.cpp bilinear path)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    queries = spark.sql(_BILIN_Q)
+    return sample_bilinear(synth_dem_tiles(spark, DEM_PX), queries, DEM_PX)
 
 
 def q_grid_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +319,11 @@ QUERIES = {
     "contour_cells": q_contour,
     "raster_calc_reclassify": q_raster_calc,
     "raster_overview_avg": q_overview_avg,
+    "raster_overview_mode": q_overview_mode,
+    "raster_overview_rms": q_overview_rms,
+    "raster_stats": q_raster_stats,
+    "raster_histogram": q_raster_histogram,
+    "raster_sample_bilinear": q_sample_bilinear,
     "raster_sieve": q_sieve,
     "tile_pyramid_z5_z2": q_tile_pyramid,
     "translate_scale_byte": q_translate_scale,
@@ -350,6 +408,13 @@ ORACLES = {
     # children = (direct z4 count + 2) // 4 (counts sum across children)
     "raster_overview_avg": checksum_oracle_sql(
         _PTS, RASTER_Z - 1, value_expr="((cnt + 2) // 4)"),
+    "raster_overview_mode": overview_checksum_oracle_sql(
+        _PTS, RASTER_Z, "mode"),
+    "raster_overview_rms": overview_checksum_oracle_sql(
+        _PTS, RASTER_Z, "rms"),
+    "raster_stats": raster_stats_oracle_sql(_PTS, RASTER_Z),
+    "raster_histogram": histogram_oracle_sql(_PTS, RASTER_Z),
+    "raster_sample_bilinear": bilinear_dem_oracle_sql(_BILIN_Q, DEM_PX),
     "raster_sieve": __import__(
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),

@@ -182,7 +182,7 @@ def overview_sum(tiles: DataFrame, dtype: str = "int64",
     tile buffer itself."""
     np_dtype = np.dtype(dtype)
     tile_px = TILE_PX
-    if resampler not in ("sum", "average"):
+    if resampler not in ("sum", "average", "mode", "rms"):
         raise ValueError(resampler)
 
     def reduce_children(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -192,10 +192,23 @@ def overview_sum(tiles: DataFrame, dtype: str = "int64",
         for _, row in pdf.iterrows():
             child = np.frombuffer(row["data"], dtype=np_dtype).reshape(
                 tile_px, tile_px)
-            half = child.reshape(tile_px // 2, 2, tile_px // 2, 2) \
-                        .sum(axis=(1, 3))
-            if resampler == "average":
-                half = (half + 2) // 4
+            if resampler in ("mode", "rms"):
+                # blocks[..., k] in window scan order (dy, dx):
+                # (0,0) (0,1) (1,0) (1,1)
+                blocks = child.reshape(tile_px // 2, 2, tile_px // 2, 2) \
+                              .transpose(0, 2, 1, 3) \
+                              .reshape(tile_px // 2, tile_px // 2, 4)
+                if resampler == "mode":
+                    half = _mode4(blocks)
+                else:
+                    sq = (blocks.astype(np.float64) ** 2).sum(axis=-1)
+                    half = np.floor(np.sqrt(sq / 4.0) + 0.5) \
+                             .astype(np.int64)
+            else:
+                half = child.reshape(tile_px // 2, 2, tile_px // 2, 2) \
+                            .sum(axis=(1, 3))
+                if resampler == "average":
+                    half = (half + 2) // 4
             oy = (int(row["ty"]) % 2) * (tile_px // 2)
             ox = (int(row["tx"]) % 2) * (tile_px // 2)
             out[oy:oy + tile_px // 2, ox:ox + tile_px // 2] = half
@@ -209,6 +222,305 @@ def overview_sum(tiles: DataFrame, dtype: str = "int64",
                  .withColumn("_pty", F.expr("ty div 2"))
     return keyed.groupBy("_ptx", "_pty").applyInPandas(
         reduce_children, TILE_SCHEMA)
+
+
+def _mode4(blocks: np.ndarray) -> np.ndarray:
+    """Mode of the 4 window values with GDAL's tie rule: the overview
+    Mode kernel keeps the FIRST value (window scan order) whose count is
+    maximal (overview.cpp mode resampler uses a strict > while scanning,
+    so earlier values win ties)."""
+    cnt = np.zeros(blocks.shape, dtype=np.int64)
+    for k in range(4):
+        cnt[..., k] = sum(
+            (blocks[..., k] == blocks[..., j]).astype(np.int64)
+            for j in range(4))
+    best = blocks[..., 0].astype(np.int64)
+    bestc = cnt[..., 0]
+    for k in range(1, 4):
+        take = cnt[..., k] > bestc
+        best = np.where(take, blocks[..., k], best)
+        bestc = np.maximum(bestc, cnt[..., k])
+    return best
+
+
+def _parent_pixels_cte(points_sql: str, z_child: int) -> str:
+    """DuckDB CTE: z-1 parent pixels with the 4 child values laid out in
+    window scan order (c00 c10 c01 c11 = (dy,dx) 00 01 10 11); absent
+    children are 0 — matching the zero-filled tile buffers."""
+    gxe, gye = gpixel_exprs("lon", "lat", z_child)
+    return f"""
+px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({points_sql}) p group by 1, 2
+),
+par as (
+  select gx // 2 as pgx, gy // 2 as pgy,
+         max(case when gx % 2 = 0 and gy % 2 = 0 then cnt else 0 end) as c00,
+         max(case when gx % 2 = 1 and gy % 2 = 0 then cnt else 0 end) as c10,
+         max(case when gx % 2 = 0 and gy % 2 = 1 then cnt else 0 end) as c01,
+         max(case when gx % 2 = 1 and gy % 2 = 1 then cnt else 0 end) as c11
+  from px group by 1, 2
+)"""
+
+
+_MODE4_SQL = """(case
+  when (case when c00 = c00 then 1 else 0 end) + (case when c00 = c10 then 1 else 0 end)
+     + (case when c00 = c01 then 1 else 0 end) + (case when c00 = c11 then 1 else 0 end)
+    >= (case when c10 = c00 then 1 else 0 end) + (case when c10 = c10 then 1 else 0 end)
+     + (case when c10 = c01 then 1 else 0 end) + (case when c10 = c11 then 1 else 0 end)
+   and (case when c00 = c00 then 1 else 0 end) + (case when c00 = c10 then 1 else 0 end)
+     + (case when c00 = c01 then 1 else 0 end) + (case when c00 = c11 then 1 else 0 end)
+    >= (case when c01 = c00 then 1 else 0 end) + (case when c01 = c10 then 1 else 0 end)
+     + (case when c01 = c01 then 1 else 0 end) + (case when c01 = c11 then 1 else 0 end)
+   and (case when c00 = c00 then 1 else 0 end) + (case when c00 = c10 then 1 else 0 end)
+     + (case when c00 = c01 then 1 else 0 end) + (case when c00 = c11 then 1 else 0 end)
+    >= (case when c11 = c00 then 1 else 0 end) + (case when c11 = c10 then 1 else 0 end)
+     + (case when c11 = c01 then 1 else 0 end) + (case when c11 = c11 then 1 else 0 end)
+  then c00
+  when (case when c10 = c00 then 1 else 0 end) + (case when c10 = c10 then 1 else 0 end)
+     + (case when c10 = c01 then 1 else 0 end) + (case when c10 = c11 then 1 else 0 end)
+    >= (case when c01 = c00 then 1 else 0 end) + (case when c01 = c10 then 1 else 0 end)
+     + (case when c01 = c01 then 1 else 0 end) + (case when c01 = c11 then 1 else 0 end)
+   and (case when c10 = c00 then 1 else 0 end) + (case when c10 = c10 then 1 else 0 end)
+     + (case when c10 = c01 then 1 else 0 end) + (case when c10 = c11 then 1 else 0 end)
+    >= (case when c11 = c00 then 1 else 0 end) + (case when c11 = c10 then 1 else 0 end)
+     + (case when c11 = c01 then 1 else 0 end) + (case when c11 = c11 then 1 else 0 end)
+  then c10
+  when (case when c01 = c00 then 1 else 0 end) + (case when c01 = c10 then 1 else 0 end)
+     + (case when c01 = c01 then 1 else 0 end) + (case when c01 = c11 then 1 else 0 end)
+    >= (case when c11 = c00 then 1 else 0 end) + (case when c11 = c10 then 1 else 0 end)
+     + (case when c11 = c01 then 1 else 0 end) + (case when c11 = c11 then 1 else 0 end)
+  then c01
+  else c11 end)"""
+
+_RMS4_SQL = ("cast(floor(sqrt((c00*c00 + c10*c10 + c01*c01 + c11*c11)"
+             " / 4.0) + 0.5) as bigint)")
+
+
+def overview_checksum_oracle_sql(points_sql: str, z_child: int,
+                                 resampler: str) -> str:
+    """DuckDB oracle for the Mode/RMS overview checksum: rebuild z-1
+    pixels from the 4 z-level children, apply the kernel, checksum per
+    parent tile (zero-valued pixels contribute 0)."""
+    value = {"mode": _MODE4_SQL, "rms": _RMS4_SQL}[resampler]
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    t = TILE_PX
+    return f"""
+with {_parent_pixels_cte(points_sql, z_child)}
+select {z_child - 1} as z, pgx // {t} as tx, pgy // {t} as ty,
+       cast(sum(({value})
+           % ([{primes}])[(((pgy % {t}) * {t} + (pgx % {t})) % 11) + 1])
+         % 65536 as bigint) as checksum,
+       cast(sum(case when ({value}) > 0 then 1 else 0 end) as bigint)
+         as n_nonzero
+from par group by 1, 2, 3
+"""
+
+
+def raster_stats(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
+    """GDALRasterBand::ComputeStatistics restated as partial+final:
+    per-tile numpy partials (count/min/max/sum/sum-of-squares — integer,
+    exact) reduced globally, mean/stddev derived by a fixed SQL
+    expression shared with the oracle. Pixels of unmaterialized tiles
+    are outside the band (sparse-raster semantics)."""
+    np_dtype = np.dtype(dtype)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["data"]:
+                buf = np.frombuffer(raw, dtype=np_dtype).astype(np.int64)
+                rows.append((buf.size, int(buf.min()), int(buf.max()),
+                             int(buf.sum()), int((buf * buf).sum())))
+            yield pd.DataFrame(rows, columns=["n", "mn", "mx", "s", "sq"])
+
+    p = tiles.mapInPandas(
+        partials, "n long, mn long, mx long, s long, sq long")
+    agg = p.agg(F.sum("n").alias("n_pixels"), F.min("mn").alias("min_val"),
+                F.max("mx").alias("max_val"), F.sum("s").alias("sum_val"),
+                F.sum("sq").alias("sum_sq"))
+    return agg.selectExpr(
+        "n_pixels", "min_val", "max_val", "sum_val",
+        "sum_val / n_pixels as mean_val",
+        "sqrt(sum_sq / n_pixels - (sum_val / n_pixels)"
+        " * (sum_val / n_pixels)) as stddev_val")
+
+
+def raster_stats_oracle_sql(points_sql: str, z: int) -> str:
+    """Oracle: a tile's pixel census from the nonzero-pixel counts —
+    every materialized tile holds TILE_PX² pixels, zeros implicit."""
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    t2 = TILE_PX * TILE_PX
+    return f"""
+with px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({points_sql}) p group by 1, 2
+),
+tiles as (
+  select gx // {TILE_PX} as tx, gy // {TILE_PX} as ty,
+         count(*) as n_nonzero, min(cnt) as mn, max(cnt) as mx,
+         sum(cnt) as s, sum(cnt * cnt) as sq
+  from px group by 1, 2
+),
+g as (
+  select cast(count(*) * {t2} as bigint) as n_pixels,
+         cast(case when sum(n_nonzero) < count(*) * {t2}
+              then 0 else min(mn) end as bigint) as min_val,
+         cast(max(mx) as bigint) as max_val,
+         cast(sum(s) as bigint) as sum_val,
+         cast(sum(sq) as bigint) as sum_sq
+  from tiles
+)
+select n_pixels, min_val, max_val, sum_val,
+       sum_val / n_pixels as mean_val,
+       sqrt(sum_sq / n_pixels - (sum_val / n_pixels)
+        * (sum_val / n_pixels)) as stddev_val
+from g
+"""
+
+
+def histogram(tiles: DataFrame, n_buckets: int = 10,
+              dtype: str = "int64") -> DataFrame:
+    """GDALRasterBand::GetHistogram with integer buckets [0, n_buckets):
+    values ≥ n_buckets clamp into the last bucket (bIncludeOutOfRange).
+    Per-tile numpy bincount partials → one keyed reduction."""
+    np_dtype = np.dtype(dtype)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(n_buckets, dtype=np.int64)
+            for raw in pdf["data"]:
+                buf = np.frombuffer(raw, dtype=np_dtype).astype(np.int64)
+                acc += np.bincount(np.minimum(buf, n_buckets - 1),
+                                   minlength=n_buckets)
+            yield pd.DataFrame({"bucket": np.arange(n_buckets),
+                                "n": acc})
+
+    p = tiles.mapInPandas(partials, "bucket long, n long")
+    return (p.groupBy("bucket").agg(F.sum("n").alias("n_pixels"))
+            .filter("n_pixels > 0"))
+
+
+def histogram_oracle_sql(points_sql: str, z: int,
+                         n_buckets: int = 10) -> str:
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    t2 = TILE_PX * TILE_PX
+    return f"""
+with px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({points_sql}) p group by 1, 2
+),
+nz as (
+  select least(cnt, {n_buckets - 1}) as bucket, count(*) as n
+  from px group by 1
+),
+zeros as (
+  select 0 as bucket,
+         (select count(distinct (gx // {TILE_PX}, gy // {TILE_PX}))
+          from px) * {t2} - (select count(*) from px) as n
+)
+select bucket, cast(sum(n) as bigint) as n_pixels
+from (select * from nz union all select * from zeros) u
+group by bucket having sum(n) > 0
+"""
+
+
+def sample_bilinear(tiles: DataFrame, queries: DataFrame,
+                    raster_px: int, dtype: str = "int64") -> DataFrame:
+    """Bilinear InterpolateAtPoint (gcore/gdalrasterband.cpp:9963,
+    alg/gdal_interpolateatpoint.cpp bilinear path): queries carry
+    fractional PIXEL coordinates (qx, qy); the 4 pixel-center neighbors
+    and weights are Catalyst arithmetic, the value gather reuses the
+    per-tile chunk pattern, and the weighted sum is a fixed 4-term
+    expression (textually shared with the oracle).
+
+    GDAL convention: pixel centers at integer+0.5; x0 = floor(qx - 0.5),
+    fx = qx - 0.5 - x0. Queries whose 2×2 window leaves the raster are
+    dropped (the out-of-raster early-return)."""
+    spark = tiles.sparkSession
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    nb = (
+        queries
+        .withColumn("x0", F.expr("cast(floor(qx - 0.5e0) as bigint)"))
+        .withColumn("y0", F.expr("cast(floor(qy - 0.5e0) as bigint)"))
+        .withColumn("fx", F.expr("qx - 0.5e0 - x0"))
+        .withColumn("fy", F.expr("qy - 0.5e0 - y0"))
+        .filter(f"x0 >= 0 and x0 + 1 < {raster_px}"
+                f" and y0 >= 0 and y0 + 1 < {raster_px}")
+        .selectExpr(
+            "qid", "fx", "fy",
+            "explode(array(struct(0 as k, x0 as gx, y0 as gy),"
+            " struct(1 as k, x0 + 1 as gx, y0 as gy),"
+            " struct(2 as k, x0 as gx, y0 + 1 as gy),"
+            " struct(3 as k, x0 + 1 as gx, y0 + 1 as gy))) as nb")
+        .selectExpr("qid", "fx", "fy", "nb.k as k", "nb.gx as gx",
+                    "nb.gy as gy")
+        .withColumn("tx", F.expr(f"gx div {t}"))
+        .withColumn("ty", F.expr(f"gy div {t}"))
+    )
+    chunks = (
+        nb.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("qid", "k", "gx", "gy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                p = pd.DataFrame(list(px))
+                ly = p["gy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["gx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "qid": p["qid"].astype("int64"),
+                    "k": p["k"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
+
+    vals = chunks.mapInPandas(gather, "qid long, k long, value long")
+    wsum = (
+        vals.groupBy("qid").pivot("k", [0, 1, 2, 3]).sum("value")
+        .withColumnRenamed("0", "v00").withColumnRenamed("1", "v10")
+        .withColumnRenamed("2", "v01").withColumnRenamed("3", "v11")
+        .join(queries.selectExpr(
+            "qid", "qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx",
+            "qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy"), "qid")
+    )
+    return wsum.selectExpr(
+        "qid",
+        "v00 * (1e0 - fx) * (1e0 - fy) + v10 * fx * (1e0 - fy)"
+        " + v01 * (1e0 - fx) * fy + v11 * fx * fy as value")
+
+
+def bilinear_dem_oracle_sql(queries_sql: str, raster_px: int) -> str:
+    """Oracle: evaluate the synthetic DEM closed form at the 4 neighbors
+    and apply the textually-identical 4-term weighted sum."""
+    def elev(x: str, y: str) -> str:
+        return DEM_ELEV_SQL.replace("gx", f"({x})").replace("gy", f"({y})")
+
+    return f"""
+with q as ({queries_sql}),
+n as (
+  select qid,
+         cast(floor(qx - 0.5e0) as bigint) as x0,
+         cast(floor(qy - 0.5e0) as bigint) as y0,
+         qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx,
+         qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy
+  from q
+  where cast(floor(qx - 0.5e0) as bigint) >= 0
+    and cast(floor(qx - 0.5e0) as bigint) + 1 < {raster_px}
+    and cast(floor(qy - 0.5e0) as bigint) >= 0
+    and cast(floor(qy - 0.5e0) as bigint) + 1 < {raster_px}
+)
+select qid,
+       ({elev('x0', 'y0')}) * (1e0 - fx) * (1e0 - fy)
+     + ({elev('x0 + 1', 'y0')}) * fx * (1e0 - fy)
+     + ({elev('x0', 'y0 + 1')}) * (1e0 - fx) * fy
+     + ({elev('x0 + 1', 'y0 + 1')}) * fx * fy as value
+from n
+"""
 
 
 def sample_at_points(tiles: DataFrame, points: DataFrame, z: int,

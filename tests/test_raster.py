@@ -156,3 +156,69 @@ def test_polygonize_matches_bfs(pts, tiles):
         assert r["n_pixels"] == len(comp)
         assert r["min_gx"] == min(x for x, _ in comp)
         assert r["max_gy"] == max(y for _, y in comp)
+
+
+def test_mode4_tie_rule_first_wins():
+    """overview.cpp Mode kernel: ties keep the first value in window
+    scan order (strict > while scanning)."""
+    import numpy as np
+
+    from gdal_spark.raster import _mode4
+
+    blocks = np.array([
+        [[5, 5, 0, 0]],   # tie 2-2 → first value (5) wins
+        [[0, 5, 5, 5]],   # clear mode 5
+        [[7, 0, 0, 7]],   # tie 2-2 → 7 (scan position 0)
+        [[1, 2, 3, 4]],   # all distinct → first value
+        [[0, 0, 0, 9]],   # clear mode 0
+    ])
+    assert _mode4(blocks).ravel().tolist() == [5, 5, 7, 1, 0]
+
+
+def test_raster_stats_matches_numpy(spark):
+    """ComputeStatistics: partial+final reduction equals whole-band
+    numpy stats over the materialized tiles."""
+    import numpy as np
+
+    from gdal_spark.pages import points_from_documents
+    from gdal_spark.raster import raster_stats, rasterize_points
+
+    pts = points_from_documents(spark, "/root/testdata/sf0.001")
+    tiles = rasterize_points(pts, 5)
+    got = raster_stats(tiles).collect()[0]
+    bufs = [np.frombuffer(r["data"], dtype=np.int64)
+            for r in tiles.collect()]
+    allpx = np.concatenate(bufs)
+    assert got["n_pixels"] == allpx.size
+    assert got["min_val"] == int(allpx.min())
+    assert got["max_val"] == int(allpx.max())
+    assert got["sum_val"] == int(allpx.sum())
+    assert abs(got["mean_val"] - allpx.mean()) < 1e-12
+    assert abs(got["stddev_val"] - allpx.std()) < 1e-9
+
+
+def test_bilinear_interpolation_exact_cases(spark):
+    """Bilinear at exact pixel centers returns the pixel value; at the
+    midpoint of 4 pixels returns their plain mean."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.raster import sample_bilinear, synth_dem_tiles
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    tiles = synth_dem_tiles(spark, 256)
+    q = spark.createDataFrame(pd.DataFrame({
+        "qid": [1, 2, 3],
+        "qx": [10.5, 20.0, 100.5],
+        "qy": [12.5, 30.0, 99.5],
+    }))
+    got = {r["qid"]: r["value"]
+           for r in sample_bilinear(tiles, q, 256).collect()}
+    # qid 1: pixel center (10, 12)
+    assert got[1] == elev(10, 12)
+    # qid 2: midpoint of pixels (19..20, 29..30) → mean of 4
+    mean4 = (elev(19, 29) + elev(20, 29) + elev(19, 30) + elev(20, 30)) / 4.0
+    assert abs(got[2] - mean4) < 1e-12
+    assert got[3] == elev(100, 99)
