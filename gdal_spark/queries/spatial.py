@@ -136,6 +136,30 @@ def q_layer_identity_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identity_update(spark, defs, method)
 
 
+def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQLite-dialect ST_ scalar surface (ogrsqlitesqlfunctions.cpp:
+    ST_Area/ST_Centroid/ST_Contains/ST_Distance, OGR_GEOM_AREA special
+    field): pandas-UDF kernels over WKB polygons, called from a
+    spark.sql string via the function registry."""
+    from gdal_spark.stfuncs import (register_st_functions, st_query_points,
+                                    zones_wkb_df)
+
+    _ = sf_dir
+    defs = zone_defs()
+    register_st_functions(spark)
+    zdf = zones_wkb_df(spark, defs)
+    qdf = spark.createDataFrame(st_query_points(defs),
+                                "zone_id int, qx double, qy double")
+    zdf.join(qdf, "zone_id").createOrReplaceTempView("st_zones")
+    return spark.sql("""
+        select zone_id, st_area(wkb) as area, st_npoints(wkb) as npoints,
+               st_centroid_x(wkb) as centroid_x,
+               st_centroid_y(wkb) as centroid_y,
+               st_contains_xy(wkb, qx, qy) as contains_q,
+               st_distance_xy(wkb, qx, qy) as dist_q
+        from st_zones""")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal summary after the PIP join (groupBy(zone).agg — SURVEY §2.4
     'zonal-style summaries'): count + integer-exact coordinate stats."""
@@ -181,6 +205,7 @@ QUERIES = {
     "streaming_zonal_window": q_streaming_zonal,
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
+    "st_functions": q_st_functions,
     "clip_lines_cyrus_beck": q_clip_lines,
 }
 
@@ -250,6 +275,9 @@ group by j.zone_id
     "streaming_zonal_window": _streaming_oracle(),
     "layer_algebra_overlay": _overlay_oracle(),
     "layer_algebra_identity_update": _identity_update_oracle(),
+    "st_functions": __import__(
+        "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
+    ).st_functions_oracle_sql(zone_defs()),
     "clip_lines_cyrus_beck": __import__(
         "gdal_spark.lineclip", fromlist=["clip_lines_sql"]
     ).clip_lines_sql(zone_defs(), "duckdb"),
