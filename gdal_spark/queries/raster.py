@@ -24,13 +24,14 @@ from pyspark.sql import functions as F
 from gdal_spark.pages import points_from_documents, points_oracle_sql
 from gdal_spark.raster import (DEM_ELEV_SQL, bilinear_dem_oracle_sql,
                                checksum_oracle_sql, contour_cells,
-                               gpixel_exprs, halo_gradient, histogram,
-                               histogram_oracle_sql,
+                               fillnodata_sql, gpixel_exprs, halo_gradient,
+                               histogram, histogram_oracle_sql,
                                overview_checksum_oracle_sql, overview_sum,
                                raster_stats, raster_stats_oracle_sql,
                                rasterize_points, sample_at_points,
                                sample_bilinear, synth_dem_tiles,
                                tile_checksums, tile_geotransform,
+                               warp_bilinear, warp_bilinear_oracle_sql,
                                warp_nearest, warp_pixel_sql)
 
 CONTOUR_T = 105
@@ -260,6 +261,45 @@ def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp_nearest(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
 
 
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp bilinear (GWKBilinear kernel): DEM resampled onto the
+    shifted 1.37×-scaled grid with fractional src coords."""
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_bilinear(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
+
+
+# srcwin fixture: a populated tile window of the z5 raster
+_SRCWIN = (8, 20, 12, 20)  # tx_min, tx_max, ty_min, ty_max (exclusive)
+
+
+def q_translate_srcwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin (apps/gdal_translate_lib.cpp:106): window
+    subset of the tiled raster, checksummed. The window filter is applied
+    to the burned PIXELS (before tile assembly), so Catalyst pushes it
+    below the applyInPandas barrier — at scale only the windowed tiles
+    are ever assembled (partition pruning, not post-hoc filtering)."""
+    from gdal_spark.raster import (TILE_PX, pixel_counts,
+                                   tiles_from_pixel_counts)
+
+    pts = points_from_documents(spark, sf_dir)
+    x0, x1, y0, y1 = _SRCWIN
+    t = TILE_PX
+    px = pixel_counts(pts, RASTER_Z).filter(
+        f"gx >= {x0 * t} and gx < {x1 * t}"
+        f" and gy >= {y0 * t} and gy < {y1 * t}")
+    return tile_checksums(tiles_from_pixel_counts(px, RASTER_Z))
+
+
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALFillNodata (alg/rasterfill.cpp:394) window-IDW variant over
+    the z5 count raster."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return spark.sql(fillnodata_sql(points_oracle_sql("documents"),
+                                    RASTER_Z, "spark"))
+
+
 def _sample_oracle() -> str:
     gxe, gye = gpixel_exprs("lon", "lat", RASTER_Z)
     return f"""
@@ -311,6 +351,9 @@ QUERIES = {
     "polygonize_components": q_polygonize,
     "dem_slope_horn": q_dem_slope,
     "warp_nearest_dem": q_warp_nearest,
+    "warp_bilinear_dem": q_warp_bilinear,
+    "translate_srcwin": q_translate_srcwin,
+    "raster_fillnodata": q_fillnodata,
     "grid_idw": q_grid_idw,
     "grid_proximity": q_proximity,
     "grid_moving_average": q_grid_moving_average,
@@ -387,6 +430,13 @@ ORACLES = {
     "polygonize_components": _polygonize_oracle(),
     "dem_slope_horn": _dem_slope_oracle(),
     "warp_nearest_dem": _warp_oracle(),
+    "warp_bilinear_dem": warp_bilinear_oracle_sql(
+        _DST_GT, _SRC_GT, _DST_PX, DEM_PX),
+    "translate_srcwin": (
+        f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
+        f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"
+        f" and ty >= {_SRCWIN[2]} and ty < {_SRCWIN[3]}"),
+    "raster_fillnodata": fillnodata_sql(_PTS, RASTER_Z, "duckdb"),
     "grid_idw": __import__(
         "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
     "grid_proximity": __import__(

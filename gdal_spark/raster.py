@@ -769,6 +769,87 @@ def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
 
 
 # ---------------------------------------------------------------------------
+# FillNodata (alg/rasterfill.cpp:394 GDALFillNodata)
+# ---------------------------------------------------------------------------
+
+
+def fillnodata_sql(points_sql: str, z: int, engine: str,
+                   max_cheb: int = 2) -> str:
+    """IDW nodata fill of the z-level count raster: every zero-valued
+    pixel of a materialized tile with ≥1 valid pixel within Chebyshev
+    distance ``max_cheb`` receives the inverse-distance-squared weighted
+    mean of those donors.
+
+    Deliberate divergence from GDALFillNodata's four-directional
+    scanline search (alg/rasterfill.cpp:394): the window-IDW variant is
+    order-free and purely relational — the same fill values regardless
+    of partitioning. The per-pixel reduction folds the offset-sorted
+    donor list sequentially for cross-engine exactness."""
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    t = TILE_PX
+    offs = ", ".join(
+        f"({ox}, {oy})"
+        for ox in range(-max_cheb, max_cheb + 1)
+        for oy in range(-max_cheb, max_cheb + 1)
+        if not (ox == 0 and oy == 0))
+    if engine == "spark":
+        def idiv(col: str) -> str:
+            return f"{col} div {t}"
+
+        lst, srt, trn = "collect_list", "array_sort", "transform"
+
+        def fold(e: str) -> str:
+            return f"aggregate({e}, cast(0 as double), (s, v) -> s + v)"
+
+        mk = ("struct(ox, oy, cast(cnt as double) as v,"
+              " cast(ox * ox + oy * oy as double) as d2)")
+    else:
+        def idiv(col: str) -> str:
+            return f"{col} // {t}"
+
+        lst, srt, trn = "list", "list_sort", "list_transform"
+
+        def fold(e: str) -> str:
+            return (f"list_reduce(list_concat([cast(0 as double)],"
+                    f" {e}), (s, v) -> s + v)")
+
+        mk = ("{'ox': ox, 'oy': oy, 'v': cast(cnt as double),"
+              " 'd2': cast(ox * ox + oy * oy as double)}")
+    return f"""
+with px as (
+  select {gxe} as gx, {gye} as gy, count(*) as cnt
+  from ({points_sql}) p group by 1, 2
+),
+tl as (select distinct {idiv('gx')} as tx, {idiv('gy')} as ty from px),
+off as (select * from (values {offs}) as o(ox, oy)),
+cand as (
+  select distinct p.gx + o.ox as gx, p.gy + o.oy as gy
+  from px p cross join off o
+),
+nodata as (
+  select c.gx, c.gy from cand c
+  where not exists (select 1 from px p
+                    where p.gx = c.gx and p.gy = c.gy)
+    and exists (select 1 from tl t
+                where t.tx = {idiv('c.gx')} and t.ty = {idiv('c.gy')})
+),
+don as (
+  select n.gx, n.gy, o.ox, o.oy, p.cnt
+  from nodata n cross join off o
+  join px p on p.gx = n.gx + o.ox and p.gy = n.gy + o.oy
+),
+packed as (
+  select gx, gy, count(*) as n_donors, {srt}({lst}({mk})) as arr
+  from don group by gx, gy
+)
+select gx, gy, n_donors,
+       {fold(f"{trn}(arr, a -> a.v / a.d2)")}
+     / {fold(f"{trn}(arr, a -> 1.0e0 / a.d2)")} as fill_value
+from packed
+"""
+
+
+# ---------------------------------------------------------------------------
 # Warp: reproject/resample between affine grids (gdalwarp semantics)
 # ---------------------------------------------------------------------------
 
@@ -792,6 +873,50 @@ def warp_pixel_sql(dst_gt: list[float], src_gt: list[float],
     sgy = (f"cast(floor(({wy} - {_lit(src_gt[3])}) / {_lit(src_gt[5])})"
            f" as bigint)")
     return sgx, sgy
+
+
+def warp_fractional_sql(dst_gt: list[float], src_gt: list[float],
+                        di: str = "di", dj: str = "dj") -> tuple[str, str]:
+    """Continuous dst pixel (di, dj) → fractional source pixel coords
+    (no rounding — the bilinear warp kernel input,
+    alg/gdalwarpkernel.cpp GWKBilinear path)."""
+    wx = f"({_lit(dst_gt[0])} + ({di} + 0.5) * {_lit(dst_gt[1])})"
+    wy = f"({_lit(dst_gt[3])} + ({dj} + 0.5) * {_lit(dst_gt[5])})"
+    qx = f"(({wx} - {_lit(src_gt[0])}) / {_lit(src_gt[1])})"
+    qy = f"(({wy} - {_lit(src_gt[3])}) / {_lit(src_gt[5])})"
+    return qx, qy
+
+
+def warp_bilinear(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                  dst_gt: list[float], dst_px: int,
+                  dtype: str = "int64") -> DataFrame:
+    """Bilinear warp: dst pixel grid → fractional src pixel coords
+    (Catalyst arithmetic) → 4-neighbor weighted gather through the
+    per-tile chunk path (sample_bilinear). Dst pixels whose 2×2 window
+    leaves the source are dropped (the kernel's edge-skip)."""
+    spark = tiles.sparkSession
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries = (
+        spark.range(dst_px * dst_px, numPartitions=16)
+        .selectExpr(f"id % {dst_px} as di",
+                    f"cast(id / {dst_px} as bigint) as dj")
+        .selectExpr(f"dj * {dst_px} + di as qid",
+                    f"{qx_e} as qx", f"{qy_e} as qy")
+    )
+    return sample_bilinear(tiles, queries, raster_px, dtype)
+
+
+def warp_bilinear_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                             dst_px: int, raster_px: int) -> str:
+    """Oracle: identical dst→src arithmetic over a DuckDB range grid,
+    bilinear closed-form DEM evaluation."""
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries_sql = f"""
+select dj * {dst_px} + di as qid, {qx_e} as qx, {qy_e} as qy
+from (select a.range as di, b.range as dj
+      from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
+"""
+    return bilinear_dem_oracle_sql(queries_sql, raster_px)
 
 
 def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,

@@ -222,3 +222,55 @@ def test_bilinear_interpolation_exact_cases(spark):
     mean4 = (elev(19, 29) + elev(20, 29) + elev(19, 30) + elev(20, 30)) / 4.0
     assert abs(got[2] - mean4) < 1e-12
     assert got[3] == elev(100, 99)
+
+
+def test_warp_bilinear_matches_direct_numpy(spark):
+    """Bilinear warp agrees with a direct numpy bilinear resample of the
+    closed-form DEM."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import (_DST_GT, _DST_PX, _SRC_GT,
+                                           q_warp_bilinear)
+
+    got = {r["qid"]: r["value"]
+           for r in q_warp_bilinear(spark, "unused").collect()}
+    assert len(got) > 30000
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    rng = np.random.RandomState(7)
+    for qid in rng.choice(sorted(got), 50, replace=False):
+        di, dj = int(qid) % _DST_PX, int(qid) // _DST_PX
+        wx = _DST_GT[0] + (di + 0.5) * _DST_GT[1]
+        wy = _DST_GT[3] + (dj + 0.5) * _DST_GT[5]
+        qx = (wx - _SRC_GT[0]) / _SRC_GT[1]
+        qy = (wy - _SRC_GT[3]) / _SRC_GT[5]
+        x0, y0 = int(np.floor(qx - 0.5)), int(np.floor(qy - 0.5))
+        fx, fy = qx - 0.5 - x0, qy - 0.5 - y0
+        want = (elev(x0, y0) * (1 - fx) * (1 - fy)
+                + elev(x0 + 1, y0) * fx * (1 - fy)
+                + elev(x0, y0 + 1) * (1 - fx) * fy
+                + elev(x0 + 1, y0 + 1) * fx * fy)
+        assert abs(got[qid] - want) < 1e-9
+
+
+def test_fillnodata_basic_properties(spark):
+    """Filled pixels are true nodata (not burned), have >= 1 donor and a
+    fill value inside the donor value range."""
+    import duckdb
+
+    from gdal_spark.queries.raster import q_fillnodata
+
+    res = q_fillnodata(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(res) > 100
+    assert (res["n_donors"] >= 1).all()
+    assert (res["fill_value"] > 0).all()
+    # no filled pixel may be a burned pixel
+    from gdal_spark.pages import points_from_documents
+    from gdal_spark.raster import pixel_counts
+    px = pixel_counts(
+        points_from_documents(spark, "/root/testdata/sf0.001"), 5
+    ).toPandas()
+    burned = set(zip(px["gx"], px["gy"]))
+    assert not any((g, y) in burned for g, y in zip(res["gx"], res["gy"]))
