@@ -140,12 +140,19 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         # join and the pending anti-join, and pending otherwise re-executes
         # every earlier level's join on each subsequent action
         safe_q = safe_q.cache()
-        results.append(
+        res_l = (
             ranked.join(safe_q, query_id, "left_semi")
             .select(query_id, point_id, F.col("_rn").alias("rank"), "dist_m")
+            .cache()
         )
+        res_l.count()  # materialize this level's resolved queries now
+        results.append(res_l)
         pending = pending.join(safe_q, query_id, "left_anti").cache()
-        if last:
+        # iterative deepening stops as soon as the frontier drains
+        # (gdalgrid.cpp:879 stops expanding once k are guaranteed) —
+        # without this every level's join is scheduled even when level 0
+        # resolved every query
+        if last or pending.isEmpty():
             break
 
     out = results[0]
