@@ -139,6 +139,10 @@ def minhash_neardup_pairs(crawl: DataFrame,
     """MinHash+LSH near-duplicate pairs, verification-exact: candidates
     from banding, output filtered by true Jaccard ≥ threshold (so
     precision is exact; recall at J≥0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8)."""
+    # the shingle table feeds four consumers (signatures, both sides of
+    # the verify join, set sizes); Catalyst's ReuseExchange already
+    # dedups the shuffled subtree, so no explicit cache (measured slower
+    # with one — materialization overhead without saved work)
     sh = shingle_rows(crawl, k=3)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     return verify_jaccard(cand, sh, threshold)
