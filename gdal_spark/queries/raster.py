@@ -300,6 +300,29 @@ def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     RASTER_Z, "spark"))
 
 
+# viewshed fixture: viewpoint mid-DEM, 3 px observer height, radius 40
+_VIEW = (128, 128, 40, 3)
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed (alg/viewshed/, sampled-ray variant) around the DEM
+    center: per-pixel boolean visibility within the radius."""
+    from gdal_spark.raster import viewshed_sql
+
+    _ = sf_dir
+    vx, vy, r, h = _VIEW
+    return spark.sql(viewshed_sql("spark", vx, vy, r, h))
+
+
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brovey pansharpen (alg/gdalpansharpen.cpp): 3 MS bands + pan
+    joined per tile, weighted-ratio kernel, window tile (2, 2) output."""
+    from gdal_spark.raster import pansharpen_brovey
+
+    _ = sf_dir
+    return pansharpen_brovey(spark, 2, 2)
+
+
 def _sample_oracle() -> str:
     gxe, gye = gpixel_exprs("lon", "lat", RASTER_Z)
     return f"""
@@ -354,6 +377,8 @@ QUERIES = {
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_srcwin": q_translate_srcwin,
     "raster_fillnodata": q_fillnodata,
+    "raster_viewshed": q_viewshed,
+    "raster_pansharpen_brovey": q_pansharpen,
     "grid_idw": q_grid_idw,
     "grid_proximity": q_proximity,
     "grid_moving_average": q_grid_moving_average,
@@ -437,6 +462,12 @@ ORACLES = {
         f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"
         f" and ty >= {_SRCWIN[2]} and ty < {_SRCWIN[3]}"),
     "raster_fillnodata": fillnodata_sql(_PTS, RASTER_Z, "duckdb"),
+    "raster_viewshed": __import__(
+        "gdal_spark.raster", fromlist=["viewshed_sql"]
+    ).viewshed_sql("duckdb", *_VIEW),
+    "raster_pansharpen_brovey": __import__(
+        "gdal_spark.raster", fromlist=["pansharpen_oracle_sql"]
+    ).pansharpen_oracle_sql(2, 2),
     "grid_idw": __import__(
         "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
     "grid_proximity": __import__(

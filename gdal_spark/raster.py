@@ -769,6 +769,166 @@ def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
 
 
 # ---------------------------------------------------------------------------
+# Viewshed (alg/viewshed/) — sampled-ray variant over the synthetic DEM
+# ---------------------------------------------------------------------------
+
+
+def viewshed_sql(engine: str, vx: int, vy: int, radius: int,
+                 obs_height: int = 3) -> str:
+    """Line-of-sight visibility grid around a viewpoint: a target pixel
+    is visible iff no sampled ray pixel blocks it. GDAL's viewshed uses
+    Wang et al.'s plane-sweep (alg/viewshed/); this variant samples the
+    straight ray at every Chebyshev step with round-half-up pixel
+    snapping — the same visibility semantics, restated as an explode +
+    groupBy so blocking is an order-free integer-product comparison
+    ((elev_s − eye)·n ≥ (elev_t − eye)·s avoids division entirely and is
+    bit-exact in both engines)."""
+    col = "id" if engine == "spark" else "range"
+    grid = (f"select a.{col} - {radius} as dx, b.{col} - {radius} as dy"
+            f" from range(0, {2 * radius + 1}) a"
+            f" cross join range(0, {2 * radius + 1}) b")
+    step_src = f"""
+  select gx, gy, n, a.{col} as s
+  from (select * from g where n >= 2) gg
+  cross join range(1, {radius + 1}) a
+  where a.{col} < n
+"""
+    eye = f"(({DEM_ELEV_SQL.replace('gx', str(vx)).replace('gy', str(vy))}) + {obs_height})"
+    sx = f"({vx} + cast(floor(s * (gx - {vx}) / cast(n as double) + 0.5e0) as bigint))"
+    sy = f"({vy} + cast(floor(s * (gy - {vy}) / cast(n as double) + 0.5e0) as bigint))"
+    elev_s = DEM_ELEV_SQL.replace("gx", sx).replace("gy", sy)
+    elev_t = DEM_ELEV_SQL
+    return f"""
+with g as (
+  select {vx} + dx as gx, {vy} + dy as gy,
+         greatest(abs(dx), abs(dy)) as n
+  from ({grid}) d
+  where not (dx = 0 and dy = 0)
+),
+steps as ({step_src}),
+blocked as (
+  select gx, gy,
+         max(case when (({elev_s}) - {eye}) * n
+                  >= (({elev_t}) - {eye}) * s
+             then 1 else 0 end) as is_blocked
+  from steps group by gx, gy
+)
+select g.gx, g.gy, g.n as cheb_dist,
+       coalesce(b.is_blocked, 0) = 0 as visible
+from g left join blocked b on b.gx = g.gx and b.gy = g.gy
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pansharpen (alg/gdalpansharpen.cpp — Brovey weighted ratio)
+# ---------------------------------------------------------------------------
+
+MS_BAND_SQL = {
+    "r": "((gx * 7 + gy * 3) % 97 + 1)",
+    "g": "((gx * 5 + gy * 11) % 89 + 1)",
+    "b": "((gx * 3 + gy * 13) % 83 + 1)",
+}
+PAN_SQL = ("(((gx * 7 + gy * 3) % 97 + 1) + ((gx * 5 + gy * 11) % 89 + 1)"
+           " + ((gx * 3 + gy * 13) % 83 + 1) + ((gx + gy) % 7))")
+
+
+def synth_band_tiles(spark, formula_np, raster_px: int = 256,
+                     band: int = 1, dtype: str = "int64") -> DataFrame:
+    """Synthetic one-band tile table from a closed-form
+    ``formula_np(gx, gy) -> values`` (same pattern as synth_dem_tiles)."""
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+    np_dtype = np.dtype(dtype)
+    keys = spark.range(n_tiles * n_tiles).select(
+        (F.col("id") % n_tiles).alias("_tx"),
+        (F.col("id") / n_tiles).cast("long").alias("_ty"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        vals = formula_np(gx + tx * tile_px, gy + ty * tile_px) \
+            .astype(np_dtype)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [band],
+            "gt": [tile_geotransform(tx, ty, 0)],
+            "data": [vals.tobytes()],
+        })
+
+    return keys.groupBy("_tx", "_ty").applyInPandas(build, TILE_SCHEMA)
+
+
+def pansharpen_brovey(spark, window_tx: int, window_ty: int,
+                      raster_px: int = 256) -> DataFrame:
+    """Brovey pansharpening (alg/gdalpansharpen.cpp weighted-ratio path):
+    3 synthetic MS bands + 1 pan band as tile tables, equi-joined on
+    (tx, ty) — a co-partitioned multi-band join, never a pixel shuffle —
+    with the per-tile numpy kernel out_i = ms_i · pan / (w·Σ ms). Output:
+    the pixels of one window tile."""
+    t = TILE_PX
+
+    def _ms(coef_x, coef_y, mod):
+        return lambda gx, gy: (gx * coef_x + gy * coef_y) % mod + 1
+
+    r = synth_band_tiles(spark, _ms(7, 3, 97), raster_px, band=1)
+    g = synth_band_tiles(spark, _ms(5, 11, 89), raster_px, band=2)
+    b = synth_band_tiles(spark, _ms(3, 13, 83), raster_px, band=3)
+
+    def _pan(gx, gy):
+        return ((gx * 7 + gy * 3) % 97 + 1) + ((gx * 5 + gy * 11) % 89 + 1) \
+            + ((gx * 3 + gy * 13) % 83 + 1) + ((gx + gy) % 7)
+
+    pan = synth_band_tiles(spark, _pan, raster_px, band=0)
+    joined = (
+        r.selectExpr("tx", "ty", "data as dr")
+        .join(g.selectExpr("tx", "ty", "data as dg"), ["tx", "ty"])
+        .join(b.selectExpr("tx", "ty", "data as db"), ["tx", "ty"])
+        .join(pan.selectExpr("tx", "ty", "data as dp"), ["tx", "ty"])
+        .filter(f"tx = {window_tx} and ty = {window_ty}")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for tx, ty, dr, dg, db_, dp in zip(
+                    pdf["tx"], pdf["ty"], pdf["dr"], pdf["dg"],
+                    pdf["db"], pdf["dp"]):
+                mr = np.frombuffer(dr, dtype=np.int64).reshape(t, t)
+                mg = np.frombuffer(dg, dtype=np.int64).reshape(t, t)
+                mb = np.frombuffer(db_, dtype=np.int64).reshape(t, t)
+                mp = np.frombuffer(dp, dtype=np.int64).reshape(t, t)
+                # expression order pinned to the SQL oracle:
+                # out = ms * (pan / (ms_r + ms_g + ms_b))
+                ratio = mp.astype(np.float64) / (mr + mg + mb)
+                gy, gx = np.mgrid[0:t, 0:t]
+                yield pd.DataFrame({
+                    "gx": (gx + int(tx) * t).ravel(),
+                    "gy": (gy + int(ty) * t).ravel(),
+                    "out_r": (mr * ratio).ravel(),
+                    "out_g": (mg * ratio).ravel(),
+                    "out_b": (mb * ratio).ravel(),
+                })
+
+    return joined.mapInPandas(
+        kernel, "gx long, gy long, out_r double, out_g double, out_b double")
+
+
+def pansharpen_oracle_sql(window_tx: int, window_ty: int) -> str:
+    t = TILE_PX
+    r, g, b = MS_BAND_SQL["r"], MS_BAND_SQL["g"], MS_BAND_SQL["b"]
+    ratio = f"(cast({PAN_SQL} as double) / ({r} + {g} + {b}))"
+    return f"""
+with g as (
+  select {window_tx * t} + a.range as gx, {window_ty * t} + b.range as gy
+  from range(0, {t}) a cross join range(0, {t}) b
+)
+select gx, gy,
+       {r} * {ratio} as out_r,
+       {g} * {ratio} as out_g,
+       {b} * {ratio} as out_b
+from g
+"""
+
+
+# ---------------------------------------------------------------------------
 # FillNodata (alg/rasterfill.cpp:394 GDALFillNodata)
 # ---------------------------------------------------------------------------
 

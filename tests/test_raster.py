@@ -274,3 +274,51 @@ def test_fillnodata_basic_properties(spark):
     ).toPandas()
     burned = set(zip(px["gx"], px["gy"]))
     assert not any((g, y) in burned for g, y in zip(res["gx"], res["gy"]))
+
+
+def test_viewshed_ring1_and_brute_force(spark):
+    """Chebyshev-ring-1 neighbors are always visible (no intermediate
+    samples); sampled pixels agree with a direct python ray walk."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import _VIEW, q_viewshed
+
+    vx, vy, radius, h = _VIEW
+    res = q_viewshed(spark, "unused").toPandas()
+    assert len(res) == (2 * radius + 1) ** 2 - 1
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    eye = elev(vx, vy) + h
+    ring1 = res[res["cheb_dist"] == 1]
+    assert ring1["visible"].all() and len(ring1) == 8
+
+    rng = np.random.RandomState(3)
+    for _, r in res.sample(60, random_state=3).iterrows():
+        gx, gy, n = int(r["gx"]), int(r["gy"]), int(r["cheb_dist"])
+        blocked = False
+        for s in range(1, n):
+            sx = vx + int(np.floor(s * (gx - vx) / n + 0.5))
+            sy = vy + int(np.floor(s * (gy - vy) / n + 0.5))
+            if (elev(sx, sy) - eye) * n >= (elev(gx, gy) - eye) * s:
+                blocked = True
+                break
+        assert bool(r["visible"]) == (not blocked), (gx, gy)
+
+
+def test_pansharpen_preserves_pan_intensity(spark):
+    """Brovey invariant: out_r + out_g + out_b == pan for every pixel
+    (the weighted ratio redistributes, never creates, intensity)."""
+    from gdal_spark.queries.raster import q_pansharpen
+
+    res = q_pansharpen(spark, "unused").toPandas()
+    assert len(res) == 64 * 64
+
+    def pan(gx, gy):
+        return ((gx * 7 + gy * 3) % 97 + 1) + ((gx * 5 + gy * 11) % 89 + 1) \
+            + ((gx * 3 + gy * 13) % 83 + 1) + ((gx + gy) % 7)
+
+    s = res["out_r"] + res["out_g"] + res["out_b"]
+    want = [pan(g, y) for g, y in zip(res["gx"], res["gy"])]
+    assert (abs(s - want) < 1e-9).all()
