@@ -37,6 +37,11 @@ HEADLINE = [
     "reproject_webmercator",
     "rasterize_checksum_z5",
     "warp_nearest_dem",
+    "warp_bilinear_dem",
+    "grid_nearest",
+    "raster_fillnodata",
+    "raster_viewshed",
+    "st_functions",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
@@ -85,6 +90,13 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial action so the
     # first timed query doesn't pay one-time startup cost.
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # ... and the Python/Arrow worker pool, which otherwise spins up
+    # inside the first UDF query's timing.
+    from pyspark.sql import functions as _F
+
+    _warm = _F.pandas_udf(lambda s: s, "long")
+    spark.range(cpus * 4, numPartitions=cpus).select(
+        _warm("id")).count()
 
     res = run_bench(spark, sf_dir)
     timings = res["timings"]
