@@ -141,6 +141,17 @@ def q_sample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_bilinear(synth_dem_tiles(spark, DEM_PX), queries, DEM_PX)
 
 
+def q_sample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic InterpolateAtPoint over the synthetic DEM (GRIORA_Cubic
+    4×4 convolution, a = -0.5)."""
+    from gdal_spark.raster import sample_cubic
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    queries = spark.sql(_BILIN_Q)
+    return sample_cubic(synth_dem_tiles(spark, DEM_PX), queries, DEM_PX)
+
+
 def q_grid_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Points → raster moving-average (GDALGridMovingAverage,
     alg/gdalgrid.cpp:629) over the city-0 hotspot region."""
@@ -392,6 +403,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
     "raster_sample_bilinear": q_sample_bilinear,
+    "raster_sample_cubic": q_sample_cubic,
     "raster_sieve": q_sieve,
     "tile_pyramid_z5_z2": q_tile_pyramid,
     "translate_scale_byte": q_translate_scale,
@@ -496,6 +508,9 @@ ORACLES = {
     "raster_stats": raster_stats_oracle_sql(_PTS, RASTER_Z),
     "raster_histogram": histogram_oracle_sql(_PTS, RASTER_Z),
     "raster_sample_bilinear": bilinear_dem_oracle_sql(_BILIN_Q, DEM_PX),
+    "raster_sample_cubic": __import__(
+        "gdal_spark.raster", fromlist=["cubic_dem_oracle_sql"]
+    ).cubic_dem_oracle_sql(_BILIN_Q, DEM_PX),
     "raster_sieve": __import__(
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),

@@ -494,6 +494,117 @@ def sample_bilinear(tiles: DataFrame, queries: DataFrame,
         " + v01 * (1e0 - fx) * fy + v11 * fx * fy as value")
 
 
+def _cubic_weights_sql(f: str) -> list[str]:
+    """Catmull-Rom / cubic-convolution weights (a = -0.5 — the GDAL
+    GRIORA_Cubic kernel, alg/gdal_interpolateatpoint.cpp) for the 4 taps
+    around fraction ``f``; expression text shared by engine and oracle."""
+    return [
+        f"(((-0.5e0 * {f} + 1.0e0) * {f} - 0.5e0) * {f})",
+        f"((1.5e0 * {f} - 2.5e0) * {f} * {f} + 1.0e0)",
+        f"(((-1.5e0 * {f} + 2.0e0) * {f} + 0.5e0) * {f})",
+        f"((0.5e0 * {f} - 0.5e0) * {f} * {f})",
+    ]
+
+
+def _cubic_sum_sql(v: "list[list[str]]", fx: str, fy: str) -> str:
+    """Separable 4×4 cubic sum: horizontal pass then vertical, term
+    order pinned. ``v[ky][kx]`` are the 16 tap-value expressions."""
+    wx = _cubic_weights_sql(fx)
+    wy = _cubic_weights_sql(fy)
+    rows = [
+        "(" + " + ".join(f"{v[ky][kx]} * {wx[kx]}" for kx in range(4)) + ")"
+        for ky in range(4)
+    ]
+    return " + ".join(f"{rows[ky]} * {wy[ky]}" for ky in range(4))
+
+
+def sample_cubic(tiles: DataFrame, queries: DataFrame,
+                 raster_px: int, dtype: str = "int64") -> DataFrame:
+    """Cubic InterpolateAtPoint (GRIORA_Cubic 4×4 convolution,
+    alg/gdal_interpolateatpoint.cpp): 16-tap gather through the per-tile
+    chunk path; weights and the separable sum are Catalyst arithmetic
+    shared textually with the oracle. Queries whose 4×4 window leaves
+    the raster are dropped."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    taps = ", ".join(
+        f"struct({ky * 4 + kx} as k, x1 + {kx - 1} as gx,"
+        f" y1 + {ky - 1} as gy)"
+        for ky in range(4) for kx in range(4))
+    nb = (
+        queries
+        .withColumn("x1", F.expr("cast(floor(qx - 0.5e0) as bigint)"))
+        .withColumn("y1", F.expr("cast(floor(qy - 0.5e0) as bigint)"))
+        .filter(f"x1 - 1 >= 0 and x1 + 2 < {raster_px}"
+                f" and y1 - 1 >= 0 and y1 + 2 < {raster_px}")
+        .selectExpr("qid", f"explode(array({taps})) as nb")
+        .selectExpr("qid", "nb.k as k", "nb.gx as gx", "nb.gy as gy")
+        .withColumn("tx", F.expr(f"gx div {t}"))
+        .withColumn("ty", F.expr(f"gy div {t}"))
+    )
+    chunks = (
+        nb.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("qid", "k", "gx", "gy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                p = pd.DataFrame(list(px))
+                ly = p["gy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["gx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "qid": p["qid"].astype("int64"),
+                    "k": p["k"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
+
+    vals = chunks.mapInPandas(gather, "qid long, k long, value long")
+    pivoted = (
+        vals.groupBy("qid").pivot("k", list(range(16))).sum("value")
+    )
+    for ky in range(4):
+        for kx in range(4):
+            pivoted = pivoted.withColumnRenamed(
+                str(ky * 4 + kx), f"v{ky}{kx}")
+    wsum = pivoted.join(queries.selectExpr(
+        "qid", "qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx",
+        "qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy"), "qid")
+    v = [[f"v{ky}{kx}" for kx in range(4)] for ky in range(4)]
+    return wsum.selectExpr("qid", _cubic_sum_sql(v, "fx", "fy") + " as value")
+
+
+def cubic_dem_oracle_sql(queries_sql: str, raster_px: int) -> str:
+    """Oracle: closed-form DEM at the 16 taps, identical weight/sum
+    expression text."""
+    def elev(x: str, y: str) -> str:
+        return ("(" + DEM_ELEV_SQL.replace("gx", f"({x})")
+                .replace("gy", f"({y})") + ")")
+
+    v = [[elev(f"x1 + {kx - 1}", f"y1 + {ky - 1}") for kx in range(4)]
+         for ky in range(4)]
+    return f"""
+with q as ({queries_sql}),
+n as (
+  select qid,
+         cast(floor(qx - 0.5e0) as bigint) as x1,
+         cast(floor(qy - 0.5e0) as bigint) as y1,
+         qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx,
+         qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy
+  from q
+  where cast(floor(qx - 0.5e0) as bigint) - 1 >= 0
+    and cast(floor(qx - 0.5e0) as bigint) + 2 < {raster_px}
+    and cast(floor(qy - 0.5e0) as bigint) - 1 >= 0
+    and cast(floor(qy - 0.5e0) as bigint) + 2 < {raster_px}
+)
+select qid, {_cubic_sum_sql(v, "fx", "fy")} as value
+from n
+"""
+
+
 def bilinear_dem_oracle_sql(queries_sql: str, raster_px: int) -> str:
     """Oracle: evaluate the synthetic DEM closed form at the 4 neighbors
     and apply the textually-identical 4-term weighted sum."""

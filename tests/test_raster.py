@@ -322,3 +322,41 @@ def test_pansharpen_preserves_pan_intensity(spark):
     s = res["out_r"] + res["out_g"] + res["out_b"]
     want = [pan(g, y) for g, y in zip(res["gx"], res["gy"])]
     assert (abs(s - want) < 1e-9).all()
+
+
+def test_cubic_interpolation_properties(spark):
+    """Cubic at exact pixel centers reproduces the pixel value (the
+    Catmull-Rom kernel interpolates); a fractional probe matches a
+    direct numpy evaluation."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.raster import sample_cubic, synth_dem_tiles
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    tiles = synth_dem_tiles(spark, 256)
+    q = spark.createDataFrame(pd.DataFrame({
+        "qid": [1, 2],
+        "qx": [50.5, 80.25],
+        "qy": [60.5, 90.75],
+    }))
+    got = {r["qid"]: r["value"]
+           for r in sample_cubic(tiles, q, 256).collect()}
+    assert abs(got[1] - elev(50, 60)) < 1e-9
+
+    def w(f):
+        return np.array([
+            ((-0.5 * f + 1.0) * f - 0.5) * f,
+            (1.5 * f - 2.5) * f * f + 1.0,
+            ((-1.5 * f + 2.0) * f + 0.5) * f,
+            (0.5 * f - 0.5) * f * f,
+        ])
+
+    x1, y1 = int(np.floor(80.25 - 0.5)), int(np.floor(90.75 - 0.5))
+    fx, fy = 80.25 - 0.5 - x1, 90.75 - 0.5 - y1
+    vals = np.array([[elev(x1 + kx - 1, y1 + ky - 1) for kx in range(4)]
+                     for ky in range(4)])
+    want = float(w(fy) @ (vals @ w(fx)))
+    assert abs(got[2] - want) < 1e-9
