@@ -47,6 +47,13 @@ _DST_GT = [
     _SRC_GT[3] - 9.3 * abs(_SRC_GT[5]), 0.0, _SRC_GT[5] * 1.37,
 ]
 
+# average-warp fixture: 3.7×-coarser shifted dst grid, 70×70 px
+_AVG_DST_PX = 70
+_AVG_DST_GT = [
+    _SRC_GT[0] + 2.3 * _SRC_GT[1], _SRC_GT[1] * 3.7, 0.0,
+    _SRC_GT[3] - 1.9 * abs(_SRC_GT[5]), 0.0, _SRC_GT[5] * 3.7,
+]
+
 _PTS = points_oracle_sql("documents")
 
 
@@ -139,6 +146,16 @@ def q_sample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("documents")
     queries = spark.sql(_BILIN_Q)
     return sample_bilinear(synth_dem_tiles(spark, DEM_PX), queries, DEM_PX)
+
+
+def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r average (GWKAverageOrMode): DEM downsampled 3.7× by
+    per-tile integer partials + one keyed reduction."""
+    from gdal_spark.raster import warp_average
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT, _AVG_DST_PX)
 
 
 def q_sample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,6 +403,7 @@ QUERIES = {
     "dem_slope_horn": q_dem_slope,
     "warp_nearest_dem": q_warp_nearest,
     "warp_bilinear_dem": q_warp_bilinear,
+    "warp_average_dem": q_warp_average,
     "translate_srcwin": q_translate_srcwin,
     "raster_fillnodata": q_fillnodata,
     "raster_viewshed": q_viewshed,
@@ -469,6 +487,9 @@ ORACLES = {
     "warp_nearest_dem": _warp_oracle(),
     "warp_bilinear_dem": warp_bilinear_oracle_sql(
         _DST_GT, _SRC_GT, _DST_PX, DEM_PX),
+    "warp_average_dem": __import__(
+        "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
+    ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX),
     "translate_srcwin": (
         f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
         f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"

@@ -1190,6 +1190,78 @@ from (select a.range as di, b.range as dj
     return bilinear_dem_oracle_sql(queries_sql, raster_px)
 
 
+def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                 dst_gt: list[float], dst_px: int,
+                 dtype: str = "int64") -> DataFrame:
+    """Average-resampled warp onto a coarser grid (gdalwarp -r average,
+    GWKAverageOrMode): each SRC pixel center is assigned to the dst
+    pixel containing it; per dst pixel the mean of its source pixels.
+
+    Execution is the canonical partial+final shape: a per-tile numpy
+    kernel emits integer (dst, sum, count) partials — one pass over each
+    tile buffer, no pixel rows ever shuffled — and a single keyed
+    reduction combines them; the mean is derived by a shared final
+    expression. At 100 TB the shuffle carries only dst-pixel partials
+    (≤ dst_px² rows per tile), not pixels."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + int(tx) * t
+                gy = gy + int(ty) * t
+                wx = src_gt[0] + (gx + 0.5) * src_gt[1]
+                wy = src_gt[3] + (gy + 0.5) * src_gt[5]
+                di = np.floor((wx - dst_gt[0]) / dst_gt[1]).astype(np.int64)
+                dj = np.floor((wy - dst_gt[3]) / dst_gt[5]).astype(np.int64)
+                keep = ((di >= 0) & (di < dst_px)
+                        & (dj >= 0) & (dj < dst_px))
+                if not keep.any():
+                    continue
+                key = dj[keep] * dst_px + di[keep]
+                vals = buf[keep].astype(np.int64)
+                uniq, inv = np.unique(key, return_inverse=True)
+                sums = np.bincount(inv, weights=vals).astype(np.int64)
+                cnts = np.bincount(inv).astype(np.int64)
+                yield pd.DataFrame({
+                    "di": uniq % dst_px, "dj": uniq // dst_px,
+                    "s": sums, "c": cnts,
+                })
+
+    p = tiles.mapInPandas(partials, "di long, dj long, s long, c long")
+    return (p.groupBy("di", "dj")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .selectExpr("di", "dj", "c as n_src",
+                        "cast(s as double) / c as value"))
+
+
+def warp_average_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                            dst_px: int, raster_px: int) -> str:
+    """Oracle: enumerate src pixels, closed-form DEM values, identical
+    dst assignment arithmetic and mean expression."""
+    wx = f"({_lit(src_gt[0])} + (gx + 0.5) * {_lit(src_gt[1])})"
+    wy = f"({_lit(src_gt[3])} + (gy + 0.5) * {_lit(src_gt[5])})"
+    di = f"cast(floor(({wx} - {_lit(dst_gt[0])}) / {_lit(dst_gt[1])}) as bigint)"
+    dj = f"cast(floor(({wy} - {_lit(dst_gt[3])}) / {_lit(dst_gt[5])}) as bigint)"
+    return f"""
+with s as (
+  select a.range as gx, b.range as gy
+  from range(0, {raster_px}) a cross join range(0, {raster_px}) b
+),
+m as (
+  select {di} as di, {dj} as dj, {DEM_ELEV_SQL} as v from s
+)
+select di, dj, cast(count(*) as bigint) as n_src,
+       cast(sum(v) as double) / count(*) as value
+from m
+where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}
+group by di, dj
+"""
+
+
 def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
                  dst_gt: list[float], dst_px: int,
                  dtype: str = "int64") -> DataFrame:

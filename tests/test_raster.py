@@ -360,3 +360,27 @@ def test_cubic_interpolation_properties(spark):
                      for ky in range(4)])
     want = float(w(fy) @ (vals @ w(fx)))
     assert abs(got[2] - want) < 1e-9
+
+
+def test_warp_average_mass_conservation(spark):
+    """Average warp: sum(value * n_src) over dst pixels equals the sum of
+    all covered src pixels; full coverage when the dst grid contains the
+    src extent."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import (_AVG_DST_GT, _AVG_DST_PX,
+                                           _SRC_GT, q_warp_average)
+
+    res = q_warp_average(spark, "unused").toPandas()
+    assert res["n_src"].sum() <= 256 * 256
+    # reconstruct integer sums and compare against direct numpy
+    gy, gx = np.mgrid[0:256, 0:256]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    wx = _SRC_GT[0] + (gx + 0.5) * _SRC_GT[1]
+    wy = _SRC_GT[3] + (gy + 0.5) * _SRC_GT[5]
+    di = np.floor((wx - _AVG_DST_GT[0]) / _AVG_DST_GT[1]).astype(int)
+    dj = np.floor((wy - _AVG_DST_GT[3]) / _AVG_DST_GT[5]).astype(int)
+    keep = (di >= 0) & (di < _AVG_DST_PX) & (dj >= 0) & (dj < _AVG_DST_PX)
+    assert res["n_src"].sum() == int(keep.sum())
+    got_total = (res["value"] * res["n_src"]).sum()
+    assert abs(got_total - elev[keep].sum()) < 1e-6
