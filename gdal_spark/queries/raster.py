@@ -91,6 +91,24 @@ def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
 
 
+def q_dem_tri_tpi_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem TRI/TPI/roughness (apps/gdaldem_lib.cpp) over the halo
+    exchange, integer-scaled kernels."""
+    from gdal_spark.raster import halo_tri_tpi_roughness
+
+    _ = sf_dir
+    return halo_tri_tpi_roughness(synth_dem_tiles(spark, DEM_PX), DEM_PX)
+
+
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief: ramp-interpolated RGB for window tile
+    (1, 2) of the synthetic DEM."""
+    from gdal_spark.raster import color_relief
+
+    _ = sf_dir
+    return color_relief(synth_dem_tiles(spark, DEM_PX), 1, 2)
+
+
 def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Points → raster IDW interpolation (GDALGridInverseDistanceToAPower,
     alg/gdalgrid.cpp:109) over the city-0 hotspot region."""
@@ -401,6 +419,8 @@ QUERIES = {
     "raster_sample_nearest": q_raster_sample,
     "polygonize_components": q_polygonize,
     "dem_slope_horn": q_dem_slope,
+    "dem_tri_tpi_roughness": q_dem_tri_tpi_roughness,
+    "dem_color_relief": q_color_relief,
     "warp_nearest_dem": q_warp_nearest,
     "warp_bilinear_dem": q_warp_bilinear,
     "warp_average_dem": q_warp_average,
@@ -484,6 +504,12 @@ ORACLES = {
     "raster_sample_nearest": _sample_oracle(),
     "polygonize_components": _polygonize_oracle(),
     "dem_slope_horn": _dem_slope_oracle(),
+    "dem_tri_tpi_roughness": __import__(
+        "gdal_spark.raster", fromlist=["tri_tpi_roughness_oracle_sql"]
+    ).tri_tpi_roughness_oracle_sql(DEM_PX),
+    "dem_color_relief": __import__(
+        "gdal_spark.raster", fromlist=["color_relief_oracle_sql"]
+    ).color_relief_oracle_sql(1, 2),
     "warp_nearest_dem": _warp_oracle(),
     "warp_bilinear_dem": warp_bilinear_oracle_sql(
         _DST_GT, _SRC_GT, _DST_PX, DEM_PX),

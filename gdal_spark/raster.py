@@ -731,6 +731,170 @@ def halo_gradient(tiles: DataFrame, raster_px: int,
         assemble, "gx long, gy long, num_x long, num_y long")
 
 
+def halo_tri_tpi_roughness(tiles: DataFrame, raster_px: int,
+                           dtype: str = "int64") -> DataFrame:
+    """The remaining gdaldem 3×3 terrain kernels (apps/gdaldem_lib.cpp —
+    TRI Wilson, TPI, roughness) over the same 1-px halo exchange,
+    integer-scaled so both engines compare exactly:
+
+        tri8  = Σ |center − neighbor|      (Wilson TRI × 8)
+        tpi8  = 8·center − Σ neighbors     (TPI × 8)
+        rough = max(window) − min(window)
+    """
+    np_dtype = np.dtype(dtype)
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+
+    shifted = tiles.select(
+        "tx", "ty", "data",
+        F.explode(F.expr(
+            "transform(sequence(0, 8),"
+            " k -> struct(tx + k % 3 - 1 as htx, ty + k div 3 - 1 as hty))"
+        )).alias("h"),
+    ).select(F.col("h.htx").alias("htx"), F.col("h.hty").alias("hty"),
+             "tx", "ty", "data") \
+     .filter(f"htx >= 0 and htx < {n_tiles} and hty >= 0 and hty < {n_tiles}")
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        win = np.zeros((tile_px + 2, tile_px + 2), dtype=np.int64)
+        for _, row in pdf.iterrows():
+            buf = np.frombuffer(row["data"], dtype=np_dtype).reshape(
+                tile_px, tile_px)
+            dy = (int(row["ty"]) - hty) * tile_px
+            dx = (int(row["tx"]) - htx) * tile_px
+            ys = slice(max(0, 1 + dy), min(tile_px + 2, 1 + dy + tile_px))
+            xs = slice(max(0, 1 + dx), min(tile_px + 2, 1 + dx + tile_px))
+            by = slice(ys.start - (1 + dy), ys.stop - (1 + dy))
+            bx = slice(xs.start - (1 + dx), xs.stop - (1 + dx))
+            win[ys, xs] = buf[by, bx]
+        w = win
+        c = w[1:-1, 1:-1]
+        nbs = [w[:-2, :-2], w[:-2, 1:-1], w[:-2, 2:],
+               w[1:-1, :-2], w[1:-1, 2:],
+               w[2:, :-2], w[2:, 1:-1], w[2:, 2:]]
+        tri8 = sum(np.abs(c - n) for n in nbs)
+        tpi8 = 8 * c - sum(nbs)
+        all9 = np.stack(nbs + [c])
+        rough = all9.max(axis=0) - all9.min(axis=0)
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        gx = gx + htx * tile_px
+        gy = gy + hty * tile_px
+        interior = ((gx > 0) & (gx < raster_px - 1)
+                    & (gy > 0) & (gy < raster_px - 1))
+        return pd.DataFrame({
+            "gx": gx[interior].ravel(), "gy": gy[interior].ravel(),
+            "tri8": tri8[interior].ravel(),
+            "tpi8": tpi8[interior].ravel(),
+            "rough": rough[interior].ravel(),
+        })
+
+    return shifted.groupBy("htx", "hty").applyInPandas(
+        assemble, "gx long, gy long, tri8 long, tpi8 long, rough long")
+
+
+def tri_tpi_roughness_oracle_sql(raster_px: int) -> str:
+    """Oracle: the 9 closed-form DEM elevations per interior pixel with
+    the identical integer kernels."""
+    def e(x: str, y: str) -> str:
+        return ("(" + DEM_ELEV_SQL.replace("gx", f"({x})")
+                .replace("gy", f"({y})") + ")")
+
+    nbs = [e(f"gx{sx:+d}", f"gy{sy:+d}")
+           for sy in (-1, 0, 1) for sx in (-1, 0, 1)
+           if not (sx == 0 and sy == 0)]
+    c = e("gx", "gy")
+    tri8 = " + ".join(f"abs({c} - {n})" for n in nbs)
+    tpi8 = f"8 * {c} - (" + " + ".join(nbs) + ")"
+    allv = ", ".join(nbs + [c])
+    hi = raster_px - 1
+    return f"""
+with g as (
+  select a.range as gx, b.range as gy
+  from range(1, {hi}) a cross join range(1, {hi}) b
+)
+select gx, gy,
+       cast({tri8} as bigint) as tri8,
+       cast({tpi8} as bigint) as tpi8,
+       cast(greatest({allv}) - least({allv}) as bigint) as rough
+from g
+"""
+
+
+# color-relief ramp (gdaldem color-relief, apps/gdaldem_lib.cpp
+# GDALColorReliefGetColor): elevation stops → RGB, linear interpolation
+COLOR_RAMP = [
+    (0, (0, 0, 128)),
+    (50, (0, 128, 0)),
+    (100, (240, 230, 140)),
+    (150, (139, 69, 19)),
+    (210, (255, 255, 255)),
+]
+
+
+def color_relief(tiles: DataFrame, window_tx: int, window_ty: int,
+                 dtype: str = "int64") -> DataFrame:
+    """gdaldem color-relief: per-pixel piecewise-linear RGB from the
+    elevation ramp, round-half-up to integer channels. Output: the
+    pixels of one window tile (per-tile numpy kernel, expression order
+    pinned to the oracle's CASE ladder)."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    sel = tiles.filter(f"tx = {window_tx} and ty = {window_ty}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                e = np.frombuffer(raw, dtype=np_dtype).reshape(t, t) \
+                      .astype(np.float64)
+                chans = []
+                for ci in range(3):
+                    out = np.full(e.shape, float(COLOR_RAMP[-1][1][ci]))
+                    for (e0, c0), (e1, c1) in zip(COLOR_RAMP,
+                                                  COLOR_RAMP[1:]):
+                        seg = (e >= e0) & (e < e1)
+                        tt = (e - e0) / (e1 - e0)
+                        out = np.where(
+                            seg,
+                            np.floor(c0[ci] + (c1[ci] - c0[ci]) * tt
+                                     + 0.5),
+                            out)
+                    chans.append(out.astype(np.int64))
+                gy, gx = np.mgrid[0:t, 0:t]
+                yield pd.DataFrame({
+                    "gx": (gx + int(tx) * t).ravel(),
+                    "gy": (gy + int(ty) * t).ravel(),
+                    "r": chans[0].ravel(), "g": chans[1].ravel(),
+                    "b": chans[2].ravel(),
+                })
+
+    return sel.mapInPandas(
+        kernel, "gx long, gy long, r long, g long, b long")
+
+
+def color_relief_oracle_sql(window_tx: int, window_ty: int) -> str:
+    t = TILE_PX
+
+    def chan(ci: int) -> str:
+        cases = []
+        for (e0, c0), (e1, c1) in zip(COLOR_RAMP, COLOR_RAMP[1:]):
+            interp = (f"floor({c0[ci]} + ({c1[ci]} - {c0[ci]})"
+                      f" * ((e - {e0}) / ({e1} - {e0})) + 0.5)")
+            cases.append(f"when e >= {e0} and e < {e1} then {interp}")
+        return ("cast(case " + " ".join(cases)
+                + f" else {COLOR_RAMP[-1][1][ci]} end as bigint)")
+
+    return f"""
+with g as (
+  select {window_tx * t} + a.range as gx, {window_ty * t} + b.range as gy
+  from range(0, {t}) a cross join range(0, {t}) b
+),
+m as (select gx, gy, cast({DEM_ELEV_SQL} as double) as e from g)
+select gx, gy, {chan(0)} as r, {chan(1)} as g, {chan(2)} as b
+from m
+"""
+
+
 def synth_dem_tiles(spark, raster_px: int = 256,
                     dtype: str = "int64") -> DataFrame:
     """Deterministic synthetic DEM: elev(gx, gy) = (gx·gx·5 + gy·gy·3 +

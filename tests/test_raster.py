@@ -384,3 +384,51 @@ def test_warp_average_mass_conservation(spark):
     assert res["n_src"].sum() == int(keep.sum())
     got_total = (res["value"] * res["n_src"]).sum()
     assert abs(got_total - elev[keep].sum()) < 1e-6
+
+
+def test_tri_tpi_roughness_direct(spark):
+    """Integer focal kernels match a direct numpy evaluation on sampled
+    interior pixels."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import q_dem_tri_tpi_roughness
+
+    res = q_dem_tri_tpi_roughness(spark, "unused").toPandas()
+    assert len(res) == 254 * 254
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    for _, r in res.sample(40, random_state=5).iterrows():
+        gx, gy = int(r["gx"]), int(r["gy"])
+        c = elev(gx, gy)
+        nbs = [elev(gx + sx, gy + sy)
+               for sy in (-1, 0, 1) for sx in (-1, 0, 1)
+               if not (sx == 0 and sy == 0)]
+        assert r["tri8"] == sum(abs(c - n) for n in nbs)
+        assert r["tpi8"] == 8 * c - sum(nbs)
+        assert r["rough"] == max(nbs + [c]) - min(nbs + [c])
+
+
+def test_color_relief_ramp_endpoints(spark):
+    """Channels stay in [0, 255]; pixels at exact stop elevations get
+    the stop color."""
+    from gdal_spark.queries.raster import q_color_relief
+    from gdal_spark.raster import COLOR_RAMP
+
+    res = q_color_relief(spark, "unused").toPandas()
+    assert len(res) == 64 * 64
+    for c in ("r", "g", "b"):
+        assert (res[c] >= 0).all() and (res[c] <= 255).all()
+
+    def elev(gx, gy):
+        return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+
+    stops = dict(COLOR_RAMP)
+    hits = 0
+    for _, r in res.iterrows():
+        e = elev(int(r["gx"]), int(r["gy"]))
+        if e in stops:
+            assert (r["r"], r["g"], r["b"]) == stops[e]
+            hits += 1
+    assert hits > 0
