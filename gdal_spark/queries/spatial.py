@@ -160,6 +160,28 @@ def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         from st_zones""")
 
 
+OGR2OGR_WHERE = "doc_id % 3 != 1"
+
+
+def q_ogr2ogr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ogr2ogr ETL chain (apps/ogr2ogr_lib.cpp LayerTranslator
+    §3.3): -where attribute filter → -clipsrc (PIP semi join against the
+    zone layer) → -t_srs reprojection (EPSG:3857) → field selection.
+    One narrow Spark stage + the broadcast clip join, exactly the
+    reference's per-feature pipeline as a declarative plan."""
+    from gdal_spark.crs import apply_sql_stages, webmercator_sql_stages
+
+    pts = points_from_documents(spark, sf_dir).filter(OGR2OGR_WHERE)
+    clipped = pip_join(pts, build_zone_index_from_defs(zone_defs()),
+                       how="semi")
+    out = apply_sql_stages(clipped, webmercator_sql_stages("lon", "lat"))
+    return out.select(
+        "doc_id",
+        F.round("x_3857", 3).alias("x_3857"),
+        F.round("y_3857", 3).alias("y_3857"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal summary after the PIP join (groupBy(zone).agg — SURVEY §2.4
     'zonal-style summaries'): count + integer-exact coordinate stats."""
@@ -206,6 +228,7 @@ QUERIES = {
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
     "st_functions": q_st_functions,
+    "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "clip_lines_cyrus_beck": q_clip_lines,
 }
 
@@ -228,6 +251,19 @@ def _overlay_oracle() -> str:
 
     defs = zone_defs()
     return overlay_areas_sql(defs, shift_defs(defs, 0.31, 0.17), _D)
+
+
+def _ogr2ogr_oracle() -> str:
+    from gdal_spark.crs import webmercator_sql_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p"
+        f" where ({OGR2OGR_WHERE}) and doc_id in"
+        f" (select doc_id from ({pip_oracle_sql(_PTS)}) j)",
+        webmercator_sql_stages("lon", "lat"),
+        ["doc_id", "x_3857", "y_3857"])
+    return ("select doc_id, round(x_3857, 3) as x_3857,"
+            f" round(y_3857, 3) as y_3857 from ({inner}) q")
 
 
 def _identity_update_oracle() -> str:
@@ -278,6 +314,7 @@ group by j.zone_id
     "st_functions": __import__(
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),
+    "ogr2ogr_pipeline": _ogr2ogr_oracle(),
     "clip_lines_cyrus_beck": __import__(
         "gdal_spark.lineclip", fromlist=["clip_lines_sql"]
     ).clip_lines_sql(zone_defs(), "duckdb"),
