@@ -160,6 +160,31 @@ def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         from st_zones""")
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot checkpoint + resume (north rule; `gdal raster tile
+    --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
+    run once restricted to zone_id < 5 (simulating a run that died
+    partway), then resumed; the resume anti-joins the committed manifest
+    and writes only the remaining zones. Output: committed rows + the
+    snapshot that committed each key — fully deterministic, so the
+    oracle checks WHICH run wrote each zone, not just the data."""
+    import tempfile
+
+    from gdal_spark.checkpoint import (lineage, read_committed,
+                                       run_checkpointed)
+    from gdal_spark.pipeline import pages_per_zone
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    zonal = pages_per_zone(spark, sf_dir)
+    first = run_checkpointed(zonal, root, "zone_id",
+                             key_filter="zone_id < 5")
+    second = run_checkpointed(zonal, root, "zone_id")
+    assert second["snapshot"] == first["snapshot"] + 1
+    lin = lineage(spark, root).select("zone_id", "snap")
+    return read_committed(spark, root, "zone_id").join(lin, "zone_id") \
+        .select("zone_id", "n_pages", "snap")
+
+
 OGR2OGR_WHERE = "doc_id % 3 != 1"
 
 
@@ -229,6 +254,7 @@ QUERIES = {
     "layer_algebra_identity_update": q_layer_identity_update,
     "st_functions": q_st_functions,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
+    "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
 }
 
@@ -315,6 +341,11 @@ group by j.zone_id
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),
     "ogr2ogr_pipeline": _ogr2ogr_oracle(),
+    "checkpoint_resume": (
+        f"select zone_id, count(*) as n_pages,"
+        f" cast(case when zone_id < 5 then 1 else 2 end as bigint) as snap"
+        f" from ({pip_oracle_sql(_PTS)}) j group by zone_id"
+    ),
     "clip_lines_cyrus_beck": __import__(
         "gdal_spark.lineclip", fromlist=["clip_lines_sql"]
     ).clip_lines_sql(zone_defs(), "duckdb"),
