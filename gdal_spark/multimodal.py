@@ -73,6 +73,67 @@ def decode_stub_meta(pages: DataFrame, payload_col: str = "html") -> DataFrame:
         _decode, schema=DECODE_SCHEMA)
 
 
+def resize_stub(pages: DataFrame, out_w: int, out_h: int,
+                payload_col: str = "html") -> DataFrame:
+    """Binary→binary resize plumbing: the UDF consumes the payload column
+    and emits a NEW payload of the target dimensions plus its metadata —
+    the exact signature a real thumbnailer has. The stub's output bytes
+    are the md5-hex of the input repeated to (out_w·out_h)/64 bytes
+    (deterministic; a real PIL resize drops in without touching the
+    plan). Output digest + sizes are oracle-checked."""
+    n_bytes = (out_w * out_h) // 64
+    reps = (n_bytes + 31) // 32
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf[payload_col]:
+                hexd = hashlib.md5(p).hexdigest()
+                out_payloads.append((hexd * reps)[:n_bytes]
+                                    .encode("ascii"))
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "width": pd.Series([out_w] * len(pdf), dtype="int64"),
+                "height": pd.Series([out_h] * len(pdf), dtype="int64"),
+                "n_bytes": pd.Series([n_bytes] * len(pdf), dtype="int64"),
+                "resized_md5": [hashlib.md5(b).hexdigest()
+                                for b in out_payloads],
+            })
+
+    return pages.select("url", payload_col).mapInPandas(
+        _resize,
+        "url string, width long, height long, n_bytes long,"
+        " resized_md5 string")
+
+
+def frame_sample_stub(pages: DataFrame, step: int = 2,
+                      payload_col: str = "html") -> DataFrame:
+    """One-to-many frame sampling plumbing (video stand-in): each payload
+    fans out to its sampled frame indices (every ``step``-th of the
+    stub-decoded n_frames) with a per-frame feature — the mapInPandas
+    shape of a real ffmpeg frame extractor."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, feats = [], [], []
+            for url, p in zip(pdf["url"], pdf[payload_col]):
+                hexd = hashlib.md5(p).hexdigest()
+                n_frames = 1 + int(hexd[4:6], 16) % 8
+                base = int(hexd[6:10], 16)
+                for f in range(0, n_frames, step):
+                    urls.append(url)
+                    idxs.append(f)
+                    feats.append(((base + 37 * f) % 1000) / 1000.0)
+            yield pd.DataFrame({
+                "url": pd.Series(urls, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_feat": pd.Series(feats, dtype="float64"),
+            })
+
+    return pages.select("url", payload_col).mapInPandas(
+        _sample, "url string, frame_idx long, frame_feat double")
+
+
 def payload_meta(pages: DataFrame, payload_col: str = "html") -> DataFrame:
     """Pure-Catalyst payload metadata: byte length, content digest, and a
     magic-prefix format sniff — the cheap pass run before any decode."""

@@ -225,6 +225,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_meta(pages_from_documents(spark, sf_dir))
 
 
+RESIZE_W, RESIZE_H = 64, 48
+FRAME_STEP = 2
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.multimodal import resize_stub
+
+    return resize_stub(pages_from_documents(spark, sf_dir),
+                       RESIZE_W, RESIZE_H)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.multimodal import frame_sample_stub
+
+    return frame_sample_stub(pages_from_documents(spark, sf_dir),
+                             step=FRAME_STEP)
+
+
 def _html_src_sql() -> str:
     inner = stages_to_duckdb_sql(
         "select doc_id, text from documents",
@@ -246,6 +264,33 @@ select url, cast(strlen(html_str) as bigint) as n_bytes,
        case when html_str like '<html>%' then 'text/html'
             else 'application/octet-stream' end as format
 from ({_html_src_sql()}) p
+"""
+
+
+def _multimodal_resize_oracle() -> str:
+    n_bytes = (RESIZE_W * RESIZE_H) // 64
+    reps = (n_bytes + 31) // 32
+    return f"""
+select url, cast({RESIZE_W} as bigint) as width,
+       cast({RESIZE_H} as bigint) as height,
+       cast({n_bytes} as bigint) as n_bytes,
+       md5(substr(repeat(md5(html_str), {reps}), 1, {n_bytes}))
+         as resized_md5
+from ({_html_src_sql()}) p
+"""
+
+
+def _multimodal_frames_oracle() -> str:
+    def hx(start: int, width: int) -> str:
+        return (f"cast(('0x' || substr(md5(html_str), {start}, {width}))"
+                f" as bigint)")
+
+    return f"""
+select url, f.range as frame_idx,
+       (({hx(7, 4)} + 37 * f.range) % 1000) / 1000.0 as frame_feat
+from ({_html_src_sql()}) p
+cross join range(0, 8) f
+where f.range < 1 + ({hx(5, 2)} % 8) and f.range % {FRAME_STEP} = 0
 """
 
 
@@ -281,6 +326,8 @@ QUERIES = {
     "text_rare_terms": q_rare_terms,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frames,
 }
 
 ORACLES = {
@@ -302,4 +349,6 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "text_rare_terms": _rare_terms_sql(DUCKDB),
     "multimodal_meta": _multimodal_meta_oracle(),
     "multimodal_decode": _multimodal_decode_oracle(),
+    "multimodal_resize": _multimodal_resize_oracle(),
+    "multimodal_frame_sample": _multimodal_frames_oracle(),
 }

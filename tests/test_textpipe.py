@@ -171,3 +171,30 @@ def test_multimodal_stub_matches_md5_arithmetic(spark):
 def test_decode_real_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize emits fixed-dimension payloads whose digest chains from the
+    input md5; frame sampling fans out every 2nd frame of the stub
+    decode."""
+    import hashlib
+
+    from gdal_spark.multimodal import frame_sample_stub, resize_stub
+    from gdal_spark.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    res = resize_stub(pages, 64, 48).toPandas()
+    assert (res["width"] == 64).all() and (res["height"] == 48).all()
+    assert (res["n_bytes"] == 48).all()
+    raw = {r["url"]: bytes(r["html"])
+           for r in pages.select("url", "html").collect()}
+    sample = res.sample(5, random_state=1)
+    for _, r in sample.iterrows():
+        hexd = hashlib.md5(raw[r["url"]]).hexdigest()
+        want = hashlib.md5((hexd * 2)[:48].encode("ascii")).hexdigest()
+        assert r["resized_md5"] == want
+
+    fr = frame_sample_stub(pages, step=2).toPandas()
+    assert (fr["frame_idx"] % 2 == 0).all()
+    assert fr.groupby("url").size().between(1, 4).all()
+    assert ((fr["frame_feat"] >= 0) & (fr["frame_feat"] < 1)).all()
