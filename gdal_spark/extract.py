@@ -122,18 +122,28 @@ def geocode_pages_jvm(pages: DataFrame, text_col: str = "text") -> DataFrame:
     out = pages
     oks = []
     for i, pat in enumerate(_SQL_PATTERNS):
-        m = F.nullif(F.regexp_extract(t, pat, 0), F.lit(""))
-        a_s = F.regexp_extract(t, pat, 1)
-        b_s = F.regexp_extract(t, pat, 2)
+        # ONE full-text regex scan per pattern (group 0); the capture
+        # groups are re-parsed from the short matched token, not the
+        # page text. Full-text regexp_extract per group index means 9
+        # multi-KB scans per row — measured memory-bandwidth-bound at
+        # high core counts (the extract stage stopped scaling past ~4
+        # cores); 3 scans restore the parallel headroom. The token is
+        # itself the first match of the pattern, so group parsing from
+        # it is semantics-identical.
+        out = out.withColumn(
+            f"_m{i}", F.nullif(F.regexp_extract(t, pat, 0), F.lit("")))
+        m_s = F.coalesce(F.col(f"_m{i}"), F.lit(""))
+        a_s = F.regexp_extract(m_s, pat, 1)
+        b_s = F.regexp_extract(m_s, pat, 2)
         a = a_s.cast("double")
         b = b_s.cast("double")
         micro = ((F.abs(a) > 90.0) | (F.abs(b) > 180.0)) \
             & ~a_s.contains(".") & ~b_s.contains(".")
         fa = F.when(micro, a / 1000000.0).otherwise(a)
         fb = F.when(micro, b / 1000000.0).otherwise(b)
-        ok = m.isNotNull() & (F.abs(fa) <= 90.0) & (F.abs(fb) <= 180.0)
-        out = (out.withColumn(f"_m{i}", m)
-               .withColumn(f"_fa{i}", fa).withColumn(f"_fb{i}", fb)
+        ok = F.col(f"_m{i}").isNotNull() \
+            & (F.abs(fa) <= 90.0) & (F.abs(fb) <= 180.0)
+        out = (out.withColumn(f"_fa{i}", fa).withColumn(f"_fb{i}", fb)
                .withColumn(f"_ok{i}", ok))
         oks.append(f"_ok{i}")
 
