@@ -100,6 +100,20 @@ def q_dem_tri_tpi_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halo_tri_tpi_roughness(synth_dem_tiles(spark, DEM_PX), DEM_PX)
 
 
+def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade + aspect (apps/gdaldem_lib.cpp:812-835 Horn
+    variant, az 315 / alt 45 / z 1, cellsize 30) from the halo-exchange
+    gradient; byte hillshade 1..255, rounded compass aspect (flat → −1).
+    The trig stage runs JVM-side (whole-stage codegen) on the integer
+    numerators."""
+    from gdal_spark.raster import hillshade_aspect_sql
+
+    _ = sf_dir
+    g = halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
+    g.createOrReplaceTempView("dem_gradient_hs")
+    return spark.sql(hillshade_aspect_sql("dem_gradient_hs"))
+
+
 def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem color-relief: ramp-interpolated RGB for window tile
     (1, 2) of the synthetic DEM."""
@@ -420,6 +434,7 @@ QUERIES = {
     "polygonize_components": q_polygonize,
     "dem_slope_horn": q_dem_slope,
     "dem_tri_tpi_roughness": q_dem_tri_tpi_roughness,
+    "dem_hillshade_aspect": q_dem_hillshade,
     "dem_color_relief": q_color_relief,
     "warp_nearest_dem": q_warp_nearest,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -504,6 +519,9 @@ ORACLES = {
     "raster_sample_nearest": _sample_oracle(),
     "polygonize_components": _polygonize_oracle(),
     "dem_slope_horn": _dem_slope_oracle(),
+    "dem_hillshade_aspect": __import__(
+        "gdal_spark.raster", fromlist=["hillshade_aspect_sql"]
+    ).hillshade_aspect_sql(f"({_dem_slope_oracle()})"),
     "dem_tri_tpi_roughness": __import__(
         "gdal_spark.raster", fromlist=["tri_tpi_roughness_oracle_sql"]
     ).tri_tpi_roughness_oracle_sql(DEM_PX),

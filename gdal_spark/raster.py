@@ -980,6 +980,62 @@ def hillshade_np(num_x: np.ndarray, num_y: np.ndarray, cellsize: float,
                     1.0 + np.round(254.0 * cang)).astype(np.int64)
 
 
+# Precomputed double constants for az=315°, alt=45° (the gdaldem
+# defaults), emitted as exact repr literals so Spark SQL and DuckDB parse
+# the identical double — radians()/degrees() argument-reduction order
+# differs between engines in the last ulp.
+_HS_AZ_RAD = repr(math.radians(360.0 - 315.0 + 90.0))  # 2.356194490192345
+_HS_SIN_ALT = repr(math.sin(math.radians(45.0)))
+_HS_COS_ALT = repr(math.cos(math.radians(45.0)))
+_DEG_PER_RAD = repr(math.degrees(1.0))
+
+
+def hillshade_aspect_sql(rel: str, cellsize: float = 30.0) -> str:
+    """One SQL text (valid in Spark SQL and DuckDB) computing gdaldem
+    hillshade (Horn, az 315 / alt 45 / z 1 — apps/gdaldem_lib.cpp:812-835)
+    and compass aspect over a relation ``rel(gx, gy, num_x, num_y)`` of
+    integer Horn numerators.
+
+    Hillshade is the byte ramp 1..255 (cang ≤ 0 clamps to 1); aspect is
+    round(degrees(atan2(y, −x))) normalized to [0, 360), with flat cells
+    (both numerators zero) emitted as −1 (gdaldem's nodata). Both outputs
+    are integers, so the value-hash compare survives last-ulp
+    transcendental differences between the engines' libm implementations.
+    """
+    div = repr(8.0 * cellsize)
+    return f"""
+with hb as (
+  select gx, gy, num_x, num_y,
+         cast(num_x as double) / {div}e0 as hx,
+         cast(num_y as double) / {div}e0 as hy
+  from {rel}
+),
+ha as (
+  select gx, gy, num_x, num_y,
+         atan(sqrt(hx * hx + hy * hy)) as slope,
+         atan2(hy, -hx) as aspect,
+         atan2(hy, -hx) * {_DEG_PER_RAD}e0 as adeg
+  from hb
+),
+hc as (
+  select gx, gy, num_x, num_y, adeg,
+         {_HS_SIN_ALT}e0 * cos(slope)
+           + {_HS_COS_ALT}e0 * sin(slope) * cos({_HS_AZ_RAD}e0 - aspect)
+           as cang
+  from ha
+)
+select gx, gy,
+       cast(case when cang <= 0.0e0 then 1
+                 else 1 + round(254.0e0 * cang) end as bigint)
+         as hillshade,
+       cast(case when num_x = 0 and num_y = 0 then -1
+                 else round(case when adeg < 0.0e0 then adeg + 360.0e0
+                                 else adeg end) end as bigint)
+         as aspect_deg
+from hc
+"""
+
+
 def contour_cells(tiles: DataFrame, raster_px: int, threshold: float,
                   dtype: str = "int64") -> DataFrame:
     """Marching-squares cell classification (alg/contour.cpp,

@@ -432,3 +432,33 @@ def test_color_relief_ramp_endpoints(spark):
             assert (r["r"], r["g"], r["b"]) == stops[e]
             hits += 1
     assert hits > 0
+
+
+def test_hillshade_aspect_matches_numpy_and_oracle(spark, ddb):
+    """dem_hillshade_aspect: Spark SQL trig over the halo gradient equals
+    (a) the numpy hillshade_np kernel and (b) the DuckDB oracle SQL."""
+    from gdal_spark.queries.raster import ORACLES, q_dem_hillshade
+    from gdal_spark.raster import hillshade_np
+    from tests.conftest import compare_frames
+
+    res = q_dem_hillshade(spark, "unused")
+    n = compare_frames(res, ddb, ORACLES["dem_hillshade_aspect"])
+    assert n == 254 * 254  # interior pixels of the 256² DEM
+
+    got = res.toPandas().set_index(["gy", "gx"])
+    px = 256
+    gy, gx = np.mgrid[0:px, 0:px]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    w = elev
+    num_x = ((w[:-2, :-2] + 2 * w[1:-1, :-2] + w[2:, :-2])
+             - (w[:-2, 2:] + 2 * w[1:-1, 2:] + w[2:, 2:]))
+    num_y = ((w[2:, :-2] + 2 * w[2:, 1:-1] + w[2:, 2:])
+             - (w[:-2, :-2] + 2 * w[:-2, 1:-1] + w[:-2, 2:]))
+    hs = hillshade_np(num_x.ravel(), num_y.ravel(), cellsize=30.0)
+    for y, x in [(1, 1), (63, 64), (64, 64), (128, 7), (254, 254)]:
+        assert got.loc[(y, x)]["hillshade"] == hs[
+            (y - 1) * (px - 2) + (x - 1)], (y, x)
+    flat = got[got["aspect_deg"] == -1]
+    nonflat = got[got["aspect_deg"] >= 0]
+    assert (nonflat["aspect_deg"] <= 360).all()
+    assert len(flat) + len(nonflat) == len(got)
