@@ -38,7 +38,8 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, sf_dir: str, replicate: int) -> dict:
+def run_level(cpus: int, sf_dir: str, replicate: int,
+              cpu_list: str | None = None) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
                         replicate=replicate)
     # Pin the WHOLE process tree (JVM incl. GC/IO threads + Arrow python
@@ -48,13 +49,28 @@ def run_level(cpus: int, sf_dir: str, replicate: int) -> dict:
     # allocation-heavy phases and the N vs 4N comparison stops measuring
     # scaling (observed: unpinned 4-core == 16-core wall-clock). Pinning
     # reproduces the executor model: an N-core executor gets N cores.
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=3600, check=True)
-    for line in out.stdout.splitlines():
+    proc = start_level(cpus, sf_dir, replicate, cpu_list)
+    return finish_level(proc)
+
+
+def start_level(cpus: int, sf_dir: str, replicate: int,
+                cpu_list: str | None = None) -> subprocess.Popen:
+    code = CHILD.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
+                        replicate=replicate)
+    return subprocess.Popen(
+        ["taskset", "-c", cpu_list or f"0-{cpus - 1}",
+         sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def finish_level(proc: subprocess.Popen) -> dict:
+    stdout, stderr = proc.communicate(timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"level failed; stderr tail: {stderr[-2000:]}")
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+    raise RuntimeError(f"no RESULT line; stderr tail: {stderr[-2000:]}")
 
 
 def cpu_probe(n_low: int, n_high: int) -> float:
@@ -105,12 +121,28 @@ def main() -> None:
     # with every pair and a same-minute raw-CPU probe in the raw JSON.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+    # SPARK_GRAFT_BENCH_CONCURRENT=1: run each (low, high) pair
+    # SIMULTANEOUSLY on disjoint CPU sets (low on 0..n_low-1, high on the
+    # top n_high CPUs). Both levels then face the identical instantaneous
+    # host state — the closest sandbox analogue to two dedicated executor
+    # groups measured at the same moment — at the cost of the two levels
+    # sharing one memory bus (slows both; separate clusters would not).
+    concurrent = os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT") == "1"
+    n_host = os.cpu_count() or 32
+
     pairs = []
     probes = []
     for _ in range(repeats):
         probes.append(round(cpu_probe(n_low, n_high), 3))
-        lo = run_level(n_low, sf_dir, replicate)
-        hi = run_level(n_high, sf_dir, replicate)
+        if concurrent and n_low + n_high <= n_host:
+            p_lo = start_level(n_low, sf_dir, replicate,
+                               cpu_list=f"0-{n_low - 1}")
+            p_hi = start_level(n_high, sf_dir, replicate,
+                               cpu_list=f"{n_host - n_high}-{n_host - 1}")
+            lo, hi = finish_level(p_lo), finish_level(p_hi)
+        else:
+            lo = run_level(n_low, sf_dir, replicate)
+            hi = run_level(n_high, sf_dir, replicate)
         pairs.append((lo, hi,
                       hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])))
     pairs.sort(key=lambda p: p[2])
@@ -118,6 +150,17 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    mode_word = "concurrent disjoint-CPU" if concurrent else "interleaved"
+    mode_note = (
+        "Here each (N, 4N) pair ran SIMULTANEOUSLY on disjoint CPU sets "
+        f"(N on cpus 0-{n_low - 1}, 4N on cpus {n_host - n_high}-"
+        f"{n_host - 1}), so both levels sample the identical instantaneous "
+        "host state — the closest sandbox analogue to two dedicated "
+        "executor groups — while still contending with each other for the "
+        "one shared memory bus that separate clusters would not share."
+        if concurrent else
+        "Here the levels of each pair ran back-to-back (adjacent in time)."
+    )
     md = f"""# BENCH/BASELINE.md — scaling + throughput evidence
 
 Generated {ts} by scripts/scaling_bench.py.
@@ -128,11 +171,13 @@ on `{sf_dir}` pages replicated ×{replicate}
 ({low["n_pages"]:,} pages), identical input and plan at both levels;
 fixed 64 input/shuffle partitions. Two local parallelism levels stand in
 for N vs 4N executor clusters (sandbox rule, BASELINE.md). The two
-levels run as {repeats} interleaved fresh-JVM (N, 4N) pairs — sandbox
-host throughput and memory bandwidth drift up to 2x on minute scales,
-so only adjacent-in-time runs are comparable, and a contended draw
-measures the shared host's bandwidth ceiling rather than the job (a
-real 4N-executor cluster does not share one memory bus). The table
+levels run as {repeats} {mode_word} fresh-JVM (N, 4N) pairs — sandbox
+host throughput and memory bandwidth drift up to 2x on minute scales
+(the same 4-core run measured 76k..393k pages/sec across one day, and
+the raw CPU probe below swings 0.5..1.3), so only same-moment runs are
+comparable, and a contended draw measures the shared host's bandwidth
+ceiling rather than the job (a real 4N-executor cluster does not share
+one memory bus). {mode_note} The table
 shows the best (least-contended) pair; the raw JSON lists every pair
 plus a same-minute raw-CPU scaling probe (`cpu_probe_effs` — what the
 host itself delivered, independent of Spark).
