@@ -49,17 +49,53 @@ def _modules():
     return [importlib.import_module(m) for m in _QUERY_MODULES]
 
 
+# The correctness driver oracle-checks queries in registration order with a
+# budget of ~50 per round (round 1 covered exactly the first 50 of 88).
+# _PRIORITY puts the queries most in need of fresh driver signal first:
+# never-checked families (raster, multimodal, fingerprint/rare-terms), the
+# queries fixed this round (ANSI + output-representation), and new operators.
+# Previously-green queries keep their r01 rows and register afterward.
+_PRIORITY = [
+    # -- round-1 never-checked: the whole §2.10 raster family
+    "rasterize_checksum_z5", "raster_overview_z4", "raster_sample_nearest",
+    "polygonize_components", "dem_slope_horn", "dem_tri_tpi_roughness",
+    "dem_hillshade_aspect", "dem_color_relief", "warp_nearest_dem",
+    "warp_bilinear_dem", "warp_average_dem", "translate_srcwin",
+    "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
+    "grid_idw", "grid_proximity", "grid_moving_average", "grid_nearest",
+    "grid_data_metrics", "contour_cells", "raster_calc_reclassify",
+    "raster_overview_avg", "raster_overview_mode", "raster_overview_rms",
+    "raster_stats", "raster_histogram", "raster_sample_bilinear",
+    "raster_sample_cubic", "raster_sieve", "tile_pyramid_z5_z2",
+    "translate_scale_byte",
+    # -- round-1 never-checked: textpipe tail
+    "text_fingerprint", "text_rare_terms", "multimodal_meta",
+    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+    # -- fixed this round (ANSI semantics / output representation)
+    "streaming_zonal_window", "sql_scalar_expr", "zonal_stats",
+    "layer_algebra_identity_update", "sql_summary_record", "sql_groupby_agg",
+    "sql_join_groups", "sql_orderby_limit_offset", "sql_window_funcs",
+    "ann_lsh_topk", "ann_ivf_topk", "sql_topk",
+]
+
+
+def _ordered(entries: dict) -> dict:
+    out = {k: entries[k] for k in _PRIORITY if k in entries}
+    out.update({k: v for k, v in entries.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for mod in _modules():
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLES)
-    return out
+    return _ordered(out)

@@ -80,7 +80,11 @@ def run_checkpointed(df: DataFrame, root: str, key_col: str,
     lin = (
         pending.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.xxhash64(*fingerprint_cols)).alias("fingerprint"))
+            # decimal(38,0) sum: order-independent and overflow-free under
+            # ANSI (a bare SUM of 64-bit hashes overflows long); headroom is
+            # ~1e19 rows per key before 38 digits saturate.
+            F.sum(F.xxhash64(*fingerprint_cols).cast("decimal(38,0)"))
+            .alias("fingerprint"))
         .cache()
     )
     new_keys = lin.select(key_col)

@@ -135,8 +135,11 @@ def geocode_pages_jvm(pages: DataFrame, text_col: str = "text") -> DataFrame:
         m_s = F.coalesce(F.col(f"_m{i}"), F.lit(""))
         a_s = F.regexp_extract(m_s, pat, 1)
         b_s = F.regexp_extract(m_s, pat, 2)
-        a = a_s.cast("double")
-        b = b_s.cast("double")
+        # try_cast: on the no-match path the extracted group is "" and a
+        # plain cast throws under ANSI-on sessions (the driver's default);
+        # OGR's lossy-cast-→-NULL semantics must live in the expression.
+        a = a_s.try_cast("double")
+        b = b_s.try_cast("double")
         micro = ((F.abs(a) > 90.0) | (F.abs(b) > 180.0)) \
             & ~a_s.contains(".") & ~b_s.contains(".")
         fa = F.when(micro, a / 1000000.0).otherwise(a)

@@ -347,7 +347,8 @@ def identity_update_sql(defs_a: list[dict], defs_b: list[dict],
 with ov as ({base}),
 areas_a as (
   select zone_a, max(area_a) as area_a,
-         sum(case when inter_area > 0 then 1 else 0 end) as n_pieces,
+         cast(sum(case when inter_area > 0 then 1 else 0 end)
+              as bigint) as n_pieces,
          {packed} as arr
   from (select zone_a, zone_b, inter_area, area_a from ov) q
   group by zone_a

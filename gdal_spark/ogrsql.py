@@ -39,7 +39,11 @@ def summary_record(df: DataFrame, col: str) -> DataFrame:
         F.min(c).alias(f"min_{col}"),
         F.max(c).alias(f"max_{col}"),
         F.round(F.sum(dec).cast("double") / F.count(c), 6).alias(f"avg_{col}"),
-        F.sum(dec).alias(f"sum_{col}"),
+        # final cast to double: the correctness gate hashes the string form
+        # of values, and Decimal('1524135.000000') != DuckDB's float64 repr;
+        # the decimal SUM keeps order-independence, the cast normalizes the
+        # output representation (exact: unscaled values < 2^53).
+        F.sum(dec).cast("double").alias(f"sum_{col}"),
         F.count(c).alias(f"count_{col}"),
         F.count(F.lit(1)).alias("count_star"),
         F.round(F.stddev_pop(c), 6).alias(f"stddev_pop_{col}"),

@@ -39,10 +39,12 @@ def q_groupby_agg(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            # decimal SUM for order-independence, final double cast so both
+            # engines emit float64 (the gate hashes value string forms)
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-                  .cast("decimal(28,6)")).alias("sum_disc_price"),
+                  .cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -81,7 +83,7 @@ def q_join_groups(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(dec).alias("total_price"),
+        .agg(F.sum(dec).cast("double").alias("total_price"),
              F.count(F.lit(1)).alias("n_orders"))
     )
 
@@ -121,7 +123,8 @@ def q_orderby_limit_offset(spark, sf_dir):
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .select("o_orderkey",
-                F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+                F.col("o_totalprice").cast("decimal(18,2)")
+                .cast("double").alias("price"))
         .offset(10).limit(50)
     )
 
@@ -134,7 +137,8 @@ def q_topk(spark, sf_dir):
         li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"),
                    F.col("l_linenumber"))
         .select("l_orderkey", "l_linenumber",
-                F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                .cast("double").alias("price"))
         .limit(5)
     )
 
@@ -176,7 +180,9 @@ def q_scalar_expr(spark, sf_dir):
         F.expr("substr(p_name, -4)").alias("sub_end"),
         F.expr("cast(floor(p_retailprice) as bigint)").alias("price_floor"),
         F.expr("p_size % 7").alias("size_mod"),
-        F.expr("p_size / (p_size - p_size)").alias("div0"),  # NULL, no error
+        # OGR div-0 → NULL (swq_op_general.cpp:637-718); try_divide keeps
+        # that semantics under ANSI-on sessions (the driver runs ANSI-on)
+        F.expr("try_divide(p_size, p_size - p_size)").alias("div0"),
         F.expr("p_size between 5 and 15").alias("in_band"),
         F.expr("p_brand in ('Brand#1', 'Brand#2')").alias("in_set"),
     )
@@ -224,7 +230,8 @@ def q_window_funcs(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.lag("event_type", 1).over(w).alias("prev_type"),
         F.sum(F.col("value").cast("decimal(28,6)")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_value"),
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").alias("running_value"),
     )
 
 
@@ -357,7 +364,7 @@ from lineitem where l_discount > 0.05
     "sql_summary_record": """
 select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,
        round(cast(sum(cast(l_quantity as decimal(28,6))) as double) / count(l_quantity), 6) as avg_l_quantity,
-       sum(cast(l_quantity as decimal(28,6))) as sum_l_quantity,
+       cast(sum(cast(l_quantity as decimal(28,6))) as double) as sum_l_quantity,
        count(l_quantity) as count_l_quantity, count(*) as count_star,
        round(stddev_pop(l_quantity), 6) as stddev_pop_l_quantity,
        round(stddev_samp(l_quantity), 6) as stddev_samp_l_quantity
@@ -365,9 +372,9 @@ from lineitem
 """,
     "sql_groupby_agg": """
 select l_returnflag, l_linestatus,
-       sum(cast(l_quantity as decimal(28,6))) as sum_qty,
-       sum(cast(l_extendedprice as decimal(28,6))) as sum_base_price,
-       sum(cast(cast(l_extendedprice as decimal(28,6)) * (1 - cast(l_discount as decimal(28,6))) as decimal(28,6))) as sum_disc_price,
+       cast(sum(cast(l_quantity as decimal(28,6))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(28,6))) as double) as sum_base_price,
+       cast(sum(cast(cast(l_extendedprice as decimal(28,6)) * (1 - cast(l_discount as decimal(28,6))) as decimal(28,6))) as double) as sum_disc_price,
        round(avg(l_quantity), 6) as avg_qty,
        round(avg(l_discount), 6) as avg_disc,
        count(*) as count_order
@@ -382,7 +389,7 @@ from orders
 """,
     "sql_distinct_list": "select distinct p_brand from part order by p_brand",
     "sql_join_groups": """
-select n_name, sum(cast(o_totalprice as decimal(28,6))) as total_price,
+select n_name, cast(sum(cast(o_totalprice as decimal(28,6))) as double) as total_price,
        count(*) as n_orders
 from orders join customer on o_custkey = c_custkey
 join nation on c_nationkey = n_nationkey
@@ -406,12 +413,13 @@ select c_custkey, false as has_orders from customer
  where c_custkey not in (select o_custkey from orders)
 """,
     "sql_orderby_limit_offset": """
-select o_orderkey, cast(o_totalprice as decimal(18,2)) as price
+select o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) as price
 from orders order by o_totalprice desc, o_orderkey asc
 limit 50 offset 10
 """,
     "sql_topk": """
-select l_orderkey, l_linenumber, cast(l_extendedprice as decimal(18,2)) as price
+select l_orderkey, l_linenumber,
+       cast(cast(l_extendedprice as decimal(18,2)) as double) as price
 from lineitem order by l_extendedprice desc, l_orderkey, l_linenumber
 limit 5
 """,
@@ -434,7 +442,7 @@ select p_partkey,
        substr(p_name, -4) as sub_end,
        cast(floor(p_retailprice) as bigint) as price_floor,
        p_size % 7 as size_mod,
-       cast(p_size as double) / nullif(p_size - p_size, 0) as div0,
+       p_size / nullif(p_size - p_size, 0) as div0,
        p_size between 5 and 15 as in_band,
        p_brand in ('Brand#1', 'Brand#2') as in_set
 from part
@@ -459,9 +467,9 @@ group by 1, 2
 select event_id, user_id,
        row_number() over w as rn,
        lag(event_type, 1) over w as prev_type,
-       sum(cast(value as decimal(28,6))) over (partition by user_id
+       cast(sum(cast(value as decimal(28,6))) over (partition by user_id
            order by ts, event_id rows between unbounded preceding
-           and current row) as running_value
+           and current row) as double) as running_value
 from events
 window w as (partition by user_id order by ts, event_id)
 """,

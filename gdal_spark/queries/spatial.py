@@ -329,7 +329,7 @@ with j as ({pip_oracle_sql(_PTS)}),
 p as ({_PTS})
 select j.zone_id, count(*) as n_points,
        min(p.lon_mic) as min_lon_mic, max(p.lat_mic) as max_lat_mic,
-       sum(p.lon_mic) as sum_lon_mic
+       cast(sum(p.lon_mic) as bigint) as sum_lon_mic
 from j join p on j.doc_id = p.doc_id
 group by j.zone_id
 """,

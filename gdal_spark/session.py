@@ -58,9 +58,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # OGR SQL arithmetic semantics: division by zero yields NULL, not an
-        # error (ogr/swq_op_general.cpp:637-718) — Spark 4 defaults to ANSI.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI mode stays at the Spark 4 default (on) so the engine behaves
+        # identically under any caller's session. OGR SQL's non-ANSI
+        # arithmetic (division by zero → NULL, lossy string casts → NULL,
+        # ogr/swq_op_general.cpp:637-718) is expressed per-expression with
+        # try_divide/try_cast, never via session conf.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
