@@ -3,17 +3,23 @@
 Implements GDAL's radius-limited inverse-distance-to-a-power
 interpolation (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:109;
 quadtree-accelerated neighbor search :260-276) as relational algebra:
-pixel grid ⋈ candidate points (radius predicate) → per-pixel IDW.
+pixel grid ⋈ candidate points → per-pixel IDW.
+
+Candidate generation is a **k-ring cell prejoin**, the distributed
+restatement of the reference's quadtree search: points and pixel centers
+are keyed to square cells of edge = search RADIUS, every pixel probes its
+3×3 cell ring, and candidates come from an equi-join on the cell key
+followed by the exact d² ≤ r² filter. Any point within RADIUS of a pixel
+center differs by ≤1 in each cell index (cell edge = RADIUS), so the
+prejoin is lossless; the plan contains no cartesian/nested-loop join and
+the join fan-in per pixel is bounded by local point density — the shape
+that survives a 10^12-point table. (A plain cross join + radius filter,
+the round-1 shape, is O(pixels × points).)
 
 Bit-exactness stance: the per-pixel reduction is an **ordered fold**
 over the candidate list sorted by doc_id (never an unordered SQL SUM of
-doubles), so Spark and the DuckDB oracle produce identical IEEE doubles.
-
-Scale: here candidates come from a broadcast cross join + radius filter
-(the fixture region holds tens of points); at 10^12 scale candidate
-generation swaps in the cell-prejoin used by the PIP join — join pixels
-to the k-ring of cells within the radius — without touching the
-per-pixel fold.
+doubles), and the cell keys are derived from identical SQL text in both
+engines, so Spark and the DuckDB oracle produce identical IEEE doubles.
 """
 
 from __future__ import annotations
@@ -39,15 +45,65 @@ def _lit(v: float) -> str:
     return r if "e" in r or "E" in r else r + "e0"
 
 
-def idw_sql(engine: str, doc_view: str = "documents") -> str:
+def _grid_candidates(engine: str, doc_view: str = "documents") -> str:
+    """Shared CTE prelude ending in ``c(i, j, doc_id, v, d2)``: fixture
+    pixel grid ⋈ points via the k-ring cell prejoin + exact radius test
+    (the quadtree candidate search of alg/gdalgrid.cpp:260-276 restated
+    as a pruned equi-join)."""
     pts = points_oracle_sql(doc_view)
-    lon_c = f"({_lit(GRID_LON0)} + (i + 0.5e0) * {_lit(GRID_STEP)})"
-    lat_c = f"({_lit(GRID_LAT0)} + (j + 0.5e0) * {_lit(GRID_STEP)})"
     r2 = _lit(RADIUS * RADIUS)
     pad = _lit(RADIUS)
+    cell = _lit(RADIUS)
+    lo_lon, lo_lat = _lit(GRID_LON0), _lit(GRID_LAT0)
+    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
+    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
     if engine == SPARK:
-        grid = (f"select a.id as i, b.id as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
+        # single range + div/mod: no CartesianProduct node in the plan
+        grid = (f"select id div {GRID_N} as i, id % {GRID_N} as j"
+                f" from range(0, {GRID_N * GRID_N})")
+        ring_src = "select g.*, o from g lateral view explode(sequence(0, 8)) t as o"
+        div3 = "(o div 3)"
+    else:
+        grid = (f"select range // {GRID_N} as i, range % {GRID_N} as j"
+                f" from range(0, {GRID_N * GRID_N})")
+        ring_src = "select g.*, unnest(range(0, 9)) as o from g"
+        div3 = "(o // 3)"
+    lon_c = f"({lo_lon} + (i + 0.5e0) * {_lit(GRID_STEP)})"
+    lat_c = f"({lo_lat} + (j + 0.5e0) * {_lit(GRID_STEP)})"
+    return f"""
+p as (
+  select doc_id, lon, lat, cast(doc_id % 97 as double) as v,
+         cast(floor((lon - {lo_lon}) / {cell}) as bigint) as pcx,
+         cast(floor((lat - {lo_lat}) / {cell}) as bigint) as pcy
+  from ({pts}) q
+  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
+    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
+),
+g as (
+  select i, j, {lon_c} as gx, {lat_c} as gy,
+         cast(floor(({lon_c} - {lo_lon}) / {cell}) as bigint) as gcx,
+         cast(floor(({lat_c} - {lo_lat}) / {cell}) as bigint) as gcy
+  from ({grid}) g0
+),
+gk as (
+  select i, j, gx, gy,
+         gcx + (o % 3) - 1 as kx, gcy + {div3} - 1 as ky
+  from ({ring_src}) r
+),
+c as (
+  select gk.i, gk.j, p.doc_id, p.v,
+         (p.lon - gk.gx) * (p.lon - gk.gx)
+       + (p.lat - gk.gy) * (p.lat - gk.gy) as d2
+  from gk join p on p.pcx = gk.kx and p.pcy = gk.ky
+  where (p.lon - gk.gx) * (p.lon - gk.gx)
+      + (p.lat - gk.gy) * (p.lat - gk.gy) <= {r2}
+)"""
+
+
+def idw_sql(engine: str, doc_view: str = "documents") -> str:
+    """Radius-limited IDW (power=2): per-pixel ordered fold of v/d² and
+    1/d² over the doc_id-sorted candidate list."""
+    if engine == SPARK:
         lst, srt, trn = "collect_list", "array_sort", "transform"
 
         def fold(list_expr: str) -> str:
@@ -57,8 +113,6 @@ def idw_sql(engine: str, doc_view: str = "documents") -> str:
         mk = ("struct(cast(doc_id as double) as did,"
               " v / d2 as num_t, 1.0 / d2 as den_t)")
     else:
-        grid = (f"select a.range as i, b.range as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
         lst, srt, trn = "list", "list_sort", "list_transform"
 
         def fold(list_expr: str) -> str:
@@ -67,27 +121,8 @@ def idw_sql(engine: str, doc_view: str = "documents") -> str:
 
         mk = ("{'did': cast(doc_id as double),"
               " 'num_t': v / d2, 'den_t': 1.0 / d2}")
-
-    lo_lon = _lit(GRID_LON0)
-    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
-    lo_lat = _lit(GRID_LAT0)
-    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
     return f"""
-with p as (
-  select doc_id, lon, lat, cast(doc_id % 97 as double) as v
-  from ({pts}) q
-  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
-    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
-),
-g as ({grid}),
-c as (
-  select g.i, g.j, p.doc_id, p.v,
-         (p.lon - {lon_c}) * (p.lon - {lon_c})
-       + (p.lat - {lat_c}) * (p.lat - {lat_c}) as d2
-  from g cross join p
-  where (p.lon - {lon_c}) * (p.lon - {lon_c})
-      + (p.lat - {lat_c}) * (p.lat - {lat_c}) <= {r2}
-),
+with {_grid_candidates(engine, doc_view)},
 packed as (
   select i, j, count(*) as n_pts, {srt}({lst}({mk})) as arr
   from c group by i, j
@@ -112,36 +147,10 @@ def proximity_sql(engine: str, doc_view: str = "documents") -> str:
     point in range emit nothing — the nodata convention). MIN over
     candidate distances is order-independent, so no ordered folds are
     needed for cross-engine exactness."""
-    pts = points_oracle_sql(doc_view)
-    lon_c = f"({_lit(GRID_LON0)} + (i + 0.5e0) * {_lit(GRID_STEP)})"
-    lat_c = f"({_lit(GRID_LAT0)} + (j + 0.5e0) * {_lit(GRID_STEP)})"
-    r2 = _lit(RADIUS * RADIUS)
-    pad = _lit(RADIUS)
-    if engine == SPARK:
-        grid = (f"select a.id as i, b.id as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
-    else:
-        grid = (f"select a.range as i, b.range as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
-    lo_lon = _lit(GRID_LON0)
-    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
-    lo_lat = _lit(GRID_LAT0)
-    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
     return f"""
-with p as (
-  select cast(lon as double) as lon, cast(lat as double) as lat
-  from ({pts}) q
-  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
-    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
-),
-g as ({grid})
-select g.i, g.j, count(*) as n_in_range,
-       sqrt(min((p.lon - {lon_c}) * (p.lon - {lon_c})
-              + (p.lat - {lat_c}) * (p.lat - {lat_c}))) as dist
-from g cross join p
-where (p.lon - {lon_c}) * (p.lon - {lon_c})
-    + (p.lat - {lat_c}) * (p.lat - {lat_c}) <= {r2}
-group by g.i, g.j
+with {_grid_candidates(engine, doc_view)}
+select i, j, count(*) as n_in_range, sqrt(min(d2)) as dist
+from c group by i, j
 """
 
 
@@ -149,43 +158,6 @@ def proximity_grid(spark, sf_dir: str):
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(proximity_sql(SPARK))
-
-
-def _grid_candidates(engine: str, doc_view: str = "documents") -> str:
-    """Shared CTE prelude: fixture grid ⋈ radius-filtered points with
-    per-candidate squared distance (the quadtree candidate search of
-    alg/gdalgrid.cpp:260-276 restated as a pruned join)."""
-    pts = points_oracle_sql(doc_view)
-    lon_c = f"({_lit(GRID_LON0)} + (i + 0.5e0) * {_lit(GRID_STEP)})"
-    lat_c = f"({_lit(GRID_LAT0)} + (j + 0.5e0) * {_lit(GRID_STEP)})"
-    r2 = _lit(RADIUS * RADIUS)
-    pad = _lit(RADIUS)
-    if engine == SPARK:
-        grid = (f"select a.id as i, b.id as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
-    else:
-        grid = (f"select a.range as i, b.range as j from range(0, {GRID_N}) a"
-                f" cross join range(0, {GRID_N}) b")
-    lo_lon = _lit(GRID_LON0)
-    hi_lon = _lit(GRID_LON0 + GRID_N * GRID_STEP)
-    lo_lat = _lit(GRID_LAT0)
-    hi_lat = _lit(GRID_LAT0 + GRID_N * GRID_STEP)
-    return f"""
-p as (
-  select doc_id, lon, lat, cast(doc_id % 97 as double) as v
-  from ({pts}) q
-  where lon >= {lo_lon} - {pad} and lon <= {hi_lon} + {pad}
-    and lat >= {lo_lat} - {pad} and lat <= {hi_lat} + {pad}
-),
-g as ({grid}),
-c as (
-  select g.i, g.j, p.doc_id, p.v,
-         (p.lon - {lon_c}) * (p.lon - {lon_c})
-       + (p.lat - {lat_c}) * (p.lat - {lat_c}) as d2
-  from g cross join p
-  where (p.lon - {lon_c}) * (p.lon - {lon_c})
-      + (p.lat - {lat_c}) * (p.lat - {lat_c}) <= {r2}
-)"""
 
 
 def moving_average_sql(engine: str, doc_view: str = "documents") -> str:
@@ -247,7 +219,6 @@ def data_metrics_sql(engine: str, doc_view: str = "documents") -> str:
     """GDAL data-metric kernels (alg/gdalgrid.cpp GDALGridDataMetric*):
     per-pixel count, minimum/maximum distance and range of candidate
     values — all order-independent aggregates, exact by construction."""
-    _ = engine  # identical text in both dialects
     return f"""
 with {_grid_candidates(engine, doc_view)}
 select i, j, count(*) as n_pts,

@@ -132,7 +132,13 @@ def cross_tile_edges(borders: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
 
 def propagate_labels(parts: DataFrame, edges: DataFrame,
                      max_iter: int = 50) -> DataFrame:
-    """Distributed min-label propagation to fixpoint: (lbl, comp)."""
+    """Distributed min-label propagation to fixpoint: (lbl, comp).
+
+    Each round takes the min over graph neighbors AND path-halves
+    (comp ← comp[comp], a pointer jump): plain neighbor propagation
+    advances one hop per round (a k-pixel chain costs k rounds), the
+    jump makes convergence O(log diameter) — the standard large-star
+    contraction trick for distributed connected components."""
     labels = parts.select("lbl").distinct().withColumn("comp", F.col("lbl"))
     sym = edges.unionByName(
         edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
@@ -144,13 +150,23 @@ def propagate_labels(parts: DataFrame, edges: DataFrame,
             .groupBy("la").agg(F.min("nc").alias("nmin"))
             .withColumnRenamed("la", "lbl")
         )
-        updated = (
+        stepped = (
             labels.join(neigh, "lbl", "left")
-            .withColumn("new", F.least("comp", F.coalesce("nmin", "comp")))
+            .select("lbl", F.least("comp", F.coalesce("nmin", "comp"))
+                    .alias("mid"))
         )
-        n_changed = updated.filter("new < comp").count()
+        # pointer jump: follow mid one more level (mid is itself a lbl)
+        jump = stepped.select(F.col("lbl").alias("_jl"),
+                              F.col("mid").alias("_jc"))
+        updated = (
+            stepped.join(jump, stepped.mid == jump._jl, "left")
+            .select("lbl", "mid",
+                    F.least("mid", F.coalesce("_jc", "mid")).alias("new"))
+        )
+        changed = updated.join(labels, "lbl") \
+            .filter("new < comp").count()
         labels = updated.select("lbl", F.col("new").alias("comp")).cache()
-        if n_changed == 0:
+        if changed == 0:
             break
     return labels
 
@@ -189,13 +205,15 @@ def sieve_pixels(px: DataFrame, grid_w: int,
     a = pix.select(F.col("pid").alias("la"), "gx", "gy")
     b = pix.select(F.col("pid").alias("lb"),
                    F.col("gx").alias("bx"), F.col("gy").alias("by"))
-    edges = (
-        a.join(b, ((F.col("bx") == F.col("gx") + 1)
+    # two equi-joins unioned, never one OR-join: an OR between the
+    # right-neighbor and down-neighbor conditions defeats equi-key
+    # extraction and Spark plans a BroadcastNestedLoopJoin over all pixel
+    # pairs (the same split cross_tile_edges uses).
+    right = a.join(b, (F.col("bx") == F.col("gx") + 1)
                    & (F.col("by") == F.col("gy")))
-               | ((F.col("bx") == F.col("gx"))
-                  & (F.col("by") == F.col("gy") + 1)))
-        .select("la", "lb")
-    )
+    down = a.join(b, (F.col("bx") == F.col("gx"))
+                  & (F.col("by") == F.col("gy") + 1))
+    edges = right.select("la", "lb").unionByName(down.select("la", "lb"))
     labels = propagate_labels(pix.select(F.col("pid").alias("lbl")), edges)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
     keep = sizes.filter(F.col("_n") >= min_pixels).select("comp")

@@ -101,6 +101,9 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded sign-LSH candidates + exact cosine verify
+    (never quadratic); the oracle is the exact all-pairs SQL, so the LSH
+    recall margin is asserted by the hash compare itself."""
     return neardup_pairs(aug_embeddings(_emb(spark, sf_dir)), threshold=0.9)
 
 
@@ -111,7 +114,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(aug_embeddings(_emb(spark, sf_dir)),
-                           ANN_QUERY_FILTER, dim=EMB_DIM, k=10)
+                           ANN_QUERY_FILTER, k=10)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +343,13 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),
-    # ann_lsh_topk: approximate by design → rows-only check (no oracle)
+    # Both ANN variants are fully oracle-checked: the sign sketches /
+    # coarse quantizer are shared SQL, so approximation is algorithmic
+    # (candidate choice), not nondeterministic.
+    "ann_lsh_topk": simsearch.lsh_topk_oracle_sql(
+        _aug_d(), ANN_QUERY_FILTER, k=10),
+    "ann_ivf_topk": simsearch.ivf_topk_oracle_sql(
+        _aug_d(), ANN_QUERY_FILTER, k=10, n_probe=3),
     "text_langid": _staged_oracle(textops.langid_stages, _LANG_COLS),
     "text_quality": _staged_oracle(textops.quality_stages, _QUALITY_COLS),
     "text_token_counts": _staged_oracle(textops.token_count_stages,

@@ -1,10 +1,14 @@
-"""Embedding similarity search: exact cosine top-k + LSH-bucketed ANN.
+"""Embedding similarity search: exact cosine top-k, sign-LSH ANN, IVF ANN,
+and LSH-blocked near-duplicate pairs.
 
-The embeddings table is (vec_id, embedding: array<float>, label). Cosine
-arithmetic is a **sequential left-fold in both engines** (Spark
-`aggregate`, DuckDB `list_reduce`), element-wise cast to double — IEEE
-ops in identical order, so Spark and the DuckDB oracle produce
-bit-identical cosines and therefore identical top-k sets and thresholds.
+The embeddings table is (vec_id, embedding: array<float>, label). All
+arithmetic — cosines AND the random-hyperplane sign sketches — is expressed
+as **shared SQL text** evaluated by both engines (Spark Catalyst and the
+DuckDB oracle): sequential left-folds for dot products, `e0`-suffixed
+double literals for the hyperplane constants. IEEE ops in identical order
+make every stage bit-identical, so even the "approximate" ANN operators are
+fully oracle-checked — approximation lives in the *algorithm* (which
+candidates are generated), not in any nondeterminism.
 
 Scale design (10^12 vectors):
 - norms are computed once per vector in a narrow pass and carried as a
@@ -12,10 +16,28 @@ Scale design (10^12 vectors):
 - brute-force top-k broadcasts the (small) query set against the
   distributed corpus: one narrow pass + one shuffle for the per-query
   window rank — the baseline every ANN variant is measured against;
-- the ANN scale path buckets vectors by random-hyperplane sign sketches
-  (`lsh_bucket_topk`): candidate generation is an equi-join on the
-  sketch, never a cross join. Probing sketches within hamming≤1 of the
-  query's sketch trades recall for the removal of the O(N·Q) term.
+- `lsh_bucket_topk` buckets vectors by an n-bit random-hyperplane sign
+  sketch: candidate generation is an equi-join on the sketch (hamming≤1
+  multiprobe), never a cross join. `n_bits` scales with log2(N) — 6 bits
+  at fixture scale (64 buckets over 625 vectors keeps every bucket
+  non-starved), 20+ bits at 10^12;
+- `ivf_topk` assigns every vector to its nearest coarse centroid and
+  probes the query's n_probe nearest inverted lists — an equi-join on the
+  centroid id;
+- `neardup_pairs` (the contract near-dup path) generates candidates by
+  banded sign-LSH (B bands × R bits: a pair is a candidate iff some band's
+  R sketch bits all agree) and exact-verifies each candidate's cosine.
+  Never quadratic: the only pairwise work is on band-bucket collisions.
+  Design margin at the fixture's cosine (≈0.995, bit-flip prob p=θ/π≈
+  0.032): miss probability per true pair = (1-(1-p)^R)^B = (0.176)^8 ≈
+  9e-7 at R=6, B=8 — and because planes and vectors are fixed, the
+  fixture output is deterministically identical to the exact quadratic
+  oracle (asserted). Borderline pairs at cosine exactly 0.9 see the usual
+  LSH S-curve (miss ≈ 0.12) — the production knob is more bands.
+
+Reference precedent: GDAL has no similarity search; this family is the
+LLM-training-data extension (nearest analog: the quadtree kNN search in
+alg/gdalgrid.cpp:879-923, restated as bucketed equi-joins).
 """
 
 from __future__ import annotations
@@ -30,6 +52,23 @@ DUCKDB = "duckdb"
 PERTURB_DELTA = 0.1  # synthetic near-dup: first element shifted by +0.1
 # (vectors are unit-norm → cos(orig, perturbed) ≈ 1 - δ²/2 ≈ 0.995, far
 # above the ≈0.52 max of natural pairs)
+
+EMB_DIM = 64
+
+# Hyperplanes for every LSH variant, frozen: 48 planes cover the near-dup
+# bands (8 bands × 6 bits); the ANN sketch reuses the first `n_bits`.
+_N_PLANES_TOTAL = 48
+NEARDUP_BANDS = 8
+NEARDUP_BITS = 6
+ANN_N_BITS = 6
+
+
+def _hyperplanes() -> np.ndarray:
+    rng = np.random.default_rng(987654321)
+    return rng.standard_normal((_N_PLANES_TOTAL, EMB_DIM))
+
+
+_PLANES = _hyperplanes()
 
 
 def dot_sql(a: str, b: str, engine: str) -> str:
@@ -104,14 +143,123 @@ def aug_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
-def cosine_pair_expr(va: str, vb: str, na2: str, nb2: str) -> str:
-    return f"{dot_sql(va, vb, SPARK)} / (sqrt({na2}) * sqrt({nb2}))"
+def cosine_pair_expr(va: str, vb: str, na2: str, nb2: str,
+                     engine: str = SPARK) -> str:
+    return f"{dot_sql(va, vb, engine)} / (sqrt({na2}) * sqrt({nb2}))"
+
+
+# ---------------------------------------------------------------------------
+# Sign sketches as shared SQL (JVM-side on Spark: no Python anywhere). The
+# hyperplanes travel as ONE array<array<double>> literal column (`_pl`) and
+# each plane's dot product is a compact HOF fold over it — a flat 3,072-term
+# expression tree made Catalyst's optimizer quadratic (~70 s of plan time
+# for the banded variant; the fold form plans in <1 s, measured). The fold
+# order (0 + t1) + t2 + … is identical in both dialects, so sketches are
+# bit-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _dlit(v) -> str:
+    """Exact DOUBLE literal in both dialects: bare decimals are DECIMAL in
+    Spark SQL, so append e0 — unless repr already carries an exponent
+    (e.g. 1e-05), which is an approximate-numeric (double) literal as-is."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else f"{r}e0"
+
+
+def planes_literal_sql(engine: str) -> str:
+    """The 48×64 hyperplane matrix as an array-of-arrays literal."""
+    fn = "array" if engine == SPARK else "list_value"
+    rows = [
+        f"{fn}({', '.join(_dlit(v) for v in _PLANES[p])})"
+        for p in range(_N_PLANES_TOTAL)
+    ]
+    return f"{fn}({', '.join(rows)})"
+
+
+def _plane_dot_sql(plane_idx: int, vec: str, engine: str,
+                   pl: str = "_pl") -> str:
+    """Fold dot(planes[plane_idx], vec): (0 + p1*v1) + p2*v2 + …"""
+    if engine == SPARK:
+        return (
+            f"aggregate(transform(sequence(1, {EMB_DIM}),"
+            f" i -> element_at(element_at({pl}, {plane_idx + 1}), i)"
+            f" * element_at({vec}, i)), 0e0, (s, v) -> s + v)"
+        )
+    return (
+        f"list_reduce(list_concat([0e0],"
+        f" list_transform(range(1, {EMB_DIM + 1}),"
+        f" i -> {pl}[{plane_idx + 1}][i] * {vec}[i])), (s, v) -> s + v)"
+    )
+
+
+def sketch_bits_sql(vec: str, engine: str, first_plane: int, n_bits: int,
+                    pl: str = "_pl") -> str:
+    """n-bit integer sign sketch from planes[first_plane:first_plane+n]."""
+    parts = []
+    for b in range(n_bits):
+        dot = _plane_dot_sql(first_plane + b, vec, engine, pl)
+        parts.append(f"(case when {dot} > 0e0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def with_planes(df: DataFrame, col: str = "_pl") -> DataFrame:
+    return df.withColumn(col, F.expr(planes_literal_sql(SPARK)))
+
+
+def with_sketch(df: DataFrame, vec_col: str = "vec", out_col: str = "sketch",
+                n_bits: int = ANN_N_BITS) -> DataFrame:
+    return with_planes(df).withColumn(
+        out_col, F.expr(sketch_bits_sql(vec_col, SPARK, 0, n_bits))
+        .cast("long")).drop("_pl")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate pairs (contract path): banded LSH candidates + exact verify
+# ---------------------------------------------------------------------------
+
+
+def _band_sketch_array_sql(vec: str, engine: str) -> str:
+    """Array of NEARDUP_BANDS band sketches (each NEARDUP_BITS bits)."""
+    sketches = [
+        sketch_bits_sql(vec, engine, b * NEARDUP_BITS, NEARDUP_BITS)
+        for b in range(NEARDUP_BANDS)
+    ]
+    fn = "array" if engine == SPARK else "list_value"
+    return f"{fn}({', '.join(sketches)})"
 
 
 def neardup_pairs(aug: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Exact cosine near-duplicate pairs (verification-grade). Quadratic —
-    the ground-truth kernel that LSH candidates are verified against; run
-    standalone only at fixture scale or on a blocked candidate set."""
+    """Near-duplicate pairs by banded sign-LSH candidates + exact cosine
+    verification. Candidate generation is an equi-join on (band, sketch)
+    — O(collisions), never O(N²); precision is exact (every candidate is
+    verified), recall margin is documented in the module docstring."""
+    bands = with_planes(aug).select(
+        "vec_id", "vec", "n2",
+        F.posexplode(F.expr(_band_sketch_array_sql("vec", SPARK)))
+        .alias("band", "bsk"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                     F.col("n2").alias("na2"), "band", "bsk")
+    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                     F.col("n2").alias("nb2"), "band", "bsk")
+    cand = (
+        a.join(b, ["band", "bsk"])
+        .filter("vec_a < vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pairs = (
+        cand.withColumn(
+            "_cos", F.expr(cosine_pair_expr("va", "vb", "na2", "nb2")))
+        .filter(F.col("_cos") >= threshold)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+def neardup_pairs_bruteforce(aug: DataFrame,
+                             threshold: float = 0.9) -> DataFrame:
+    """Exact all-pairs near-dup (verification-grade, O(N²)) — the in-Spark
+    ground truth that the LSH-blocked contract path is tested against;
+    never registered as a contract query."""
     a = aug.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
                    F.col("n2").alias("na2"))
     b = aug.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
@@ -145,39 +293,79 @@ def brute_topk(aug: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path; approximate → rows-only correctness check)
+# LSH-bucketed ANN top-k (fully oracle-checked: sketches are shared SQL)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 12
+
+def lsh_bucket_topk(aug: DataFrame, query_filter: str, k: int = 10,
+                    n_bits: int = ANN_N_BITS) -> DataFrame:
+    """ANN top-k: candidates share the query's n-bit sign sketch or differ
+    in exactly one bit (multi-probe, hamming ≤ 1) — an equi-join on the
+    sketch key, never a cross join. n_bits is the density knob: 6 bits at
+    fixture scale (~1/9 of the corpus probed per query), grows with
+    log2(N) so bucket sizes stay bounded at 10^12."""
+    sk = with_sketch(aug, n_bits=n_bits)
+    qs = sk.filter(query_filter).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
+        F.col("n2").alias("qn2"), F.col("sketch").alias("qsk"))
+    probes = qs.withColumn(
+        "sketch",
+        F.explode(F.expr(
+            "concat(array(qsk), transform(sequence(0, %d),"
+            " b -> cast(qsk as bigint) ^ shiftleft(1L, b)))" % (n_bits - 1)
+        )),
+    )
+    cand = probes.join(sk.select("vec_id", "vec", "n2", "sketch"), "sketch")
+    scored = (
+        cand.filter("vec_id <> qid")
+        .withColumn("_cos", F.expr(cosine_pair_expr("qv", "vec", "qn2", "n2")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(987654321)
-    return rng.standard_normal((N_PLANES, dim))
+def lsh_topk_oracle_sql(aug_view_sql: str, query_filter: str, k: int = 10,
+                        n_bits: int = ANN_N_BITS) -> str:
+    """DuckDB replication of lsh_bucket_topk (bit-exact)."""
+    sk = sketch_bits_sql("vec", DUCKDB, 0, n_bits)
+    probes = ", ".join(["q.qsk"] +
+                       [f"xor(q.qsk, {1 << b})" for b in range(n_bits)])
+    cos = (f"{dot_sql('qv', 'vec', DUCKDB)}"
+           f" / (sqrt(qn2) * sqrt(n2))")
+    return f"""
+with a as ({aug_view_sql}),
+pl as (select {planes_literal_sql(DUCKDB)} as _pl),
+s as (select vec_id, vec, n2, {sk} as sketch from a cross join pl),
+q as (select vec_id as qid, vec as qv, n2 as qn2, sketch as qsk from s
+      where {query_filter}),
+cand as (
+  select q.qid, q.qv, q.qn2, s.vec_id, s.vec, s.n2
+  from q join s on s.sketch in ({probes})
+  where s.vec_id <> q.qid
+)
+select qid, vec_id,
+       cast(row_number() over (partition by qid
+            order by {cos} desc, vec_id) as int) as "rank",
+       round({cos}, 6) as cosine
+from cand
+qualify "rank" <= {k}
+"""
 
 
-def sign_sketch(df: DataFrame, dim: int, vec_col: str = "vec",
-                out_col: str = "sketch") -> DataFrame:
-    """Random-hyperplane sign sketch (N_PLANES bits) via a vectorized
-    Arrow-batched pandas UDF: one matmul per batch, no per-row Python."""
-    import pandas as pd
-    planes = _hyperplanes(dim)
+# ---------------------------------------------------------------------------
+# IVF ANN top-k (fully oracle-checked: deterministic coarse quantizer)
+# ---------------------------------------------------------------------------
 
-    def _sketch_kernel(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        signs = (mat @ planes.T) > 0
-        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-        return pd.Series(signs @ weights)
-
-    sketch_udf = F.pandas_udf(_sketch_kernel, "long")
-    return df.withColumn(out_col, sketch_udf(F.col(vec_col)))
+IVF_CENTROID_FILTER = "vec_id % 125 = 7 and vec_id < 100000"
 
 
 def ivf_topk(aug: DataFrame, query_filter: str, k: int = 10,
-             n_probe: int = 3, centroid_filter: str =
-             "vec_id % 125 = 7 and vec_id < 100000") -> DataFrame:
+             n_probe: int = 3,
+             centroid_filter: str = IVF_CENTROID_FILTER) -> DataFrame:
     """IVF ANN: coarse quantizer = a deterministic centroid subset;
     every vector joins its nearest centroid's inverted list, queries
     probe their ``n_probe`` nearest lists. Candidate generation is an
@@ -218,32 +406,41 @@ def ivf_topk(aug: DataFrame, query_filter: str, k: int = 10,
     )
 
 
-def lsh_bucket_topk(aug: DataFrame, query_filter: str, dim: int,
-                    k: int = 10) -> DataFrame:
-    """ANN top-k: candidates share the query's sign sketch or differ in
-    exactly one bit (multi-probe, hamming ≤ 1) — an equi-join on the
-    sketch key, never a cross join. Approximate recall; exactness is
-    brute_topk's job."""
-    sk = sign_sketch(aug, dim)
-    qs = sk.filter(query_filter).select(
-        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"),
-        F.col("n2").alias("qn2"), F.col("sketch").alias("qsk"))
-    probes = qs.withColumn(
-        "sketch",
-        F.explode(F.expr(
-            "concat(array(qsk), transform(sequence(0, %d),"
-            " b -> cast(qsk as bigint) ^ shiftleft(1L, b)))" % (N_PLANES - 1)
-        )),
-    )
-    cand = probes.join(sk.select("vec_id", "vec", "n2", "sketch"), "sketch")
-    scored = (
-        cand.filter("vec_id <> qid")
-        .dropDuplicates(["qid", "vec_id"])
-        .withColumn("_cos", F.expr(cosine_pair_expr("qv", "vec", "qn2", "n2")))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "rank", F.round("_cos", 6).alias("cosine"))
-    )
+def ivf_topk_oracle_sql(aug_view_sql: str, query_filter: str, k: int = 10,
+                        n_probe: int = 3,
+                        centroid_filter: str = IVF_CENTROID_FILTER) -> str:
+    """DuckDB replication of ivf_topk (bit-exact)."""
+    cc = (f"{dot_sql('x.vec', 'c.cvec', DUCKDB)}"
+          f" / (sqrt(x.n2) * sqrt(c.cn2))")
+    cos = (f"{dot_sql('qv', 'vec', DUCKDB)}"
+           f" / (sqrt(qn2) * sqrt(n2))")
+    return f"""
+with a as ({aug_view_sql}),
+c as (select vec_id as cid, vec as cvec, n2 as cn2 from a
+      where {centroid_filter}),
+asn as (
+  select x.vec_id, x.vec, x.n2, c.cid,
+         row_number() over (partition by x.vec_id
+                            order by {cc} desc, c.cid) as rn
+  from a x cross join c
+),
+lists as (select cid, vec_id, vec, n2 from asn where rn = 1),
+qasn as (
+  select x.vec_id as qid, x.vec as qv, x.n2 as qn2, c.cid,
+         row_number() over (partition by x.vec_id
+                            order by {cc} desc, c.cid) as rn
+  from (select * from a where {query_filter}) x cross join c
+),
+probes as (select cid, qid, qv, qn2 from qasn where rn <= {n_probe}),
+cand as (
+  select distinct q.qid, q.qv, q.qn2, l.vec_id, l.vec, l.n2
+  from probes q join lists l on q.cid = l.cid
+  where l.vec_id <> q.qid
+)
+select qid, vec_id,
+       cast(row_number() over (partition by qid
+            order by {cos} desc, vec_id) as int) as "rank",
+       round({cos}, 6) as cosine
+from cand
+qualify "rank" <= {k}
+"""

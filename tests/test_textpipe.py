@@ -139,6 +139,43 @@ def test_ivf_recalls_near_duplicates(spark, aug):
     assert n_hit >= 0.9 * len(rank1)
 
 
+def test_lsh_topk_recall_and_fill(aug):
+    """Sign-LSH ANN: (a) every query's result is fully ranked 1..k — the
+    round-1 bug was 6-bit-starved buckets returning 11 of 50 rows; (b)
+    queries with a perturbed twin (cos≈0.995) retrieve it at rank 1 in
+    ≥90% of cases (hamming≤1 multiprobe misses a twin only when ≥2 of 6
+    sketch bits flip, p≈0.011)."""
+    from gdal_spark.simsearch import lsh_bucket_topk
+
+    out = lsh_bucket_topk(aug, "vec_id % 100 = 0 and vec_id < 100000",
+                          k=10).toPandas()
+    per_q = out.groupby("qid")["rank"].agg(["count", "max"])
+    assert (per_q["count"] == 10).all() and (per_q["max"] == 10).all()
+
+    twins = lsh_bucket_topk(aug, "vec_id % 4 = 1 and vec_id < 100000",
+                            k=3).toPandas()
+    rank1 = twins[twins["rank"] == 1].set_index("qid")
+    hits = sum(1 for qid, r in rank1.iterrows()
+               if r["vec_id"] == qid + 100000 and r["cosine"] > 0.99)
+    assert hits >= 0.9 * len(rank1) and len(rank1) > 0
+
+
+def test_neardup_lsh_path_equals_bruteforce_and_never_crossjoins(aug):
+    """The contract near-dup path (banded LSH candidates + exact verify)
+    must emit exactly the all-pairs ground truth, from a plan with no
+    cartesian/nested-loop join."""
+    from gdal_spark.simsearch import neardup_pairs_bruteforce
+
+    lsh = neardup_pairs(aug, threshold=0.9)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["vec_a"], r["vec_b"], r["cosine"]) for r in lsh.collect()}
+    want = {(r["vec_a"], r["vec_b"], r["cosine"])
+            for r in neardup_pairs_bruteforce(aug, threshold=0.9).collect()}
+    assert got == want
+
+
 def test_hillshade_kernel_bounds_and_flat():
     import numpy as np
 
