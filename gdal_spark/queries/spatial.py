@@ -160,6 +160,20 @@ def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         from st_zones""")
 
 
+def q_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEOS predicate surface (ogrgeometry.cpp Intersects:579,
+    Equals:1251, Disjoint:5588, Touches:5661, Within:5842, Contains:5915,
+    Overlaps:5989) over two polygon layers: candidate pairs via a
+    cover-cell equi-join, exact integer-arithmetic predicates per pair
+    (gdal_spark.predicates). Exercises overlap, bbox-only disjoint,
+    equals, strict and inscribed containment, point-in-hole, shared-edge
+    and shared-vertex touch, and a non-convex star."""
+    from gdal_spark.predicates import predicate_pairs
+
+    _ = sf_dir  # layer-vs-layer fixture op
+    return predicate_pairs(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -253,6 +267,7 @@ QUERIES = {
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
     "st_functions": q_st_functions,
+    "st_predicates": q_st_predicates,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -340,6 +355,9 @@ group by j.zone_id
     "st_functions": __import__(
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),
+    "st_predicates": __import__(
+        "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
+    ).predicates_oracle_sql(),
     "ogr2ogr_pipeline": _ogr2ogr_oracle(),
     "checkpoint_resume": (
         f"select zone_id, count(*) as n_pages,"

@@ -173,6 +173,19 @@ def _seg_dist2(px: float, py: float, ax: float, ay: float,
     return (px - ex) * (px - ex) + (py - ey) * (py - ey)
 
 
+def _st_astext(col: pd.Series) -> pd.Series:
+    """ST_AsText / the OGR_GEOM_WKT special field (ogr/ogr_p.h:166)."""
+    return pd.Series([
+        W.wkt_dumps(W.loads(bytes(b))) if b is not None else None
+        for b in col], dtype="object")
+
+
+def _st_geomfromtext(col: pd.Series) -> pd.Series:
+    return pd.Series([
+        bytearray(W.dumps(W.wkt_loads(s))) if s is not None else None
+        for s in col], dtype="object")
+
+
 _REGISTRY = {
     "st_area": (_st_area, "double"),
     "st_npoints": (_st_npoints, "long"),
@@ -180,13 +193,19 @@ _REGISTRY = {
     "st_centroid_y": (_st_centroid_y, "double"),
     "st_contains_xy": (_st_contains_xy, "boolean"),
     "st_distance_xy": (_st_distance_xy, "double"),
+    "st_astext": (_st_astext, "string"),
+    "st_geomfromtext": (_st_geomfromtext, "binary"),
 }
 
 
 def register_st_functions(spark: SparkSession) -> None:
-    """Register every ST_ function for use in spark.sql strings."""
+    """Register every ST_ function for use in spark.sql strings —
+    including the pairwise predicate set (gdal_spark.predicates)."""
+    from gdal_spark.predicates import register_predicates
+
     for name, (fn, rtype) in _REGISTRY.items():
         spark.udf.register(name, F.pandas_udf(fn, rtype))
+    register_predicates(spark)
 
 
 # ---------------------------------------------------------------------------

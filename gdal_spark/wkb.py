@@ -131,6 +131,99 @@ def _loads_at(buf: bytes, off: int):
     raise ValueError(f"unsupported WKB geometry code {code}")
 
 
+# ---------------------------------------------------------------------------
+# WKT I/O (OGR_GEOM_WKT special field, ogr/ogr_p.h:164; exportToWkt /
+# importFromWkt semantics for the linear 2-D types). Numbers render via
+# repr (shortest round-trip), integers without a trailing ".0" — matching
+# OGR's %.15g-style trimming closely enough for fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _wkt_num(v: float) -> str:
+    r = repr(float(v))
+    return r[:-2] if r.endswith(".0") else r
+
+
+def _wkt_coords(arr) -> str:
+    return ", ".join(f"{_wkt_num(x)} {_wkt_num(y)}" for x, y in arr)
+
+
+def wkt_dumps(geom: dict) -> str:
+    t, c = geom["type"], geom["coords"]
+    if t == "Point":
+        return f"POINT ({_wkt_num(c[0])} {_wkt_num(c[1])})"
+    if t == "LineString":
+        return f"LINESTRING ({_wkt_coords(c)})"
+    if t == "Polygon":
+        rings = ", ".join(f"({_wkt_coords(r)})" for r in c)
+        return f"POLYGON ({rings})"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join(
+            f"({_wkt_num(p[0])} {_wkt_num(p[1])})" for p in c) + ")"
+    if t == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(
+            f"({_wkt_coords(m)})" for m in c) + ")"
+    if t == "MultiPolygon":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(f"({_wkt_coords(r)})" for r in poly) + ")"
+            for poly in c) + ")"
+    raise ValueError(f"unsupported geometry type {t}")
+
+
+def _parse_coords(body: str) -> np.ndarray:
+    pts = []
+    for pair in body.split(","):
+        xs = pair.split()
+        pts.append((float(xs[0]), float(xs[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split 'a), (b', honoring nesting, into top-level paren groups."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def wkt_loads(text: str) -> dict:
+    s = text.strip()
+    kind = s.split("(", 1)[0].strip().upper()
+    body = s[s.index("("): ].strip()
+    inner = body[1:-1]
+    if kind == "POINT":
+        arr = _parse_coords(inner)
+        return {"type": "Point", "coords": (arr[0, 0], arr[0, 1])}
+    if kind == "LINESTRING":
+        return {"type": "LineString", "coords": _parse_coords(inner)}
+    if kind == "POLYGON":
+        return {"type": "Polygon",
+                "coords": [_parse_coords(g) for g in _split_groups(inner)]}
+    if kind == "MULTIPOINT":
+        groups = _split_groups(inner)
+        if not groups:  # bare form: MULTIPOINT (1 2, 3 4)
+            arr = _parse_coords(inner)
+            return {"type": "MultiPoint",
+                    "coords": [(p[0], p[1]) for p in arr]}
+        return {"type": "MultiPoint",
+                "coords": [tuple(_parse_coords(g)[0]) for g in groups]}
+    if kind == "MULTILINESTRING":
+        return {"type": "MultiLineString",
+                "coords": [_parse_coords(g) for g in _split_groups(inner)]}
+    if kind == "MULTIPOLYGON":
+        return {"type": "MultiPolygon",
+                "coords": [[_parse_coords(r) for r in _split_groups(g)]
+                           for g in _split_groups(inner)]}
+    raise ValueError(f"unsupported WKT kind {kind}")
+
+
 def point_xy(buf: bytes) -> tuple[float, float]:
     """Fast path: decode a WKB point without building the dict."""
     bo, code, off = _read_header(bytes(buf), 0)
