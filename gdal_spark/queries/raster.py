@@ -298,6 +298,19 @@ def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_checksums(tiles_from_pixel_counts(kept, RASTER_Z))
 
 
+def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon burn of the zone layer (scanline center-inside fill,
+    ALL_TOUCHED, MERGE_ALG=REPLACE/ADD, attribute burn from eas_id) —
+    per-tile GDAL checksums for all three variants. Ref
+    alg/gdalrasterize.cpp:569/779-817, alg/llrasterize.cpp,
+    apps/gdal_rasterize_lib.cpp:104-135; autotest/alg/rasterize.py."""
+    from gdal_spark.rasterize_poly import rasterize_polygons
+    from gdal_spark.zones import zone_defs
+
+    _ = sf_dir  # layer fixture op
+    return rasterize_polygons(spark, zone_defs())
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -458,6 +471,7 @@ QUERIES = {
     "raster_sample_bilinear": q_sample_bilinear,
     "raster_sample_cubic": q_sample_cubic,
     "raster_sieve": q_sieve,
+    "rasterize_polygons_checksum": q_rasterize_polygons,
     "tile_pyramid_z5_z2": q_tile_pyramid,
     "translate_scale_byte": q_translate_scale,
 }
@@ -584,4 +598,8 @@ ORACLES = {
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),
     "translate_scale_byte": checksum_oracle_sql(_PTS, RASTER_Z,
                                                 value_expr=_SCALED),
+    "rasterize_polygons_checksum": __import__(
+        "gdal_spark.rasterize_poly", fromlist=["rasterize_oracle_sql"]
+    ).rasterize_oracle_sql(__import__(
+        "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
 }

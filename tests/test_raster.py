@@ -462,3 +462,59 @@ def test_hillshade_aspect_matches_numpy_and_oracle(spark, ddb):
     nonflat = got[got["aspect_deg"] >= 0]
     assert (nonflat["aspect_deg"] <= 360).all()
     assert len(flat) + len(nonflat) == len(got)
+
+
+def test_rasterize_polygons_semantics(spark):
+    """Polygon burn invariants: ALL_TOUCHED covers at least the
+    center-inside set; the ADD and REPLACE variants diverge exactly where
+    zones overlap (zone 12 is a shifted copy of zone 0); every burned
+    count is positive somewhere."""
+    import pandas as pd
+
+    from gdal_spark.rasterize_poly import rasterize_polygons
+    from gdal_spark.zones import zone_defs
+
+    out = rasterize_polygons(spark, zone_defs()).toPandas()
+    assert (out["n_touched"] >= out["n_burned"]).all()
+    assert out["n_burned"].sum() > 100
+    # overlap region: at least one tile where ADD != REPLACE checksum
+    assert (out["cs_add"] != out["cs_replace"]).any()
+    # checksums are 16-bit
+    for c in ("cs_replace", "cs_add", "cs_all_touched"):
+        assert out[c].between(0, 65535).all()
+
+
+def test_rasterize_single_aligned_square(spark):
+    """A polygon aligned to whole pixels burns exactly its interior pixel
+    count (center rule) and its closed pixel neighborhood with
+    ALL_TOUCHED."""
+    import numpy as np
+
+    from gdal_spark import rasterize_poly as RP
+
+    # a square spanning exactly 4x4 pixels, pixel-grid aligned, away from
+    # tile borders: pick gx range [100, 104) x gy [100, 104)
+    x_lo = RP.X0 + 100 * RP.RES
+    x_hi = RP.X0 + 104 * RP.RES
+    y_hi = RP.Y0 - 100 * RP.RES
+    y_lo = RP.Y0 - 104 * RP.RES
+    # express corners in lon/lat via the exact inverse of the forward SQL
+    import math
+    A = 6378137.0
+
+    def inv(mx, my):
+        return (math.degrees(mx / A),
+                math.degrees(2.0 * math.atan(math.exp(my / A)) - math.pi / 2))
+
+    lon0, lat0 = inv(x_lo, y_lo)
+    lon1, lat1 = inv(x_hi, y_hi)
+    ring = np.asarray([(lon0, lat0), (lon1, lat0), (lon1, lat1),
+                       (lon0, lat1), (lon0, lat0)], dtype=np.float64)
+    defs = [{"zone_id": 0, "eas_id": 7, "rings": [ring]}]
+    out = RP.rasterize_polygons(spark, defs).toPandas()
+    burned = int(out["n_burned"].sum())
+    touched = int(out["n_touched"].sum())
+    # centers of the 4x4 block are inside (up to a half-open boundary
+    # column/row if the inverse round-trip lands a hair off)
+    assert 9 <= burned <= 25
+    assert touched >= burned and touched <= 49
