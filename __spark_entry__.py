@@ -57,7 +57,8 @@ def _modules():
 # Previously-green queries keep their r01 rows and register afterward.
 _PRIORITY = [
     # -- new this round
-    "st_predicates", "rasterize_polygons_checksum",
+    "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
+    "reproject_lcc93",
     # -- round-1 never-checked: the whole §2.10 raster family
     "rasterize_checksum_z5", "raster_overview_z4", "raster_sample_nearest",
     "polygonize_components", "dem_slope_horn", "dem_tri_tpi_roughness",

@@ -259,6 +259,189 @@ def tmerc_sql_stages(lon: str, lat: str, lon0_deg: float,
     return stages
 
 
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic 2SP (EPSG method 9802) — e.g. EPSG:2154
+# (RGF93 / Lambert-93 on GRS80). The projection constants (n, F, r_F) are
+# computed once in Python and emitted as double literals into the shared
+# SQL, so both engines start from identical values; the per-point math
+# uses only tan/ln/exp/sin/cos (pow spelled exp(y·ln(x)) — the primitive
+# set already verified bit-identical cross-engine by the Krüger stages).
+# Ref: ogr/ogrct.cpp:1705-1803 (proj_create_crs_to_crs dispatch by code).
+# ---------------------------------------------------------------------------
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+GRS80_E = math.sqrt(GRS80_E2)
+
+
+class LccParams:
+    """Precomputed 2SP constants for one LCC definition."""
+
+    def __init__(self, phi1_deg: float, phi2_deg: float, phi0_deg: float,
+                 lon0_deg: float, fe: float, fn: float,
+                 a: float = GRS80_A, e: float = GRS80_E):
+        self.lon0_deg = lon0_deg
+        self.fe = fe
+        self.fn = fn
+        self.a = a
+        self.e = e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(
+                1.0 - e * e * math.sin(phi) ** 2)
+
+        def t(phi):
+            return (math.tan(math.pi / 4.0 - phi / 2.0)
+                    / ((1.0 - e * math.sin(phi))
+                       / (1.0 + e * math.sin(phi))) ** (e / 2.0))
+
+        p1, p2, p0 = (math.radians(v) for v in (phi1_deg, phi2_deg, phi0_deg))
+        self.n = ((math.log(m(p1)) - math.log(m(p2)))
+                  / (math.log(t(p1)) - math.log(t(p2))))
+        self.big_f = m(p1) / (self.n * t(p1) ** self.n)
+        self.r0 = a * self.big_f * t(p0) ** self.n
+
+
+LCC_2154 = LccParams(phi1_deg=49.0, phi2_deg=44.0, phi0_deg=46.5,
+                     lon0_deg=3.0, fe=700000.0, fn=6600000.0)
+
+
+def lcc_fwd_np(lon, lat, p: LccParams = LCC_2154):
+    """LCC 2SP forward. Returns (easting, northing, ok)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = (np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) < 90.0))
+    phi = np.radians(np.where(ok, lat, 0.0))
+    s = np.sin(phi)
+    t = (np.tan(np.pi / 4.0 - phi / 2.0)
+         / np.exp((p.e / 2.0)
+                  * np.log((1.0 - p.e * s) / (1.0 + p.e * s))))
+    r = p.a * p.big_f * np.exp(p.n * np.log(t))
+    th = p.n * (np.radians(lon) - math.radians(p.lon0_deg))
+    easting = p.fe + r * np.sin(th)
+    northing = p.fn + p.r0 - r * np.cos(th)
+    easting = np.where(ok, easting, np.nan)
+    northing = np.where(ok, northing, np.nan)
+    return easting, northing, ok
+
+
+def lcc_inv_np(E, N, p: LccParams = LCC_2154, iters: int = 8):
+    """LCC 2SP inverse (fixed-point iteration on φ)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    x = E - p.fe
+    y = p.r0 - (N - p.fn)
+    r = np.sign(p.n) * np.sqrt(x * x + y * y)
+    t = np.exp(np.log(r / (p.a * p.big_f)) / p.n)
+    th = np.arctan2(x, y)
+    lon = np.degrees(th / p.n + math.radians(p.lon0_deg))
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = p.e * np.sin(phi)
+        phi = (np.pi / 2.0
+               - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (p.e / 2.0)))
+    lat = np.degrees(phi)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def lcc_sql_stages(lon: str, lat: str,
+                   p: LccParams = LCC_2154) -> list[tuple[str, str]]:
+    """Stages computing easting, northing, ok — LCC 2SP, shared text."""
+    e = _fmt(p.e)
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) < 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_s", "sin(_phi)"),
+        ("_t", f"tan(pi() / 4.0 - _phi / 2.0)"
+               f" / exp(({e} / 2.0) * ln((1.0 - {e} * _s) / (1.0 + {e} * _s)))"),
+        ("_r", f"{_fmt(p.a * p.big_f)} * exp({_fmt(p.n)} * ln(_t))"),
+        ("_th", f"{_fmt(p.n)} * (radians({lon}) - radians({_fmt(p.lon0_deg)}))"),
+        ("easting", f"case when ok then {_fmt(p.fe)} + _r * sin(_th)"
+                    f" else cast('nan' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.fn)} + {_fmt(p.r0)}"
+                     f" - _r * cos(_th) else cast('nan' as double) end"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# EPSG-code-keyed dispatch (the proj_create_crs_to_crs surface,
+# ogr/ogrct.cpp:1705-1803): forward SQL stages and numpy fwd/inv kernels
+# per code; transforms route through the lon/lat hub. SQL-path transforms
+# are 4326 → code (the gdalwarp -t_srs direction); code → code goes
+# through the numpy inverses.
+# ---------------------------------------------------------------------------
+
+
+def _utm_epsg_params(code: int) -> tuple[float, float]:
+    """(lon0_deg, false_northing) for EPSG:326xx / 327xx."""
+    if 32601 <= code <= 32660:
+        return utm_lon0_deg(code - 32600), 0.0
+    if 32701 <= code <= 32760:
+        return utm_lon0_deg(code - 32700), 10000000.0
+    raise KeyError(code)
+
+
+def epsg_fwd_stages(code: int, lon: str, lat: str,
+                    out_x: str = "x", out_y: str = "y"
+                    ) -> list[tuple[str, str]]:
+    """Forward staged SQL for 4326 → code; output columns renamed to
+    (out_x, out_y) plus the per-point ``ok`` failure flag."""
+    if code == 4326:
+        return [("ok", f"(isnan({lon}) = false and isnan({lat}) = false)"),
+                (out_x, lon), (out_y, lat)]
+    if code == 3857:
+        st = webmercator_sql_stages(lon, lat)
+        ren = {"x_3857": out_x, "y_3857": out_y}
+    elif code == 2154:
+        st = lcc_sql_stages(lon, lat)
+        ren = {"easting": out_x, "northing": out_y}
+    else:
+        lon0, fn = _utm_epsg_params(code)
+        st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
+        ren = {"easting": out_x, "northing": out_y}
+    return [(ren.get(name, name), expr) for name, expr in st]
+
+
+def epsg_fwd_np(code: int):
+    """numpy forward kernel for 4326 → code: (lon, lat) → (x, y, ok)."""
+    if code == 4326:
+        return lambda lon, lat: (np.asarray(lon, dtype=np.float64),
+                                 np.asarray(lat, dtype=np.float64),
+                                 np.isfinite(lon) & np.isfinite(lat))
+    if code == 3857:
+        return webmercator_fwd_np
+    if code == 2154:
+        return lcc_fwd_np
+    lon0, fn = _utm_epsg_params(code)
+    return lambda lon, lat: tmerc_fwd_np(lon, lat, lon0, fn=fn)
+
+
+def epsg_inv_np(code: int):
+    """numpy inverse kernel for code → 4326: (x, y) → (lon, lat, ok)."""
+    if code == 4326:
+        return lambda x, y: (np.asarray(x, dtype=np.float64),
+                             np.asarray(y, dtype=np.float64),
+                             np.isfinite(x) & np.isfinite(y))
+    if code == 3857:
+        return webmercator_inv_np
+    if code == 2154:
+        return lcc_inv_np
+    lon0, fn = _utm_epsg_params(code)
+    return lambda x, y: tmerc_inv_np(x, y, lon0, fn=fn)
+
+
+def transform_np(src_epsg: int, dst_epsg: int, x, y):
+    """Arbitrary EPSG pair via the lon/lat hub (the composed transformer
+    chain of alg/gdaltransformer.cpp:342). Returns (x2, y2, ok) with
+    per-point failure flags (ogrct.cpp:2344 TransformWithErrorCodes)."""
+    lon, lat, ok1 = epsg_inv_np(src_epsg)(x, y)
+    x2, y2, ok2 = epsg_fwd_np(dst_epsg)(lon, lat)
+    return x2, y2, ok1 & ok2
+
+
 def apply_sql_stages(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
     """Run a staged pipeline on a Spark DataFrame (pure Catalyst exprs)."""
     for name, expr in stages:

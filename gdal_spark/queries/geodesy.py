@@ -52,6 +52,24 @@ def q_reproject_utm31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:2154 (RGF93 / Lambert-93, LCC 2SP) through the
+    EPSG-code-keyed dispatch (crs.epsg_fwd_stages — the
+    proj_create_crs_to_crs surface, ogr/ogrct.cpp:1705), with per-point
+    failure flags."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(2154, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN: every 13th doc queries the geotagged point set."""
     pts = points_from_documents(spark, sf_dir)
@@ -65,8 +83,20 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "reproject_webmercator": q_reproject_webmercator,
     "reproject_utm31": q_reproject_utm31,
+    "reproject_lcc93": q_reproject_lcc93,
     "knn": q_knn,
 }
+
+
+def _lcc_oracle() -> str:
+    from gdal_spark.crs import epsg_fwd_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p",
+        epsg_fwd_stages(2154, "lon", "lat", "easting", "northing"),
+        ["doc_id", "easting", "northing", "ok"])
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
 
 
 def _webmerc_oracle() -> str:
@@ -109,5 +139,6 @@ from ranked where rank <= {K}
 ORACLES = {
     "reproject_webmercator": _webmerc_oracle(),
     "reproject_utm31": _utm_oracle(),
+    "reproject_lcc93": _lcc_oracle(),
     "knn": _knn_oracle(),
 }

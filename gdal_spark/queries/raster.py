@@ -334,6 +334,26 @@ def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp_nearest(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
 
 
+# cross-CRS warp fixture: the synthetic DEM's affine grid lives in
+# EPSG:2154 (Lambert-93 meters over France), the destination grid in
+# EPSG:4326 degrees — the real `gdalwarp -t_srs` path (dst pixel →
+# lon/lat → LCC forward → src pixel, alg/gdaltransformer.cpp:342).
+_CRS_SRC_GT = [550000.0, 1500.0, 0.0, 6830000.0, 0.0, -1500.0]
+_CRS_DST_GT = [1.0, 0.025, 0.0, 48.5, 0.0, -0.025]
+_CRS_DST_PX = 160
+
+
+def q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:4326 of an EPSG:2154-gridded DEM (cross-CRS
+    warp through the EPSG dispatch; nearest kernel, chunk gather)."""
+    from gdal_spark.raster import warp_nearest_crs
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest_crs(tiles, _CRS_SRC_GT, DEM_PX,
+                            _CRS_DST_GT, _CRS_DST_PX, src_epsg=2154)
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp bilinear (GWKBilinear kernel): DEM resampled onto the
     shifted 1.37×-scaled grid with fractional src coords."""
@@ -450,6 +470,7 @@ QUERIES = {
     "dem_hillshade_aspect": q_dem_hillshade,
     "dem_color_relief": q_color_relief,
     "warp_nearest_dem": q_warp_nearest,
+    "warp_reproject_dem": q_warp_reproject,
     "warp_bilinear_dem": q_warp_bilinear,
     "warp_average_dem": q_warp_average,
     "translate_srcwin": q_translate_srcwin,
@@ -543,6 +564,10 @@ ORACLES = {
         "gdal_spark.raster", fromlist=["color_relief_oracle_sql"]
     ).color_relief_oracle_sql(1, 2),
     "warp_nearest_dem": _warp_oracle(),
+    "warp_reproject_dem": __import__(
+        "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
+    ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _CRS_DST_GT,
+                                  _CRS_DST_PX, src_epsg=2154),
     "warp_bilinear_dem": warp_bilinear_oracle_sql(
         _DST_GT, _SRC_GT, _DST_PX, DEM_PX),
     "warp_average_dem": __import__(

@@ -1532,3 +1532,110 @@ def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
                 })
 
     return chunks.mapInPandas(gather, "di long, dj long, value long")
+
+
+# ---------------------------------------------------------------------------
+# Cross-CRS warp (gdalwarp -t_srs semantics): dst pixel → dst-CRS world →
+# src-CRS world → src pixel — the composed transformer chain of
+# alg/gdaltransformer.cpp:342 (GDALGenImgProjTransformer), with the
+# projection step a staged shared-SQL pipeline (gdal_spark.crs), so the
+# whole coordinate path is Catalyst arithmetic and bit-identical to the
+# DuckDB oracle. The payload gather is the same chunk-per-tile plan as
+# warp_nearest (one buffer crossing per tile).
+# ---------------------------------------------------------------------------
+
+
+def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                     dst_gt: list[float], dst_px: int,
+                     src_epsg: int, dst_epsg: int = 4326,
+                     dtype: str = "int64") -> DataFrame:
+    """Nearest warp where the destination grid lives in ``dst_epsg``
+    (must be 4326 — the lon/lat hub) and the source raster's affine grid
+    lives in ``src_epsg``: dst pixel centers → lon/lat (affine) →
+    forward-projected to the source CRS (gdal_spark.crs staged SQL) →
+    source pixel (inverted affine) → chunk gather."""
+    from gdal_spark.crs import apply_sql_stages, epsg_fwd_stages
+
+    if dst_epsg != 4326:
+        raise NotImplementedError("destination grid must be EPSG:4326")
+    spark = tiles.sparkSession
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    lon_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    lat_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    dst = (
+        spark.range(dst_px * dst_px, numPartitions=16)
+        .select((F.col("id") % dst_px).alias("di"),
+                (F.col("id") / dst_px).cast("long").alias("dj"))
+        .withColumn("lon", F.expr(lon_e))
+        .withColumn("lat", F.expr(lat_e))
+    )
+    dst = apply_sql_stages(dst, epsg_fwd_stages(src_epsg, "lon", "lat",
+                                                "wx", "wy"))
+    dst = (
+        dst.filter("ok")
+        .withColumn("sgx", F.expr(
+            f"cast(floor((wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])})"
+            f" as bigint)"))
+        .withColumn("sgy", F.expr(
+            f"cast(floor((wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])})"
+            f" as bigint)"))
+        .filter(f"sgx >= 0 and sgx < {raster_px}"
+                f" and sgy >= 0 and sgy < {raster_px}")
+        .withColumn("tx", F.expr(f"sgx div {t}"))
+        .withColumn("ty", F.expr(f"sgy div {t}"))
+    )
+    chunks = (
+        dst.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("di", "dj", "sgx", "sgy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                p = pd.DataFrame(list(px))
+                ly = p["sgy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["sgx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "di": p["di"].astype("int64"),
+                    "dj": p["dj"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
+
+    return chunks.mapInPandas(gather, "di long, dj long, value long")
+
+
+def warp_nearest_crs_oracle_sql(src_gt: list[float], raster_px: int,
+                                dst_gt: list[float], dst_px: int,
+                                src_epsg: int) -> str:
+    """Oracle: identical dst→lon/lat→src-CRS→src-pixel chain over a range
+    grid, closed-form DEM values."""
+    from gdal_spark.crs import epsg_fwd_stages, stages_to_duckdb_sql
+
+    lon_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    lat_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    base = f"""
+select di, dj, {lon_e} as lon, {lat_e} as lat
+from (select a.range as di, b.range as dj
+      from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
+"""
+    proj = stages_to_duckdb_sql(
+        base, epsg_fwd_stages(src_epsg, "lon", "lat", "wx", "wy"),
+        ["di", "dj", "wx", "wy", "ok"])
+    return f"""
+with q as ({proj}),
+s as (
+  select di, dj,
+         cast(floor((wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])}) as bigint)
+           as gx,
+         cast(floor((wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])}) as bigint)
+           as gy
+  from q where ok
+)
+select di, dj, {DEM_ELEV_SQL} as value
+from s
+where gx >= 0 and gx < {raster_px} and gy >= 0 and gy < {raster_px}
+"""

@@ -118,3 +118,55 @@ def test_utm_accuracy_vs_independent_series():
         assert ok[0]
         assert abs(E[0] - E_ref) < 2e-3, (lon_d, lat_d, E[0], E_ref)
         assert abs(N[0] - N_ref) < 2e-3, (lon_d, lat_d, N[0], N_ref)
+
+
+def test_lcc93_defining_invariants():
+    """At the projection origin (λ0, φ0) the output is exactly the false
+    origin; round-trips are nanometer-tight; distances scale ~1 near the
+    standard parallels (EPSG method 9802 invariants)."""
+    import numpy as np
+
+    from gdal_spark.crs import haversine_m, lcc_fwd_np, lcc_inv_np
+
+    x, y, ok = lcc_fwd_np(np.array([3.0]), np.array([46.5]))
+    assert ok[0] and abs(x[0] - 700000.0) < 1e-6
+    assert abs(y[0] - 6600000.0) < 1e-6
+
+    lon = np.array([1.0, 2.35, 5.0, -1.5, 7.8])
+    lat = np.array([48.5, 48.85, 44.5, 43.2, 49.9])
+    e, n, ok = lcc_fwd_np(lon, lat)
+    assert ok.all()
+    lon2, lat2, ok2 = lcc_inv_np(e, n)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+    # scale along the φ1=49° standard parallel is 1 (conformal 2SP)
+    e1, n1, _ = lcc_fwd_np(np.array([2.0, 2.1]), np.array([49.0, 49.0]))
+    proj_d = float(np.hypot(e1[1] - e1[0], n1[1] - n1[0]))
+    true_d = float(haversine_m(2.0, 49.0, 2.1, 49.0))
+    assert abs(proj_d / true_d - 1.0) < 2e-3  # sphere-vs-ellipsoid slack
+
+
+def test_epsg_registry_dispatch_and_flags():
+    import numpy as np
+
+    from gdal_spark.crs import epsg_fwd_np, epsg_inv_np, transform_np
+
+    lon = np.array([3.0, 5.5, np.nan])
+    lat = np.array([46.5, 47.0, 10.0])
+    for code in (4326, 3857, 32631, 32731, 2154):
+        x, y, ok = epsg_fwd_np(code)(lon, lat)
+        assert list(ok) == [True, True, False]
+        lon2, lat2, _ = epsg_inv_np(code)(x[:2], y[:2])
+        assert np.abs(lon2 - lon[:2]).max() < 1e-8
+        assert np.abs(lat2 - lat[:2]).max() < 1e-8
+
+    # arbitrary pair through the hub: Lambert-93 → WebMercator
+    e, n, _ = epsg_fwd_np(2154)(np.array([3.0]), np.array([46.5]))
+    x, y, ok = transform_np(2154, 3857, e, n)
+    xr, yr, _ = epsg_fwd_np(3857)(np.array([3.0]), np.array([46.5]))
+    assert ok[0] and abs(x[0] - xr[0]) < 1e-6 and abs(y[0] - yr[0]) < 1e-6
+
+    # UTM south false northing
+    es, ns, oks = epsg_fwd_np(32731)(np.array([3.0]), np.array([-20.0]))
+    assert oks[0] and ns[0] > 7000000.0
