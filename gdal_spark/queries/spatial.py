@@ -136,6 +136,22 @@ def q_layer_identity_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identity_update(spark, defs, method)
 
 
+def q_layer_intersection_nonconvex(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Layer-algebra Intersection over ARBITRARY polygons (non-convex
+    star, ring-with-hole included) via trapezoidal decomposition + the
+    convex candidate-vertex overlay per trapezoid pair
+    (gdal_spark.overlay_features). Emits per (input, method) pair the
+    prefixed attributes, piece count and exact areas; the piece WKB
+    features are the intersection_features API (tested, not hashed)."""
+    from gdal_spark.layer_algebra import shift_defs
+    from gdal_spark.overlay_features import intersection_agg
+
+    _ = sf_dir
+    defs = zone_defs()
+    return intersection_agg(spark, defs, shift_defs(defs, 0.31, 0.17))
+
+
 def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQLite-dialect ST_ scalar surface (ogrsqlitesqlfunctions.cpp:
     ST_Area/ST_Centroid/ST_Contains/ST_Distance, OGR_GEOM_AREA special
@@ -266,6 +282,7 @@ QUERIES = {
     "streaming_zonal_window": q_streaming_zonal,
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
+    "layer_algebra_intersection_nonconvex": q_layer_intersection_nonconvex,
     "st_functions": q_st_functions,
     "st_predicates": q_st_predicates,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
@@ -305,6 +322,14 @@ def _ogr2ogr_oracle() -> str:
         ["doc_id", "x_3857", "y_3857"])
     return ("select doc_id, round(x_3857, 3) as x_3857,"
             f" round(y_3857, 3) as y_3857 from ({inner}) q")
+
+
+def _nonconvex_oracle() -> str:
+    from gdal_spark.layer_algebra import DUCKDB as _D, shift_defs
+    from gdal_spark.overlay_features import intersection_agg_sql
+
+    defs = zone_defs()
+    return intersection_agg_sql(defs, shift_defs(defs, 0.31, 0.17), _D)
 
 
 def _identity_update_oracle() -> str:
@@ -352,6 +377,7 @@ group by j.zone_id
     "streaming_zonal_window": _streaming_oracle(),
     "layer_algebra_overlay": _overlay_oracle(),
     "layer_algebra_identity_update": _identity_update_oracle(),
+    "layer_algebra_intersection_nonconvex": _nonconvex_oracle(),
     "st_functions": __import__(
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),

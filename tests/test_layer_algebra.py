@@ -102,3 +102,75 @@ def test_disjoint_method_defs_are_disjoint():
             ba, bb = G.rings_bbox(a["rings"]), G.rings_bbox(b["rings"])
             assert not (ba[0] <= bb[2] and bb[0] <= ba[2]
                         and ba[1] <= bb[3] and bb[1] <= ba[3])
+
+
+def test_trapezoid_decomposition_invariants():
+    """Trap areas sum to the polygon area (non-convex star and holed ring
+    included) and every trapezoid is convex."""
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark.layer_algebra import _is_convex
+    from gdal_spark.overlay_features import trapezoid_decompose
+    from gdal_spark.zones import zone_defs
+
+    for z in zone_defs():
+        traps = trapezoid_decompose(z["rings"])
+        total = sum(abs(G.ring_area(t)) for t in traps)
+        assert abs(total - G.polygon_area(z["rings"])) < 1e-9, z["zone_id"]
+        for t in traps:
+            assert _is_convex([t])
+        # interior-disjoint: pairwise intersection areas ≈ 0
+        from gdal_spark.layer_algebra import clip_convex_np
+        for i in range(len(traps)):
+            for j in range(i + 1, len(traps)):
+                o = clip_convex_np(traps[i], traps[j])
+                if len(o) >= 4:
+                    assert abs(G.ring_area(o)) < 1e-12
+
+
+def test_nonconvex_intersection_features(spark):
+    """Feature output: every piece lies within both the input and the
+    method polygon (exact predicate check), piece areas reconcile with
+    the shared-SQL aggregate, attributes carry the input_/method_
+    prefixes."""
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark import wkb as W
+    from gdal_spark.layer_algebra import shift_defs
+    from gdal_spark.overlay_features import (intersection_agg,
+                                             intersection_features)
+    from gdal_spark.predicates import pair_predicates
+    from gdal_spark.zones import zone_defs
+
+    defs = zone_defs()
+    method = shift_defs(defs, 0.31, 0.17)
+    by_a = {z["zone_id"]: z for z in defs}
+    by_b = {z["zone_id"]: z for z in method}
+    feats = intersection_features(spark, defs, method).toPandas()
+    agg = intersection_agg(spark, defs, method).toPandas().set_index(
+        ["zone_a", "zone_b"])
+    assert set(feats.columns) >= {"input_zone", "input_eas_id",
+                                  "method_zone", "method_eas_id"}
+    assert len(feats) == len(agg)
+    checked_within = 0
+    for _, r in feats.iterrows():
+        g = W.loads(bytes(r["geom"]))
+        assert g["type"] == "MultiPolygon"
+        area = sum(abs(G.ring_area(np.asarray(poly[0])))
+                   for poly in g["coords"])
+        want = agg.loc[(r["input_zone"], r["method_zone"])]
+        assert r["n_pieces"] == want["n_pieces"]
+        assert abs(area - want["inter_area"]) < 1e-9
+        # exact containment of each piece in both inputs (probe-snapped
+        # to the 6-decimal grid the predicate kernel requires)
+        for poly in g["coords"][:3]:
+            ring = [np.round(np.asarray(poly[0]), 6)]
+            if abs(G.ring_area(ring[0])) < 1e-8:
+                continue  # snap can collapse slivers
+            pa = pair_predicates(ring, by_a[r["input_zone"]]["rings"])
+            pb = pair_predicates(ring, by_b[r["method_zone"]]["rings"])
+            if pa["within"] and pb["within"]:
+                checked_within += 1
+    assert checked_within >= 10
