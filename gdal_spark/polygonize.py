@@ -201,27 +201,33 @@ def sieve_pixels(px: DataFrame, grid_w: int,
     two-level labeling in `polygonize_summary` supplies the labels
     instead; the filter step is identical.
     """
+    labeled = label_pixels(px, grid_w)
+    sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
+    keep = sizes.filter(F.col("_n") >= min_pixels).select("comp")
+    return (
+        labeled.join(keep, "comp", "left_semi")
+        .select("gx", "gy", "cnt")
+    )
+
+
+def label_pixels(px: DataFrame, grid_w: int) -> DataFrame:
+    """(gx, gy, …) pixel rows → + ``comp`` (4-connected component id =
+    min pixel id). Adjacency is two equi-joins unioned, never one
+    OR-join: an OR between the right-neighbor and down-neighbor
+    conditions defeats equi-key extraction and Spark plans a
+    BroadcastNestedLoopJoin over all pixel pairs (the same split
+    cross_tile_edges uses)."""
     pix = px.withColumn("pid", F.expr(f"gy * {grid_w} + gx"))
     a = pix.select(F.col("pid").alias("la"), "gx", "gy")
     b = pix.select(F.col("pid").alias("lb"),
                    F.col("gx").alias("bx"), F.col("gy").alias("by"))
-    # two equi-joins unioned, never one OR-join: an OR between the
-    # right-neighbor and down-neighbor conditions defeats equi-key
-    # extraction and Spark plans a BroadcastNestedLoopJoin over all pixel
-    # pairs (the same split cross_tile_edges uses).
     right = a.join(b, (F.col("bx") == F.col("gx") + 1)
                    & (F.col("by") == F.col("gy")))
     down = a.join(b, (F.col("bx") == F.col("gx"))
                   & (F.col("by") == F.col("gy") + 1))
     edges = right.select("la", "lb").unionByName(down.select("la", "lb"))
     labels = propagate_labels(pix.select(F.col("pid").alias("lbl")), edges)
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
-    keep = sizes.filter(F.col("_n") >= min_pixels).select("comp")
-    return (
-        pix.join(labels, pix.pid == labels.lbl)
-        .join(keep, "comp", "left_semi")
-        .select("gx", "gy", "cnt")
-    )
+    return pix.join(labels, pix.pid == labels.lbl).drop("lbl", "pid")
 
 
 def sieve_checksum_oracle_sql(points_sql: str, z: int, min_pixels: int = 2,
@@ -299,3 +305,178 @@ select f.comp, count(*) as n_pixels,
 from final f join px on px.pid = f.pid
 group by f.comp
 """
+
+
+# ---------------------------------------------------------------------------
+# Ring extraction (the polygon-geometry output of GDALPolygonize —
+# alg/polygonize_polygonizer.cpp RPolygon arc collection): per component
+# the boundary decomposes into closed rings (1 outer + holes). Ring COUNT
+# is pure combinatorics — Euler characteristic of the pixel complex:
+# χ = V − E + F over distinct corners/sides/pixels, and
+# n_rings = 2 − χ for a connected region — computable as DISTINCT-count
+# aggregates in both engines (exact, scales relationally). Ring GEOMETRY
+# is traced per component in a grouped pandas kernel (GDAL's polygonizer
+# is likewise sequential per polygon).
+# ---------------------------------------------------------------------------
+
+
+def polygonize_rings_summary(labeled: DataFrame, grid_w: int) -> DataFrame:
+    """(gx, gy, comp) → per component: pixel/corner/side counts, boundary
+    edge count, Euler ring count."""
+    w1 = grid_w + 1
+    corners = labeled.select(
+        "comp",
+        F.explode(F.expr(
+            f"array((gy) * {w1} + gx, (gy) * {w1} + gx + 1,"
+            f" (gy + 1) * {w1} + gx, (gy + 1) * {w1} + gx + 1)"))
+        .alias("cid"))
+    sides = labeled.select(
+        "comp",
+        F.explode(F.expr(
+            f"array(2 * (gy * {w1} + gx), 2 * ((gy + 1) * {w1} + gx),"
+            f" 2 * (gy * {w1} + gx) + 1, 2 * (gy * {w1} + gx + 1) + 1)"))
+        .alias("sid"))
+    v = corners.groupBy("comp").agg(
+        F.countDistinct("cid").alias("n_corners"))
+    side_mult = sides.groupBy("comp", "sid").agg(
+        F.count(F.lit(1)).alias("m"))
+    e = side_mult.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_sides"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .alias("n_boundary_edges"))
+    f_ = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("n_pixels"))
+    return (
+        f_.join(v, "comp").join(e, "comp")
+        .withColumn("n_rings", F.expr(
+            "2 - (n_corners - n_sides + n_pixels)"))
+        .select("comp", "n_pixels", "n_corners", "n_sides",
+                "n_boundary_edges", "n_rings")
+    )
+
+
+def rings_oracle_sql(points_sql: str, z: int, tile_px_log2: int = 6) -> str:
+    """DuckDB ground truth: recursive-CTE components + the identical
+    corner/side DISTINCT counts."""
+    from gdal_spark.raster import gpixel_exprs
+
+    gxe, gye = gpixel_exprs("lon", "lat", z)
+    grid_w = 1 << (z + tile_px_log2)
+    w1 = grid_w + 1
+    return f"""
+with recursive px as (
+  select gx, gy, gy * {grid_w} + gx as pid from (
+    select distinct {gxe} as gx, {gye} as gy from ({points_sql}) p
+  ) d
+),
+e as (
+  select a.pid as u, b.pid as v from px a join px b
+    on (b.gx = a.gx + 1 and b.gy = a.gy) or (b.gx = a.gx and b.gy = a.gy + 1)
+),
+esym as (select u, v from e union select v, u from e),
+lbl(pid, l) as (
+  select pid, pid from px
+  union
+  select es.v, lbl.l from lbl join esym es on es.u = lbl.pid
+    where lbl.l < es.v
+),
+final as (select pid, min(l) as comp from lbl group by pid),
+lab as (select f.comp, px.gx, px.gy from final f join px on px.pid = f.pid),
+cor as (
+  select comp, (gy) * {w1} + gx as cid from lab
+  union all select comp, (gy) * {w1} + gx + 1 from lab
+  union all select comp, (gy + 1) * {w1} + gx from lab
+  union all select comp, (gy + 1) * {w1} + gx + 1 from lab
+),
+sid as (
+  select comp, 2 * (gy * {w1} + gx) as sid from lab
+  union all select comp, 2 * ((gy + 1) * {w1} + gx) from lab
+  union all select comp, 2 * (gy * {w1} + gx) + 1 from lab
+  union all select comp, 2 * (gy * {w1} + gx + 1) + 1 from lab
+),
+vs as (select comp, count(distinct cid) as n_corners from cor group by comp),
+sm as (select comp, sid, count(*) as m from sid group by comp, sid),
+es2 as (
+  select comp, count(*) as n_sides,
+         cast(sum(case when m = 1 then 1 else 0 end) as bigint)
+           as n_boundary_edges
+  from sm group by comp
+),
+fs as (select comp, count(*) as n_pixels from lab group by comp)
+select fs.comp, fs.n_pixels, vs.n_corners, es2.n_sides,
+       es2.n_boundary_edges,
+       2 - (vs.n_corners - es2.n_sides + fs.n_pixels) as n_rings
+from fs join vs on vs.comp = fs.comp join es2 on es2.comp = fs.comp
+"""
+
+
+def trace_component_rings(pixels: set[tuple[int, int]]) -> list[list[tuple]]:
+    """Boundary rings of one pixel set: directed boundary edges with the
+    interior kept on a fixed side, cycles closed with a tightest-turn
+    policy at degree-4 corners. Returns rings as vertex lists (closed)."""
+    out_edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        out_edges.setdefault(a, []).append(b)
+
+    for (x, y) in pixels:
+        if (x, y - 1) not in pixels:
+            add((x, y), (x + 1, y))
+        if (x + 1, y) not in pixels:
+            add((x + 1, y), (x + 1, y + 1))
+        if (x, y + 1) not in pixels:
+            add((x + 1, y + 1), (x, y + 1))
+        if (x - 1, y) not in pixels:
+            add((x, y + 1), (x, y))
+    rings = []
+    while out_edges:
+        start = min(out_edges)
+        cur = start
+        prev_dir = None
+        ring = [cur]
+        while True:
+            cands = out_edges[cur]
+            if len(cands) == 1 or prev_dir is None:
+                nxt = cands[0]
+            else:
+                # tightest right turn relative to the incoming direction
+                def turn(nd):
+                    dx, dy = nd[0] - cur[0], nd[1] - cur[1]
+                    px_, py_ = prev_dir
+                    cross = px_ * dy - py_ * dx
+                    dot = px_ * dx + py_ * dy
+                    # order: right (cross>0 in y-down), straight, left
+                    return (0 if cross > 0 else (1 if dot > 0 else 2))
+                nxt = min(cands, key=turn)
+            cands.remove(nxt)
+            if not cands:
+                del out_edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            ring.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        rings.append(ring)
+    return rings
+
+
+def polygonize_ring_features(labeled: DataFrame) -> DataFrame:
+    """Per component: traced boundary rings as Polygon WKB (outer ring =
+    largest |area|, the rest holes) — the feature-geometry surface."""
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark import wkb as W
+
+    def per_comp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pix = set(zip(pdf["gx"].astype(int), pdf["gy"].astype(int)))
+        rings = trace_component_rings(pix)
+        arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+        arrs.sort(key=lambda a: -abs(G.ring_area(a)))
+        return pd.DataFrame({
+            "comp": [int(key[0])],
+            "n_rings": [len(arrs)],
+            "geom": [bytearray(W.dumps_polygon([a.tolist() for a in arrs]))],
+        })
+
+    return labeled.groupBy("comp").applyInPandas(
+        per_comp, "comp long, n_rings long, geom binary")

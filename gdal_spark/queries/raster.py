@@ -86,6 +86,21 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize_summary(tiles, grid_w)
 
 
+def q_polygonize_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonize ring structure (alg/polygonize_polygonizer.cpp RPolygon
+    output): per 4-connected component the corner/side/pixel counts, the
+    boundary edge count and the Euler ring count (1 outer + holes) —
+    exact combinatorics via DISTINCT-count aggregates; the traced ring
+    WKB geometry is the polygonize_ring_features API (tested)."""
+    from gdal_spark.polygonize import label_pixels, polygonize_rings_summary
+    from gdal_spark.raster import pixel_counts
+
+    pts = points_from_documents(spark, sf_dir)
+    grid_w = 1 << (RASTER_Z + 6)
+    labeled = label_pixels(pixel_counts(pts, RASTER_Z), grid_w)
+    return polygonize_rings_summary(labeled, grid_w)
+
+
 def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ = sf_dir  # fixed-size synthetic DEM exercises the focal machinery
     return halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
@@ -465,6 +480,7 @@ QUERIES = {
     "raster_overview_z4": q_overview_checksum,
     "raster_sample_nearest": q_raster_sample,
     "polygonize_components": q_polygonize,
+    "polygonize_rings": q_polygonize_rings,
     "dem_slope_horn": q_dem_slope,
     "dem_tri_tpi_roughness": q_dem_tri_tpi_roughness,
     "dem_hillshade_aspect": q_dem_hillshade,
@@ -553,6 +569,9 @@ ORACLES = {
     "raster_overview_z4": checksum_oracle_sql(_PTS, RASTER_Z - 1),
     "raster_sample_nearest": _sample_oracle(),
     "polygonize_components": _polygonize_oracle(),
+    "polygonize_rings": __import__(
+        "gdal_spark.polygonize", fromlist=["rings_oracle_sql"]
+    ).rings_oracle_sql(_PTS, RASTER_Z),
     "dem_slope_horn": _dem_slope_oracle(),
     "dem_hillshade_aspect": __import__(
         "gdal_spark.raster", fromlist=["hillshade_aspect_sql"]

@@ -518,3 +518,53 @@ def test_rasterize_single_aligned_square(spark):
     # column/row if the inverse round-trip lands a hair off)
     assert 9 <= burned <= 25
     assert touched >= burned and touched <= 49
+
+
+def test_polygonize_ring_tracer_matches_euler(spark):
+    """Traced boundary rings agree with the Euler ring count for every
+    fixture component, and ring areas reconcile: |outer| − Σ|holes| =
+    n_pixels (pixel units)."""
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark import wkb as W
+    from gdal_spark.pages import points_from_documents
+    from gdal_spark.polygonize import (label_pixels,
+                                       polygonize_ring_features,
+                                       polygonize_rings_summary)
+    from gdal_spark.queries.raster import RASTER_Z
+    from gdal_spark.raster import pixel_counts
+
+    pts = points_from_documents(spark, "/root/testdata/sf0.01")
+    grid_w = 1 << (RASTER_Z + 6)
+    labeled = label_pixels(pixel_counts(pts, RASTER_Z), grid_w).cache()
+    summary = polygonize_rings_summary(labeled, grid_w).toPandas() \
+        .set_index("comp")
+    feats = polygonize_ring_features(labeled).toPandas()
+    assert len(feats) == len(summary) > 100
+    n_with_holes = 0
+    for _, r in feats.iterrows():
+        want = summary.loc[r["comp"]]
+        assert r["n_rings"] == want["n_rings"], r["comp"]
+        g = W.loads(bytes(r["geom"]))
+        areas = [abs(G.ring_area(np.asarray(ring))) for ring in g["coords"]]
+        net = areas[0] - sum(areas[1:])
+        assert net == want["n_pixels"], r["comp"]
+        if r["n_rings"] > 1:
+            n_with_holes += 1
+    # synthetic hotspots are dense enough that some components have holes
+    assert (summary["n_rings"] >= 1).all()
+
+
+def test_trace_component_rings_unit():
+    from gdal_spark.polygonize import trace_component_rings
+
+    # single pixel: one 4-edge ring
+    rings = trace_component_rings({(0, 0)})
+    assert len(rings) == 1 and len(rings[0]) == 5
+    # 3x3 block with center hole: outer + hole ring
+    pix = {(x, y) for x in range(3) for y in range(3)} - {(1, 1)}
+    rings = trace_component_rings(pix)
+    assert len(rings) == 2
+    lens = sorted(len(r) for r in rings)
+    assert lens == [5, 13]
