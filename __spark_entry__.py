@@ -59,7 +59,8 @@ _PRIORITY = [
     # -- new this round
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
     "reproject_lcc93", "layer_algebra_intersection_nonconvex",
-    "polygonize_rings",
+    "polygonize_rings", "ogrsql_execute_join_chain",
+    "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
     # -- round-1 never-checked: the whole §2.10 raster family
     "rasterize_checksum_z5", "raster_overview_z4", "raster_sample_nearest",
     "polygonize_components", "dem_slope_horn", "dem_tri_tpi_roughness",

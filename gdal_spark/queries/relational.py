@@ -261,6 +261,56 @@ def q_execute_sql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"lineitem": _t(spark, sf_dir, "lineitem")})
 
 
+def q_execute_sql_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained JOINs from a statement string (swq_parser.y:1088-1094
+    allows any number of [LEFT] JOIN clauses): orders → customer →
+    nation, each with OGR first-match semantics (keys unique here, so
+    the dedup is a no-op the oracle can mirror with plain joins)."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT o.o_orderkey, c.c_name, n.n_name "
+        "FROM orders o "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "WHERE o.o_totalprice > 450000 ORDER BY o.o_orderkey",
+        {"orders": _t(spark, sf_dir, "orders"),
+         "customer": _t(spark, sf_dir, "customer"),
+         "nation": _t(spark, sf_dir, "nation")},
+        fid_order={"orders": "o_orderkey", "customer": "c_custkey",
+                   "nation": "n_nationkey"})
+
+
+def q_execute_sql_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING from a statement string — the SQLite-dialect
+    surface (ogrsqliteexecutesql.cpp:788 hands full SQL to a planner;
+    here Catalyst)."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT p_brand, COUNT(*) AS n, MAX(p_size) AS max_size "
+        "FROM part WHERE p_size >= 5 GROUP BY p_brand "
+        "HAVING COUNT(*) >= 50 ORDER BY p_brand",
+        {"part": _t(spark, sf_dir, "part")})
+
+
+def q_execute_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (SELECT …) subquery from a statement string (SQLite-dialect
+    surface; layer names resolve inside the subquery)."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_nationkey < 3) AND o_totalprice > 400000 "
+        "ORDER BY o_orderkey",
+        {"orders": _t(spark, sf_dir, "orders"),
+         "customer": _t(spark, sf_dir, "customer")})
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity cut) — the standard
     web-log session op a pages/events pipeline needs; GDAL has no
@@ -311,6 +361,9 @@ QUERIES = {
     "sql_sessionize": q_sessionize,
     "ogrsql_execute_select": q_execute_sql_select,
     "ogrsql_execute_summary": q_execute_sql_summary,
+    "ogrsql_execute_join_chain": q_execute_sql_join_chain,
+    "ogrsql_execute_groupby": q_execute_sql_groupby,
+    "ogrsql_execute_in_subquery": q_execute_sql_in_subquery,
     "sql_summary_record": q_summary_record,
     "sql_groupby_agg": q_groupby_agg,
     "sql_count_distinct": q_count_distinct,
@@ -360,6 +413,24 @@ order by p_partkey limit 40 offset 10
 select min(l_quantity) as min_q, max(l_quantity) as max_q,
        count(*) as cnt, count(distinct l_returnflag) as n_flags
 from lineitem where l_discount > 0.05
+""",
+    "ogrsql_execute_join_chain": """
+select o.o_orderkey, c.c_name, n.n_name
+from orders o
+join customer c on c.c_custkey = o.o_custkey
+join nation n on n.n_nationkey = c.c_nationkey
+where o.o_totalprice > 450000 order by o.o_orderkey
+""",
+    "ogrsql_execute_groupby": """
+select p_brand, count(*) as n, max(p_size) as max_size
+from part where p_size >= 5 group by p_brand
+having count(*) >= 50 order by p_brand
+""",
+    "ogrsql_execute_in_subquery": """
+select o_orderkey, o_totalprice from orders
+where o_custkey in (select c_custkey from customer where c_nationkey < 3)
+  and o_totalprice > 400000
+order by o_orderkey
 """,
     "sql_summary_record": """
 select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,

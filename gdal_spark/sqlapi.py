@@ -7,26 +7,29 @@ IR and pull-executes row-at-a-time; here the translation target is a
 Spark SQL string — Catalyst is the analyzer/optimizer/executor — with
 OGR's dialect quirks rewritten first:
 
-- special fields: ``FID`` (stable row id, ogr/ogr_p.h:164) and
-  ``OGR_GEOM_AREA`` are materialized as columns before translation;
+- special fields: ``FID`` (stable row id, ogr/ogr_p.h:164),
+  ``OGR_GEOM_AREA`` and ``OGR_GEOM_WKT`` are materialized as columns
+  before translation;
 - ``HSTORE_GET_VALUE(x, 'k')`` (swq_op_general.cpp:169) →
   ``str_to_map(x, ',', '=>')['k']``;
 - ``SELECT DISTINCT col`` is OGR's DISTINCT_LIST mode
   (ogr_gensql.cpp:637): the result is the *sorted* distinct value list,
   so an ORDER BY is appended when absent;
-- ``JOIN … ON secondary.f = expr`` takes the FIRST matching secondary
-  row per key (1:1 — ogr_gensql.cpp:1493-1523): the secondary view is
-  pre-deduplicated to its first row per key in FID order;
+- every ``JOIN … ON secondary.f = expr`` takes the FIRST matching
+  secondary row per key (1:1 — ogr_gensql.cpp:1493-1523): each secondary
+  view is pre-deduplicated to its first row per key in FID order.
+  Chained joins follow swq_parser.y:1088-1094 (any number of
+  ``[LEFT] JOIN`` clauses);
 - aggregates without GROUP BY are OGR's SUMMARY_RECORD mode — Spark's
   global aggregation already returns the single summary row;
+- ``GROUP BY`` / ``HAVING`` and ``IN (SELECT …)`` subqueries are the
+  SQLite-dialect surface (OGR SQL proper has neither; ExecuteSQL with
+  dialect=SQLITE hands the statement to a full planner,
+  ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp:788 — here that planner
+  is Catalyst). Layer names resolve inside subqueries because layers
+  register as temp views under their own names;
 - ``LIKE`` stays case-sensitive (swq_op_general.cpp:1102 default),
   matching Spark.
-
-Grammar subset: SELECT [DISTINCT] list FROM layer [JOIN layer2 ON eq]
-[WHERE expr] [ORDER BY keys] [LIMIT n] [OFFSET m], plus top-level
-UNION ALL chains. Expressions pass through to Spark SQL (the OGR
-expression language is ANSI-shaped; arithmetic/CAST/CONCAT/SUBSTR/
-IN/BETWEEN/IS NULL/LIKE all coincide).
 """
 
 from __future__ import annotations
@@ -36,30 +39,62 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VIEW_PREFIX = "_ogrsql_"
-
 
 def _rewrite_expressions(sql: str) -> str:
     out = re.sub(r"\bHSTORE_GET_VALUE\s*\(([^,]+),\s*('[^']*')\s*\)",
                  r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_AREA\b", "ogr_geom_area", out, flags=re.I)
+    out = re.sub(r"\bOGR_GEOM_WKT\b", "ogr_geom_wkt", out, flags=re.I)
     out = re.sub(r"\bFID\b", "fid", out)
     return out
 
 
-_CLAUSE = re.compile(
-    r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<cols>.*?)\s+"
-    r"from\s+(?P<table>[\w.\"']+)"
-    r"(?:\s+(?!left\b|join\b|where\b|order\b|limit\b|offset\b)"
-    r"(?P<talias>\w+))?"
-    r"(?:\s+(?P<jointype>left\s+)?join\s+(?P<jtable>[\w.\"']+)"
-    r"(?:\s+(?!on)(?P<jalias>\w+))?\s+on\s+(?P<joncond>.*?))?"
-    r"(?:\s+where\s+(?P<where>.*?))?"
-    r"(?:\s+order\s+by\s+(?P<order>.*?))?"
-    r"(?:\s+limit\s+(?P<limit>\d+))?"
-    r"(?:\s+offset\s+(?P<offset>\d+))?\s*$",
-    re.I | re.S,
-)
+# keywords that terminate the previous clause at paren-depth 0
+_KEYWORDS = ("left join", "join", "where", "group by", "having",
+             "order by", "limit", "offset")
+
+
+def _split_clauses(sql: str) -> list[tuple[str, str]]:
+    """[(keyword, clause_text)] with 'select' first; splits only at
+    depth-0 keyword occurrences (subqueries stay intact)."""
+    low = sql.lower()
+    marks = [(0, "select")]
+    depth = 0
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif depth == 0:
+            def _wordch(ch: str) -> bool:
+                return ch.isalnum() or ch == "_"
+            for kw in _KEYWORDS:
+                if low.startswith(kw, i) \
+                        and (i == 0 or not _wordch(low[i - 1])) \
+                        and not (kw == "join" and low[:i].rstrip().endswith("left")):
+                    end = i + len(kw)
+                    if end >= len(low) or not _wordch(low[end]):
+                        marks.append((i, kw))
+                        i = end
+                        break
+            else:
+                i += 1
+                continue
+            continue
+        i += 1
+    out = []
+    for k, (pos, kw) in enumerate(marks):
+        end = marks[k + 1][0] if k + 1 < len(marks) else len(sql)
+        body = sql[pos:end]
+        body = body[len(kw):].strip() if kw != "select" else body
+        out.append((kw, body))
+    return out
 
 
 def _split_union_all(sql: str) -> list[str]:
@@ -113,7 +148,7 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
     area_cols = area_cols or {}
     for name, df in layers.items():
         _prepare_layer(df, name, fid_order.get(name), area_cols.get(name)) \
-            .createOrReplaceTempView(_VIEW_PREFIX + name)
+            .createOrReplaceTempView(name)
 
     selects = _split_union_all(sql.strip().rstrip(";"))
     frames = [_execute_one(spark, s, layers, fid_order) for s in selects]
@@ -123,60 +158,76 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
     return out
 
 
+_SELECT_HEAD = re.compile(
+    r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<cols>.*?)\s+"
+    r"from\s+(?P<table>[\w.\"']+)(?:\s+(?P<talias>\w+))?\s*$",
+    re.I | re.S,
+)
+_JOIN_CLAUSE = re.compile(
+    r"^(?P<jtable>[\w.\"']+)(?:\s+(?!on\b)(?P<jalias>\w+))?\s+"
+    r"on\s+(?P<cond>.*)$",
+    re.I | re.S,
+)
+
+
 def _execute_one(spark: SparkSession, sql: str, layers: dict,
                  fid_order: dict) -> DataFrame:
     sql = _rewrite_expressions(sql)
-    m = _CLAUSE.match(sql)
-    if not m:
+    clauses = _split_clauses(sql.strip())
+    head = _SELECT_HEAD.match(clauses[0][1])
+    if head is None:
         raise ValueError(f"unsupported OGR SQL: {sql!r}")
-    g = m.groupdict()
+    g = head.groupdict()
     table = g["table"].strip("'\"")
     if table not in layers:
         raise KeyError(f"unknown layer {table!r}")
 
     parts = [f"select {g['distinct'] or ''}{g['cols']}",
-             f"from {_VIEW_PREFIX}{table}"]
-    if g["talias"]:
-        parts[-1] += f" {g['talias']}"
-    else:
-        parts[-1] += f" {table}"
-
-    if g["jtable"]:
-        jtable = g["jtable"].strip("'\"")
-        if jtable not in layers:
-            raise KeyError(f"unknown layer {jtable!r}")
-        cond = g["joncond"].strip()
-        # first-match semantics: dedupe the secondary to its first row
-        # per join key in FID order (ogr_gensql.cpp:1520)
-        key = _secondary_key(cond, jtable, g["jalias"])
-        jview = _VIEW_PREFIX + jtable
-        if key is not None:
+             f"from {table} {g['talias'] or table}"]
+    tail: dict[str, str] = {}
+    n_dedup = 0
+    for kw, body in clauses[1:]:
+        if kw in ("join", "left join"):
+            jm = _JOIN_CLAUSE.match(body)
+            if jm is None:
+                raise ValueError(f"unsupported JOIN clause: {body!r}")
+            jtable = jm.group("jtable").strip("'\"")
+            if jtable not in layers:
+                raise KeyError(f"unknown layer {jtable!r}")
+            cond = jm.group("cond").strip()
+            jalias = jm.group("jalias") or jtable
+            jview = jtable
+            # first-match semantics: dedupe the secondary to its first
+            # row per join key in FID order (ogr_gensql.cpp:1520)
+            key = _secondary_key(cond, jtable, jm.group("jalias"))
             order = fid_order.get(jtable)
-            if order is not None:
-                first = (
+            if key is not None and order is not None:
+                n_dedup += 1
+                jview = (
                     f"(select * from (select *, row_number() over"
                     f" (partition by {key} order by {order}) as _rn"
-                    f" from {jview}) _d where _rn = 1)"
+                    f" from {jtable}) _d{n_dedup} where _rn = 1)"
                 )
-                jview = first
-        jointype = "left join" if g["jointype"] else "join"
-        jalias = g["jalias"] or jtable
-        parts.append(f"{jointype} {jview} {jalias} on {cond}")
-        # qualify bare secondary-table references in the ON clause
-        parts[-1] = parts[-1].replace(f"{_VIEW_PREFIX}{jtable}.", f"{jalias}.")
-
-    if g["where"]:
-        parts.append(f"where {g['where']}")
-    order = g["order"]
-    if g["distinct"] and not order and "," not in g["cols"] \
-            and "(" not in g["cols"]:
-        order = g["cols"].strip()  # DISTINCT_LIST mode: sorted values
-    if order:
-        parts.append(f"order by {order}")
-    if g["limit"]:
-        parts.append(f"limit {g['limit']}")
-    if g["offset"]:
-        parts.append(f"offset {g['offset']}")
+            parts.append(f"{kw} {jview} {jalias} on {cond}")
+        else:
+            tail[kw] = body
+    if "where" in tail:
+        parts.append(f"where {tail['where']}")
+    if "group by" in tail:
+        parts.append(f"group by {tail['group by']}")
+    if "having" in tail:
+        parts.append(f"having {tail['having']}")
+    order_by = tail.get("order by")
+    cols = g["cols"]
+    if g["distinct"] and not order_by and "," not in cols \
+            and "(" not in cols:
+        order_by = cols.strip()  # DISTINCT_LIST mode: sorted values
+    if order_by:
+        parts.append(f"order by {order_by}")
+    if "limit" in tail:
+        parts.append(f"limit {tail['limit']}")
+    if "offset" in tail:
+        parts.append(f"offset {tail['offset']}")
 
     body = "\n".join(parts)
     try:

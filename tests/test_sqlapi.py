@@ -123,3 +123,45 @@ def test_count_distinct_and_groupless_agg_on_table(spark):
         "read_parquet('/root/testdata/sf0.001/part.parquet') "
         "where p_size > 10").fetchone()[0]
     assert r["nb"] == exp
+
+
+def test_chained_join_first_match_semantics(spark):
+    """Two chained JOINs where the second secondary has duplicate keys:
+    each joined row must take the FIRST secondary match in FID order
+    (ogr_gensql.cpp:1493-1523), per join."""
+    from gdal_spark.sqlapi import execute_sql
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, t string")
+    b = spark.createDataFrame(
+        [(1, 10, "b1"), (1, 11, "b2"), (2, 12, "b3")],
+        "aid int, bid int, bt string")
+    c = spark.createDataFrame(
+        [(10, "c-first"), (10, "c-second"), (12, "c-only")],
+        "bid int, ct string")
+    out = execute_sql(
+        spark,
+        "SELECT a.id, b.bid, c.ct FROM a "
+        "JOIN b ON b.aid = a.id JOIN c ON c.bid = b.bid "
+        "ORDER BY a.id",
+        {"a": a, "b": b, "c": c},
+        fid_order={"a": "id", "b": "bid", "c": "ct"}).collect()
+    got = [(r["id"], r["bid"], r["ct"]) for r in out]
+    # b dedups to first bid per aid (10 for aid=1, 12 for aid=2);
+    # c dedups to its first row per bid in ct order
+    assert got == [(1, 10, "c-first"), (2, 12, "c-only")]
+
+
+def test_group_by_and_subquery_split(spark):
+    """Clause splitter: keywords inside strings/subqueries don't split;
+    GROUP BY + HAVING + IN-subquery translate."""
+    from gdal_spark.sqlapi import execute_sql
+
+    t = spark.createDataFrame(
+        [(1, "a from b"), (1, "join"), (2, "order by")], "k int, s string")
+    out = execute_sql(
+        spark,
+        "SELECT k, COUNT(*) AS n FROM t "
+        "WHERE k IN (SELECT k FROM t WHERE s <> 'nope') "
+        "GROUP BY k HAVING COUNT(*) >= 1 ORDER BY k",
+        {"t": t}).collect()
+    assert [(r["k"], r["n"]) for r in out] == [(1, 2), (2, 1)]
