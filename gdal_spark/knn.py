@@ -87,15 +87,23 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     """
     spark = points.sparkSession
     if z0 is None:
+        # density heuristic — costs one count() action over the point
+        # table, so production callers at large scale should pass z0
+        # explicitly (it is a static property of the dataset density;
+        # exactness never depends on it, only round count does)
         n = points.count()
         z0 = min(14, max(2, round(math.log(max(n, 13) / 12.0, 4.0))))
         if z0 % 2 == 1:
             z0 += 1
     levels = list(range(z0, 1, -2))  # e.g. 10, 8, 6, 4, 2
+    # no blind cache of the full point table: each level's join re-reads
+    # the narrow (id, lon, lat) scan — at 100 TB a cache of every point
+    # would evict everything else for a ≤3-level reuse; the columnar
+    # re-scan is the cheaper, bounded choice
     pts = points.select(
         point_id,
         F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat"),
-    ).cache()
+    )
 
     pending = queries.select(
         query_id,

@@ -292,7 +292,7 @@ def q_execute_sql_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT p_brand, COUNT(*) AS n, MAX(p_size) AS max_size "
         "FROM part WHERE p_size >= 5 GROUP BY p_brand "
-        "HAVING COUNT(*) >= 50 ORDER BY p_brand",
+        "HAVING COUNT(*) >= 5 ORDER BY p_brand",
         {"part": _t(spark, sf_dir, "part")})
 
 
@@ -424,7 +424,7 @@ where o.o_totalprice > 450000 order by o.o_orderkey
     "ogrsql_execute_groupby": """
 select p_brand, count(*) as n, max(p_size) as max_size
 from part where p_size >= 5 group by p_brand
-having count(*) >= 50 order by p_brand
+having count(*) >= 5 order by p_brand
 """,
     "ogrsql_execute_in_subquery": """
 select o_orderkey, o_totalprice from orders
