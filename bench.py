@@ -50,6 +50,13 @@ HEADLINE = [
     "sql_join_groups",
     "sql_topk",
     "sql_window_funcs",
+    # round-2 operators
+    "st_predicates",
+    "rasterize_polygons_checksum",
+    "warp_reproject_dem",
+    "embed_neardup_cosine",
+    "grid_idw",
+    "ann_lsh_topk",
 ]
 # Queries counted toward the pages/sec throughput metric (each consumes
 # the full geocoded pages table once).

@@ -43,6 +43,7 @@ alg/gdalgrid.cpp:879-923, restated as bucketed equi-joins).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -203,15 +204,37 @@ def sketch_bits_sql(vec: str, engine: str, first_plane: int, n_bits: int,
     return "(" + " + ".join(parts) + ")"
 
 
-def with_planes(df: DataFrame, col: str = "_pl") -> DataFrame:
-    return df.withColumn(col, F.expr(planes_literal_sql(SPARK)))
+def _sketch_np(mat: np.ndarray, first_plane: int, n_bits: int) -> np.ndarray:
+    """Sign sketch over a (rows, EMB_DIM) batch with the SAME fold order
+    as the SQL form: dot = ((0 + p1·v1) + p2·v2) + …, sequential over
+    dims, vectorized over rows — bit-identical to the HOF fold, so the
+    DuckDB oracle (which runs the SQL form) compares exactly. The SQL
+    twin exists because a 48×64 plane array literal as a Spark column is
+    materialized per row (measured 20-30 s at 6k rows); one Arrow batch
+    matures 3,072 vectorized ops instead."""
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(n_bits):
+        plane = _PLANES[first_plane + b]
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for j in range(EMB_DIM):
+            acc = acc + plane[j] * mat[:, j]
+        out |= (acc > 0.0).astype(np.int64) << b
+    return out
+
+
+def _vec_matrix(v: pd.Series) -> np.ndarray:
+    if len(v) == 0:
+        return np.zeros((0, EMB_DIM), dtype=np.float64)
+    return np.asarray([np.asarray(x, dtype=np.float64) for x in v])
 
 
 def with_sketch(df: DataFrame, vec_col: str = "vec", out_col: str = "sketch",
                 n_bits: int = ANN_N_BITS) -> DataFrame:
-    return with_planes(df).withColumn(
-        out_col, F.expr(sketch_bits_sql(vec_col, SPARK, 0, n_bits))
-        .cast("long")).drop("_pl")
+    def kern(v):
+        return pd.Series(_sketch_np(_vec_matrix(v), 0, n_bits))
+
+    kern.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, F.pandas_udf(kern, "long")(F.col(vec_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +242,10 @@ def with_sketch(df: DataFrame, vec_col: str = "vec", out_col: str = "sketch",
 # ---------------------------------------------------------------------------
 
 
-def _band_sketch_array_sql(vec: str, engine: str) -> str:
-    """Array of NEARDUP_BANDS band sketches (each NEARDUP_BITS bits)."""
+def band_sketch_array_sql(vec: str, engine: str) -> str:
+    """Array of NEARDUP_BANDS band sketches (each NEARDUP_BITS bits) —
+    SQL twin of the banded numpy kernel, kept for oracle construction
+    and the cross-engine sketch-equality test."""
     sketches = [
         sketch_bits_sql(vec, engine, b * NEARDUP_BITS, NEARDUP_BITS)
         for b in range(NEARDUP_BANDS)
@@ -234,10 +259,18 @@ def neardup_pairs(aug: DataFrame, threshold: float = 0.9) -> DataFrame:
     verification. Candidate generation is an equi-join on (band, sketch)
     — O(collisions), never O(N²); precision is exact (every candidate is
     verified), recall margin is documented in the module docstring."""
-    bands = with_planes(aug).select(
+    def band_kern(v):
+        mat = _vec_matrix(v)
+        cols = [_sketch_np(mat, b * NEARDUP_BITS, NEARDUP_BITS)
+                for b in range(NEARDUP_BANDS)]
+        return pd.Series(np.stack(cols, axis=1).tolist() if len(mat)
+                         else [], dtype="object")
+
+    band_kern.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    band_udf = F.pandas_udf(band_kern, "array<long>")
+    bands = aug.select(
         "vec_id", "vec", "n2",
-        F.posexplode(F.expr(_band_sketch_array_sql("vec", SPARK)))
-        .alias("band", "bsk"))
+        F.posexplode(band_udf(F.col("vec"))).alias("band", "bsk"))
     a = bands.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
                      F.col("n2").alias("na2"), "band", "bsk")
     b = bands.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
