@@ -234,7 +234,12 @@ def with_sketch(df: DataFrame, vec_col: str = "vec", out_col: str = "sketch",
         return pd.Series(_sketch_np(_vec_matrix(v), 0, n_bits))
 
     kern.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return df.withColumn(out_col, F.pandas_udf(kern, "long")(F.col(vec_col)))
+    # asNondeterministic is a planning barrier, not a semantic marker
+    # (the kernel is pure): without it Catalyst clones the UDF into every
+    # consuming projection — the lsh plan showed SIX ArrowEvalPython
+    # evaluations of the same sketch column
+    udf = F.pandas_udf(kern, "long").asNondeterministic()
+    return df.withColumn(out_col, udf(F.col(vec_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +272,7 @@ def neardup_pairs(aug: DataFrame, threshold: float = 0.9) -> DataFrame:
                          else [], dtype="object")
 
     band_kern.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    band_udf = F.pandas_udf(band_kern, "array<long>")
+    band_udf = F.pandas_udf(band_kern, "array<long>").asNondeterministic()
     bands = aug.select(
         "vec_id", "vec", "n2",
         F.posexplode(band_udf(F.col("vec"))).alias("band", "bsk"))
