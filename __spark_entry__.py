@@ -56,31 +56,39 @@ def _modules():
 # queries fixed this round (ANSI + output-representation), and new operators.
 # Previously-green queries keep their r01 rows and register afterward.
 _PRIORITY = [
-    # -- new this round
+    # -- new operators this round (no driver row yet)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
     "reproject_lcc93", "layer_algebra_intersection_nonconvex",
     "polygonize_rings", "ogrsql_execute_join_chain",
     "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
-    # -- round-1 never-checked: the whole §2.10 raster family
+    # -- round-1 hard errors, fixed (ANSI semantics)
+    "streaming_zonal_window", "sql_scalar_expr",
+    # -- round-1 hash-fails, fixed (output representation)
+    "zonal_stats", "layer_algebra_identity_update", "sql_summary_record",
+    "sql_groupby_agg", "sql_join_groups", "sql_orderby_limit_offset",
+    "sql_window_funcs",
+    # -- round-1 no-oracle, now fully oracle-checked
+    "ann_lsh_topk", "ann_ivf_topk",
+    # -- round-1 never-checked: textpipe tail
+    "text_fingerprint", "text_rare_terms", "multimodal_meta",
+    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+    # -- round-1 never-checked: §2.10 raster, one entry per operator
+    # family first (siblings that share a verified plan shape follow)
     "rasterize_checksum_z5", "raster_overview_z4", "raster_sample_nearest",
     "polygonize_components", "dem_slope_horn", "dem_tri_tpi_roughness",
     "dem_hillshade_aspect", "dem_color_relief", "warp_nearest_dem",
     "warp_bilinear_dem", "warp_average_dem", "translate_srcwin",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_idw", "grid_proximity", "grid_moving_average", "grid_nearest",
-    "grid_data_metrics", "contour_cells", "raster_calc_reclassify",
+    "grid_idw", "grid_proximity", "contour_cells", "raster_calc_reclassify",
+    "raster_sieve", "tile_pyramid_z5_z2",
+    "embed_neardup_cosine",  # re-routed through LSH candidates this round
+    "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
+    # ---- (~50-query driver budget reaches about here) ----
+    "raster_stats", "raster_histogram",
     "raster_overview_avg", "raster_overview_mode", "raster_overview_rms",
-    "raster_stats", "raster_histogram", "raster_sample_bilinear",
-    "raster_sample_cubic", "raster_sieve", "tile_pyramid_z5_z2",
-    "translate_scale_byte",
-    # -- round-1 never-checked: textpipe tail
-    "text_fingerprint", "text_rare_terms", "multimodal_meta",
-    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
-    # -- fixed this round (ANSI semantics / output representation)
-    "streaming_zonal_window", "sql_scalar_expr", "zonal_stats",
-    "layer_algebra_identity_update", "sql_summary_record", "sql_groupby_agg",
-    "sql_join_groups", "sql_orderby_limit_offset", "sql_window_funcs",
-    "ann_lsh_topk", "ann_ivf_topk", "sql_topk",
+    "raster_sample_bilinear", "raster_sample_cubic", "translate_scale_byte",
+    "grid_moving_average", "grid_nearest", "grid_data_metrics",
+    "sql_topk",
 ]
 
 

@@ -110,6 +110,46 @@ def q_streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, landing, query_name="q_stream_zonal")
 
 
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    zone cumulative totals maintained across micro-batches (one file per
+    trigger, so state genuinely carries). The final cumulative value per
+    zone is batch-order independent == the batch zonal count, which is
+    the oracle."""
+    import tempfile
+
+    from gdal_spark.streaming import run_stateful_totals
+
+    landing = tempfile.mkdtemp(prefix="gdal_spark_state_")
+    pages = pages_from_documents(spark, sf_dir)
+    pages.filter("doc_id % 2 = 0").write.mode("append").parquet(landing)
+    pages.filter("doc_id % 2 = 1").write.mode("append").parquet(landing)
+    updates = run_stateful_totals(spark, landing,
+                                  query_name="q_stateful_totals")
+    return updates.groupBy("zone_id").agg(
+        F.max("total_pages").alias("n_pages"))
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark): the
+    landing dir carries one batch twice; re-crawled urls within the
+    watermark drop, leaving exactly one row per url."""
+    import tempfile
+
+    from gdal_spark.streaming import stream_pages, streaming_url_dedup
+
+    landing = tempfile.mkdtemp(prefix="gdal_spark_dedup_")
+    pages = pages_from_documents(spark, sf_dir)
+    pages.write.mode("append").parquet(landing)
+    pages.filter("doc_id % 3 = 0").write.mode("append").parquet(landing)
+    out = streaming_url_dedup(stream_pages(spark, landing))
+    q = (out.select("url", "lang").writeStream.format("memory")
+         .queryName("q_stream_dedup").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("q_stream_dedup")
+
+
 def q_layer_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon×polygon layer algebra (Intersection/Union/SymDifference/
     Erase areas) for the convex zones vs a shifted method layer —
@@ -280,6 +320,8 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "pip_join_cellprejoin": q_pip_join_cells,
     "streaming_zonal_window": q_streaming_zonal,
+    "streaming_stateful_totals": q_streaming_stateful,
+    "streaming_dedup_urls": q_streaming_dedup,
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
     "layer_algebra_intersection_nonconvex": q_layer_intersection_nonconvex,
@@ -375,6 +417,15 @@ group by j.zone_id
 """,
     "pip_join_cellprejoin": pip_oracle_sql(_PTS),
     "streaming_zonal_window": _streaming_oracle(),
+    "streaming_stateful_totals": (
+        f"select zone_id, count(*) as n_pages"
+        f" from ({pip_oracle_sql(_PTS)}) j group by zone_id"
+    ),
+    "streaming_dedup_urls": """
+select concat('https://site', doc_id % 100, '.example/p/', doc_id) as url,
+       lang
+from documents
+""",
     "layer_algebra_overlay": _overlay_oracle(),
     "layer_algebra_identity_update": _identity_update_oracle(),
     "layer_algebra_intersection_nonconvex": _nonconvex_oracle(),
