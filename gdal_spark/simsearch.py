@@ -56,11 +56,14 @@ PERTURB_DELTA = 0.1  # synthetic near-dup: first element shifted by +0.1
 
 EMB_DIM = 64
 
-# Hyperplanes for every LSH variant, frozen: 48 planes cover the near-dup
-# bands (8 bands × 6 bits); the ANN sketch reuses the first `n_bits`.
-_N_PLANES_TOTAL = 48
-NEARDUP_BANDS = 8
-NEARDUP_BITS = 6
+# Hyperplanes for every LSH variant, frozen: 144 planes cover the
+# near-dup bands (12 bands × 12 bits — R=12 prunes unrelated pairs to
+# ~2^-12 per band while B=12 keeps the miss probability per true pair at
+# (1-(1-p)^12)^12 ≈ 1.2e-6 for the fixture's p≈0.032); the ANN sketch
+# reuses the first `n_bits`.
+_N_PLANES_TOTAL = 144
+NEARDUP_BANDS = 12
+NEARDUP_BITS = 12
 ANN_N_BITS = 6
 
 
@@ -273,21 +276,42 @@ def neardup_pairs(aug: DataFrame, threshold: float = 0.9) -> DataFrame:
 
     band_kern.__annotations__ = {"v": pd.Series, "return": pd.Series}
     band_udf = F.pandas_udf(band_kern, "array<long>").asNondeterministic()
+    # the band self-join carries IDs only — shipping the 64-dim vectors
+    # through the collision join multiplied the shuffle by the collision
+    # count; vectors re-join once per DISTINCT candidate pair below
     bands = aug.select(
-        "vec_id", "vec", "n2",
-        F.posexplode(band_udf(F.col("vec"))).alias("band", "bsk"))
-    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
-                     F.col("n2").alias("na2"), "band", "bsk")
-    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
-                     F.col("n2").alias("nb2"), "band", "bsk")
-    cand = (
+        "vec_id", F.posexplode(band_udf(F.col("vec"))).alias("band", "bsk"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bsk")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bsk")
+    cand_ids = (
         a.join(b, ["band", "bsk"])
         .filter("vec_a < vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = aug.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                    F.col("n2").alias("na2"))
+    vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                    F.col("n2").alias("nb2"))
+    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
+
+    # exact verification in a vectorized kernel with the same ordered
+    # fold as the SQL cosine (sequential over dims — bit-exact to the
+    # oracle); the HOF-fold expression on ~10^4 candidate pairs was the
+    # top bench cost (8.6 s → Arrow batch)
+    def cos_kern(va, vb, na2, nb2):
+        ma, mb = _vec_matrix(va), _vec_matrix(vb)
+        acc = np.zeros(len(ma), dtype=np.float64)
+        for j in range(EMB_DIM):
+            acc = acc + ma[:, j] * mb[:, j]
+        return pd.Series(acc / (np.sqrt(na2.to_numpy())
+                                * np.sqrt(nb2.to_numpy())))
+
+    cos_kern.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                                "na2": pd.Series, "nb2": pd.Series,
+                                "return": pd.Series}
+    cos_udf = F.pandas_udf(cos_kern, "double").asNondeterministic()
     pairs = (
-        cand.withColumn(
-            "_cos", F.expr(cosine_pair_expr("va", "vb", "na2", "nb2")))
+        cand.withColumn("_cos", cos_udf("va", "vb", "na2", "nb2"))
         .filter(F.col("_cos") >= threshold)
     )
     return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
