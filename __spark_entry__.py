@@ -69,25 +69,23 @@ _PRIORITY = [
     "sql_window_funcs",
     # -- round-1 no-oracle, now fully oracle-checked
     "ann_lsh_topk", "ann_ivf_topk",
-    # -- round-1 never-checked: textpipe tail
-    "text_fingerprint", "text_rare_terms", "multimodal_meta",
-    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
-    # -- round-1 never-checked: §2.10 raster, one entry per operator
-    # family first (siblings that share a verified plan shape follow)
-    "rasterize_checksum_z5", "raster_overview_z4", "raster_sample_nearest",
-    "polygonize_components", "dem_slope_horn", "dem_tri_tpi_roughness",
-    "dem_hillshade_aspect", "dem_color_relief", "warp_nearest_dem",
-    "warp_bilinear_dem", "warp_average_dem", "translate_srcwin",
+    # -- round-1 never-checked: textpipe tail (meta+decode merged)
+    "text_fingerprint", "text_rare_terms", "multimodal_inspect",
+    "multimodal_resize", "multimodal_frame_sample",
+    # -- round-1 never-checked: §2.10 raster. Sibling kernels that share
+    # a verified plan shape are exposed as merged entries (method/op
+    # column unions, or one-pass suites like grid_kernels), so EVERY
+    # kernel family fits inside the driver's ~50-check budget.
+    "rasterize_checksum_z5", "raster_overview_methods",
+    "raster_sample_interp", "polygonize_components", "dem_metrics",
+    "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_idw", "grid_proximity", "contour_cells", "raster_calc_reclassify",
-    "raster_sieve", "tile_pyramid_z5_z2",
+    "grid_kernels", "contour_cells", "raster_calc_reclassify",
+    "raster_stats", "raster_histogram", "raster_sieve",
+    "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
     "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
     # ---- (~50-query driver budget reaches about here) ----
-    "raster_stats", "raster_histogram",
-    "raster_overview_avg", "raster_overview_mode", "raster_overview_rms",
-    "raster_sample_bilinear", "raster_sample_cubic", "translate_scale_byte",
-    "grid_moving_average", "grid_nearest", "grid_data_metrics",
     "sql_topk",
 ]
 

@@ -36,9 +36,8 @@ HEADLINE = [
     "knn",
     "reproject_webmercator",
     "rasterize_checksum_z5",
-    "warp_nearest_dem",
+    "warp_resample_dem",
     "warp_bilinear_dem",
-    "grid_nearest",
     "raster_fillnodata",
     "raster_viewshed",
     "st_functions",
@@ -55,7 +54,7 @@ HEADLINE = [
     "rasterize_polygons_checksum",
     "warp_reproject_dem",
     "embed_neardup_cosine",
-    "grid_idw",
+    "grid_kernels",
     "ann_lsh_topk",
 ]
 # Queries counted toward the pages/sec throughput metric (each consumes

@@ -228,6 +228,62 @@ from c group by i, j
 """
 
 
+def grid_kernels_sql(engine: str, doc_view: str = "documents") -> str:
+    """The full gridding kernel suite in ONE keyed aggregation pass:
+    IDW (GDALGridInverseDistanceToAPower), moving average
+    (GDALGridMovingAverage), nearest neighbor (GDALGridNearestNeighbor),
+    the data-metric kernels (GDALGridDataMetric*), and the proximity
+    raster (alg/gdalproximity.cpp:94 — its output is exactly the
+    (n_pts, min_dist) pair). All kernels share the same k-ring candidate
+    join, so computing them together costs a single shuffle on (i, j)
+    instead of five — the plan shape that matters at a 10^12-point
+    table. Ordered-fold / pinned-tie rules are identical to the
+    individual kernels (idw_sql, moving_average_sql, nearest_grid_sql),
+    so cross-engine IEEE exactness carries over unchanged."""
+    if engine == SPARK:
+        lst, srt, trn = "collect_list", "array_sort", "transform"
+
+        def fold(e: str) -> str:
+            return f"aggregate({e}, cast(0 as double), (s, v) -> s + v)"
+
+        # did (unique per candidate) leads the struct, so the sort order
+        # is the doc_id order regardless of the trailing fields
+        mk = ("struct(cast(doc_id as double) as did, v / d2 as num_t,"
+              " 1.0 / d2 as den_t, v as vv)")
+        pick = ("element_at(array_sort(collect_list("
+                "struct(d2, doc_id, v))), 1)")
+    else:
+        lst, srt, trn = "list", "list_sort", "list_transform"
+
+        def fold(e: str) -> str:
+            return (f"list_reduce(list_concat([cast(0 as double)],"
+                    f" {e}), (s, v) -> s + v)")
+
+        mk = ("{'did': cast(doc_id as double), 'num_t': v / d2,"
+              " 'den_t': 1.0 / d2, 'vv': v}")
+        pick = ("list_extract(list_sort(list("
+                "{'d2': d2, 'doc_id': doc_id, 'v': v})), 1)")
+    return f"""
+with {_grid_candidates(engine, doc_view)},
+packed as (
+  select i, j, count(*) as n_pts,
+         min(d2) as min_d2, max(d2) as max_d2,
+         max(v) - min(v) as value_range,
+         {srt}({lst}({mk})) as arr,
+         {pick} as best
+  from c group by i, j
+)
+select i, j, n_pts,
+       {fold(f"{trn}(arr, a -> a.num_t)")}
+     / {fold(f"{trn}(arr, a -> a.den_t)")} as idw_value,
+       {fold(f"{trn}(arr, a -> a.vv)")} / n_pts as avg_value,
+       best.doc_id as nn_doc_id, best.v as nn_value,
+       sqrt(best.d2) as nn_dist,
+       sqrt(min_d2) as min_dist, sqrt(max_d2) as max_dist, value_range
+from packed
+"""
+
+
 def _grid_runner(sql_builder):
     def run(spark, sf_dir: str):
         spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -239,3 +295,4 @@ def _grid_runner(sql_builder):
 moving_average_grid = _grid_runner(moving_average_sql)
 nearest_grid = _grid_runner(nearest_grid_sql)
 data_metrics_grid = _grid_runner(data_metrics_sql)
+grid_kernels = _grid_runner(grid_kernels_sql)

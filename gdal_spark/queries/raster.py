@@ -23,16 +23,20 @@ from pyspark.sql import functions as F
 
 from gdal_spark.pages import points_from_documents, points_oracle_sql
 from gdal_spark.raster import (DEM_ELEV_SQL, bilinear_dem_oracle_sql,
-                               checksum_oracle_sql, contour_cells,
+                               checksum_oracle_sql, color_relief_oracle_sql,
+                               contour_cells, cubic_dem_oracle_sql,
                                fillnodata_sql, gpixel_exprs, halo_gradient,
-                               histogram, histogram_oracle_sql,
+                               hillshade_aspect_sql, histogram,
+                               histogram_oracle_sql,
                                overview_checksum_oracle_sql, overview_sum,
                                raster_stats, raster_stats_oracle_sql,
                                rasterize_points, sample_at_points,
                                sample_bilinear, synth_dem_tiles,
                                tile_checksums, tile_geotransform,
-                               warp_bilinear, warp_bilinear_oracle_sql,
-                               warp_nearest, warp_pixel_sql)
+                               tri_tpi_roughness_oracle_sql,
+                               warp_average_oracle_sql, warp_bilinear,
+                               warp_bilinear_oracle_sql, warp_nearest,
+                               warp_pixel_sql)
 
 CONTOUR_T = 105
 
@@ -238,6 +242,106 @@ def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.gridding import data_metrics_grid
 
     return data_metrics_grid(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Merged contract queries: one oracle-checked entry per operator FAMILY.
+# The correctness driver budgets ~50 oracle checks per round, so sibling
+# kernels that share a verified plan shape are exposed as a single union/
+# join query (method column) instead of one entry each — every kernel
+# still reaches the driver. The individual q_* functions above remain the
+# unit-test surface.
+# ---------------------------------------------------------------------------
+
+
+def q_grid_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole gridding kernel suite (IDW / moving-average / nearest /
+    data-metrics / proximity≡(n_pts, min_dist)) in ONE keyed aggregation
+    over the shared k-ring candidate join — a single (i, j) shuffle
+    where five separate kernels would each pay their own."""
+    from gdal_spark.gridding import grid_kernels
+
+    return grid_kernels(spark, sf_dir)
+
+
+def q_overview_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four overview resamplers (overview.cpp Sum / Average / Mode /
+    RMS kernels) z5 → z4, checksummed, unioned with a method column.
+    The z5 tile lineage is identical across branches (ReuseExchange)."""
+    pts = points_from_documents(spark, sf_dir)
+    tiles = rasterize_points(pts, RASTER_Z)
+    out = None
+    for m in ("sum", "average", "mode", "rms"):
+        part = tile_checksums(overview_sum(tiles, resampler=m)) \
+            .withColumn("method", F.lit(m))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_sample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolateAtPoint nearest / bilinear / cubic
+    (alg/gdal_interpolateatpoint.cpp) unioned with a method column;
+    values normalized to double on both engines."""
+    near = q_raster_sample(spark, sf_dir).select(
+        F.lit("nearest").alias("method"), "qid",
+        F.col("value").cast("double").alias("value"))
+    bil = q_sample_bilinear(spark, sf_dir).select(
+        F.lit("bilinear").alias("method"), "qid", "value")
+    cub = q_sample_cubic(spark, sf_dir).select(
+        F.lit("cubic").alias("method"), "qid", "value")
+    return near.unionByName(bil).unionByName(cub)
+
+
+def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r nearest + -r average over their respective dst grids,
+    unioned with a method column (n_src = -1 for the nearest kernel,
+    which ships no footprint count)."""
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    from gdal_spark.raster import warp_average
+
+    wn = warp_nearest(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX).select(
+        F.lit("nearest").alias("method"), "di", "dj",
+        F.lit(-1).cast("long").alias("n_src"),
+        F.col("value").cast("double").alias("value"))
+    wa = warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
+                      _AVG_DST_PX).select(
+        F.lit("average").alias("method"), "di", "dj", "n_src", "value")
+    return wn.unionByName(wa)
+
+
+def q_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gdaldem suite over one halo exchange: Horn gradient
+    numerators, TRI/TPI/roughness, hillshade+aspect, and color-relief
+    RGB (window tile (1,2); -1 sentinel outside it), joined on the
+    pixel key."""
+    from gdal_spark.raster import (color_relief, halo_tri_tpi_roughness,
+                                   hillshade_aspect_sql)
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    g = halo_gradient(tiles, DEM_PX)
+    t = halo_tri_tpi_roughness(tiles, DEM_PX)
+    g.createOrReplaceTempView("dem_gradient_all")
+    hs = spark.sql(hillshade_aspect_sql("dem_gradient_all"))
+    cr = color_relief(tiles, 1, 2)
+    return (g.join(t, ["gx", "gy"]).join(hs, ["gx", "gy"])
+             .join(cr, ["gx", "gy"], "left")
+             .select("gx", "gy", "num_x", "num_y", "tri8", "tpi8",
+                     "rough", "hillshade", "aspect_deg",
+                     F.coalesce(F.col("r"), F.lit(-1)).alias("r"),
+                     F.coalesce(F.col("g"), F.lit(-1)).alias("g"),
+                     F.coalesce(F.col("b"), F.lit(-1)).alias("b")))
+
+
+def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin + -scale/-ot Byte as one entry (op
+    column), both checksummed tile outputs."""
+    srcwin = q_translate_srcwin(spark, sf_dir) \
+        .withColumn("op", F.lit("srcwin"))
+    scaled = q_translate_scale(spark, sf_dir) \
+        .withColumn("op", F.lit("scale_byte"))
+    return srcwin.unionByName(scaled)
 
 
 RECLASS_BOUNDS = [1, 3, 10]
@@ -477,40 +581,26 @@ select gx, gy, {num_x} as num_x, {num_y} as num_y from g
 
 QUERIES = {
     "rasterize_checksum_z5": q_rasterize_checksum,
-    "raster_overview_z4": q_overview_checksum,
-    "raster_sample_nearest": q_raster_sample,
+    "raster_overview_methods": q_overview_methods,
+    "raster_sample_interp": q_sample_interp,
     "polygonize_components": q_polygonize,
     "polygonize_rings": q_polygonize_rings,
-    "dem_slope_horn": q_dem_slope,
-    "dem_tri_tpi_roughness": q_dem_tri_tpi_roughness,
-    "dem_hillshade_aspect": q_dem_hillshade,
-    "dem_color_relief": q_color_relief,
-    "warp_nearest_dem": q_warp_nearest,
+    "dem_metrics": q_dem_metrics,
+    "warp_resample_dem": q_warp_resample,
     "warp_reproject_dem": q_warp_reproject,
     "warp_bilinear_dem": q_warp_bilinear,
-    "warp_average_dem": q_warp_average,
-    "translate_srcwin": q_translate_srcwin,
+    "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
     "raster_viewshed": q_viewshed,
     "raster_pansharpen_brovey": q_pansharpen,
-    "grid_idw": q_grid_idw,
-    "grid_proximity": q_proximity,
-    "grid_moving_average": q_grid_moving_average,
-    "grid_nearest": q_grid_nearest,
-    "grid_data_metrics": q_grid_metrics,
+    "grid_kernels": q_grid_kernels,
     "contour_cells": q_contour,
     "raster_calc_reclassify": q_raster_calc,
-    "raster_overview_avg": q_overview_avg,
-    "raster_overview_mode": q_overview_mode,
-    "raster_overview_rms": q_overview_rms,
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
-    "raster_sample_bilinear": q_sample_bilinear,
-    "raster_sample_cubic": q_sample_cubic,
     "raster_sieve": q_sieve,
     "rasterize_polygons_checksum": q_rasterize_polygons,
     "tile_pyramid_z5_z2": q_tile_pyramid,
-    "translate_scale_byte": q_translate_scale,
 }
 
 _SPAN = "greatest((select max(cnt) from px) - (select min(cnt) from px), 1)"
@@ -564,38 +654,94 @@ def _polygonize_oracle() -> str:
     return polygonize_oracle_sql(_PTS, RASTER_Z)
 
 
+# merged-family oracles (see the q_* merged queries above)
+_OVERVIEW_METHODS_ORACLE = " union all ".join(
+    f"select '{m}' as method, z, tx, ty, checksum, n_nonzero"
+    f" from ({sql}) ov_{m}"
+    for m, sql in (
+        ("sum", checksum_oracle_sql(_PTS, RASTER_Z - 1)),
+        # AVERAGE: z4 pixel = round-half-up mean of its 4 z5 children
+        # = (direct z4 count + 2) // 4 (counts sum across children)
+        ("average", checksum_oracle_sql(_PTS, RASTER_Z - 1,
+                                        value_expr="((cnt + 2) // 4)")),
+        ("mode", overview_checksum_oracle_sql(_PTS, RASTER_Z, "mode")),
+        ("rms", overview_checksum_oracle_sql(_PTS, RASTER_Z, "rms")),
+    ))
+
+
+def _sample_interp_oracle() -> str:
+    return f"""
+select 'nearest' as method, qid, cast(value as double) as value
+from ({_sample_oracle()}) sn
+union all
+select 'bilinear' as method, qid, value
+from ({bilinear_dem_oracle_sql(_BILIN_Q, DEM_PX)}) sb
+union all
+select 'cubic' as method, qid, value
+from ({cubic_dem_oracle_sql(_BILIN_Q, DEM_PX)}) sc
+"""
+
+
+def _warp_resample_oracle() -> str:
+    return f"""
+select 'nearest' as method, di, dj, cast(-1 as bigint) as n_src,
+       cast(value as double) as value
+from ({_warp_oracle()}) wn
+union all
+select 'average' as method, di, dj, n_src, value
+from ({warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT,
+                               _AVG_DST_PX, DEM_PX)}) wa
+"""
+
+
+def _dem_metrics_oracle() -> str:
+    return f"""
+with s as ({_dem_slope_oracle()}),
+t as ({tri_tpi_roughness_oracle_sql(DEM_PX)}),
+h as ({hillshade_aspect_sql(f"({_dem_slope_oracle()})")}),
+c as ({color_relief_oracle_sql(1, 2)})
+select s.gx, s.gy, s.num_x, s.num_y, t.tri8, t.tpi8, t.rough,
+       h.hillshade, h.aspect_deg,
+       coalesce(c.r, -1) as r, coalesce(c.g, -1) as g,
+       coalesce(c.b, -1) as b
+from s
+join t on t.gx = s.gx and t.gy = s.gy
+join h on h.gx = s.gx and h.gy = s.gy
+left join c on c.gx = s.gx and c.gy = s.gy
+"""
+
+
+def _translate_ops_oracle() -> str:
+    srcwin = (
+        f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
+        f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"
+        f" and ty >= {_SRCWIN[2]} and ty < {_SRCWIN[3]}")
+    scaled = checksum_oracle_sql(_PTS, RASTER_Z, value_expr=_SCALED)
+    return f"""
+select 'srcwin' as op, z, tx, ty, checksum, n_nonzero from ({srcwin}) ts
+union all
+select 'scale_byte' as op, z, tx, ty, checksum, n_nonzero
+from ({scaled}) tb
+"""
+
+
 ORACLES = {
     "rasterize_checksum_z5": checksum_oracle_sql(_PTS, RASTER_Z),
-    "raster_overview_z4": checksum_oracle_sql(_PTS, RASTER_Z - 1),
-    "raster_sample_nearest": _sample_oracle(),
+    "raster_overview_methods": _OVERVIEW_METHODS_ORACLE,
+    "raster_sample_interp": _sample_interp_oracle(),
     "polygonize_components": _polygonize_oracle(),
     "polygonize_rings": __import__(
         "gdal_spark.polygonize", fromlist=["rings_oracle_sql"]
     ).rings_oracle_sql(_PTS, RASTER_Z),
-    "dem_slope_horn": _dem_slope_oracle(),
-    "dem_hillshade_aspect": __import__(
-        "gdal_spark.raster", fromlist=["hillshade_aspect_sql"]
-    ).hillshade_aspect_sql(f"({_dem_slope_oracle()})"),
-    "dem_tri_tpi_roughness": __import__(
-        "gdal_spark.raster", fromlist=["tri_tpi_roughness_oracle_sql"]
-    ).tri_tpi_roughness_oracle_sql(DEM_PX),
-    "dem_color_relief": __import__(
-        "gdal_spark.raster", fromlist=["color_relief_oracle_sql"]
-    ).color_relief_oracle_sql(1, 2),
-    "warp_nearest_dem": _warp_oracle(),
+    "dem_metrics": _dem_metrics_oracle(),
+    "warp_resample_dem": _warp_resample_oracle(),
     "warp_reproject_dem": __import__(
         "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
     ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _CRS_DST_GT,
                                   _CRS_DST_PX, src_epsg=2154),
     "warp_bilinear_dem": warp_bilinear_oracle_sql(
         _DST_GT, _SRC_GT, _DST_PX, DEM_PX),
-    "warp_average_dem": __import__(
-        "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
-    ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX),
-    "translate_srcwin": (
-        f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
-        f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"
-        f" and ty >= {_SRCWIN[2]} and ty < {_SRCWIN[3]}"),
+    "translate_ops": _translate_ops_oracle(),
     "raster_fillnodata": fillnodata_sql(_PTS, RASTER_Z, "duckdb"),
     "raster_viewshed": __import__(
         "gdal_spark.raster", fromlist=["viewshed_sql"]
@@ -603,45 +749,20 @@ ORACLES = {
     "raster_pansharpen_brovey": __import__(
         "gdal_spark.raster", fromlist=["pansharpen_oracle_sql"]
     ).pansharpen_oracle_sql(2, 2),
-    "grid_idw": __import__(
-        "gdal_spark.gridding", fromlist=["idw_sql"]).idw_sql("duckdb"),
-    "grid_proximity": __import__(
+    "grid_kernels": __import__(
         "gdal_spark.gridding",
-        fromlist=["proximity_sql"]).proximity_sql("duckdb"),
-    "grid_moving_average": __import__(
-        "gdal_spark.gridding",
-        fromlist=["moving_average_sql"]).moving_average_sql("duckdb"),
-    "grid_nearest": __import__(
-        "gdal_spark.gridding",
-        fromlist=["nearest_grid_sql"]).nearest_grid_sql("duckdb"),
-    "grid_data_metrics": __import__(
-        "gdal_spark.gridding",
-        fromlist=["data_metrics_sql"]).data_metrics_sql("duckdb"),
+        fromlist=["grid_kernels_sql"]).grid_kernels_sql("duckdb"),
     "contour_cells": _contour_oracle(),
     "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
                                                   value_expr=_RECLS),
-    # AVERAGE overview: z4 pixel = round-half-up mean of its 4 z5
-    # children = (direct z4 count + 2) // 4 (counts sum across children)
-    "raster_overview_avg": checksum_oracle_sql(
-        _PTS, RASTER_Z - 1, value_expr="((cnt + 2) // 4)"),
-    "raster_overview_mode": overview_checksum_oracle_sql(
-        _PTS, RASTER_Z, "mode"),
-    "raster_overview_rms": overview_checksum_oracle_sql(
-        _PTS, RASTER_Z, "rms"),
     "raster_stats": raster_stats_oracle_sql(_PTS, RASTER_Z),
     "raster_histogram": histogram_oracle_sql(_PTS, RASTER_Z),
-    "raster_sample_bilinear": bilinear_dem_oracle_sql(_BILIN_Q, DEM_PX),
-    "raster_sample_cubic": __import__(
-        "gdal_spark.raster", fromlist=["cubic_dem_oracle_sql"]
-    ).cubic_dem_oracle_sql(_BILIN_Q, DEM_PX),
     "raster_sieve": __import__(
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),
     "tile_pyramid_z5_z2": " union all ".join(
         f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),
-    "translate_scale_byte": checksum_oracle_sql(_PTS, RASTER_Z,
-                                                value_expr=_SCALED),
     "rasterize_polygons_checksum": __import__(
         "gdal_spark.rasterize_poly", fromlist=["rasterize_oracle_sql"]
     ).rasterize_oracle_sql(__import__(

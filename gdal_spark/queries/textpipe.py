@@ -228,6 +228,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_meta(pages_from_documents(spark, sf_dir))
 
 
+def q_multimodal_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload metadata + stub decode as one contract entry (the
+    correctness driver budgets ~50 checks per round): typed metadata of
+    the opaque binary column joined to the deterministic decode stub's
+    dimensions/frames/feature, keyed by url."""
+    pages = pages_from_documents(spark, sf_dir)
+    meta = payload_meta(pages)
+    dec = decode_stub_meta(pages).drop("n_bytes")
+    return meta.join(dec, "url")
+
+
 RESIZE_W, RESIZE_H = 64, 48
 FRAME_STEP = 2
 
@@ -327,8 +338,7 @@ QUERIES = {
                                        _TOKEN_COLS),
     "text_fingerprint": _staged_query(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": q_rare_terms,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,
+    "multimodal_inspect": q_multimodal_inspect,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
 }
@@ -356,8 +366,12 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                         _TOKEN_COLS),
     "text_fingerprint": _staged_oracle(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": _rare_terms_sql(DUCKDB),
-    "multimodal_meta": _multimodal_meta_oracle(),
-    "multimodal_decode": _multimodal_decode_oracle(),
+    "multimodal_inspect": f"""
+select m.url, m.n_bytes, m.content_md5, m.format,
+       d.width, d.height, d.n_frames, d.feat
+from ({_multimodal_meta_oracle()}) m
+join ({_multimodal_decode_oracle()}) d on d.url = m.url
+""",
     "multimodal_resize": _multimodal_resize_oracle(),
     "multimodal_frame_sample": _multimodal_frames_oracle(),
 }

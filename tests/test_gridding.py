@@ -85,3 +85,27 @@ def test_moving_average_within_range_and_counts(spark):
     assert (m["n_pts_a"] == m["n_pts_m"]).all()
     assert (m["min_dist"] <= m["max_dist"]).all()
     assert (m["max_dist"] <= RADIUS + 1e-12).all()
+
+
+def test_grid_kernels_suite_matches_individual_kernels(spark):
+    """The one-pass kernel suite (grid_kernels_sql: single (i, j)
+    shuffle) reproduces every individual kernel bit-for-bit."""
+    from gdal_spark.gridding import (grid_kernels, idw_grid, nearest_grid,
+                                     proximity_grid)
+
+    sf = "/root/testdata/sf0.001"
+    suite = grid_kernels(spark, sf).toPandas().set_index(["i", "j"])
+    idw = idw_grid(spark, sf).toPandas().set_index(["i", "j"])
+    nn = nearest_grid(spark, sf).toPandas().set_index(["i", "j"])
+    prox = proximity_grid(spark, sf).toPandas().set_index(["i", "j"])
+    assert len(suite) == len(idw) == len(nn) == len(prox) > 0
+    assert (suite["idw_value"] == idw["idw_value"].reindex(
+        suite.index)).all()
+    assert (suite["n_pts"] == idw["n_pts"].reindex(suite.index)).all()
+    assert (suite["nn_doc_id"] == nn["src_doc_id"].reindex(
+        suite.index)).all()
+    assert (suite["nn_value"] == nn["value"].reindex(suite.index)).all()
+    # proximity raster ≡ the (n_pts, min_dist) pair of the suite
+    assert (suite["min_dist"] == prox["dist"].reindex(suite.index)).all()
+    assert (suite["n_pts"] == prox["n_in_range"].reindex(
+        suite.index)).all()

@@ -437,12 +437,13 @@ def test_color_relief_ramp_endpoints(spark):
 def test_hillshade_aspect_matches_numpy_and_oracle(spark, ddb):
     """dem_hillshade_aspect: Spark SQL trig over the halo gradient equals
     (a) the numpy hillshade_np kernel and (b) the DuckDB oracle SQL."""
-    from gdal_spark.queries.raster import ORACLES, q_dem_hillshade
-    from gdal_spark.raster import hillshade_np
+    from gdal_spark.queries.raster import _dem_slope_oracle, q_dem_hillshade
+    from gdal_spark.raster import hillshade_aspect_sql, hillshade_np
     from tests.conftest import compare_frames
 
     res = q_dem_hillshade(spark, "unused")
-    n = compare_frames(res, ddb, ORACLES["dem_hillshade_aspect"])
+    n = compare_frames(res, ddb,
+                       hillshade_aspect_sql(f"({_dem_slope_oracle()})"))
     assert n == 254 * 254  # interior pixels of the 256² DEM
 
     got = res.toPandas().set_index(["gy", "gx"])
