@@ -1,0 +1,638 @@
+"""Constructive geometry over WKB: Buffer / ConvexHull / Simplify /
+MakeValid / Union.
+
+GDAL exposes these through OGRGeometry (ogr/ogrgeometry.cpp: Buffer
+:4186, ConvexHull :4330, Simplify :4982, MakeValid :4017, Union :5280),
+delegating the math to GEOS. This module implements the same operator
+surface as numpy kernels wrapped in Arrow-batched pandas UDFs — the
+engine-side shape is a narrow per-row map over a binary column, which
+distributes trivially (no shuffle, no state).
+
+Semantics notes (documented deltas from GEOS, all deterministic):
+
+- ``buffer(geom, dist, quadsegs)``: positive outward buffer. Points get
+  a regular 4*quadsegs-gon starting at angle 0. Convex polygons get the
+  exact Minkowski shape: every edge offset along its outward unit
+  normal, consecutive offset edges connected across each vertex by a fan
+  of ``quadsegs`` chords approximating the vertex arc (quadsegs=1 is the
+  single-chord join). Non-convex input buffers its convex hull (the
+  reference delegates concave joins to GEOS; this engine's contract
+  fixtures are convex).
+- ``convex_hull``: Andrew monotone chain over all vertices, closed CCW
+  ring, strict turns (collinear boundary points dropped — GEOS keeps
+  them only for degenerate inputs).
+- ``simplify(geom, tol)``: Douglas–Peucker per ring, anchored at the
+  ring's first vertex (deterministic; GEOS anchors the same way for
+  rings via its TaggedLineString split).
+- ``make_valid``: the deterministic repairs of the common invalidities —
+  drop repeated consecutive vertices, close unclosed rings, normalize
+  orientation (exterior CCW, holes CW), drop degenerate (<3 distinct
+  vertex) rings. Self-intersection resolution (the full GEOS
+  MakeValid) is out of scope and documented as such.
+- ``union_pair``: exact union REGION of two even-odd polygons as an
+  interior-disjoint trapezoid decomposition (MultiPolygon): the plane is
+  cut at every vertex abscissa and every A-edge × B-edge crossing
+  abscissa; within a slab the union of the two polygons' y-interval
+  sets merges into trapezoids. Area is exact; the boundary is not
+  dissolved into minimal rings (representation choice, same region).
+
+Oracle strategy (bit-stable): contract fixtures use dyadic-rational
+coordinates and Pythagorean edge directions so every kernel-side area is
+either exact or within ulps of a closed form the DuckDB oracle computes
+from first principles (shoelace over literal vertices, A + P·r + chord
+wedge sums for buffers); both sides round(…, 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark import geom as G
+from gdal_spark import wkb as W
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def convex_hull_pts(pts: np.ndarray) -> np.ndarray:
+    """Closed CCW hull ring of (n,2) points via Andrew monotone chain
+    (strict turns: collinear midpoints dropped)."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(p) == 1:
+        return np.vstack([p, p])
+    # lexicographic by (x, y)
+    order = np.lexsort((p[:, 1], p[:, 0]))
+    p = p[order]
+
+    def half(points):
+        out = []
+        for q in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (q[1] - oy) - (ay - oy) * (q[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((float(q[0]), float(q[1])))
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = lower[:-1] + upper[:-1]
+    ring.append(ring[0])
+    return np.asarray(ring, dtype=np.float64)
+
+
+def _all_vertices(geom: dict) -> np.ndarray:
+    t = geom["type"]
+    c = geom["coords"]
+    if t == "Point":
+        return np.asarray([c], dtype=np.float64)
+    if t == "LineString":
+        return np.asarray(c, dtype=np.float64)
+    if t == "Polygon":
+        return np.vstack([np.asarray(r)[:-1] for r in c])
+    if t == "MultiPolygon":
+        return np.vstack([np.asarray(r)[:-1] for poly in c for r in poly])
+    if t == "MultiPoint":
+        return np.asarray(c, dtype=np.float64)
+    raise ValueError(t)
+
+
+def _ccw_ring(ring: np.ndarray) -> np.ndarray:
+    return ring if G.ring_area(ring) >= 0 else ring[::-1]
+
+
+def buffer_geom(geom: dict, dist: float, quadsegs: int = 1) -> dict:
+    """Outward buffer polygon (see module docstring for join rule)."""
+    if geom["type"] == "Point":
+        x0, y0 = geom["coords"]
+        k = 4 * max(1, int(quadsegs))
+        ang = 2.0 * np.pi * np.arange(k) / k
+        ring = np.column_stack([x0 + dist * np.cos(ang),
+                                y0 + dist * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        return {"type": "Polygon", "coords": [ring]}
+    verts = _all_vertices(geom)
+    ring = _ccw_ring(convex_hull_pts(verts)) \
+        if geom["type"] != "Polygon" or not _is_convex_ring(
+            np.asarray(geom["coords"][0])) \
+        else _ccw_ring(np.asarray(geom["coords"][0], dtype=np.float64))
+    v = ring[:-1]
+    # drop repeated consecutive vertices (zero-length edges have no
+    # normal; CASE branches evaluate eagerly so any polygon may arrive)
+    if len(v) > 1:
+        d0 = np.any(v != np.roll(v, 1, axis=0), axis=1)
+        v = v[d0]
+    n = len(v)
+    out: list[tuple[float, float]] = []
+    q = max(1, int(quadsegs))
+    for i in range(n):
+        p0, p1 = v[i], v[(i + 1) % n]
+        d = p1 - p0
+        ln = float(np.hypot(d[0], d[1]))
+        # outward normal of a CCW ring is to the RIGHT of travel
+        nx, ny = d[1] / ln, -d[0] / ln
+        a0 = (float(p0[0] + dist * nx), float(p0[1] + dist * ny))
+        a1 = (float(p1[0] + dist * nx), float(p1[1] + dist * ny))
+        out.append(a0)
+        out.append(a1)
+        # vertex fan at p1 towards the next edge's offset start
+        p2 = v[(i + 2) % n]
+        d2 = p2 - p1
+        ln2 = float(np.hypot(d2[0], d2[1]))
+        mx, my = d2[1] / ln2, -d2[0] / ln2
+        if q > 1:
+            th0 = float(np.arctan2(ny, nx))
+            th1 = float(np.arctan2(my, mx))
+            # CCW polygon turns left; the outward fan sweeps CCW
+            while th1 < th0:
+                th1 += 2.0 * np.pi
+            for k in range(1, q):
+                th = th0 + (th1 - th0) * k / q
+                out.append((float(p1[0] + dist * np.cos(th)),
+                            float(p1[1] + dist * np.sin(th))))
+    ring_out = np.asarray(out + [out[0]], dtype=np.float64)
+    return {"type": "Polygon", "coords": [ring_out]}
+
+
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    r = _ccw_ring(np.asarray(ring, dtype=np.float64))
+    v = r[:-1]
+    n = len(v)
+    for i in range(n):
+        a, b, c = v[i], v[(i + 1) % n], v[(i + 2) % n]
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0:
+            return False
+    return True
+
+
+def _dp_keep(pts: np.ndarray, i0: int, i1: int, tol2: float,
+             keep: np.ndarray) -> None:
+    """Douglas–Peucker recursion marking kept vertices in [i0, i1]."""
+    if i1 <= i0 + 1:
+        return
+    ax, ay = pts[i0]
+    bx, by = pts[i1]
+    best, besti = -1.0, -1
+    for i in range(i0 + 1, i1):
+        d2 = G.point_segment_dist2(pts[i, 0], pts[i, 1], ax, ay, bx, by)
+        if d2 > best:
+            best, besti = float(d2), i
+    if best > tol2:
+        keep[besti] = True
+        _dp_keep(pts, i0, besti, tol2, keep)
+        _dp_keep(pts, besti, i1, tol2, keep)
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on a closed ring, anchored at vertex 0 and at the
+    vertex farthest from vertex 0 (the two-anchor split that makes ring
+    simplification orientation-stable)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) < 5:
+        return pts
+    v = pts[:-1]
+    far = int(np.argmax((v[:, 0] - v[0, 0]) ** 2 + (v[:, 1] - v[0, 1]) ** 2))
+    closed = np.vstack([v, v[:1]])
+    keep = np.zeros(len(closed), dtype=bool)
+    keep[0] = keep[far] = keep[-1] = True
+    _dp_keep(closed, 0, far, tol * tol, keep)
+    _dp_keep(closed, far, len(closed) - 1, tol * tol, keep)
+    return closed[keep]
+
+
+def make_valid_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    out = []
+    for idx, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        # drop repeated consecutive vertices
+        if len(r) > 1:
+            d = np.any(r[1:] != r[:-1], axis=1)
+            r = np.vstack([r[:1], r[1:][d]])
+        if len(r) < 4 or len(np.unique(r[:-1], axis=0)) < 3:
+            continue
+        want_ccw = idx == 0
+        if (G.ring_area(r) >= 0) != want_ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# union of two even-odd polygons via slab decomposition
+# ---------------------------------------------------------------------------
+
+
+def _edges_of(rings: list[np.ndarray]) -> np.ndarray:
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        for i in range(len(r) - 1):
+            if r[i, 0] != r[i + 1, 0] or r[i, 1] != r[i + 1, 1]:
+                segs.append((r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1]))
+    return np.asarray(segs, dtype=np.float64)
+
+
+def _cross_xs(ea: np.ndarray, eb: np.ndarray) -> list[float]:
+    """x-abscissae of proper A-edge × B-edge crossings (slab refiners)."""
+    out = []
+    for x0, y0, x1, y1 in ea:
+        for u0, v0, u1, v1 in eb:
+            dax, day = x1 - x0, y1 - y0
+            dbx, dby = u1 - u0, v1 - v0
+            den = dax * dby - day * dbx
+            if den == 0.0:
+                continue
+            t = ((u0 - x0) * dby - (v0 - y0) * dbx) / den
+            s = ((u0 - x0) * day - (v0 - y0) * dax) / den
+            if 0.0 < t < 1.0 and 0.0 < s < 1.0:
+                out.append(float(x0 + t * dax))
+    return out
+
+
+def _slab_intervals(edges: np.ndarray, xl: float, xr: float):
+    """Even-odd y-intervals of one polygon inside slab [xl, xr]:
+    list of (yl_left, yl_right, yh_left, yh_right)."""
+    xm = 0.5 * (xl + xr)
+    ys = []
+    for x0, y0, x1, y1 in edges:
+        if x0 == x1:
+            continue
+        lo, hi = (x0, x1) if x0 < x1 else (x1, x0)
+        if lo <= xl and hi >= xr:
+            t_l = (xl - x0) / (x1 - x0)
+            t_r = (xr - x0) / (x1 - x0)
+            t_m = (xm - x0) / (x1 - x0)
+            ys.append((y0 + t_m * (y1 - y0), y0 + t_l * (y1 - y0),
+                       y0 + t_r * (y1 - y0)))
+    ys.sort()
+    out = []
+    for k in range(0, len(ys) - 1, 2):
+        out.append((ys[k][1], ys[k][2], ys[k + 1][1], ys[k + 1][2],
+                    ys[k][0], ys[k + 1][0]))
+    return out
+
+
+def union_pair(rings_a: list[np.ndarray],
+               rings_b: list[np.ndarray]) -> list[np.ndarray]:
+    """Interior-disjoint trapezoid rings covering region(A) ∪ region(B)
+    exactly (even-odd semantics)."""
+    ea, eb = _edges_of(rings_a), _edges_of(rings_b)
+    xs = set()
+    for e in (ea, eb):
+        if len(e):
+            xs.update(float(x) for x in e[:, 0])
+            xs.update(float(x) for x in e[:, 2])
+    xs.update(_cross_xs(ea, eb))
+    cuts = sorted(xs)
+    traps = []
+    for xl, xr in zip(cuts[:-1], cuts[1:]):
+        if xr <= xl:
+            continue
+        iv = _slab_intervals(ea, xl, xr) + _slab_intervals(eb, xl, xr)
+        # sort by midpoint-lo; merge overlapping (no crossings in-slab)
+        iv.sort(key=lambda t: (t[4], t[5]))
+        merged = []
+        for t in iv:
+            if merged and t[4] <= merged[-1][5]:
+                m = merged[-1]
+                if t[5] > m[5]:
+                    merged[-1] = (m[0], m[1], t[2], t[3], m[4], t[5])
+            else:
+                merged.append(t)
+        for yl_l, yl_r, yh_l, yh_r, _, _ in merged:
+            ring = np.asarray([(xl, yl_l), (xr, yl_r), (xr, yh_r),
+                               (xl, yh_l), (xl, yl_l)], dtype=np.float64)
+            if abs(G.ring_area(ring)) > 0.0:
+                traps.append(_ccw_ring(ring))
+    return traps
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-batched; registered via stfuncs)
+# ---------------------------------------------------------------------------
+
+
+def _st_convexhull(col: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if b is None else
+        bytearray(W.dumps_polygon([convex_hull_pts(
+            _all_vertices(W.loads(bytes(b))))]))
+        for b in col], dtype="object")
+
+
+def _st_buffer(col: pd.Series, dist: pd.Series,
+               quadsegs: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if b is None else
+        bytearray(W.dumps(buffer_geom(W.loads(bytes(b)), float(d), int(q))))
+        for b, d, q in zip(col, dist, quadsegs)], dtype="object")
+
+
+def _st_simplify(col: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(col, tol):
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "Polygon":
+            rings = [simplify_ring(r, float(t)) for r in g["coords"]]
+            out.append(bytearray(W.dumps_polygon(rings)))
+        elif g["type"] == "LineString":
+            pts = np.asarray(g["coords"], dtype=np.float64)
+            keep = np.zeros(len(pts), dtype=bool)
+            keep[0] = keep[-1] = True
+            _dp_keep(pts, 0, len(pts) - 1, float(t) ** 2, keep)
+            out.append(bytearray(W.dumps_linestring(pts[keep])))
+        else:
+            out.append(bytearray(bytes(b)))
+    return pd.Series(out, dtype="object")
+
+
+def _st_makevalid(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "Polygon":
+            out.append(bytearray(W.dumps_polygon(
+                make_valid_rings(g["coords"]))))
+        else:
+            out.append(bytearray(bytes(b)))
+    return pd.Series(out, dtype="object")
+
+
+def _st_unionpair(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        ga, gb = W.loads(bytes(ba)), W.loads(bytes(bb))
+        traps = union_pair(ga["coords"], gb["coords"])
+        out.append(bytearray(W.dumps_multi(
+            "MultiPolygon", [W.dumps_polygon([t]) for t in traps])))
+    return pd.Series(out, dtype="object")
+
+
+def _st_envelope(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        v = _all_vertices(W.loads(bytes(b)))
+        x0, y0 = float(v[:, 0].min()), float(v[:, 1].min())
+        x1, y1 = float(v[:, 0].max()), float(v[:, 1].max())
+        ring = np.asarray([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                           (x0, y0)])
+        out.append(bytearray(W.dumps_polygon([ring])))
+    return pd.Series(out, dtype="object")
+
+
+def _perimeter_rings(rings) -> float:
+    total = 0.0
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        seg = np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1]))
+        for s in seg:  # sequential fold (cross-engine exactness stance)
+            total += float(s)
+    return total
+
+
+def _st_perimeter(col: pd.Series) -> pd.Series:
+    from gdal_spark.stfuncs import _rings_of
+
+    return pd.Series([
+        np.nan if b is None else _perimeter_rings(_rings_of(b))
+        for b in col], dtype="float64")
+
+
+def _st_x(col: pd.Series) -> pd.Series:
+    return pd.Series([
+        np.nan if b is None else float(W.point_xy(bytes(b))[0])
+        for b in col], dtype="float64")
+
+
+def _st_y(col: pd.Series) -> pd.Series:
+    return pd.Series([
+        np.nan if b is None else float(W.point_xy(bytes(b))[1])
+        for b in col], dtype="float64")
+
+
+def _st_isempty(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        c = g["coords"]
+        out.append(len(c) == 0 if g["type"] != "Point" else False)
+    return pd.Series(out, dtype="object")
+
+
+REGISTRY = {
+    "st_convexhull": (_st_convexhull, "binary"),
+    "st_buffer": (_st_buffer, "binary"),
+    "st_simplify": (_st_simplify, "binary"),
+    "st_makevalid": (_st_makevalid, "binary"),
+    "st_unionpair": (_st_unionpair, "binary"),
+    "st_envelope": (_st_envelope, "binary"),
+    "st_perimeter": (_st_perimeter, "double"),
+    "st_x": (_st_x, "double"),
+    "st_y": (_st_y, "double"),
+    "st_isempty": (_st_isempty, "boolean"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Contract fixture + DuckDB oracle (bit-stable: dyadic coordinates,
+# Pythagorean/45-degree edge directions; the oracle derives every area
+# from first principles — SQL shoelace / perimeter / wedge sums over the
+# literal vertex lists, never from the engine's output)
+# ---------------------------------------------------------------------------
+
+OCTAGON = [(4.0, 0.0), (12.0, 0.0), (16.0, 4.0), (16.0, 8.0),
+           (12.0, 12.0), (4.0, 12.0), (0.0, 8.0), (0.0, 4.0)]
+ZIGZAG_RECT = ([(0.0, 0.0)]
+               + [(2.0 * k, 0.25 if k % 2 else 0.0) for k in range(1, 12)]
+               + [(24.0, 0.0), (24.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+MAKEVALID_OUTER = [(0.0, 0.0), (0.0, 6.0), (0.0, 6.0), (9.0, 6.0),
+                   (9.0, 0.0)]  # CW, duplicated vertex, unclosed
+MAKEVALID_HOLE = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0),
+                  (2.0, 2.0)]  # CCW (wrong for a hole)
+UNION_L = [(0.0, 0.0), (8.0, 0.0), (8.0, 3.0), (3.0, 3.0), (3.0, 8.0),
+           (0.0, 8.0), (0.0, 0.0)]
+UNION_RECT = [(6.0, 1.0), (10.0, 1.0), (10.0, 6.0), (6.0, 6.0),
+              (6.0, 1.0)]
+UNION_SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+                (0.0, 0.0)]
+DIAMOND = [(6.0, 5.0), (12.0, -1.0), (18.0, 5.0), (12.0, 11.0),
+           (6.0, 5.0)]
+BUF_R, BUF_Q = 2.5, 1
+PTBUF_X, PTBUF_Y, PTBUF_R, PTBUF_Q = 100.0, 50.0, 3.0, 2
+SIMPLIFY_TOL = 0.5
+
+
+def hull_cloud() -> np.ndarray:
+    """Octagon corners + 40 strictly-interior points (x in [3,12],
+    y in [3,9]: inside every corner-cut half-plane of OCTAGON)."""
+    pts = list(OCTAGON)
+    for k in range(40):
+        pts.append((3.0 + (k * 5) % 10, 3.0 + (k * 3) % 7))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def constructive_cases(spark):
+    """Contract DataFrame: one row per constructive op with
+    (case_id, op, area round-6, npoints). Every op runs through the
+    registered ST_ SQL functions over WKB columns (Arrow-batched
+    kernels); union rows pin npoints = -1 (the trapezoid decomposition's
+    vertex count is representation detail, not semantics)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    rows = [
+        (1, "convexhull",
+         W.dumps_multi("MultiPoint",
+                       [W.dumps_point(x, y) for x, y in hull_cloud()]),
+         None),
+        (2, "buffer", W.dumps_polygon([np.asarray(OCTAGON + OCTAGON[:1])]),
+         None),
+        (3, "buffer_point", W.dumps_point(PTBUF_X, PTBUF_Y), None),
+        (4, "simplify", W.dumps_polygon([np.asarray(ZIGZAG_RECT)]), None),
+        (5, "makevalid",
+         W.dumps_polygon([np.asarray(MAKEVALID_OUTER),
+                          np.asarray(MAKEVALID_HOLE)]), None),
+        (6, "union", W.dumps_polygon([np.asarray(UNION_L)]),
+         W.dumps_polygon([np.asarray(UNION_RECT)])),
+        (7, "union", W.dumps_polygon([np.asarray(UNION_SQUARE)]),
+         W.dumps_polygon([np.asarray(DIAMOND)])),
+        (8, "envelope", W.dumps_polygon([np.asarray(DIAMOND)]), None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["case_id", "op", "geom", "geom2"])
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("constructive_cases")
+    return spark.sql(f"""
+select case_id, op,
+       round(st_area(result), 6) as area,
+       case when op = 'union' then cast(-1 as bigint)
+            else st_npoints(result) end as npoints
+from (
+  select case_id, op,
+         case op
+           when 'convexhull' then st_convexhull(geom)
+           when 'buffer' then st_buffer(geom, {BUF_R}e0, {BUF_Q})
+           when 'buffer_point'
+             then st_buffer(geom, {PTBUF_R}e0, {PTBUF_Q})
+           when 'simplify' then st_simplify(geom, {SIMPLIFY_TOL}e0)
+           when 'makevalid' then st_makevalid(geom)
+           when 'union' then st_unionpair(geom, geom2)
+           when 'envelope' then st_envelope(geom)
+         end as result
+  from constructive_cases
+) r
+""")
+
+
+def _vals(pts, name: str) -> str:
+    n = len(pts)
+    rows = ", ".join(f"({i}, {x!r}e0, {y!r}e0)"
+                     for i, (x, y) in enumerate(pts))
+    return (f"{name}(i, x, y) as (select * from (values {rows})"
+            f" v(i, x, y))"), n
+
+
+def _shoelace(name: str, n: int) -> str:
+    return (f"0.5 * abs((select sum(a.x * b.y - b.x * a.y)"
+            f" from {name} a join {name} b on b.i = (a.i + 1) % {n}))")
+
+
+def constructive_oracle_sql() -> str:
+    """First-principles DuckDB oracle: areas derived analytically from
+    the fixture vertex literals (shoelace / perimeter / vertex-wedge
+    sums in SQL), never from the engine."""
+    oct_vals, oct_n = _vals(OCTAGON, "oct")
+    # buffer area of a convex polygon, single-chord joins (quadsegs=1):
+    # A + P*r + 0.5*r^2 * sum_i sin(phi_i), with sin(phi_i) the cross
+    # product of consecutive unit edge vectors
+    simp_vals, simp_n = _vals(
+        [(0.0, 0.0), (24.0, 0.0), (24.0, 10.0), (0.0, 10.0)], "simp")
+    mv_outer, mvo_n = _vals(
+        [(0.0, 0.0), (9.0, 0.0), (9.0, 6.0), (0.0, 6.0)], "mvo")
+    mv_hole, mvh_n = _vals(
+        [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)], "mvh")
+    ul_vals, ul_n = _vals(UNION_L[:-1], "ul")
+    ur_vals, ur_n = _vals(UNION_RECT[:-1], "ur")
+    us_vals, us_n = _vals(UNION_SQUARE[:-1], "us")
+    dm_vals, dm_n = _vals(DIAMOND[:-1], "dm")
+    r, q = BUF_R, BUF_Q
+    _ = q  # chord-join rule: one wedge triangle per vertex
+    k = 4 * PTBUF_Q
+    return f"""
+with {oct_vals}, {simp_vals}, {mv_outer}, {mv_hole}, {ul_vals},
+{ur_vals}, {us_vals}, {dm_vals},
+oct_edges as (
+  select a.i, b.x - a.x as dx, b.y - a.y as dy,
+         sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+           as len
+  from oct a join oct b on b.i = (a.i + 1) % {oct_n}
+),
+oct_wedges as (
+  select sum((e1.dx / e1.len) * (e2.dy / e2.len)
+           - (e1.dy / e1.len) * (e2.dx / e2.len)) as sin_sum
+  from oct_edges e1 join oct_edges e2 on e2.i = (e1.i + 1) % {oct_n}
+)
+select 1 as case_id, 'convexhull' as op,
+       round({_shoelace("oct", oct_n)}, 6) as area,
+       cast({oct_n + 1} as bigint) as npoints
+union all
+select 2, 'buffer',
+       round({_shoelace("oct", oct_n)}
+             + (select sum(len) from oct_edges) * {r}
+             + 0.5 * {r} * {r} * (select sin_sum from oct_wedges), 6),
+       cast({2 * oct_n + 1} as bigint)
+union all
+select 3, 'buffer_point',
+       round(0.5 * {k} * {PTBUF_R} * {PTBUF_R} * sin(2 * pi() / {k}), 6),
+       cast({k + 1} as bigint)
+union all
+select 4, 'simplify', round({_shoelace("simp", simp_n)}, 6),
+       cast({simp_n + 1} as bigint)
+union all
+select 5, 'makevalid',
+       round({_shoelace("mvo", mvo_n)} - {_shoelace("mvh", mvh_n)}, 6),
+       cast({mvo_n + 1 + mvh_n + 1} as bigint)
+union all
+select 6, 'union',
+       -- inclusion-exclusion; overlap of the L and the rect is the
+       -- axis box [6,8] x [1,3]
+       round({_shoelace("ul", ul_n)} + {_shoelace("ur", ur_n)}
+             - (8.0 - 6.0) * (3.0 - 1.0), 6),
+       cast(-1 as bigint)
+union all
+select 7, 'union',
+       -- overlap of the square and the diamond is the triangle
+       -- (6,5)-(10,1)-(10,9): base (9-1) at x=10, apex at x=6
+       round({_shoelace("us", us_n)} + {_shoelace("dm", dm_n)}
+             - 0.5 * (10.0 - 6.0) * (9.0 - 1.0), 6),
+       cast(-1 as bigint)
+union all
+select 8, 'envelope',
+       round(((select max(x) from dm) - (select min(x) from dm))
+           * ((select max(y) from dm) - (select min(y) from dm)), 6),
+       cast(5 as bigint)
+"""

@@ -230,6 +230,21 @@ def q_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_pairs(spark)
 
 
+def q_st_constructive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEOS constructive surface (ogrgeometry.cpp Buffer:4186,
+    ConvexHull:4330, Simplify:4982, MakeValid:4017, Union:5280) as
+    registered ST_ SQL functions over WKB: hull of a 48-point cloud,
+    chord-join buffer of the octagon + a point, Douglas-Peucker
+    simplify, orientation/dup repair, exact slab-decomposition union of
+    rectilinear and 45-degree fixtures, envelope. The DuckDB oracle
+    derives every area from first principles (SQL shoelace / perimeter /
+    wedge sums over the literal vertices)."""
+    from gdal_spark.constructive import constructive_cases
+
+    _ = sf_dir  # fixture op
+    return constructive_cases(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -327,6 +342,7 @@ QUERIES = {
     "layer_algebra_intersection_nonconvex": q_layer_intersection_nonconvex,
     "st_functions": q_st_functions,
     "st_predicates": q_st_predicates,
+    "st_constructive": q_st_constructive,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -432,6 +448,9 @@ from documents
     "st_functions": __import__(
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),
+    "st_constructive": __import__(
+        "gdal_spark.constructive", fromlist=["constructive_oracle_sql"]
+    ).constructive_oracle_sql(),
     "st_predicates": __import__(
         "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
     ).predicates_oracle_sql(),

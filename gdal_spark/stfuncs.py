@@ -60,9 +60,21 @@ def _polygon_area_seq(rings) -> float:
     return area
 
 
+def _geom_area_seq(blob: bytes) -> float:
+    """OGR_GEOM_AREA semantics: Polygon = |exterior| - sum(|holes|);
+    MultiPolygon = sequential sum of member polygon areas (ring
+    flattening would misread trailing members as holes)."""
+    g = W.loads(bytes(blob))
+    if g["type"] == "Polygon":
+        return _polygon_area_seq(g["coords"])
+    if g["type"] == "MultiPolygon":
+        return _seq_sum(_polygon_area_seq(p) for p in g["coords"])
+    raise ValueError(f"not a polygon: {g['type']}")
+
+
 def _st_area(col: pd.Series) -> pd.Series:
     return pd.Series([
-        _polygon_area_seq(_rings_of(b)) if b is not None else None
+        _geom_area_seq(b) if b is not None else None
         for b in col], dtype="float64")
 
 
@@ -200,10 +212,12 @@ _REGISTRY = {
 
 def register_st_functions(spark: SparkSession) -> None:
     """Register every ST_ function for use in spark.sql strings —
-    including the pairwise predicate set (gdal_spark.predicates)."""
+    including the pairwise predicate set (gdal_spark.predicates) and the
+    constructive surface (gdal_spark.constructive)."""
+    from gdal_spark.constructive import REGISTRY as _CONSTRUCTIVE
     from gdal_spark.predicates import register_predicates
 
-    for name, (fn, rtype) in _REGISTRY.items():
+    for name, (fn, rtype) in {**_REGISTRY, **_CONSTRUCTIVE}.items():
         spark.udf.register(name, F.pandas_udf(fn, rtype))
     register_predicates(spark)
 

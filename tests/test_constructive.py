@@ -1,0 +1,172 @@
+"""Constructive geometry kernels vs independent invariants (no shared
+code with the kernels: brute-force containment, deviation bounds, area
+identities)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark import geom as G
+from gdal_spark import wkb as W
+from gdal_spark.constructive import (DIAMOND, UNION_L, UNION_RECT,
+                                     UNION_SQUARE, buffer_geom,
+                                     convex_hull_pts, hull_cloud,
+                                     make_valid_rings, simplify_ring,
+                                     union_pair)
+
+
+def _cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def test_hull_contains_all_points_and_is_convex():
+    pts = hull_cloud()
+    ring = convex_hull_pts(pts)
+    v = ring[:-1]
+    n = len(v)
+    # convex + CCW: every consecutive triple turns left
+    for i in range(n):
+        assert _cross(v[i], v[(i + 1) % n], v[(i + 2) % n]) > 0
+    # every input point on or inside every hull edge half-plane
+    for p in pts:
+        for i in range(n):
+            assert _cross(v[i], v[(i + 1) % n], p) >= 0
+    # hull vertices are input points
+    ptset = {tuple(p) for p in pts}
+    assert all(tuple(q) in ptset for q in v)
+
+
+def test_hull_random_agrees_with_brute_force_extremes():
+    rng = np.random.RandomState(7)
+    pts = rng.randint(-50, 50, size=(200, 2)).astype(float)
+    ring = convex_hull_pts(pts)
+    v = ring[:-1]
+    for p in pts:
+        for i in range(len(v)):
+            assert _cross(v[i], v[(i + 1) % len(v)], p) >= 0
+    for ext in (pts[np.argmin(pts[:, 0])], pts[np.argmax(pts[:, 0])]):
+        # an x-extreme point is on the hull boundary (some edge collinear)
+        assert any(
+            _cross(v[i], v[(i + 1) % len(v)], ext) == 0
+            for i in range(len(v)))
+
+
+def test_buffer_contains_input_and_respects_distance():
+    square = np.asarray([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                         (0.0, 10.0), (0.0, 0.0)])
+    g = buffer_geom({"type": "Polygon", "coords": [square]}, 2.0, 4)
+    ring = g["coords"][0]
+    # buffered region contains every input vertex with margin
+    for p in square[:-1]:
+        assert G.points_in_ring(np.asarray([p[0]]), np.asarray([p[1]]),
+                                ring)[0]
+    # every buffer vertex is within dist of the square boundary (and at
+    # least dist * cos(pi / (2*quadsegs)) away — chord sagitta bound)
+    for q in ring[:-1]:
+        d = min(np.sqrt(G.point_segment_dist2(
+            q[0], q[1], *square[i], *square[i + 1]))
+            for i in range(4))
+        assert d <= 2.0 + 1e-12
+        assert d >= 2.0 * np.cos(np.pi / 8) - 1e-12
+
+
+def test_point_buffer_regular_polygon():
+    g = buffer_geom({"type": "Point", "coords": (3.0, -2.0)}, 5.0, 8)
+    ring = g["coords"][0]
+    assert len(ring) == 33
+    r = np.hypot(ring[:-1, 0] - 3.0, ring[:-1, 1] + 2.0)
+    assert np.allclose(r, 5.0, atol=1e-12)
+
+
+def test_simplify_deviation_bound_and_vertex_subset():
+    rng = np.random.RandomState(3)
+    theta = np.sort(rng.uniform(0, 2 * np.pi, 60))
+    rad = 10.0 + rng.uniform(-0.3, 0.3, 60)
+    ring = np.column_stack([rad * np.cos(theta), rad * np.sin(theta)])
+    ring = np.vstack([ring, ring[:1]])
+    tol = 1.0
+    out = simplify_ring(ring, tol)
+    assert np.array_equal(out[0], out[-1])
+    kept = {tuple(p) for p in out}
+    assert kept <= {tuple(p) for p in ring}
+    # every dropped vertex lies within tol of the simplified boundary
+    for p in ring[:-1]:
+        if tuple(p) in kept:
+            continue
+        d = min(np.sqrt(G.point_segment_dist2(
+            p[0], p[1], out[i, 0], out[i, 1], out[i + 1, 0],
+            out[i + 1, 1])) for i in range(len(out) - 1))
+        assert d <= tol + 1e-9
+
+
+def test_make_valid_repairs():
+    outer = np.asarray([(0.0, 0.0), (0.0, 6.0), (0.0, 6.0), (9.0, 6.0),
+                        (9.0, 0.0)])  # CW, dup, unclosed
+    hole = np.asarray([(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0),
+                       (2.0, 2.0)])  # CCW (wrong for a hole)
+    degen = np.asarray([(5.0, 5.0), (5.0, 5.0), (6.0, 6.0)])
+    rings = make_valid_rings([outer, hole, degen])
+    assert len(rings) == 2
+    assert G.ring_area(rings[0]) > 0          # exterior now CCW
+    assert G.ring_area(rings[1]) < 0          # hole now CW
+    assert np.array_equal(rings[0][0], rings[0][-1])
+    assert len(rings[0]) == 5                 # dup dropped + closed
+    assert G.polygon_area(rings) == pytest.approx(50.0)
+
+
+@pytest.mark.parametrize("a,b,expected", [
+    (UNION_L, UNION_RECT, 55.0),
+    (UNION_SQUARE, DIAMOND, 156.0),
+])
+def test_union_area_and_disjoint_traps(a, b, expected):
+    ra = [np.asarray(a, dtype=np.float64)]
+    rb = [np.asarray(b, dtype=np.float64)]
+    traps = union_pair(ra, rb)
+    area = sum(abs(G.ring_area(t)) for t in traps)
+    assert area == pytest.approx(expected, abs=1e-9)
+    # traps are pairwise interior-disjoint: sampled interior points of
+    # one trap are never strictly inside another
+    for i, t in enumerate(traps):
+        cx = t[:-1, 0].mean()
+        cy = t[:-1, 1].mean()
+        for j, u in enumerate(traps):
+            if i == j:
+                continue
+            inside = G.points_in_ring(np.asarray([cx]), np.asarray([cy]),
+                                      u)[0]
+            # centroid may sit on a shared boundary; strict-inside check
+            minx, maxx = u[:, 0].min(), u[:, 0].max()
+            strictly = inside and minx < cx < maxx
+            assert not strictly
+    # union covers both inputs: every input vertex is in some trap's
+    # closure
+    for p in list(ra[0][:-1]) + list(rb[0][:-1]):
+        assert any(
+            u[:, 0].min() - 1e-9 <= p[0] <= u[:, 0].max() + 1e-9
+            and u[:, 1].min() - 1e-9 <= p[1] <= u[:, 1].max() + 1e-9
+            for u in traps)
+
+
+def test_union_with_hole_even_odd():
+    outer = np.asarray([(0.0, 0.0), (12.0, 0.0), (12.0, 12.0),
+                        (0.0, 12.0), (0.0, 0.0)])
+    hole = np.asarray([(4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0),
+                       (4.0, 4.0)])
+    other = np.asarray([(5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0),
+                        (5.0, 5.0)])
+    traps = union_pair([outer, hole], [other])
+    area = sum(abs(G.ring_area(t)) for t in traps)
+    # 144 - 16 (hole) + 4 (small square floats inside the hole)
+    assert area == pytest.approx(132.0, abs=1e-9)
+
+
+def test_st_constructive_sql_surface(spark):
+    from gdal_spark.constructive import constructive_cases
+
+    res = {(r["case_id"]): (r["area"], r["npoints"])
+           for r in constructive_cases(spark).collect()}
+    assert res[1] == (160.0, 9)
+    assert res[4] == (240.0, 5)
+    assert res[5] == (50.0, 10)
+    assert res[6][0] == 55.0
+    assert res[7][0] == 156.0
+    assert res[8] == (144.0, 5)
