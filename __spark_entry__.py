@@ -85,6 +85,7 @@ _PRIORITY = [
     "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
     "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
+    "st_constructive",  # new constructive-geometry surface
     # ---- (~50-query driver budget reaches about here) ----
     "sql_topk",
 ]

@@ -279,10 +279,27 @@ def _slab_intervals(edges: np.ndarray, xl: float, xr: float):
     return out
 
 
-def union_pair(rings_a: list[np.ndarray],
-               rings_b: list[np.ndarray]) -> list[np.ndarray]:
-    """Interior-disjoint trapezoid rings covering region(A) ∪ region(B)
-    exactly (even-odd semantics)."""
+_BOOL_PREDICATES = {
+    "union": lambda a, b: a or b,
+    "intersection": lambda a, b: a and b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
+
+
+def boolean_pair(rings_a: list[np.ndarray], rings_b: list[np.ndarray],
+                 op: str) -> list[np.ndarray]:
+    """Interior-disjoint trapezoid rings covering the boolean REGION of
+    two even-odd polygons exactly (op: union / intersection /
+    difference / symdifference — the four GEOS overlay ops OGRGeometry
+    delegates, ogr/ogrgeometry.cpp Union:5280, Intersection:5218,
+    Difference:5343, SymDifference:5410).
+
+    Within a slab no two edges cross (every vertex abscissa and every
+    A×B crossing abscissa is a cut), so interval boundaries are totally
+    ordered by their midpoint y — a single parity sweep evaluates the
+    predicate between consecutive boundaries."""
+    pred = _BOOL_PREDICATES[op]
     ea, eb = _edges_of(rings_a), _edges_of(rings_b)
     xs = set()
     for e in (ea, eb):
@@ -295,23 +312,40 @@ def union_pair(rings_a: list[np.ndarray],
     for xl, xr in zip(cuts[:-1], cuts[1:]):
         if xr <= xl:
             continue
-        iv = _slab_intervals(ea, xl, xr) + _slab_intervals(eb, xl, xr)
-        # sort by midpoint-lo; merge overlapping (no crossings in-slab)
-        iv.sort(key=lambda t: (t[4], t[5]))
-        merged = []
-        for t in iv:
-            if merged and t[4] <= merged[-1][5]:
-                m = merged[-1]
-                if t[5] > m[5]:
-                    merged[-1] = (m[0], m[1], t[2], t[3], m[4], t[5])
+        # boundary events: (mid_y, starts-first tiebreak, side, delta,
+        # y_left, y_right)
+        ev = []
+        for side, edges in (("a", ea), ("b", eb)):
+            for yl_l, yl_r, yh_l, yh_r, mid_lo, mid_hi in \
+                    _slab_intervals(edges, xl, xr):
+                ev.append((mid_lo, 0, side, +1, yl_l, yl_r))
+                ev.append((mid_hi, 1, side, -1, yh_l, yh_r))
+        ev.sort(key=lambda t: (t[0], t[1]))
+        ina = inb = 0
+        start = None  # (y_left, y_right) where the predicate turned on
+        for _, _, side, delta, y_l, y_r in ev:
+            if side == "a":
+                ina += delta
             else:
-                merged.append(t)
-        for yl_l, yl_r, yh_l, yh_r, _, _ in merged:
-            ring = np.asarray([(xl, yl_l), (xr, yl_r), (xr, yh_r),
-                               (xl, yh_l), (xl, yl_l)], dtype=np.float64)
-            if abs(G.ring_area(ring)) > 0.0:
-                traps.append(_ccw_ring(ring))
+                inb += delta
+            on = pred(ina % 2 == 1, inb % 2 == 1)
+            if on and start is None:
+                start = (y_l, y_r)
+            elif not on and start is not None:
+                ring = np.asarray([(xl, start[0]), (xr, start[1]),
+                                   (xr, y_r), (xl, y_l), (xl, start[0])],
+                                  dtype=np.float64)
+                if abs(G.ring_area(ring)) > 0.0:
+                    traps.append(_ccw_ring(ring))
+                start = None
     return traps
+
+
+def union_pair(rings_a: list[np.ndarray],
+               rings_b: list[np.ndarray]) -> list[np.ndarray]:
+    """Interior-disjoint trapezoid rings covering region(A) ∪ region(B)
+    exactly (even-odd semantics)."""
+    return boolean_pair(rings_a, rings_b, "union")
 
 
 # ---------------------------------------------------------------------------
@@ -371,17 +405,35 @@ def _st_makevalid(col: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
-def _st_unionpair(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = []
-    for ba, bb in zip(a, b):
-        if ba is None or bb is None:
-            out.append(None)
-            continue
-        ga, gb = W.loads(bytes(ba)), W.loads(bytes(bb))
-        traps = union_pair(ga["coords"], gb["coords"])
-        out.append(bytearray(W.dumps_multi(
-            "MultiPolygon", [W.dumps_polygon([t]) for t in traps])))
-    return pd.Series(out, dtype="object")
+def _rings_or_none(g: dict):
+    if g["type"] == "Polygon":
+        return g["coords"]
+    if g["type"] == "MultiPolygon":
+        return [r for poly in g["coords"] for r in poly]
+    return None  # boolean region ops are areal-only (eager CASE safety)
+
+
+def _boolean_udf(op: str):
+    def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            ra = _rings_or_none(W.loads(bytes(ba)))
+            rb = _rings_or_none(W.loads(bytes(bb)))
+            if ra is None or rb is None:
+                out.append(None)
+                continue
+            traps = boolean_pair(ra, rb, op)
+            out.append(bytearray(W.dumps_multi(
+                "MultiPolygon", [W.dumps_polygon([t]) for t in traps])))
+        return pd.Series(out, dtype="object")
+
+    return kernel
+
+
+_st_unionpair = _boolean_udf("union")
 
 
 def _st_envelope(col: pd.Series) -> pd.Series:
@@ -447,6 +499,9 @@ REGISTRY = {
     "st_simplify": (_st_simplify, "binary"),
     "st_makevalid": (_st_makevalid, "binary"),
     "st_unionpair": (_st_unionpair, "binary"),
+    "st_intersection": (_boolean_udf("intersection"), "binary"),
+    "st_difference": (_boolean_udf("difference"), "binary"),
+    "st_symdifference": (_boolean_udf("symdifference"), "binary"),
     "st_envelope": (_st_envelope, "binary"),
     "st_perimeter": (_st_perimeter, "double"),
     "st_x": (_st_x, "double"),
@@ -482,6 +537,14 @@ DIAMOND = [(6.0, 5.0), (12.0, -1.0), (18.0, 5.0), (12.0, 11.0),
 BUF_R, BUF_Q = 2.5, 1
 PTBUF_X, PTBUF_Y, PTBUF_R, PTBUF_Q = 100.0, 50.0, 3.0, 2
 SIMPLIFY_TOL = 0.5
+LENGTH_LINE = [(0.0, 0.0), (3.0, 4.0), (6.0, 0.0), (9.0, 4.0),
+               (12.0, 0.0)]  # four 3-4-5 segments → length 20 exactly
+DIST_BOX_A = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+DIST_BOX_B = [(5.0, 0.0), (7.0, 0.0), (7.0, 2.0), (5.0, 2.0), (5.0, 0.0)]
+BOWTIE = [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0),
+          (0.0, 0.0)]  # proper self-crossing at (2, 2)
+SIMPLE_LINE = [(0.0, 0.0), (2.0, 0.25), (4.0, 0.0), (6.0, 0.25)]
+TX_LON, TX_LAT = 2.25, 48.5  # round-trip probe point (Paris-ish)
 
 
 def hull_cloud() -> np.ndarray:
@@ -522,17 +585,70 @@ def constructive_cases(spark):
         (7, "union", W.dumps_polygon([np.asarray(UNION_SQUARE)]),
          W.dumps_polygon([np.asarray(DIAMOND)])),
         (8, "envelope", W.dumps_polygon([np.asarray(DIAMOND)]), None),
+        (9, "intersection", W.dumps_polygon([np.asarray(UNION_L)]),
+         W.dumps_polygon([np.asarray(UNION_RECT)])),
+        (10, "difference", W.dumps_polygon([np.asarray(UNION_L)]),
+         W.dumps_polygon([np.asarray(UNION_RECT)])),
+        (11, "symdifference", W.dumps_polygon([np.asarray(UNION_L)]),
+         W.dumps_polygon([np.asarray(UNION_RECT)])),
+        (12, "intersection", W.dumps_polygon([np.asarray(UNION_SQUARE)]),
+         W.dumps_polygon([np.asarray(DIAMOND)])),
+        (13, "length", W.dumps_linestring(np.asarray(LENGTH_LINE)), None),
+        (14, "distance", W.dumps_polygon([np.asarray(DIST_BOX_A)]),
+         W.dumps_polygon([np.asarray(DIST_BOX_B)])),
+        (15, "centroid_dist",
+         W.dumps_polygon([np.asarray(OCTAGON + OCTAGON[:1])]), None),
+        (16, "flags_poly", W.dumps_polygon([np.asarray(BOWTIE)]),
+         W.dumps_polygon([np.asarray(OCTAGON + OCTAGON[:1])])),
+        (17, "flags_line", W.dumps_linestring(np.asarray(BOWTIE)),
+         W.dumps_linestring(np.asarray(SIMPLE_LINE))),
+        (18, "roundtrip",
+         W.dumps_polygon([np.asarray(OCTAGON + OCTAGON[:1])]), None),
+        (19, "transform_merc", W.dumps_point(TX_LON, TX_LAT), None),
+        (20, "transform_utm", W.dumps_point(TX_LON, TX_LAT), None),
+        (21, "transform_lcc", W.dumps_point(TX_LON, TX_LAT), None),
     ]
     pdf = pd.DataFrame(rows, columns=["case_id", "op", "geom", "geom2"])
     df = spark.createDataFrame(pdf)
     df.createOrReplaceTempView("constructive_cases")
     return spark.sql(f"""
 select case_id, op,
-       round(st_area(result), 6) as area,
-       case when op = 'union' then cast(-1 as bigint)
-            else st_npoints(result) end as npoints
+       round(case
+         when op in ('intersection', 'difference', 'symdifference')
+           then st_area(boolres)
+         when op = 'length' then st_length(geom)
+         when op = 'distance' then st_distance(geom, geom2)
+         when op = 'centroid_dist'
+           then st_distance(geom, st_makepoint(12.5e0, -3.25e0))
+                + st_x(st_centroid(geom))
+                + 2e0 * st_y(st_centroid(geom))
+         when op = 'flags_poly'
+           then cast(st_isvalid(geom) as int)
+                + 2 * cast(st_isvalid(geom2) as int)
+         when op = 'flags_line'
+           then cast(st_issimple(geom) as int)
+                + 2 * cast(st_issimple(geom2) as int)
+         when op = 'roundtrip'
+           then st_area(st_geomfromwkb(st_asbinary(geom)))
+         when op like 'transform%'
+           then st_x(txback) + 2e0 * st_y(txback)
+         else st_area(result)
+       end, 6) as area,
+       case
+         when op in ('union', 'intersection', 'difference',
+                     'symdifference', 'flags_poly', 'flags_line')
+           then cast(-1 as bigint)
+         when op = 'length' then st_npoints(geom)
+         when op = 'distance' then cast(st_srid(geom) as bigint)
+         when op = 'centroid_dist'
+           then st_npoints(st_makepoint(12.5e0, -3.25e0))
+         when op = 'roundtrip'
+           then st_npoints(st_geomfromwkb(st_asbinary(geom)))
+         when op like 'transform%' then st_npoints(txback)
+         else st_npoints(result)
+       end as npoints
 from (
-  select case_id, op,
+  select case_id, op, geom, geom2,
          case op
            when 'convexhull' then st_convexhull(geom)
            when 'buffer' then st_buffer(geom, {BUF_R}e0, {BUF_Q})
@@ -542,7 +658,20 @@ from (
            when 'makevalid' then st_makevalid(geom)
            when 'union' then st_unionpair(geom, geom2)
            when 'envelope' then st_envelope(geom)
-         end as result
+         end as result,
+         case op
+           when 'intersection' then st_intersection(geom, geom2)
+           when 'difference' then st_difference(geom, geom2)
+           when 'symdifference' then st_symdifference(geom, geom2)
+         end as boolres,
+         case op
+           when 'transform_merc' then st_transform(
+             st_transform(geom, 4326, 3857), 3857, 4326)
+           when 'transform_utm' then st_transform(
+             st_transform(geom, 4326, 32631), 32631, 4326)
+           when 'transform_lcc' then st_transform(
+             st_transform(geom, 4326, 2154), 2154, 4326)
+         end as txback
   from constructive_cases
 ) r
 """)
@@ -579,12 +708,13 @@ def constructive_oracle_sql() -> str:
     ur_vals, ur_n = _vals(UNION_RECT[:-1], "ur")
     us_vals, us_n = _vals(UNION_SQUARE[:-1], "us")
     dm_vals, dm_n = _vals(DIAMOND[:-1], "dm")
+    ln_vals, ln_n = _vals(LENGTH_LINE, "ln")
     r, q = BUF_R, BUF_Q
     _ = q  # chord-join rule: one wedge triangle per vertex
     k = 4 * PTBUF_Q
     return f"""
 with {oct_vals}, {simp_vals}, {mv_outer}, {mv_hole}, {ul_vals},
-{ur_vals}, {us_vals}, {dm_vals},
+{ur_vals}, {us_vals}, {dm_vals}, {ln_vals},
 oct_edges as (
   select a.i, b.x - a.x as dx, b.y - a.y as dy,
          sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
@@ -635,4 +765,61 @@ select 8, 'envelope',
        round(((select max(x) from dm) - (select min(x) from dm))
            * ((select max(y) from dm) - (select min(y) from dm)), 6),
        cast(5 as bigint)
+union all
+select 9, 'intersection',
+       -- L ∩ rect = the axis box [6,8] x [1,3]
+       round((8.0e0 - 6.0e0) * (3.0e0 - 1.0e0), 6), cast(-1 as bigint)
+union all
+select 10, 'difference',
+       round({_shoelace("ul", ul_n)}
+             - (8.0e0 - 6.0e0) * (3.0e0 - 1.0e0), 6), cast(-1 as bigint)
+union all
+select 11, 'symdifference',
+       round({_shoelace("ul", ul_n)} + {_shoelace("ur", ur_n)}
+             - 2 * (8.0e0 - 6.0e0) * (3.0e0 - 1.0e0), 6),
+       cast(-1 as bigint)
+union all
+select 12, 'intersection',
+       -- square ∩ diamond = triangle (6,5)-(10,1)-(10,9)
+       round(0.5e0 * (10.0e0 - 6.0e0) * (9.0e0 - 1.0e0), 6),
+       cast(-1 as bigint)
+union all
+select 13, 'length',
+       -- Pythagorean 3-4-5 segments: every sqrt is exactly 5
+       round((select sum(sqrt((b.x - a.x) * (b.x - a.x)
+                            + (b.y - a.y) * (b.y - a.y)))
+              from ln a join ln b on b.i = a.i + 1), 6),
+       cast({ln_n} as bigint)
+union all
+select 14, 'distance',
+       -- axis-aligned gap between box [0,2]^2 and box [5,7]x[0,2]
+       round(5.0e0 - 2.0e0, 6), cast(0 as bigint)
+union all
+select 15, 'centroid_dist',
+       -- octagon is symmetric about (8,6): centroid is exactly (8,6)
+       -- (dyadic shoelace/moment sums); nearest octagon point to the
+       -- probe (12.5,-3.25) is the vertex (12,0) -> d^2 = 0.5^2+3.25^2;
+       -- plus centroid coords x + 2y = 8 + 12
+       round(sqrt(0.25e0 + 10.5625e0) + 8.0e0 + 2.0e0 * 6.0e0, 6),
+       cast(1 as bigint)
+union all
+select 16, 'flags_poly',
+       -- bowtie invalid (proper self-crossing), octagon valid
+       round(0e0 + 2e0 * 1e0, 6), cast(-1 as bigint)
+union all
+select 17, 'flags_line',
+       -- bowtie polyline crosses itself; the zigzag polyline is simple
+       round(0e0 + 2e0 * 1e0, 6), cast(-1 as bigint)
+union all
+select 18, 'roundtrip', round({_shoelace("oct", oct_n)}, 6),
+       cast({oct_n + 1} as bigint)
+union all
+select 19, 'transform_merc', round({TX_LON}e0 + 2e0 * {TX_LAT}e0, 6),
+       cast(1 as bigint)
+union all
+select 20, 'transform_utm', round({TX_LON}e0 + 2e0 * {TX_LAT}e0, 6),
+       cast(1 as bigint)
+union all
+select 21, 'transform_lcc', round({TX_LON}e0 + 2e0 * {TX_LAT}e0, 6),
+       cast(1 as bigint)
 """

@@ -63,13 +63,15 @@ def _polygon_area_seq(rings) -> float:
 def _geom_area_seq(blob: bytes) -> float:
     """OGR_GEOM_AREA semantics: Polygon = |exterior| - sum(|holes|);
     MultiPolygon = sequential sum of member polygon areas (ring
-    flattening would misread trailing members as holes)."""
+    flattening would misread trailing members as holes). Non-surface
+    types are 0 like OGR_G_Area (total: CASE branches evaluate eagerly,
+    so any geometry may arrive)."""
     g = W.loads(bytes(blob))
     if g["type"] == "Polygon":
         return _polygon_area_seq(g["coords"])
     if g["type"] == "MultiPolygon":
         return _seq_sum(_polygon_area_seq(p) for p in g["coords"])
-    raise ValueError(f"not a polygon: {g['type']}")
+    return 0.0
 
 
 def _st_area(col: pd.Series) -> pd.Series:
@@ -94,7 +96,8 @@ def _st_npoints(col: pd.Series) -> pd.Series:
         else:
             out.append(sum(len(r) for part in g["coords"] for r in
                            (part if isinstance(part, list) else [part])))
-    return pd.Series(out, dtype="int64")
+    # nullable Int64: NULL geometries (unused CASE branches) stay NULL
+    return pd.Series(out, dtype="Int64")
 
 
 def _polygon_centroid_seq(rings) -> tuple[float, float]:
@@ -198,6 +201,317 @@ def _st_geomfromtext(col: pd.Series) -> pd.Series:
         for s in col], dtype="object")
 
 
+def _st_asbinary(col: pd.Series) -> pd.Series:
+    """ST_AsBinary: geometry columns already ARE ISO WKB; identity."""
+    return pd.Series([None if b is None else bytearray(bytes(b))
+                      for b in col], dtype="object")
+
+
+def _st_geomfromwkb(col: pd.Series) -> pd.Series:
+    """ST_GeomFromWKB: decode + re-encode — validates and normalizes to
+    little-endian ISO WKB (big-endian input accepted)."""
+    return pd.Series([
+        None if b is None else bytearray(W.dumps(W.loads(bytes(b))))
+        for b in col], dtype="object")
+
+
+def _st_srid(col: pd.Series) -> pd.Series:
+    """ST_SRID: plain ISO WKB carries no SRID → 0, OGR's convention for
+    an unset spatial reference."""
+    return pd.Series([None if b is None else 0 for b in col],
+                     dtype="object").astype("Int32")
+
+
+def _st_makepoint(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if x is None or y is None
+        else bytearray(W.dumps_point(float(x), float(y)))
+        for x, y in zip(xs, ys)], dtype="object")
+
+
+def _length_line_seq(arr: np.ndarray) -> float:
+    return _seq_sum(math.sqrt(
+        (arr[j + 1, 0] - arr[j, 0]) ** 2 + (arr[j + 1, 1] - arr[j, 1]) ** 2)
+        for j in range(len(arr) - 1))
+
+
+def _st_length(col: pd.Series) -> pd.Series:
+    """ST_Length (OGR_G_Length): curve types only — LineString /
+    MultiLineString; points and surfaces yield 0 like OGR."""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "LineString":
+            out.append(_length_line_seq(np.asarray(g["coords"])))
+        elif g["type"] == "MultiLineString":
+            out.append(_seq_sum(_length_line_seq(np.asarray(m))
+                                for m in g["coords"]))
+        else:
+            out.append(0.0)
+    return pd.Series(out, dtype="float64")
+
+
+def _segments_of(geom: dict) -> np.ndarray:
+    """(n, 4) segment array of any geometry; points become degenerate
+    zero-length segments."""
+    t, c = geom["type"], geom["coords"]
+    segs: list[tuple[float, float, float, float]] = []
+
+    def add_line(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        if len(a) == 1:
+            segs.append((a[0, 0], a[0, 1], a[0, 0], a[0, 1]))
+        for j in range(len(a) - 1):
+            segs.append((a[j, 0], a[j, 1], a[j + 1, 0], a[j + 1, 1]))
+
+    if t == "Point":
+        segs.append((c[0], c[1], c[0], c[1]))
+    elif t == "MultiPoint":
+        for p in c:
+            segs.append((p[0], p[1], p[0], p[1]))
+    elif t == "LineString":
+        add_line(c)
+    elif t == "MultiLineString":
+        for m in c:
+            add_line(m)
+    elif t == "Polygon":
+        for r in c:
+            add_line(r)
+    else:  # MultiPolygon
+        for poly in c:
+            for r in poly:
+                add_line(r)
+    return np.asarray(segs, dtype=np.float64)
+
+
+def _segseg_dist2(a: np.ndarray, b: np.ndarray) -> float:
+    """Squared distance between two segments; 0 if they intersect."""
+    ax, ay, bx, by = a
+    cx, cy, dx_, dy_ = b
+    d1x, d1y = bx - ax, by - ay
+    d2x, d2y = dx_ - cx, dy_ - cy
+    den = d1x * d2y - d1y * d2x
+    if den != 0.0:
+        t = ((cx - ax) * d2y - (cy - ay) * d2x) / den
+        s = ((cx - ax) * d1y - (cy - ay) * d1x) / den
+        if 0.0 <= t <= 1.0 and 0.0 <= s <= 1.0:
+            return 0.0
+    best = math.inf
+    if d1x or d1y:
+        best = min(best, _seg_dist2(cx, cy, ax, ay, bx, by),
+                   _seg_dist2(dx_, dy_, ax, ay, bx, by))
+    if d2x or d2y:
+        best = min(best, _seg_dist2(ax, ay, cx, cy, dx_, dy_),
+                   _seg_dist2(bx, by, cx, cy, dx_, dy_))
+    if best is math.inf:  # two points
+        best = (ax - cx) ** 2 + (ay - cy) ** 2
+    return best
+
+
+def _geom_distance(ga: dict, gb: dict) -> float:
+    """OGRGeometry::Distance (ogrgeometry.cpp:1044): planar min distance,
+    0 when the geometries intersect or one contains the other."""
+    for g, other in ((ga, gb), (gb, ga)):
+        if g["type"] in ("Polygon", "MultiPolygon"):
+            rings = ([r for r in g["coords"]] if g["type"] == "Polygon"
+                     else [r for poly in g["coords"] for r in poly])
+            v = _segments_of(other)[:, :2]
+            inside = G.points_in_polygon(
+                np.ascontiguousarray(v[:, 0]),
+                np.ascontiguousarray(v[:, 1]), rings)
+            if bool(np.any(inside)):
+                return 0.0
+    sa, sb = _segments_of(ga), _segments_of(gb)
+    best = math.inf
+    for a in sa:
+        for b in sb:
+            d2 = _segseg_dist2(a, b)
+            if d2 < best:
+                best = d2
+                if best == 0.0:
+                    return 0.0
+    return math.sqrt(best)
+
+
+def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([
+        np.nan if ba is None or bb is None
+        else _geom_distance(W.loads(bytes(ba)), W.loads(bytes(bb)))
+        for ba, bb in zip(a, b)], dtype="float64")
+
+
+def _st_centroid(col: pd.Series) -> pd.Series:
+    """ST_Centroid as a geometry (Point WKB): polygons area-weighted,
+    linestrings length-weighted, point sets vertex means."""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        t = g["type"]
+        if t in ("Polygon", "MultiPolygon"):
+            rings = _rings_of(b)
+            if all(_ring_area_seq(r) == 0.0 for r in rings):
+                # degenerate (zero-area, e.g. bowtie): vertex mean
+                v = np.vstack([np.asarray(r)[:-1] for r in rings])
+                cx = _seq_sum(v[:, 0]) / len(v)
+                cy = _seq_sum(v[:, 1]) / len(v)
+            else:
+                cx, cy = _polygon_centroid_seq(rings)
+        elif t == "Point":
+            cx, cy = float(g["coords"][0]), float(g["coords"][1])
+        elif t == "MultiPoint":
+            v = np.asarray(g["coords"], dtype=np.float64)
+            cx = _seq_sum(v[:, 0]) / len(v)
+            cy = _seq_sum(v[:, 1]) / len(v)
+        else:  # LineString / MultiLineString: length-weighted midpoints
+            lines = ([g["coords"]] if t == "LineString" else g["coords"])
+            wsum = xs = ys = 0.0
+            for m in lines:
+                arr = np.asarray(m, dtype=np.float64)
+                for j in range(len(arr) - 1):
+                    w = math.sqrt((arr[j + 1, 0] - arr[j, 0]) ** 2
+                                  + (arr[j + 1, 1] - arr[j, 1]) ** 2)
+                    xs += w * 0.5 * (arr[j, 0] + arr[j + 1, 0])
+                    ys += w * 0.5 * (arr[j, 1] + arr[j + 1, 1])
+                    wsum += w
+            cx, cy = xs / wsum, ys / wsum
+        out.append(bytearray(W.dumps_point(cx, cy)))
+    return pd.Series(out, dtype="object")
+
+
+def _ring_edges(rings) -> list[np.ndarray]:
+    return [np.asarray(r, dtype=np.float64) for r in rings]
+
+
+def _has_proper_self_intersection(rings) -> bool:
+    """Any proper crossing between non-adjacent edges across all rings
+    (adjacent edges share an endpoint by construction — skipped)."""
+    edges = []
+    for ri, r in enumerate(_ring_edges(rings)):
+        n = len(r) - 1
+        for j in range(n):
+            edges.append((ri, j, n, r[j, 0], r[j, 1], r[j + 1, 0],
+                          r[j + 1, 1]))
+    for i in range(len(edges)):
+        ri, ji, ni, ax, ay, bx, by = edges[i]
+        for k in range(i + 1, len(edges)):
+            rk, jk, nk, cx, cy, dx_, dy_ = edges[k]
+            if ri == rk and (abs(ji - jk) in (1, ni - 1)):
+                continue  # adjacent in the same ring
+            d1x, d1y = bx - ax, by - ay
+            d2x, d2y = dx_ - cx, dy_ - cy
+            den = d1x * d2y - d1y * d2x
+            if den == 0.0:
+                continue
+            t = ((cx - ax) * d2y - (cy - ay) * d2x) / den
+            s = ((cx - ax) * d1y - (cy - ay) * d1x) / den
+            if 0.0 < t < 1.0 and 0.0 < s < 1.0:
+                return True
+    return False
+
+
+def _st_isvalid(col: pd.Series) -> pd.Series:
+    """ST_IsValid — the deterministic OGC checks: rings closed with ≥3
+    distinct vertices, no repeated consecutive vertices, no proper
+    self-intersection. (Nested-hole topology is out of scope, like the
+    engine's MakeValid.)"""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] not in ("Polygon", "MultiPolygon"):
+            out.append(True)
+            continue
+        polys = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+        ok = True
+        for rings in polys:
+            for r in rings:
+                arr = np.asarray(r, dtype=np.float64)
+                if (len(arr) < 4 or not np.array_equal(arr[0], arr[-1])
+                        or np.any(np.all(arr[1:] == arr[:-1], axis=1))
+                        or len(np.unique(arr[:-1], axis=0)) < 3):
+                    ok = False
+            if ok and _has_proper_self_intersection(rings):
+                ok = False
+        out.append(ok)
+    return pd.Series(out, dtype="object")
+
+
+def _st_issimple(col: pd.Series) -> pd.Series:
+    """ST_IsSimple: linestrings have no proper self-crossing and no
+    repeated consecutive vertices; multipoints have distinct members;
+    points always simple; polygons defer to the validity checks."""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        t = g["type"]
+        if t == "Point":
+            out.append(True)
+        elif t == "MultiPoint":
+            v = np.asarray(g["coords"], dtype=np.float64)
+            out.append(len(np.unique(v, axis=0)) == len(v))
+        elif t in ("LineString", "MultiLineString"):
+            lines = [g["coords"]] if t == "LineString" else g["coords"]
+            arrs = [np.asarray(m, dtype=np.float64) for m in lines]
+            dup = any(np.any(np.all(a[1:] == a[:-1], axis=1))
+                      for a in arrs if len(a) > 1)
+            out.append(not dup
+                       and not _has_proper_self_intersection(arrs))
+        else:
+            out.append(not _has_proper_self_intersection(_rings_of(b)))
+    return pd.Series(out, dtype="object")
+
+
+def _st_transform(col: pd.Series, src: pd.Series,
+                  dst: pd.Series) -> pd.Series:
+    """ST_Transform over the EPSG registry (gdal_spark.crs: the
+    proj_create_crs_to_crs surface, ogr/ogrct.cpp:1705). Every vertex
+    maps through the lon/lat hub; a failed vertex nulls the geometry
+    (TransformWithErrorCodes semantics)."""
+    from gdal_spark.crs import transform_np
+
+    def tx(arr, s, d):
+        a = np.asarray(arr, dtype=np.float64)
+        x2, y2, ok = transform_np(int(s), int(d), a[:, 0], a[:, 1])
+        if not bool(np.all(ok)):
+            return None
+        return np.column_stack([x2, y2])
+
+    out = []
+    for b, s, d in zip(col, src, dst):
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        t, c = g["type"], g["coords"]
+        if t == "Point":
+            r = tx(np.asarray([c]), s, d)
+            out.append(None if r is None else
+                       bytearray(W.dumps_point(r[0, 0], r[0, 1])))
+            continue
+        if t == "LineString":
+            r = tx(c, s, d)
+        elif t == "Polygon":
+            parts = [tx(ring, s, d) for ring in c]
+            r = None if any(p is None for p in parts) else parts
+        else:
+            out.append(None)  # multi types: transform members upstream
+            continue
+        out.append(None if r is None else bytearray(
+            W.dumps({"type": t, "coords": r})))
+    return pd.Series(out, dtype="object")
+
+
 _REGISTRY = {
     "st_area": (_st_area, "double"),
     "st_npoints": (_st_npoints, "long"),
@@ -207,6 +521,16 @@ _REGISTRY = {
     "st_distance_xy": (_st_distance_xy, "double"),
     "st_astext": (_st_astext, "string"),
     "st_geomfromtext": (_st_geomfromtext, "binary"),
+    "st_asbinary": (_st_asbinary, "binary"),
+    "st_geomfromwkb": (_st_geomfromwkb, "binary"),
+    "st_srid": (_st_srid, "int"),
+    "st_makepoint": (_st_makepoint, "binary"),
+    "st_length": (_st_length, "double"),
+    "st_distance": (_st_distance, "double"),
+    "st_centroid": (_st_centroid, "binary"),
+    "st_isvalid": (_st_isvalid, "boolean"),
+    "st_issimple": (_st_issimple, "boolean"),
+    "st_transform": (_st_transform, "binary"),
 }
 
 
