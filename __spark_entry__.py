@@ -80,7 +80,7 @@ _PRIORITY = [
     "raster_sample_interp", "polygonize_components", "dem_metrics",
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_kernels", "contour_cells", "raster_calc_reclassify",
+    "grid_kernels", "contour_lines", "raster_calc_reclassify",
     "raster_stats", "raster_histogram", "raster_sieve",
     "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round

@@ -437,6 +437,18 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_cells(synth_dem_tiles(spark, DEM_PX), DEM_PX, CONTOUR_T)
 
 
+def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitched contour polylines (alg/contour.cpp:393 segment merge):
+    marching-squares segments keyed by global edge-crossing node ids,
+    tile-local union-find + cross-tile label merge, per-line segment
+    count / closed flag / ordered-fold length at two dyadic levels."""
+    from gdal_spark.contour import CONTOUR_LINES_PX, contour_lines
+
+    _ = sf_dir
+    return contour_lines(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                         CONTOUR_LINES_PX)
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity raster: per-pixel distance to the nearest point within
     the search radius (alg/gdalproximity.cpp:94)."""
@@ -595,6 +607,7 @@ QUERIES = {
     "raster_pansharpen_brovey": q_pansharpen,
     "grid_kernels": q_grid_kernels,
     "contour_cells": q_contour,
+    "contour_lines": q_contour_lines,
     "raster_calc_reclassify": q_raster_calc,
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
@@ -753,6 +766,9 @@ ORACLES = {
         "gdal_spark.gridding",
         fromlist=["grid_kernels_sql"]).grid_kernels_sql("duckdb"),
     "contour_cells": _contour_oracle(),
+    "contour_lines": __import__(
+        "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]
+    ).contour_lines_oracle_sql(),
     "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
                                                   value_expr=_RECLS),
     "raster_stats": raster_stats_oracle_sql(_PTS, RASTER_Z),
