@@ -607,6 +607,20 @@ def constructive_cases(spark):
         (19, "transform_merc", W.dumps_point(TX_LON, TX_LAT), None),
         (20, "transform_utm", W.dumps_point(TX_LON, TX_LAT), None),
         (21, "transform_lcc", W.dumps_point(TX_LON, TX_LAT), None),
+        (22, "accessors_line",
+         W.dumps_linestring(np.asarray(LENGTH_LINE)), None),
+        (23, "bbox", W.dumps_polygon([np.asarray(DIAMOND)]), None),
+        (24, "boundary",
+         W.dumps_polygon([np.asarray(UNION_SQUARE),
+                          np.asarray(MAKEVALID_HOLE)]), None),
+        (25, "reverse", W.dumps_linestring(np.asarray(LENGTH_LINE)),
+         None),
+        (26, "pointonsurface", W.dumps_polygon([np.asarray(UNION_L)]),
+         None),
+        (27, "geomtype_mix",
+         W.dumps_multi("MultiPoint",
+                       [W.dumps_point(x, y) for x, y in hull_cloud()]),
+         W.dumps_point(PTBUF_X, PTBUF_Y)),
     ]
     pdf = pd.DataFrame(rows, columns=["case_id", "op", "geom", "geom2"])
     df = spark.createDataFrame(pdf)
@@ -632,6 +646,23 @@ select case_id, op,
            then st_area(st_geomfromwkb(st_asbinary(geom)))
          when op like 'transform%'
            then st_x(txback) + 2e0 * st_y(txback)
+         when op = 'accessors_line'
+           then st_x(st_startpoint(geom)) + 2e0 * st_y(st_endpoint(geom))
+                + st_x(st_pointn(geom, 3))
+                + 100e0 * cast(st_pointn(geom, 99) is null as int)
+         when op = 'bbox'
+           then st_xmin(geom) + st_ymin(geom)
+                + st_xmax(geom) + st_ymax(geom)
+         when op = 'boundary' then st_length(st_boundary(geom))
+         when op = 'reverse'
+           then st_length(st_reverse(geom))
+                + st_x(st_startpoint(st_reverse(geom)))
+         when op = 'pointonsurface'
+           then st_x(st_pointonsurface(geom))
+                + 2e0 * st_y(st_pointonsurface(geom))
+         when op = 'geomtype_mix'
+           then cast(st_geometrytype(geom) = 'MULTIPOINT' as int)
+                + 2e0 * cast(st_geometrytype(geom2) = 'POINT' as int)
          else st_area(result)
        end, 6) as area,
        case
@@ -645,6 +676,15 @@ select case_id, op,
          when op = 'roundtrip'
            then st_npoints(st_geomfromwkb(st_asbinary(geom)))
          when op like 'transform%' then st_npoints(txback)
+         when op = 'accessors_line' then st_numgeometries(geom)
+         when op = 'bbox'
+           then cast(length(st_geometrytype(geom)) as bigint)
+         when op = 'boundary'
+           then st_numgeometries(st_boundary(geom))
+         when op = 'reverse' then st_npoints(st_reverse(geom))
+         when op = 'pointonsurface'
+           then st_npoints(st_pointonsurface(geom))
+         when op = 'geomtype_mix' then st_numgeometries(geom)
          else st_npoints(result)
        end as npoints
 from (
@@ -822,4 +862,46 @@ select 20, 'transform_utm', round({TX_LON}e0 + 2e0 * {TX_LAT}e0, 6),
 union all
 select 21, 'transform_lcc', round({TX_LON}e0 + 2e0 * {TX_LAT}e0, 6),
        cast(1 as bigint)
+union all
+select 22, 'accessors_line',
+       -- start x + 2*end y + vertex-3 x, plus 100 for the out-of-range
+       -- ST_PointN(…, 99) → NULL contract
+       round((select x from ln where i = 0)
+             + 2 * (select y from ln where i = {ln_n - 1})
+             + (select x from ln where i = 2) + 100.0e0, 6),
+       cast(1 as bigint)
+union all
+select 23, 'bbox',
+       round((select min(x) from dm) + (select min(y) from dm)
+             + (select max(x) from dm) + (select max(y) from dm), 6),
+       -- npoints column carries length('POLYGON') from ST_GeometryType
+       cast(7 as bigint)
+union all
+select 24, 'boundary',
+       -- boundary of square-with-hole -> 2-ring MultiLineString whose
+       -- ST_Length is the outer + hole perimeter
+       round((select sum(sqrt((b.x - a.x) * (b.x - a.x)
+                            + (b.y - a.y) * (b.y - a.y)))
+              from us a join us b on b.i = (a.i + 1) % {us_n})
+             + (select sum(sqrt((b.x - a.x) * (b.x - a.x)
+                              + (b.y - a.y) * (b.y - a.y)))
+                from mvh a join mvh b on b.i = (a.i + 1) % {mvh_n}), 6),
+       cast(2 as bigint)
+union all
+select 25, 'reverse',
+       -- reversed polyline keeps its length; its start is the old end
+       round((select sum(sqrt((b.x - a.x) * (b.x - a.x)
+                            + (b.y - a.y) * (b.y - a.y)))
+              from ln a join ln b on b.i = a.i + 1)
+             + (select x from ln where i = {ln_n - 1}), 6),
+       cast({ln_n} as bigint)
+union all
+select 26, 'pointonsurface',
+       -- bisector scanline of the L at ymid=4 crosses x=0 and x=3;
+       -- widest interior interval midpoint is (1.5, 4): x + 2y
+       round(1.5e0 + 2e0 * 4.0e0, 6), cast(1 as bigint)
+union all
+select 27, 'geomtype_mix',
+       -- MULTIPOINT flag (1) + 2 * POINT flag
+       round(1e0 + 2e0 * 1e0, 6), cast(48 as bigint)
 """

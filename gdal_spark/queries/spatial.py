@@ -236,7 +236,10 @@ def q_st_constructive(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered ST_ SQL functions over WKB: hull of a 48-point cloud,
     chord-join buffer of the octagon + a point, Douglas-Peucker
     simplify, orientation/dup repair, exact slab-decomposition union of
-    rectilinear and 45-degree fixtures, envelope. The DuckDB oracle
+    rectilinear and 45-degree fixtures, envelope, plus the accessor set
+    (ST_GeometryType/NumGeometries/Start-End-PointN/XMin-YMax/Boundary/
+    Reverse/PointOnSurface; ogrsqlitesqlfunctions.cpp OGR2SQLITE_ST_*,
+    ogr/ogrgeometry.cpp Boundary:4116). The DuckDB oracle
     derives every area from first principles (SQL shoelace / perimeter /
     wedge sums over the literal vertices)."""
     from gdal_spark.constructive import constructive_cases

@@ -512,6 +512,174 @@ def _st_transform(col: pd.Series, src: pd.Series,
     return pd.Series(out, dtype="object")
 
 
+def _st_geometrytype(col: pd.Series) -> pd.Series:
+    """ST_GeometryType: OGC uppercase name (OGRGeometry::getGeometryName,
+    ogr/ogrgeometry.cpp)."""
+    return pd.Series([
+        None if b is None else W.loads(bytes(b))["type"].upper()
+        for b in col], dtype="object")
+
+
+def _st_numgeometries(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        out.append(len(g["coords"]) if g["type"].startswith("Multi") else 1)
+    return pd.Series(out, dtype="Int64")
+
+
+def _line_coords(g: dict):
+    return np.asarray(g["coords"], dtype=np.float64) \
+        if g["type"] == "LineString" else None
+
+
+def _st_startpoint(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        arr = None if b is None else _line_coords(W.loads(bytes(b)))
+        out.append(None if arr is None
+                   else bytearray(W.dumps_point(arr[0, 0], arr[0, 1])))
+    return pd.Series(out, dtype="object")
+
+
+def _st_endpoint(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        arr = None if b is None else _line_coords(W.loads(bytes(b)))
+        out.append(None if arr is None
+                   else bytearray(W.dumps_point(arr[-1, 0], arr[-1, 1])))
+    return pd.Series(out, dtype="object")
+
+
+def _st_pointn(col: pd.Series, ns: pd.Series) -> pd.Series:
+    """ST_PointN: 1-based vertex of a LineString (NULL out of range)."""
+    out = []
+    for b, n in zip(col, ns):
+        arr = None if b is None or n is None \
+            else _line_coords(W.loads(bytes(b)))
+        if arr is None or not (1 <= int(n) <= len(arr)):
+            out.append(None)
+            continue
+        p = arr[int(n) - 1]
+        out.append(bytearray(W.dumps_point(p[0], p[1])))
+    return pd.Series(out, dtype="object")
+
+
+def _all_coords(g: dict) -> np.ndarray:
+    t, c = g["type"], g["coords"]
+    if t == "Point":
+        return np.asarray([c], dtype=np.float64)
+    if t in ("MultiPoint", "LineString"):
+        return np.asarray(c, dtype=np.float64)
+    if t in ("MultiLineString", "Polygon"):
+        return np.vstack([np.asarray(m, dtype=np.float64) for m in c])
+    return np.vstack([np.asarray(r, dtype=np.float64)
+                      for poly in c for r in poly])
+
+
+def _bbox_udf(which: int):
+    def kernel(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            if b is None:
+                out.append(np.nan)
+                continue
+            v = _all_coords(W.loads(bytes(b)))
+            out.append([v[:, 0].min(), v[:, 1].min(),
+                        v[:, 0].max(), v[:, 1].max()][which])
+        return pd.Series(out, dtype="float64")
+
+    return kernel
+
+
+def _st_boundary(col: pd.Series) -> pd.Series:
+    """ST_Boundary (OGRGeometry::Boundary, ogr/ogrgeometry.cpp:4116):
+    surfaces → ring MultiLineString; lines → endpoint MultiPoint (empty
+    when closed); points → NULL."""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        t = g["type"]
+        if t in ("Polygon", "MultiPolygon"):
+            rings = (g["coords"] if t == "Polygon"
+                     else [r for poly in g["coords"] for r in poly])
+            out.append(bytearray(W.dumps_multi(
+                "MultiLineString",
+                [W.dumps_linestring(np.asarray(r, dtype=np.float64))
+                 for r in rings])))
+        elif t == "LineString":
+            arr = np.asarray(g["coords"], dtype=np.float64)
+            pts = [] if np.array_equal(arr[0], arr[-1]) else [
+                W.dumps_point(arr[0, 0], arr[0, 1]),
+                W.dumps_point(arr[-1, 0], arr[-1, 1])]
+            out.append(bytearray(W.dumps_multi("MultiPoint", pts)))
+        else:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def _st_reverse(col: pd.Series) -> pd.Series:
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        t = g["type"]
+        if t == "LineString":
+            out.append(bytearray(W.dumps_linestring(
+                np.asarray(g["coords"], dtype=np.float64)[::-1])))
+        elif t == "Polygon":
+            out.append(bytearray(W.dumps_polygon(
+                [np.asarray(r, dtype=np.float64)[::-1].tolist()
+                 for r in g["coords"]])))
+        else:
+            out.append(bytearray(bytes(b)))
+    return pd.Series(out, dtype="object")
+
+
+def _st_pointonsurface(col: pd.Series) -> pd.Series:
+    """ST_PointOnSurface: midpoint of the widest interior interval of
+    the bbox-mid horizontal scanline (the GEOS bisector policy) —
+    guaranteed inside, unlike the centroid of a concave polygon."""
+    out = []
+    for b in col:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] not in ("Polygon", "MultiPolygon"):
+            out.append(None)
+            continue
+        rings = (g["coords"] if g["type"] == "Polygon"
+                 else [r for poly in g["coords"] for r in poly])
+        v = _all_coords(g)
+        ymid = (v[:, 1].min() + v[:, 1].max()) / 2.0
+        xs: list[float] = []
+        for r in rings:
+            arr = np.asarray(r, dtype=np.float64)
+            for j in range(len(arr) - 1):
+                (x1, y1), (x2, y2) = arr[j], arr[j + 1]
+                if (y1 > ymid) != (y2 > ymid):
+                    xs.append(x1 + (ymid - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        if len(xs) < 2:
+            cx, cy = _polygon_centroid_seq(rings)
+            out.append(bytearray(W.dumps_point(cx, cy)))
+            continue
+        spans = [(xs[j + 1] - xs[j], j) for j in range(0, len(xs) - 1, 2)]
+        _, j = max(spans)
+        out.append(bytearray(W.dumps_point(
+            (xs[j] + xs[j + 1]) / 2.0, ymid)))
+    return pd.Series(out, dtype="object")
+
+
 _REGISTRY = {
     "st_area": (_st_area, "double"),
     "st_npoints": (_st_npoints, "long"),
@@ -531,6 +699,18 @@ _REGISTRY = {
     "st_isvalid": (_st_isvalid, "boolean"),
     "st_issimple": (_st_issimple, "boolean"),
     "st_transform": (_st_transform, "binary"),
+    "st_geometrytype": (_st_geometrytype, "string"),
+    "st_numgeometries": (_st_numgeometries, "long"),
+    "st_startpoint": (_st_startpoint, "binary"),
+    "st_endpoint": (_st_endpoint, "binary"),
+    "st_pointn": (_st_pointn, "binary"),
+    "st_xmin": (_bbox_udf(0), "double"),
+    "st_ymin": (_bbox_udf(1), "double"),
+    "st_xmax": (_bbox_udf(2), "double"),
+    "st_ymax": (_bbox_udf(3), "double"),
+    "st_boundary": (_st_boundary, "binary"),
+    "st_reverse": (_st_reverse, "binary"),
+    "st_pointonsurface": (_st_pointonsurface, "binary"),
 }
 
 
