@@ -40,13 +40,76 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# RFC 21 CAST target types (swq_parser.y field_type rules) → Spark types.
+# OGR maps NUMERIC to OFTReal and CHARACTER to OFTString regardless of the
+# declared width/precision (ogr_gensql.cpp field-defn synthesis), so the
+# width argument is dropped rather than becoming a DECIMAL/CHAR type —
+# emitting DecimalType would also break the string-hash correctness gate.
+_CAST_TYPES = [
+    (re.compile(r"\bas\s+character\b\s*(\(\s*\d+\s*\))?", re.I),
+     "as string"),
+    (re.compile(r"\bas\s+numeric\b\s*(\(\s*\d+\s*,\s*\d+\s*\))?", re.I),
+     "as double"),
+    (re.compile(r"\bas\s+integer64\b", re.I), "as bigint"),
+    (re.compile(r"\bas\s+integer\b", re.I), "as int"),
+    (re.compile(r"\bas\s+real\b", re.I), "as double"),
+]
+
+
 def _rewrite_expressions(sql: str) -> str:
     out = re.sub(r"\bHSTORE_GET_VALUE\s*\(([^,]+),\s*('[^']*')\s*\)",
                  r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_AREA\b", "ogr_geom_area", out, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_WKT\b", "ogr_geom_wkt", out, flags=re.I)
     out = re.sub(r"\bFID\b", "fid", out)
+    # OGR datetime literals use slashes ('2010/04/01 00:00:00',
+    # ogr-core field parsing); Spark coerces only ISO forms
+    out = re.sub(r"'(\d{4})/(\d{2})/(\d{2})", r"'\1-\2-\3", out)
+    for pat, repl in _CAST_TYPES:
+        out = pat.sub(repl, out)
     return out
+
+
+_AGG_ITEM = re.compile(
+    r"^(?P<fn>min|max|avg|sum|count|stddev_pop|stddev_samp)\s*"
+    r"\(\s*(?:distinct\s+)?(?P<arg>(?:\w+\.)?[\w*]+)\s*\)$", re.I)
+
+
+def _split_select_items(cols: str) -> list[str]:
+    items, depth, last, i = [], 0, 0, 0
+    while i < len(cols):
+        c = cols[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            i += 1
+            while i < len(cols) and cols[i] != "'":
+                i += 1
+        elif c == "," and depth == 0:
+            items.append(cols[last:i])
+            last = i + 1
+        i += 1
+    items.append(cols[last:])
+    return items
+
+
+def _autoalias_aggregates(cols: str) -> str:
+    """OGR names unaliased summary columns ``fn_arg`` (``count_*`` for
+    COUNT(*)) — ogr_gensql.cpp summary field-defn naming, asserted by
+    autotest ogr_sql_test.py::test_ogr_sql_5/6. Spark would name them
+    ``max(eas_id)``; add the OGR alias when the item has none."""
+    out = []
+    for item in _split_select_items(cols):
+        s = item.strip()
+        m = _AGG_ITEM.match(s)
+        if m is None:
+            out.append(item)
+            continue
+        arg = m.group("arg").split(".")[-1]
+        out.append(f"{s} as `{m.group('fn').lower()}_{arg}`")
+    return ", ".join(out)
 
 
 # keywords that terminate the previous clause at paren-depth 0
@@ -182,7 +245,7 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     if table not in layers:
         raise KeyError(f"unknown layer {table!r}")
 
-    parts = [f"select {g['distinct'] or ''}{g['cols']}",
+    parts = [f"select {g['distinct'] or ''}{_autoalias_aggregates(g['cols'])}",
              f"from {table} {g['talias'] or table}"]
     tail: dict[str, str] = {}
     n_dedup = 0

@@ -165,3 +165,212 @@ def test_group_by_and_subquery_split(spark):
         "GROUP BY k HAVING COUNT(*) >= 1 ORDER BY k",
         {"t": t}).collect()
     assert [(r["k"], r["n"]) for r in out] == [(1, 2), (2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Ported autotest/ogr/ogr_sql_test.py cases on the canonical poly/idlink
+# fixture shapes (eas_id sets and expected outputs from the public test
+# assertions; FID order chosen so eas_id IN (158,165) sits at fids 7,8
+# like poly.shp).
+# ---------------------------------------------------------------------------
+
+_POLY_EAS = [168, 179, 171, 173, 172, 169, 166, 158, 165, 170]
+
+
+@pytest.fixture(scope="module")
+def at_poly(spark):
+    rows = [(i, eas, f"350433{10 + i}", 100.0 + i)
+            for i, (eas) in enumerate(_POLY_EAS)]
+    rows[7] = (7, 158, "35043369", 107.0)
+    rows[8] = (8, 165, "35043408", 108.0)
+    return spark.createDataFrame(
+        rows, "ord int, eas_id int, prfedea string, area double")
+
+
+@pytest.fixture(scope="module")
+def at_idlink(spark):
+    eas = [158, 165, 166, 168, 170, 171, 179]
+    return spark.createDataFrame(
+        [(i, e, f"_{e}_") for i, e in enumerate(eas)],
+        "ord int, eas_id int, name string")
+
+
+def arun(spark, sql, at_poly, **layers):
+    all_layers = {"poly": at_poly, **layers}
+    return execute_sql(spark, sql, all_layers,
+                       fid_order={n: "ord" for n in all_layers},
+                       area_cols={"poly": "area"})
+
+
+def test_at_where_counts(spark, at_poly):
+    # ogr_sql_1
+    assert arun(spark, "SELECT * FROM poly WHERE eas_id < 167",
+                at_poly).count() == 3
+    assert arun(spark, "SELECT * FROM poly", at_poly).count() == 10
+
+
+def test_at_distinct_order(spark, at_poly):
+    # ogr_sql_2/3/3_desc (DISTINCT_LIST is sorted here when no ORDER BY)
+    got = [r[0] for r in arun(
+        spark, "select distinct eas_id from poly where eas_id < 170",
+        at_poly).collect()]
+    assert got == [158, 165, 166, 168, 169]
+    got = [r[0] for r in arun(
+        spark, "select distinct eas_id from poly where eas_id < 170 "
+               "order by eas_id desc", at_poly).collect()]
+    assert got == [169, 168, 166, 165, 158]
+
+
+def test_at_distinct_strings(spark, at_poly, at_idlink):
+    # ogr_sql_4
+    got = [r[0] for r in arun(
+        spark, "select distinct name from idlink order by name asc",
+        at_poly, idlink=at_idlink).collect()]
+    assert got == ["_158_", "_165_", "_166_", "_168_", "_170_", "_171_",
+                   "_179_"]
+
+
+def test_at_summary_functions_auto_alias(spark, at_poly, at_idlink):
+    # ogr_sql_5: unaliased aggregates get OGR's fn_col output names
+    r = arun(spark,
+             "select max(eas_id), min(eas_id), avg(eas_id), "
+             "STDDEV_POP(eas_id), STDDEV_SAMP(eas_id), sum(eas_id), "
+             "count(eas_id) from idlink",
+             at_poly, idlink=at_idlink).collect()[0]
+    assert r["max_eas_id"] == 179
+    assert r["min_eas_id"] == 158
+    assert r["avg_eas_id"] == pytest.approx(168.142857142857, abs=1e-9)
+    assert r["stddev_pop_eas_id"] == pytest.approx(5.9384599116647205,
+                                                   rel=1e-12)
+    assert r["stddev_samp_eas_id"] == pytest.approx(6.414269805898183,
+                                                    rel=1e-12)
+    assert r["sum_eas_id"] == 1177
+    assert r["count_eas_id"] == 7
+
+
+def test_at_count_star_name(spark, at_poly):
+    # ogr_sql_6: COUNT(*) output column is named count_*
+    df = arun(spark, "select count(*) from poly", at_poly)
+    assert df.columns == ["count_*"]
+    assert df.collect()[0][0] == 10
+
+
+def test_at_fid_in_list(spark, at_poly):
+    # ogr_sql_7/8: fids of eas_id IN (158,165) are 7,8; wildcard rows too
+    got = [r["fid"] for r in arun(
+        spark, "select eas_id, fid from poly where eas_id in (158,165) "
+               "order by fid", at_poly).collect()]
+    assert got == [7, 8]
+    got = sorted(r["prfedea"] for r in arun(
+        spark, "select * from poly where eas_id in (158,165)",
+        at_poly).collect())
+    assert got == ["35043369", "35043408"]
+
+
+def test_at_quoted_table(spark, at_poly):
+    # ogr_sql_9
+    assert arun(spark, "select * from \"poly\" where eas_id in (158,165)",
+                at_poly).count() == 2
+
+
+def test_at_like_ilike(spark, at_poly):
+    # ogr_sql_ilike / ogr_sql_like on a prime_meridian-shaped layer
+    pmdf = at_poly.sparkSession.createDataFrame(
+        [(0, "Greenwich")], "ord int, pm_name string")
+    for pat, op, n in [("GREEN%", "ilike", 1), ("%WICH", "ilike", 1),
+                       ("FOO%", "ilike", 0), ("Green%", "like", 1),
+                       ("%wich", "like", 1), ("GREEN%", "like", 0)]:
+        got = arun(spark,
+                   f"select * from pm where pm_name {op} '{pat}'",
+                   at_poly, pm=pmdf).count()
+        assert got == n, (pat, op)
+
+
+def test_at_agg_empty_input(spark, at_poly):
+    # ogr_sql_11/31: MAX/MIN over an empty selection is one NULL row
+    r = arun(spark, "select max(eas_id) from poly where area = 0",
+             at_poly).collect()
+    assert len(r) == 1 and r[0]["max_eas_id"] is None
+
+
+def test_at_cast_types(spark, at_poly):
+    # ogr_sql_17 (RFC 21): CHARACTER(10) -> string, NUMERIC(7,3) -> real
+    df = arun(spark, "select CAST(fid as CHARACTER(10)) as f, "
+                     "CAST(area as numeric(7,3)) as a from poly "
+                     "where fid = 7", at_poly)
+    types = dict(df.dtypes)
+    assert types == {"f": "string", "a": "double"}
+    r = df.collect()[0]
+    assert r["f"] == "7" and r["a"] == 107.0
+
+
+def test_at_geom_area_special_field(spark, at_poly):
+    # ogr_sql_25: filter + select on OGR_GEOM_AREA
+    r = arun(spark, "SELECT prfedea, OGR_GEOM_AREA FROM poly "
+                    "WHERE OGR_GEOM_AREA > 108.5", at_poly).collect()
+    assert {row["ogr_geom_area"] for row in r} == {109.0}
+
+
+def test_at_literal_alias(spark, at_poly):
+    # ogr_sql_26: string literals with explicit and implicit aliases
+    r = arun(spark, "SELECT 'literal_value' AS my_column, "
+                    "'literal_value2' my_column2 FROM poly "
+                    "where fid = 0", at_poly).collect()[0]
+    assert r["my_column"] == "literal_value"
+    assert r["my_column2"] == "literal_value2"
+
+
+def test_at_datetime_slash_literals(spark, at_poly):
+    # ogr_sql_27: OGR accepts 'YYYY/MM/DD hh:mm:ss' literals
+    import datetime as dt
+
+    rows = [(0, "foo1", dt.datetime(2009, 10, 1, 0, 0, 0)),
+            (1, "foo2", dt.datetime(2009, 11, 15, 11, 59, 59)),
+            (2, "foo3", dt.datetime(2009, 12, 31, 23, 0, 0)),
+            (3, "foo4", dt.datetime(2010, 1, 1, 0, 0, 0)),
+            (4, "foo5", dt.datetime(2010, 2, 1, 0, 0, 0))]
+    tdf = at_poly.sparkSession.createDataFrame(
+        rows, "ord int, name string, timestamp timestamp")
+    got = [r["name"] for r in arun(
+        spark,
+        "SELECT * FROM testdatetime WHERE "
+        "timestamp < '2010/04/01 00:00:00' AND "
+        "timestamp > '2009/11/15 11:59:59' AND "
+        "timestamp != '2009/12/31 23:00:00' "
+        "ORDER BY timestamp DESC",
+        at_poly, testdatetime=tdf).collect()]
+    assert got == ["foo5", "foo4"]
+
+
+def test_at_is_null(spark, at_poly):
+    # ogr_sql_29
+    ndf = at_poly.sparkSession.createDataFrame(
+        [(0, "a"), (1, "b"), (2, None)], "ord int, strfield string")
+    assert arun(spark, "select * from lyr where strfield is null",
+                at_poly, lyr=ndf).count() == 1
+    assert arun(spark, "select * from lyr where strfield is not null",
+                at_poly, lyr=ndf).count() == 2
+
+
+def test_at_min_count_mix(spark, at_poly):
+    # ogr_sql_30
+    r = arun(spark, "select min(eas_id), count(*) from poly",
+             at_poly).collect()[0]
+    assert r["min_eas_id"] == 158 and r["count_*"] == 10
+
+
+def test_at_in_string_coercion(spark, at_poly):
+    # ogr_sql_34: implicit string -> numeric conversion inside IN
+    r = arun(spark, "select count(*) from poly where eas_id in ('165')",
+             at_poly).collect()[0]
+    assert r["count_*"] == 1
+
+
+def test_at_distinct_includes_null(spark, at_poly):
+    # ogr_sql_36: DISTINCT over a column with NULLs keeps the NULL entry
+    ndf = at_poly.sparkSession.createDataFrame(
+        [(0, 1), (1, None), (2, 1)], "ord int, intfield int")
+    got = [r[0] for r in arun(
+        spark, "select distinct intfield from lyr",
+        at_poly, lyr=ndf).collect()]
+    assert got == [None, 1]
