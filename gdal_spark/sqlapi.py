@@ -61,6 +61,8 @@ def _rewrite_expressions(sql: str) -> str:
                  r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_AREA\b", "ogr_geom_area", out, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_WKT\b", "ogr_geom_wkt", out, flags=re.I)
+    out = re.sub(r"\bOGR_GEOMETRY\b", "ogr_geometry", out, flags=re.I)
+    out = re.sub(r"\bOGR_STYLE\b", "ogr_style", out, flags=re.I)
     out = re.sub(r"\bFID\b", "fid", out)
     # OGR datetime literals use slashes ('2010/04/01 00:00:00',
     # ogr-core field parsing); Spark coerces only ISO forms
@@ -187,30 +189,61 @@ def _split_union_all(sql: str) -> list[str]:
 
 
 def _prepare_layer(df: DataFrame, name: str, fid_order: str | None,
-                   area_col: str | None) -> DataFrame:
+                   area_col: str | None,
+                   geom_col: str | None = None,
+                   style_col: str | None = None) -> DataFrame:
     if "fid" not in df.columns and fid_order is not None:
         from gdal_spark.ogrsql import with_fid
 
         df = with_fid(df, fid_order)
     if area_col is not None and "ogr_geom_area" not in df.columns:
         df = df.withColumn("ogr_geom_area", F.col(area_col))
+    if geom_col is not None:
+        # geometry-backed special fields (ogr/ogr_p.h:164-171): OGR_GEOMETRY
+        # is the uppercase type name, OGR_GEOM_WKT the WKT form, and
+        # OGR_GEOM_AREA the planar area, all derived from the WKB column
+        # through the Arrow-batched ST kernels
+        from gdal_spark.stfuncs import (_st_area, _st_astext,
+                                        _st_geometrytype)
+
+        g = F.col(geom_col)
+        if "ogr_geometry" not in df.columns:
+            df = df.withColumn(
+                "ogr_geometry", F.pandas_udf(_st_geometrytype, "string")(g))
+        if "ogr_geom_wkt" not in df.columns:
+            df = df.withColumn(
+                "ogr_geom_wkt", F.pandas_udf(_st_astext, "string")(g))
+        if "ogr_geom_area" not in df.columns:
+            df = df.withColumn(
+                "ogr_geom_area", F.pandas_udf(_st_area, "double")(g))
+    if style_col is not None and "ogr_style" not in df.columns:
+        # OGR_STYLE carries the per-feature style string when the driver
+        # provides one (autotest ogr_sql_test.py::test_ogr_sql_14)
+        df = df.withColumn("ogr_style", F.col(style_col))
     return df
 
 
 def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
                 fid_order: dict[str, str] | None = None,
-                area_cols: dict[str, str] | None = None) -> DataFrame:
+                area_cols: dict[str, str] | None = None,
+                geom_cols: dict[str, str] | None = None,
+                style_cols: dict[str, str] | None = None) -> DataFrame:
     """Run an OGR SQL statement over the given layers.
 
     layers: layer name → DataFrame. fid_order[layer] names the column
     defining FID/iteration order (GDAL FIDs are the stable row ids of
     the layer); area_cols[layer] names the planar-area column backing
-    OGR_GEOM_AREA.
+    OGR_GEOM_AREA; geom_cols[layer] names a WKB column from which the
+    OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA special fields derive;
+    style_cols[layer] backs OGR_STYLE.
     """
     fid_order = fid_order or {}
     area_cols = area_cols or {}
+    geom_cols = geom_cols or {}
+    style_cols = style_cols or {}
     for name, df in layers.items():
-        _prepare_layer(df, name, fid_order.get(name), area_cols.get(name)) \
+        _prepare_layer(df, name, fid_order.get(name), area_cols.get(name),
+                       geom_cols.get(name), style_cols.get(name)) \
             .createOrReplaceTempView(name)
 
     selects = _split_union_all(sql.strip().rstrip(";"))

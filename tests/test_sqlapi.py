@@ -374,3 +374,45 @@ def test_at_distinct_includes_null(spark, at_poly):
         spark, "select distinct intfield from lyr",
         at_poly, lyr=ndf).collect()]
     assert got == [None, 1]
+
+
+def test_at_geometry_special_fields(spark, at_poly):
+    # ogr_sql_13/14: OGR_GEOMETRY type name, OGR_GEOM_WKT, OGR_STYLE over
+    # a WKB geometry column
+    import numpy as np
+
+    from gdal_spark import wkb as W
+
+    sq = W.dumps_polygon([np.asarray(
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)])])
+    pt = W.dumps_point(1.0, 1.0)
+    gdf = at_poly.sparkSession.createDataFrame(
+        [(0, bytearray(sq), "BRUSH(fc:#000000)"),
+         (1, bytearray(pt), "PEN(c:#ff0000)")],
+        "ord int, geom binary, style string")
+    rows = execute_sql(
+        spark,
+        "select OGR_GEOMETRY, OGR_STYLE from lyr "
+        "where OGR_GEOMETRY = 'POLYGON'",
+        {"lyr": gdf}, fid_order={"lyr": "ord"},
+        geom_cols={"lyr": "geom"}, style_cols={"lyr": "style"}).collect()
+    assert len(rows) == 1
+    assert rows[0]["ogr_geometry"] == "POLYGON"
+    assert rows[0]["ogr_style"].startswith("BRUSH")
+    rows = execute_sql(
+        spark,
+        "select ogr_geom_wkt, ogr_geom_area from lyr "
+        "where ogr_geom_wkt LIKE 'POLYGON%'",
+        {"lyr": gdf}, fid_order={"lyr": "ord"},
+        geom_cols={"lyr": "geom"}).collect()
+    assert len(rows) == 1
+    assert rows[0]["ogr_geom_wkt"].startswith("POLYGON ((0 0,")
+    assert rows[0]["ogr_geom_area"] == 4.0
+
+
+def test_at_select_star_except(spark, at_poly):
+    # SELECT * EXCEPT(col) field-exclusion wildcard (swq_parser.y:866)
+    df = arun(spark, "select * except(prfedea, area) from poly "
+                     "where eas_id = 158", at_poly)
+    assert "prfedea" not in df.columns and "area" not in df.columns
+    assert "eas_id" in df.columns and df.count() == 1
