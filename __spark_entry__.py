@@ -86,6 +86,7 @@ _PRIORITY = [
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
     "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
     "st_constructive",  # new constructive-geometry surface
+    "dedup_cluster_canonical",  # new: components + canonical selection
     # ---- (~50-query driver budget reaches about here) ----
     "sql_topk",
 ]

@@ -56,6 +56,7 @@ HEADLINE = [
     "embed_neardup_cosine",
     "grid_kernels",
     "ann_lsh_topk",
+    "dedup_cluster_canonical",
 ]
 # Queries counted toward the pages/sec throughput metric (each consumes
 # the full geocoded pages table once).

@@ -216,3 +216,28 @@ def simhash_neardup_pairs(crawl: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_clusters(crawl: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate clustering with canonical-representative selection:
+    the dedup *decision table* of a training-data pipeline — one row per
+    crawl document, its duplicate-cluster id (min crawl_id of the
+    connected component over the verified near-dup pair graph), and
+    ``keep`` = is this the canonical copy.
+
+    Components come from the same distributed min-label pointer-jumping
+    loop as polygonize (gdal_spark.polygonize.propagate_labels,
+    O(log diameter) rounds, each round one keyed shuffle) — near-dup
+    graphs are overwhelmingly tiny cliques plus rare chains, so the loop
+    exits after 2-3 rounds. Singleton documents keep themselves.
+    """
+    from gdal_spark.polygonize import propagate_labels
+
+    nodes = crawl.select(F.col("crawl_id").alias("lbl"))
+    edges = pairs.select(F.col("id_a").alias("la"),
+                         F.col("id_b").alias("lb"))
+    labels = propagate_labels(nodes, edges)
+    return labels.select(
+        F.col("lbl").alias("crawl_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("lbl") == F.col("comp")).alias("keep"))

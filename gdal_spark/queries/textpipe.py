@@ -57,6 +57,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(_crawl(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering + canonical selection: connected components
+    over the MinHash-verified pair graph (distributed pointer-jumping),
+    keep = min crawl_id per cluster. The oracle recomputes components
+    with a recursive-CTE transitive closure over the exact-Jaccard
+    pairs — equality proves both the pair set and the component
+    structure."""
+    from gdal_spark.dedup import neardup_clusters
+
+    crawl = _crawl(spark, sf_dir)
+    return neardup_clusters(crawl, minhash_neardup_pairs(crawl,
+                                                         threshold=0.8))
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
 
@@ -81,6 +95,47 @@ from i
 join sz za on i.id_a = za.crawl_id
 join sz zb on i.id_b = zb.crawl_id
 where cast(c as double) / (za.n + zb.n - c) >= {threshold}
+"""
+
+
+def _cluster_oracle(k: int, threshold: float) -> str:
+    """Components of the exact near-dup pair graph via a recursive-CTE
+    transitive closure (fixture-scale oracle only — the engine side is
+    the O(log diameter) distributed loop)."""
+    sh = textops.shingle_rows_sql("documents", DUCKDB, k=k)
+    crawl = textops.crawl_sql("documents", DUCKDB)
+    return f"""
+with recursive
+sh as ({sh}),
+sz as (select crawl_id, count(*) as n from sh group by crawl_id),
+i as (
+  select a.crawl_id as id_a, b.crawl_id as id_b, count(*) as c
+  from sh a join sh b on a.sh = b.sh and a.crawl_id < b.crawl_id
+  group by 1, 2
+),
+p as (
+  select id_a, id_b
+  from i
+  join sz za on i.id_a = za.crawl_id
+  join sz zb on i.id_b = zb.crawl_id
+  where cast(c as double) / (za.n + zb.n - c) >= {threshold}
+),
+e(a, b) as (
+  select id_a, id_b from p union select id_b, id_a from p
+),
+reach(s, t) as (
+  select a, b from e
+  union
+  select r.s, e2.b from reach r join e e2 on e2.a = r.t
+),
+crawl as ({crawl}),
+comp as (
+  select c.crawl_id,
+         least(c.crawl_id, coalesce(min(r.t), c.crawl_id)) as cluster_id
+  from crawl c left join reach r on r.s = c.crawl_id
+  group by c.crawl_id
+)
+select crawl_id, cluster_id, crawl_id = cluster_id as keep from comp
 """
 
 
@@ -326,6 +381,7 @@ from ({_html_src_sql()}) p
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_cluster_canonical": q_dedup_cluster,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "embed_neardup_cosine": q_embed_neardup,
@@ -349,6 +405,7 @@ select min(crawl_id) as rep_id, count(*) as n_copies
 from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
 """,
     "dedup_minhash_lsh": _exact_jaccard_oracle(k=3, threshold=0.8),
+    "dedup_cluster_canonical": _cluster_oracle(k=3, threshold=0.8),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
     "embed_neardup_cosine": _embed_neardup_oracle(),

@@ -235,3 +235,21 @@ def test_multimodal_resize_and_frames(spark):
     assert (fr["frame_idx"] % 2 == 0).all()
     assert fr.groupby("url").size().between(1, 4).all()
     assert ((fr["frame_feat"] >= 0) & (fr["frame_feat"] < 1)).all()
+
+
+def test_neardup_clusters_chain_and_singletons(spark):
+    """Components must close over chains (a-b, b-c => one cluster), not
+    just direct pairs; untouched docs stay singleton keepers."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.dedup import neardup_clusters
+
+    crawl = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 20)], "crawl_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 20)], "id_a long, id_b long") \
+        .withColumn("jaccard", F.lit(1.0))
+    got = {r["crawl_id"]: (r["cluster_id"], r["keep"])
+           for r in neardup_clusters(crawl, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 10: (10, True), 20: (10, False)}
