@@ -131,10 +131,18 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         p = pts.withColumn("_pcell", F.expr(_cell_expr(z, ptxe, ptye)))
         joined = cand.join(p, cand._cell == p._pcell, "inner")
         w = Window.partitionBy(query_id).orderBy("dist_m", point_id)
+        # the level's one heavy job: cell join + top-k window, then
+        # localCheckpoint — the result is tiny (≤ k rows per pending
+        # query), every downstream consumer (guarantee filter, result
+        # semi-join, pending anti-join, final union) reads the
+        # materialized rows instead of re-running the join. Previously
+        # the safe_q/res_l subtrees each recomputed the join (2× per
+        # level) plus per-level cache bookkeeping actions.
         ranked = (
             joined.withColumn("dist_m", F.expr(dist_expr))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
+            .localCheckpoint(eager=True)
         )
         per_q = ranked.groupBy(query_id, "q_lon", "q_lat", "_ty").agg(
             F.count(F.lit(1)).alias("_nc"), F.max("dist_m").alias("_kth"))
@@ -144,22 +152,17 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
             g = _guarantee_expr(z, "_ty")
             safe_q = per_q.filter(f"_nc >= {k} and _kth < {g}") \
                           .select(query_id)
-        # cache the per-level frontier: safe_q feeds both the result semi-
-        # join and the pending anti-join, and pending otherwise re-executes
-        # every earlier level's join on each subsequent action
-        safe_q = safe_q.cache()
         res_l = (
             ranked.join(safe_q, query_id, "left_semi")
             .select(query_id, point_id, F.col("_rn").alias("rank"), "dist_m")
-            .cache()
         )
-        res_l.count()  # materialize this level's resolved queries now
         results.append(res_l)
-        pending = pending.join(safe_q, query_id, "left_anti").cache()
+        pending = pending.join(safe_q, query_id, "left_anti")
         # iterative deepening stops as soon as the frontier drains
         # (gdalgrid.cpp:879 stops expanding once k are guaranteed) —
         # without this every level's join is scheduled even when level 0
-        # resolved every query
+        # resolved every query. Cheap: pending derives from the
+        # checkpointed ranked rows, not from the join lineage.
         if last or pending.isEmpty():
             break
 
