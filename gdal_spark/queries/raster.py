@@ -347,16 +347,25 @@ def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECLASS_BOUNDS = [1, 3, 10]
 
 
+CALC_EXPR = "A*2 + (A>3)*100 + minimum(A, 7)"
+
+
 def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster map algebra: reclassify the z5 count raster into density
-    classes (pixel-function RECLASSIFY, vrtreclassifier.cpp) and
-    checksum the result."""
+    """Raster map algebra, both front-ends: reclassify the z5 count
+    raster into density classes (pixel-function RECLASSIFY,
+    vrtreclassifier.cpp) AND run a gdal_calc ``--calc`` expression
+    string over it (gdal_calc.py surface, gdal_spark.calc), checksumming
+    both results."""
+    from gdal_spark.calc import raster_calc
     from gdal_spark.raster import map_algebra, reclassify_kernel
 
     pts = points_from_documents(spark, sf_dir)
     tiles = rasterize_points(pts, RASTER_Z)
-    return tile_checksums(map_algebra(tiles,
-                                      reclassify_kernel(RECLASS_BOUNDS)))
+    recls = tile_checksums(map_algebra(tiles,
+                                       reclassify_kernel(RECLASS_BOUNDS)))
+    calcs = tile_checksums(raster_calc(tiles, CALC_EXPR, {"A": 1}))
+    return recls.withColumn("op", F.lit("reclassify")) \
+        .unionByName(calcs.withColumn("op", F.lit("calc")))
 
 
 def q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,8 +778,16 @@ ORACLES = {
     "contour_lines": __import__(
         "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]
     ).contour_lines_oracle_sql(),
-    "raster_calc_reclassify": checksum_oracle_sql(_PTS, RASTER_Z,
-                                                  value_expr=_RECLS),
+    "raster_calc_reclassify": f"""
+select *, 'reclassify' as op from (
+{checksum_oracle_sql(_PTS, RASTER_Z, value_expr=_RECLS)})
+union all
+select *, 'calc' as op from (
+{checksum_oracle_sql(
+    _PTS, RASTER_Z,
+    value_expr=("cnt * 2 + (case when cnt > 3 then 100 else 0 end)"
+                " + least(cnt, 7)"))})
+""",
     "raster_stats": raster_stats_oracle_sql(_PTS, RASTER_Z),
     "raster_histogram": histogram_oracle_sql(_PTS, RASTER_Z),
     "raster_sieve": __import__(
