@@ -56,20 +56,75 @@ _CAST_TYPES = [
 ]
 
 
-def _rewrite_expressions(sql: str) -> str:
-    out = re.sub(r"\bHSTORE_GET_VALUE\s*\(([^,]+),\s*('[^']*')\s*\)",
-                 r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
+def _outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside single-quoted
+    string literals (literals pass through untouched, so a LIKE pattern
+    containing ``--`` or ``FID`` is never rewritten)."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if p.startswith("'") else fn(p) for p in parts)
+
+
+def _rewrite_code(out: str) -> str:
+    # OGR quotes identifiers with double quotes (rfc28 quoting tests);
+    # Spark uses backticks (double quotes open string literals)
+    out = re.sub(r'"([^"]*)"', r"`\1`", out)
     out = re.sub(r"\bOGR_GEOM_AREA\b", "ogr_geom_area", out, flags=re.I)
     out = re.sub(r"\bOGR_GEOM_WKT\b", "ogr_geom_wkt", out, flags=re.I)
     out = re.sub(r"\bOGR_GEOMETRY\b", "ogr_geometry", out, flags=re.I)
     out = re.sub(r"\bOGR_STYLE\b", "ogr_style", out, flags=re.I)
     out = re.sub(r"\bFID\b", "fid", out)
-    # OGR datetime literals use slashes ('2010/04/01 00:00:00',
-    # ogr-core field parsing); Spark coerces only ISO forms
-    out = re.sub(r"'(\d{4})/(\d{2})/(\d{2})", r"'\1-\2-\3", out)
+    # OGR SQL has no comments: '3--1' is 3 minus negative 1
+    # (autotest ogr_sql_rfc28.py::test_ogr_rfc28_16), but '--' opens a
+    # line comment in Spark SQL — split the minuses
+    out = out.replace("--", "- -")
+    # OGR integer / integer is integer division (swq type promotion,
+    # rfc28_17: 5/2 = 2). Without expression typing only the
+    # literal/literal case is decidable from the text; rewrite it to
+    # Spark's `div`. 5.0/2, 5/2.0 etc. keep float semantics on both.
+    out = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])",
+                 r"(\1 div \2)", out)
     for pat, repl in _CAST_TYPES:
         out = pat.sub(repl, out)
     return out
+
+
+def _sanitize_like_escape(m: re.Match) -> str:
+    """OGR's LIKE ESCAPE drops the escape char and takes the next char
+    literally whatever it is (swq LIKE evaluator); Spark/ANSI reject an
+    escape not followed by a wildcard or itself. Rewrite the literal
+    pattern: keep valid escape pairs, unwrap invalid ones."""
+    pat, esc = m.group(1), m.group(2)
+    out = []
+    kept_escape = False
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == esc and i + 1 < len(pat):
+            nxt = pat[i + 1]
+            if nxt in ("%", "_", esc):
+                out.append(ch)
+                out.append(nxt)
+                kept_escape = True
+            else:
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    new = "".join(out)
+    return (f"LIKE '{new}' ESCAPE '{esc}'" if kept_escape
+            else f"LIKE '{new}'")
+
+
+def _rewrite_expressions(sql: str) -> str:
+    out = re.sub(r"\bHSTORE_GET_VALUE\s*\(([^,]+),\s*('[^']*')\s*\)",
+                 r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
+    # OGR datetime literals use slashes ('2010/04/01 00:00:00',
+    # ogr-core field parsing); Spark coerces only ISO forms
+    out = re.sub(r"'(\d{4})/(\d{2})/(\d{2})", r"'\1-\2-\3", out)
+    out = re.sub(r"\blike\s+'((?:[^']|'')*)'\s+escape\s+'(.)'",
+                 _sanitize_like_escape, out, flags=re.I)
+    return _outside_strings(out, _rewrite_code)
 
 
 _AGG_ITEM = re.compile(
@@ -97,20 +152,91 @@ def _split_select_items(cols: str) -> list[str]:
     return items
 
 
-def _autoalias_aggregates(cols: str) -> str:
-    """OGR names unaliased summary columns ``fn_arg`` (``count_*`` for
-    COUNT(*)) — ogr_gensql.cpp summary field-defn naming, asserted by
-    autotest ogr_sql_test.py::test_ogr_sql_5/6. Spark would name them
-    ``max(eas_id)``; add the OGR alias when the item has none."""
+_BARE_COL = re.compile(r"^(?:\w+\.)?\w+$")
+_CAST_ITEM = re.compile(
+    r"^cast\s*\(\s*((?:\w+\.)?\w+)\s+as\s+[\w() ,]+\)$", re.I)
+_FN_ITEM = re.compile(r"^(\w+)\s*\((.*)\)$", re.S)
+
+# words that can legally end an unaliased expression
+_NON_ALIAS_WORDS = {"null", "true", "false", "end"}
+
+
+def _has_alias(s: str) -> bool:
+    """Does the select item carry an explicit or implicit alias? Only
+    the text AFTER the last top-level ')' / "'" counts (an `as type`
+    inside CAST(...) is not an alias), and a trailing word preceded by
+    an operator is an operand, not an alias."""
+    depth = 0
+    i = 0
+    tail_start = 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                tail_start = i + 1
+        elif c == "'":
+            i += 1
+            while i < len(s) and s[i] != "'":
+                i += 1
+            if depth == 0:
+                tail_start = i + 1
+        i += 1
+    tail = s[tail_start:]
+    m = re.search(r"\s+(as\s+)?([\w`\"]+)\s*$", tail, re.I)
+    if m is None:
+        return False
+    if not m.group(1):
+        word = m.group(2).strip('`"').lower()
+        if word in _NON_ALIAS_WORDS:
+            return False
+        prev = tail[:m.start()].rstrip()
+        if not prev:
+            # word directly follows the last top-level ')' / "'" (an
+            # implicit alias) unless there was no such boundary at all
+            return tail_start > 0
+        if prev[-1] in "+-*/%<>=,|&(":
+            return False
+    return True
+
+
+def _name_select_items(cols: str) -> str:
+    """OGR's output-column naming for unaliased select items
+    (ogr_gensql.cpp field-defn synthesis; asserted across
+    ogr_sql_test.py::test_ogr_sql_5/6/17 and ogr_sql_rfc28.py 12/14/15):
+    aggregates and scalar functions become ``fn_firstcolarg``
+    (``count_*`` for COUNT(*)), CAST keeps the underlying column name,
+    and literals / arithmetic become ``field_N``. Names are pinned
+    lowercase (OGR's own field lookup is case-insensitive, so the case
+    is unobservable there); N counts select-list items, not
+    post-``*``-expansion output columns."""
     out = []
-    for item in _split_select_items(cols):
+    for i, item in enumerate(_split_select_items(cols)):
         s = item.strip()
-        m = _AGG_ITEM.match(s)
-        if m is None:
+        if not s or s.startswith("*") or s.endswith(".*") \
+                or _BARE_COL.match(s) or _has_alias(s):
             out.append(item)
             continue
-        arg = m.group("arg").split(".")[-1]
-        out.append(f"{s} as `{m.group('fn').lower()}_{arg}`")
+        m = _AGG_ITEM.match(s)
+        if m is not None:
+            arg = m.group("arg").split(".")[-1]
+            out.append(f"{s} as `{m.group('fn').lower()}_{arg}`")
+            continue
+        m = _CAST_ITEM.match(s)
+        if m is not None:
+            out.append(f"{s} as `{m.group(1).split('.')[-1].lower()}`")
+            continue
+        m = _FN_ITEM.match(s)
+        if m is not None:
+            first = _split_select_items(m.group(2))[0].strip()
+            if _BARE_COL.match(first):
+                out.append(f"{s} as "
+                           f"`{m.group(1).lower()}_"
+                           f"{first.split('.')[-1].lower()}`")
+                continue
+        out.append(f"{s} as field_{i + 1}")
     return ", ".join(out)
 
 
@@ -256,11 +382,11 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
 
 _SELECT_HEAD = re.compile(
     r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<cols>.*?)\s+"
-    r"from\s+(?P<table>[\w.\"']+)(?:\s+(?P<talias>\w+))?\s*$",
+    r"from\s+(?P<table>[\w.`\"']+)(?:\s+(?P<talias>\w+))?\s*$",
     re.I | re.S,
 )
 _JOIN_CLAUSE = re.compile(
-    r"^(?P<jtable>[\w.\"']+)(?:\s+(?!on\b)(?P<jalias>\w+))?\s+"
+    r"^(?P<jtable>[\w.`\"']+)(?:\s+(?!on\b)(?P<jalias>\w+))?\s+"
     r"on\s+(?P<cond>.*)$",
     re.I | re.S,
 )
@@ -274,11 +400,11 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     if head is None:
         raise ValueError(f"unsupported OGR SQL: {sql!r}")
     g = head.groupdict()
-    table = g["table"].strip("'\"")
+    table = g["table"].strip("'\"`")
     if table not in layers:
         raise KeyError(f"unknown layer {table!r}")
 
-    parts = [f"select {g['distinct'] or ''}{_autoalias_aggregates(g['cols'])}",
+    parts = [f"select {g['distinct'] or ''}{_name_select_items(g['cols'])}",
              f"from {table} {g['talias'] or table}"]
     tail: dict[str, str] = {}
     n_dedup = 0
@@ -287,7 +413,7 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
             jm = _JOIN_CLAUSE.match(body)
             if jm is None:
                 raise ValueError(f"unsupported JOIN clause: {body!r}")
-            jtable = jm.group("jtable").strip("'\"")
+            jtable = jm.group("jtable").strip("'\"`")
             if jtable not in layers:
                 raise KeyError(f"unknown layer {jtable!r}")
             cond = jm.group("cond").strip()

@@ -416,3 +416,119 @@ def test_at_select_star_except(spark, at_poly):
                      "where eas_id = 158", at_poly)
     assert "prfedea" not in df.columns and "area" not in df.columns
     assert "eas_id" in df.columns and df.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Ported autotest/ogr/ogr_sql_rfc28.py expression-SQL cases.
+# ---------------------------------------------------------------------------
+
+
+def test_rfc28_literal_and_field_naming(spark, at_poly, at_idlink):
+    # rfc28_12: literals get field_N names (N = select-item position
+    # here; OGR numbers post-expansion output columns), explicit and
+    # implicit aliases win
+    r = arun(spark,
+             "SELECT 'constant string', 'other' as abc, eas_id "
+             "from idlink where eas_id = 165",
+             at_poly, idlink=at_idlink).collect()
+    assert len(r) == 1
+    assert r[0]["field_1"] == "constant string"
+    assert r[0]["abc"] == "other"
+    assert r[0]["eas_id"] == 165
+
+
+def test_rfc28_substr_where_and_naming(spark, at_poly):
+    # rfc28_13/14/26: SUBSTR in WHERE; unaliased SUBSTR named
+    # substr_<col>; negative offsets count from the end
+    assert arun(spark, "SELECT * from poly "
+                       "where SUBSTR(prfedea,5,4) = '3369'",
+                at_poly).count() == 1
+    r = arun(spark, "SELECT SUBSTR(prfedea,-2) from poly "
+                    "where eas_id in (158,165)", at_poly).collect()
+    assert sorted(x["substr_prfedea"] for x in r) == ["08", "69"]
+
+
+def test_rfc28_concat_multi_arg(spark, at_poly):
+    # rfc28_15: CONCAT with >2 args + CAST inside; named concat_<col>
+    r = arun(spark,
+             "SELECT CONCAT(prfedea,' ',CAST(eas_id AS CHARACTER(3))) "
+             "from poly where eas_id = 158", at_poly).collect()
+    assert r[0]["concat_prfedea"] == "35043369 158"
+
+
+def test_rfc28_negative_number_parsing(spark, at_poly):
+    # rfc28_16: '3--1' is subtraction of a negative, not a SQL comment
+    r = arun(spark, "SELECT -1, 3--1, 3*-1, 2e-1, 3-1 from poly "
+                    "where eas_id = 158", at_poly).collect()[0]
+    assert list(r) == [-1, 4, -3, 0.2, 2]
+
+
+def test_rfc28_integer_division(spark, at_poly):
+    # rfc28_17: int/int is integer division; any float operand floats
+    r = arun(spark, "SELECT 5/2, 5.0/2.0, 5/2.0, 5.0/2 from poly "
+                    "where eas_id = 158", at_poly).collect()[0]
+    assert list(r) == [2, 2.5, 2.5, 2.5]
+
+
+def test_rfc28_count_distinct_naming(spark, at_poly, at_idlink):
+    # rfc28_18: COUNT(distinct col) named count_<col>; alias wins
+    r = arun(spark,
+             'SELECT COUNT(distinct eas_id), COUNT(distinct eas_id) '
+             'as "xx" from idlink',
+             at_poly, idlink=at_idlink).collect()[0]
+    assert r["count_eas_id"] == 7 and r["xx"] == 7
+
+
+def test_rfc28_not_in_between_like(spark, at_poly):
+    # rfc28_19/21/22/23: NOT IN, [NOT] BETWEEN, NOT LIKE
+    assert arun(spark, "select * from poly "
+                       "where eas_id not in (158,165)",
+                at_poly).count() == 8
+    n_b = arun(spark, "select * from poly "
+                      "where eas_id between 165 and 169",
+               at_poly).count()
+    n_c = arun(spark, "select * from poly "
+                      "where eas_id >= 165 and eas_id <= 169",
+               at_poly).count()
+    assert n_b == n_c == 4
+    assert arun(spark, "select * from poly "
+                       "where eas_id not between 165 and 169",
+                at_poly).count() == 6
+    assert arun(spark, "select * from poly "
+                       "where prfedea NOT LIKE '35043369'",
+                at_poly).count() == 9
+
+
+def test_rfc28_null_select(spark, at_poly):
+    # rfc28_24: NULL literals select as unset fields
+    r = arun(spark,
+             "select eas_id, NULL as nullstrfield, "
+             "CAST(null as integer) as nullintfield from poly "
+             "where NULL IS NULL", at_poly)
+    rows = r.collect()
+    assert len(rows) == 10
+    assert rows[0]["nullstrfield"] is None
+    assert rows[0]["nullintfield"] is None
+    assert dict(r.dtypes)["nullintfield"] == "int"
+
+
+def test_rfc28_like_escape(spark, at_poly):
+    # rfc28_25: LIKE ... ESCAPE
+    assert arun(spark, "select * from poly "
+                       "where prfedea LIKE 'x35043408' ESCAPE 'x'",
+                at_poly).count() == 1
+
+
+def test_rfc28_float_trailing_dot(spark, at_poly):
+    # rfc28_27: trailing-dot literals stay floating point
+    assert arun(spark, "SELECT * FROM poly "
+                       "WHERE 4000000000. > 2000000000.",
+                at_poly).count() == 10
+
+
+def test_rewrites_protect_string_literals(spark, at_poly):
+    # '--' and FID inside string literals must not be rewritten
+    r = arun(spark, "SELECT 'a--b' as d, 'FID' as f, prfedea from poly "
+                    "where prfedea like '%--%' or eas_id = 158",
+             at_poly).collect()
+    assert len(r) == 1 and r[0]["d"] == "a--b" and r[0]["f"] == "FID"
