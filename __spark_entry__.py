@@ -58,7 +58,8 @@ def _modules():
 _PRIORITY = [
     # -- new operators this round (no driver row yet)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
-    "reproject_lcc93", "layer_algebra_intersection_nonconvex",
+    "warp_cutline", "reproject_lcc93",
+    "layer_algebra_intersection_nonconvex",
     "polygonize_rings", "ogrsql_execute_join_chain",
     "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
     # -- round-1 hard errors, fixed (ANSI semantics)

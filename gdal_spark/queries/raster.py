@@ -310,6 +310,59 @@ def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wn.unionByName(wa)
 
 
+_CUTLINE = [(-12.0e6, -8.0e6), (4.0e6, -14.0e6), (14.0e6, -2.0e6),
+            (6.0e6, 2.0e6), (10.0e6, 12.0e6), (-6.0e6, 9.0e6)]
+
+
+def _cutline_filter_sql(src_rel: str) -> str:
+    """Shared Spark/DuckDB SQL: keep warped pixels whose dst-pixel
+    center falls inside the cutline polygon — the dst-chunk cutline
+    mask of gdalwarp -cutline (apps/gdalwarp_lib.cpp:458), as an
+    even-odd crossing test against the cutline edge table. The edges
+    join on a constant key so both planners run a hash join (the build
+    side is the 6-row edge list)."""
+    edges = ", ".join(
+        f"(0, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for (x0, y0), (x1, y1) in zip(_CUTLINE,
+                                      _CUTLINE[1:] + _CUTLINE[:1]))
+    gt0, gt1, gt3, gt5 = _DST_GT[0], _DST_GT[1], _DST_GT[3], _DST_GT[5]
+    return f"""
+with px as (
+  select di, dj, value, 0 as k,
+         {gt0!r} + (cast(di as double) + 0.5e0) * {gt1!r} as cx,
+         {gt3!r} + (cast(dj as double) + 0.5e0) * {gt5!r} as cy
+  from {src_rel}
+),
+crossed as (
+  select px.di, px.dj, px.value,
+         sum(case when ((e.y0 > px.cy) != (e.y1 > px.cy))
+                   and px.cx < (e.x1 - e.x0) * (px.cy - e.y0)
+                             / (e.y1 - e.y0) + e.x0
+              then 1 else 0 end) as crossings
+  from px
+  join (values {edges}) as e(k, x0, y0, x1, y1) on e.k = px.k
+  group by px.di, px.dj, px.value
+)
+select di, dj, cast(value as bigint) as value
+from crossed where crossings % 2 = 1
+"""
+
+
+def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline (apps/gdalwarp_lib.cpp:458): the affine
+    nearest warp masked to a polygon cutline — dst pixels whose center
+    falls outside are dropped (nodata-skip, sparse form). The
+    crossing-number mask is one shared SQL text over the warp output,
+    so the DuckDB oracle compares bit-exactly."""
+    from gdal_spark.raster import warp_nearest
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    w = warp_nearest(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
+    w.createOrReplaceTempView("warp_cutline_src")
+    return spark.sql(_cutline_filter_sql("warp_cutline_src"))
+
+
 def q_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gdaldem suite over one halo exchange: Horn gradient
     numerators, TRI/TPI/roughness, hillshade+aspect, and color-relief
@@ -608,6 +661,7 @@ QUERIES = {
     "polygonize_rings": q_polygonize_rings,
     "dem_metrics": q_dem_metrics,
     "warp_resample_dem": q_warp_resample,
+    "warp_cutline": q_warp_cutline,
     "warp_reproject_dem": q_warp_reproject,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
@@ -757,6 +811,7 @@ ORACLES = {
     ).rings_oracle_sql(_PTS, RASTER_Z),
     "dem_metrics": _dem_metrics_oracle(),
     "warp_resample_dem": _warp_resample_oracle(),
+    "warp_cutline": _cutline_filter_sql(f"({_warp_oracle()}) w"),
     "warp_reproject_dem": __import__(
         "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
     ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _CRS_DST_GT,

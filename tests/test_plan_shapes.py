@@ -37,6 +37,9 @@ BOUNDED_PRODUCTS = {
     "raster_viewshed",
     # lines x the single clip-window row (constant)
     "clip_lines_cyrus_beck",
+    # warped pixels x the constant 6-row cutline edge table (the
+    # constant-key equi-join folds to true); linear in pixels
+    "warp_cutline",
 }
 
 SF = "/root/testdata/sf0.001"

@@ -569,3 +569,36 @@ def test_trace_component_rings_unit():
     assert len(rings) == 2
     lens = sorted(len(r) for r in rings)
     assert lens == [5, 13]
+
+
+def test_warp_cutline_mask_matches_numpy(spark):
+    """Cutline-masked warp ≡ full warp filtered by an independent numpy
+    even-odd point-in-polygon test of each dst pixel center."""
+    from gdal_spark.queries.raster import (_CUTLINE, _DST_GT, _DST_PX,
+                                           _SRC_GT, DEM_PX, q_warp_cutline)
+    from gdal_spark.raster import synth_dem_tiles, warp_nearest
+
+    full = {(r["di"], r["dj"]): r["value"]
+            for r in warp_nearest(synth_dem_tiles(spark, DEM_PX), _SRC_GT,
+                                  DEM_PX, _DST_GT, _DST_PX).collect()}
+    cut = {(r["di"], r["dj"]): r["value"]
+           for r in q_warp_cutline(spark, SF).collect()}
+
+    poly = np.asarray(_CUTLINE + _CUTLINE[:1], dtype=np.float64)
+
+    def inside(x, y):
+        c = 0
+        for k in range(len(poly) - 1):
+            (x0, y0), (x1, y1) = poly[k], poly[k + 1]
+            if (y0 > y) != (y1 > y) and x < (x1 - x0) * (y - y0) \
+                    / (y1 - y0) + x0:
+                c += 1
+        return c % 2 == 1
+
+    gt0, gt1, gt3, gt5 = _DST_GT[0], _DST_GT[1], _DST_GT[3], _DST_GT[5]
+    expect = {
+        (di, dj): v for (di, dj), v in full.items()
+        if inside(gt0 + (di + 0.5) * gt1, gt3 + (dj + 0.5) * gt5)
+    }
+    assert cut == expect
+    assert 0 < len(cut) < len(full)  # the cutline really masks something
