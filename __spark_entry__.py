@@ -81,15 +81,16 @@ _PRIORITY = [
     "raster_sample_interp", "polygonize_components", "dem_metrics",
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_kernels", "contour_lines", "raster_calc_reclassify",
+    "grid_kernels", "contour_lines", "contour_cells",
+    "raster_calc_reclassify",
     "raster_stats", "raster_histogram", "raster_sieve",
     "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
     "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
     "st_constructive",  # new constructive-geometry surface
     "dedup_cluster_canonical",  # new: components + canonical selection
-    # ---- (~50-query driver budget reaches about here) ----
-    "sql_topk",
+    # ---- (~50-query driver budget reaches about here; everything
+    # below registers after the round-1-green queries keep their rows)
 ]
 
 
