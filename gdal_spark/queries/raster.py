@@ -387,14 +387,39 @@ def q_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce(F.col("b"), F.lit(-1)).alias("b")))
 
 
+_PROJWIN = (-9.3e6, 4.6e6, 4.7e6, -3.8e6)  # ulx, uly, lrx, lry (3857 m)
+
+
+def _projwin_bounds() -> tuple[int, int, int, int]:
+    from gdal_spark.raster import projwin_to_srcwin, tile_geotransform
+
+    return projwin_to_srcwin(tile_geotransform(0, 0, RASTER_Z), *_PROJWIN)
+
+
+def q_translate_projwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -projwin: georeferenced window → pixel window via
+    the geotransform with the reference's align-to-input-pixels
+    rounding (projwin_to_srcwin), then the same pushed-down pixel
+    filter as -srcwin."""
+    from gdal_spark.raster import pixel_counts, tiles_from_pixel_counts
+
+    gx0, gx1, gy0, gy1 = _projwin_bounds()
+    pts = points_from_documents(spark, sf_dir)
+    px = pixel_counts(pts, RASTER_Z).filter(
+        f"gx >= {gx0} and gx < {gx1} and gy >= {gy0} and gy < {gy1}")
+    return tile_checksums(tiles_from_pixel_counts(px, RASTER_Z))
+
+
 def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdal_translate -srcwin + -scale/-ot Byte as one entry (op
-    column), both checksummed tile outputs."""
+    """gdal_translate -srcwin + -projwin + -scale/-ot Byte as one entry
+    (op column), all checksummed tile outputs."""
     srcwin = q_translate_srcwin(spark, sf_dir) \
         .withColumn("op", F.lit("srcwin"))
+    projwin = q_translate_projwin(spark, sf_dir) \
+        .withColumn("op", F.lit("projwin"))
     scaled = q_translate_scale(spark, sf_dir) \
         .withColumn("op", F.lit("scale_byte"))
-    return srcwin.unionByName(scaled)
+    return srcwin.unionByName(projwin).unionByName(scaled)
 
 
 RECLASS_BOUNDS = [1, 3, 10]
@@ -792,9 +817,16 @@ def _translate_ops_oracle() -> str:
         f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
         f" where tx >= {_SRCWIN[0]} and tx < {_SRCWIN[1]}"
         f" and ty >= {_SRCWIN[2]} and ty < {_SRCWIN[3]}")
+    gx0, gx1, gy0, gy1 = _projwin_bounds()
+    projwin = checksum_oracle_sql(
+        _PTS, RASTER_Z,
+        px_where=(f"gx >= {gx0} and gx < {gx1}"
+                  f" and gy >= {gy0} and gy < {gy1}"))
     scaled = checksum_oracle_sql(_PTS, RASTER_Z, value_expr=_SCALED)
     return f"""
 select 'srcwin' as op, z, tx, ty, checksum, n_nonzero from ({srcwin}) ts
+union all
+select 'projwin' as op, z, tx, ty, checksum, n_nonzero from ({projwin}) tp
 union all
 select 'scale_byte' as op, z, tx, ty, checksum, n_nonzero
 from ({scaled}) tb

@@ -147,8 +147,26 @@ def tile_checksums(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
         per_tile, "z int, tx long, ty long, checksum long, n_nonzero long")
 
 
+def projwin_to_srcwin(gt: list[float], ulx: float, uly: float,
+                      lrx: float, lry: float) -> tuple[int, int, int, int]:
+    """gdal_translate -projwin → integer pixel window, exactly the
+    reference's align-to-input-pixels rounding
+    (apps/gdal_translate_lib.cpp ~:3502 projwin handling):
+    off = floor(world_off + 0.001); ULX snaps to the pixel edge;
+    size = ceil(span - 0.001). Returns (gx0, gx1, gy0, gy1),
+    upper bounds exclusive."""
+    xoff = math.floor((ulx - gt[0]) / gt[1] + 0.001)
+    yoff = math.floor((uly - gt[3]) / gt[5] + 0.001)
+    sulx = xoff * gt[1] + gt[0]
+    suly = yoff * gt[5] + gt[3]
+    xsize = math.ceil((lrx - sulx) / gt[1] - 0.001)
+    ysize = math.ceil((lry - suly) / gt[5] - 0.001)
+    return xoff, xoff + xsize, yoff, yoff + ysize
+
+
 def checksum_oracle_sql(points_sql: str, z: int,
-                        value_expr: str = "cnt") -> str:
+                        value_expr: str = "cnt",
+                        px_where: str = "true") -> str:
     """DuckDB SQL reproducing rasterize→checksum exactly: pixel counts by
     the shared cell formula, per-pixel value % primes[(py*64+px) % 11],
     summed mod 65536 per tile (zero pixels contribute 0).
@@ -158,10 +176,11 @@ def checksum_oracle_sql(points_sql: str, z: int,
     primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
     t = TILE_PX
     return f"""
-with px as (
+with px_all as (
   select {gxe} as gx, {gye} as gy, count(*) as cnt
   from ({points_sql}) p group by 1, 2
-)
+),
+px as (select * from px_all where {px_where})
 select {z} as z, gx // {t} as tx, gy // {t} as ty,
        cast(sum(({value_expr})
            % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])

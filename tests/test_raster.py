@@ -602,3 +602,20 @@ def test_warp_cutline_mask_matches_numpy(spark):
     }
     assert cut == expect
     assert 0 < len(cut) < len(full)  # the cutline really masks something
+
+
+def test_projwin_to_srcwin_rounding():
+    """GDAL's align-to-input-pixels rounding: off floors with +0.001
+    slack, size ceils with -0.001 slack (gdal_translate_lib.cpp)."""
+    from gdal_spark.raster import projwin_to_srcwin
+
+    gt = [100.0, 10.0, 0.0, 500.0, 0.0, -10.0]
+    # exact pixel-edge window -> exact pixel indices
+    assert projwin_to_srcwin(gt, 120.0, 480.0, 160.0, 440.0) \
+        == (2, 6, 2, 6)
+    # tiny epsilon beyond an edge snaps back to it (the 0.001 slack)
+    assert projwin_to_srcwin(gt, 120.0 - 1e-3, 480.0 + 1e-3,
+                             160.0 + 1e-3, 440.0 - 1e-3) == (2, 6, 2, 6)
+    # mid-pixel bounds: off floors, size covers the partial pixel
+    assert projwin_to_srcwin(gt, 125.0, 475.0, 156.0, 443.0) \
+        == (2, 6, 2, 6)
