@@ -233,11 +233,20 @@ def neardup_clusters(crawl: DataFrame, pairs: DataFrame) -> DataFrame:
     """
     from gdal_spark.polygonize import propagate_labels
 
-    nodes = crawl.select(F.col("crawl_id").alias("lbl"))
     edges = pairs.select(F.col("id_a").alias("la"),
                          F.col("id_b").alias("lb"))
-    labels = propagate_labels(nodes, edges)
-    return labels.select(
-        F.col("lbl").alias("crawl_id"),
-        F.col("comp").alias("cluster_id"),
-        (F.col("lbl") == F.col("comp")).alias("keep"))
+    # only nodes that appear in a pair enter the propagation loop: the
+    # dup graph is O(duplicates), not O(corpus) — at 10^12 docs the loop
+    # frames must never be the whole document table. Singletons join
+    # back afterward as their own keepers.
+    graph_nodes = edges.select(F.col("la").alias("lbl")) \
+        .unionByName(edges.select(F.col("lb").alias("lbl")))
+    labels = propagate_labels(graph_nodes, edges)
+    return (
+        crawl.select("crawl_id")
+        .join(labels, crawl["crawl_id"] == labels["lbl"], "left")
+        .select(
+            "crawl_id",
+            F.coalesce(F.col("comp"), F.col("crawl_id"))
+            .alias("cluster_id"))
+        .withColumn("keep", F.col("crawl_id") == F.col("cluster_id")))
