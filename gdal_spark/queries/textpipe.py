@@ -71,6 +71,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                          threshold=0.8))
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment removal stats (repeated-paragraph stage of a
+    pretraining pipeline): per-doc segment counts + ratio of segments
+    shared by ≥3 distinct docs. Engine and oracle run the same
+    dual-dialect SQL (textops.boilerplate_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.boilerplate_sql("documents", textops.SPARK))
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
 
@@ -394,6 +403,7 @@ QUERIES = {
                                        _TOKEN_COLS),
     "text_fingerprint": _staged_query(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": q_rare_terms,
+    "text_boilerplate": q_text_boilerplate,
     "multimodal_inspect": q_multimodal_inspect,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
@@ -423,6 +433,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                         _TOKEN_COLS),
     "text_fingerprint": _staged_oracle(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": _rare_terms_sql(DUCKDB),
+    "text_boilerplate": textops.boilerplate_sql("documents", DUCKDB),
     "multimodal_inspect": f"""
 select m.url, m.n_bytes, m.content_md5, m.format,
        d.width, d.height, d.n_frames, d.feat

@@ -82,6 +82,57 @@ def shingles_sql(toks: str, k: int, engine: str) -> str:
     )
 
 
+def segments_sql(toks: str, k: int, engine: str) -> str:
+    """Non-overlapping k-word segments (stride k) joined by spaces — the
+    paragraph stand-in for boilerplate detection on the fixture corpus
+    (the synthetic text has no newlines); a trailing short segment keeps
+    its remaining words."""
+    if engine == SPARK:
+        return (
+            f"transform(sequence(0, (size({toks})-1) div {k}),"
+            f" i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))"
+        )
+    return (
+        f"list_transform(range(0, ((length({toks})-1)//{k})+1),"
+        f" i -> array_to_string("
+        f"list_slice({toks}, i*{k}+1, i*{k}+{k}), ' '))"
+    )
+
+
+def boilerplate_sql(doc_view: str, engine: str, k: int = 8,
+                    min_docs: int = 3) -> str:
+    """Boilerplate-segment analysis (the repeated-paragraph removal
+    stage of a pretraining pipeline, CCNet/RefinedWeb style): a segment
+    is boilerplate when it appears in >= min_docs distinct crawl docs;
+    output is the per-doc segment count, boilerplate count and ratio.
+    One shuffle keyed by segment text + one by doc — both with map-side
+    partials; the 'common' side of the join is the tiny distinct
+    boilerplate list (broadcastable)."""
+    crawl = crawl_sql(doc_view, engine)
+    segs = segments_sql(tokens_sql("text", engine), k, engine)
+    return f"""
+with crawl as ({crawl}),
+seg_pos as (
+  select crawl_id, {explode_sql(segs, "seg", engine)} from crawl
+),
+common as (
+  select seg from seg_pos
+  group by seg having count(distinct crawl_id) >= {min_docs}
+),
+per_doc as (
+  select s.crawl_id,
+         count(*) as n_segments,
+         sum(case when c.seg is not null then 1 else 0 end) as n_boiler
+  from seg_pos s left join common c on c.seg = s.seg
+  group by s.crawl_id
+)
+select crawl_id, cast(n_segments as bigint) as n_segments,
+       cast(n_boiler as bigint) as n_boiler,
+       round(cast(n_boiler as double) / n_segments, 6) as boiler_ratio
+from per_doc
+"""
+
+
 def explode_sql(arr_expr: str, alias: str, engine: str) -> str:
     if engine == SPARK:
         return f"explode({arr_expr}) as {alias}"

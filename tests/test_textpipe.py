@@ -253,3 +253,31 @@ def test_neardup_clusters_chain_and_singletons(spark):
            for r in neardup_clusters(crawl, pairs).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (1, False), 10: (10, True), 20: (10, False)}
+
+
+def test_boilerplate_segments_known_fixture(spark):
+    """Known repeated 8-word segment across >=3 docs is flagged; unique
+    tails are not; ratios follow."""
+    from gdal_spark.textops import SPARK, boilerplate_sql, segments_sql
+
+    boiler = "the quick brown fox jumps over lazy dogs"
+    rows = [(i, boiler + f" unique tail words {i} a b c d", "en", "s", 1)
+            for i in range(4)]
+    rows.append((9, "entirely different words with no repeats here x y",
+                 "en", "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").createOrReplaceTempView("documents")
+    out = {r["crawl_id"]: (r["n_segments"], r["n_boiler"])
+           for r in spark.sql(
+               boilerplate_sql("documents", SPARK, k=8, min_docs=3))
+           .collect() if r["crawl_id"] < 100}
+    # 16 words -> 2 segments; the boiler segment flagged, the tail not
+    assert all(v == (2, 1) for k, v in out.items() if k < 9)
+    assert out[9] == (2, 0)  # 9 words -> 8-word segment + 1-word tail
+
+    # segment split parity: 9 words -> segments of 8 + trailing 1
+    segs = spark.sql(
+        "select " + segments_sql("split('a b c d e f g h i', ' ')",
+                                 8, SPARK) + " as s").collect()[0]["s"]
+    assert segs == ["a b c d e f g h", "i"]
