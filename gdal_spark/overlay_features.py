@@ -238,3 +238,81 @@ def intersection_features(spark: SparkSession, defs_a: list[dict],
         clip_group,
         "input_zone int, input_eas_id int, method_zone int,"
         " method_eas_id int, n_pieces long, geom binary")
+
+
+def erase_features(spark: SparkSession, defs_a: list[dict],
+                   defs_b: list[dict]) -> DataFrame:
+    """Layer-algebra Erase with GEOMETRY output (ogrlayer.cpp:5806
+    OGRLayer::Erase): one feature per input polygon with the leftover
+    region input − union(method) as interior-disjoint trapezoid
+    MultiPolygon WKB. The method layer must be pairwise disjoint (the
+    same precondition the Identity/Update agg uses — GDAL itself unions
+    the method layer first; a disjoint layer IS its union), so the
+    even-odd subtrahend of all candidate method rings is exact.
+
+    Plan shape: bbox equi-prejoin → groupBy(input zone) → one
+    boolean_pair('difference') per input feature inside a grouped
+    pandas kernel. Inputs with no candidate method polygon pass through
+    whole.
+    """
+    from gdal_spark.constructive import boolean_pair
+
+    rows_a = [(z["zone_id"], int(z.get("eas_id", 0)),
+               [[list(map(float, p)) for p in r] for r in z["rings"]])
+              for z in defs_a]
+    rows_b = [(z["zone_id"],
+               [[list(map(float, p)) for p in r] for r in z["rings"]])
+              for z in defs_b]
+    a = spark.createDataFrame(
+        rows_a, "input_zone int, input_eas_id int,"
+                " rings_a array<array<array<double>>>")
+    b = spark.createDataFrame(
+        rows_b, "method_zone int, rings_b array<array<array<double>>>")
+
+    def bbox(df: DataFrame, rings: str, p: str) -> DataFrame:
+        flat = f"flatten({rings})"
+        return (df
+                .withColumn(f"{p}minx", F.expr(
+                    f"array_min(transform({flat}, q -> q[0]))"))
+                .withColumn(f"{p}maxx", F.expr(
+                    f"array_max(transform({flat}, q -> q[0]))"))
+                .withColumn(f"{p}miny", F.expr(
+                    f"array_min(transform({flat}, q -> q[1]))"))
+                .withColumn(f"{p}maxy", F.expr(
+                    f"array_max(transform({flat}, q -> q[1]))")))
+
+    cand = (
+        bbox(a, "rings_a", "a").join(
+            bbox(b, "rings_b", "b"),
+            F.expr("aminx <= bmaxx and bminx <= amaxx"
+                   " and aminy <= bmaxy and bminy <= amaxy"),
+            "left")
+        .select("input_zone", "input_eas_id", "rings_a", "rings_b")
+    )
+
+    def erase_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rings_a = [np.asarray([list(p) for p in r], dtype=np.float64)
+                   for r in pdf["rings_a"].iloc[0]]
+        rings_b = [np.asarray([list(p) for p in r], dtype=np.float64)
+                   for rb in pdf["rings_b"] if rb is not None
+                   for r in rb]
+        traps = (boolean_pair(rings_a, rings_b, "difference")
+                 if rings_b else trapezoid_decompose(rings_a))
+        traps = [t for t in traps if abs(G.ring_area(t)) > 0.0]
+        area = 0.0
+        for t in traps:  # ordered fold (exactness stance)
+            area += abs(G.ring_area(t))
+        geom = W.dumps_multi(
+            "MultiPolygon", [W.dumps_polygon([t.tolist()]) for t in traps])
+        return pd.DataFrame({
+            "input_zone": [int(key[0])],
+            "input_eas_id": [int(pdf["input_eas_id"].iloc[0])],
+            "n_pieces": [len(traps)],
+            "erased_area": [area],
+            "geom": [bytearray(geom)],
+        })
+
+    return cand.groupBy("input_zone").applyInPandas(
+        erase_group,
+        "input_zone int, input_eas_id int, n_pieces long,"
+        " erased_area double, geom binary")

@@ -183,7 +183,9 @@ def q_layer_intersection_nonconvex(spark: SparkSession,
     convex candidate-vertex overlay per trapezoid pair
     (gdal_spark.overlay_features). Emits per (input, method) pair the
     prefixed attributes, piece count and exact areas; the piece WKB
-    features are the intersection_features API (tested, not hashed)."""
+    features are the intersection_features / erase_features APIs
+    (tested, not hashed — erase emits input − union(method) leftover
+    trapezoids, ogrlayer.cpp:5806)."""
     from gdal_spark.layer_algebra import shift_defs
     from gdal_spark.overlay_features import intersection_agg
 

@@ -174,3 +174,52 @@ def test_nonconvex_intersection_features(spark):
             if pa["within"] and pb["within"]:
                 checked_within += 1
     assert checked_within >= 10
+
+
+def test_erase_features_geometry_and_area(spark):
+    """Erase with geometry output: per input polygon the leftover traps
+    must (a) sum to area(A) - sum of A∩B areas (independent
+    numpy-computed), (b) decode as closed rings whose sample interior
+    points are inside A and outside every method polygon."""
+    from gdal_spark import geom as G
+    from gdal_spark import wkb as W
+    from gdal_spark.constructive import boolean_pair
+    from gdal_spark.layer_algebra import disjoint_method_defs, shift_defs
+    from gdal_spark.overlay_features import erase_features
+    from gdal_spark.zones import zone_defs
+
+    defs = zone_defs()
+    method = disjoint_method_defs(shift_defs(defs, 0.31, 0.17))
+    out = {r["input_zone"]: r
+           for r in erase_features(spark, defs, method).collect()}
+    assert set(out) == {z["zone_id"] for z in defs}
+
+    for z in defs:
+        r = out[z["zone_id"]]
+        # independent expected area: numpy boolean_pair per (A, each B)
+        a_area = G.polygon_area(z["rings"])
+        inter = 0.0
+        for m in method:
+            traps = boolean_pair(z["rings"], m["rings"], "intersection")
+            inter += sum(abs(G.ring_area(t)) for t in traps)
+        assert r["erased_area"] == pytest.approx(a_area - inter,
+                                                 abs=1e-9)
+        g = W.loads(bytes(r["geom"]))
+        assert g["type"] == "MultiPolygon"
+        assert len(g["coords"]) == r["n_pieces"]
+        for poly in g["coords"]:
+            ring = np.asarray(poly[0], dtype=np.float64)
+            assert np.array_equal(ring[0], ring[-1])
+            cx = ring[:-1, 0].mean()
+            cy = ring[:-1, 1].mean()  # trap centroid: inside (convex)
+            ins_a = bool(G.points_in_ring(
+                np.asarray([cx]), np.asarray([cy]),
+                np.asarray(z["rings"][0]))[0])
+            assert ins_a
+            for m in method:
+                assert not bool(G.points_in_ring(
+                    np.asarray([cx]), np.asarray([cy]),
+                    np.asarray(m["rings"][0]))[0]) or \
+                    any(bool(G.points_in_ring(
+                        np.asarray([cx]), np.asarray([cy]),
+                        np.asarray(h))[0]) for h in m["rings"][1:])
