@@ -100,3 +100,55 @@ def test_st_functions_contract_query(spark):
             np.array([qpt[1]]), np.array([qpt[2]]), z["rings"])[0])
         assert bool(r["contains_q"]) == inside
         assert (r["dist_q"] == 0.0) == inside
+
+
+# ---------------------------------------------------------------------------
+# SQLite-dialect ExecuteSQL: ST_ functions inside statement strings
+# (autotest/ogr/ogr_sql_sqlite.py:1755-1935 shapes — ExecuteSQL with
+# dialect=SQLITE routes the statement to a full planner; here Catalyst
+# with the registered ST_ surface).
+# ---------------------------------------------------------------------------
+
+
+def test_execute_sql_st_roundtrip_and_area(spark):
+    from gdal_spark.sqlapi import execute_sql
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    lyr = spark.createDataFrame([(0,)], "ord int")
+    # ogr_sql_sqlite: ST_GeomFromWKB(ST_AsBinary(ST_GeomFromText(
+    #   ST_AsText(ST_GeomFromText('POINT (0 1)')))))
+    r = execute_sql(
+        spark,
+        "SELECT st_astext(st_geomfromwkb(st_asbinary(st_geomfromtext("
+        "st_astext(st_geomfromtext('POINT (0 1)')))))) AS wkt, "
+        "st_area(st_geomfromtext("
+        "'POLYGON((0 0,0 10,10 10,10 0,0 0))')) AS a, "
+        "st_area(null) AS a_null "
+        "FROM t", {"t": lyr}, fid_order={"t": "ord"}).collect()[0]
+    assert r["wkt"] == "POINT (0 1)"
+    assert r["a"] == 100.0
+    assert r["a_null"] is None
+
+
+def test_execute_sql_st_predicates_and_buffer(spark):
+    from gdal_spark.sqlapi import execute_sql
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    lyr = spark.createDataFrame([(0,)], "ord int")
+    sq = "POLYGON((0 0,0 10,10 10,10 0,0 0))"
+    far = "POLYGON((20 20,20 30,30 30,30 20,20 20))"
+    inner = "POLYGON((2 2,2 8,8 8,8 2,2 2))"
+    r = execute_sql(
+        spark,
+        f"SELECT st_intersects(st_geomfromtext('{sq}'), "
+        f"st_geomfromtext('{inner}')) AS i1, "
+        f"st_intersects(st_geomfromtext('{sq}'), "
+        f"st_geomfromtext('{far}')) AS i2, "
+        f"st_within(st_geomfromtext('{inner}'), "
+        f"st_geomfromtext('{sq}')) AS w, "
+        f"st_area(st_buffer(st_geomfromtext('{sq}'), 0.0, 1)) AS ba "
+        f"FROM t", {"t": lyr}, fid_order={"t": "ord"}).collect()[0]
+    assert r["i1"] is True and r["i2"] is False and r["w"] is True
+    assert r["ba"] == 100.0  # zero-distance buffer keeps the area
