@@ -245,13 +245,12 @@ def erase_features(spark: SparkSession, defs_a: list[dict],
     """Layer-algebra Erase with GEOMETRY output (ogrlayer.cpp:5806
     OGRLayer::Erase): one feature per input polygon with the leftover
     region input − union(method) as interior-disjoint trapezoid
-    MultiPolygon WKB. The method layer must be pairwise disjoint (the
-    same precondition the Identity/Update agg uses — GDAL itself unions
-    the method layer first; a disjoint layer IS its union), so the
-    even-odd subtrahend of all candidate method rings is exact.
+    MultiPolygon WKB. The method layer may overlap itself: candidates
+    are union-folded first (union_fold — the union-the-method-layer
+    step GDAL performs), so the subtrahend is exact.
 
-    Plan shape: bbox equi-prejoin → groupBy(input zone) → one
-    boolean_pair('difference') per input feature inside a grouped
+    Plan shape: bbox equi-prejoin → groupBy(input zone) → union fold +
+    one boolean_pair('difference') per input feature inside a grouped
     pandas kernel. Inputs with no candidate method polygon pass through
     whole.
     """
@@ -293,11 +292,17 @@ def erase_features(spark: SparkSession, defs_a: list[dict],
     def erase_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rings_a = [np.asarray([list(p) for p in r], dtype=np.float64)
                    for r in pdf["rings_a"].iloc[0]]
-        rings_b = [np.asarray([list(p) for p in r], dtype=np.float64)
-                   for rb in pdf["rings_b"] if rb is not None
-                   for r in rb]
-        traps = (boolean_pair(rings_a, rings_b, "difference")
-                 if rings_b else trapezoid_decompose(rings_a))
+        # union-the-method-layer-first (GDAL Erase semantics): a
+        # sequential union_pair fold makes the subtrahend exact even
+        # when method polygons overlap each other
+        ring_sets = [
+            [np.asarray([list(p) for p in r], dtype=np.float64)
+             for r in rb]
+            for rb in pdf["rings_b"] if rb is not None
+        ]
+        sub = union_fold(ring_sets)
+        traps = (boolean_pair(rings_a, sub, "difference")
+                 if sub else trapezoid_decompose(rings_a))
         traps = [t for t in traps if abs(G.ring_area(t)) > 0.0]
         area = 0.0
         for t in traps:  # ordered fold (exactness stance)
@@ -316,3 +321,45 @@ def erase_features(spark: SparkSession, defs_a: list[dict],
         erase_group,
         "input_zone int, input_eas_id int, n_pieces long,"
         " erased_area double, geom binary")
+
+
+def union_fold(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Exact union of many polygons as interior-disjoint trapezoids: a
+    sequential union_pair fold (the trapezoid output of one step is a
+    valid even-odd ring set for the next) — the union-the-method-layer
+    step GDAL's Erase/Update perform before subtracting
+    (ogrlayer.cpp:5806). Handles OVERLAPPING members exactly."""
+    from gdal_spark.constructive import union_pair
+
+    if not ring_sets:
+        return []
+    acc = list(ring_sets[0])
+    for rs in ring_sets[1:]:
+        acc = union_pair(acc, rs)
+    return acc
+
+
+def union_features(spark: SparkSession, defs_a: list[dict],
+                   defs_b: list[dict]) -> DataFrame:
+    """Layer-algebra Union with GEOMETRY output (ogrlayer.cpp:3763):
+    the three feature classes GDAL emits — one per intersecting
+    (input, method) pair, one leftover per input feature (method attrs
+    NULL), one leftover per method feature (input attrs NULL) — with
+    the ogrlayer.cpp:3077 prefixed-attribute schema. Composed from
+    intersection_features and the (overlap-safe) erase_features run in
+    both directions."""
+    pairs = intersection_features(spark, defs_a, defs_b).select(
+        "input_zone", "input_eas_id", "method_zone", "method_eas_id",
+        "n_pieces", "geom")
+    left_a = erase_features(spark, defs_a, defs_b).filter("n_pieces > 0") \
+        .select("input_zone", "input_eas_id",
+                F.lit(None).cast("int").alias("method_zone"),
+                F.lit(None).cast("int").alias("method_eas_id"),
+                "n_pieces", "geom")
+    left_b = erase_features(spark, defs_b, defs_a).filter("n_pieces > 0") \
+        .select(F.lit(None).cast("int").alias("input_zone"),
+                F.lit(None).cast("int").alias("input_eas_id"),
+                F.col("input_zone").alias("method_zone"),
+                F.col("input_eas_id").alias("method_eas_id"),
+                "n_pieces", "geom")
+    return pairs.unionByName(left_a).unionByName(left_b)

@@ -223,3 +223,57 @@ def test_erase_features_geometry_and_area(spark):
                     any(bool(G.points_in_ring(
                         np.asarray([cx]), np.asarray([cy]),
                         np.asarray(h))[0]) for h in m["rings"][1:])
+
+
+def test_erase_features_overlapping_method_union_fold(spark):
+    """Erase must union the method layer first: two OVERLAPPING method
+    squares on one input square — even-odd over the raw rings would
+    resurrect the doubly-covered region; union_fold must not."""
+    from gdal_spark import geom as G
+    from gdal_spark.overlay_features import erase_features
+
+    def sq(zid, x0, y0, s):
+        r = np.asarray([(x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                        (x0, y0 + s), (x0, y0)], dtype=np.float64)
+        return {"zone_id": zid, "eas_id": zid * 10, "rings": [r]}
+
+    a = [sq(1, 0.0, 0.0, 10.0)]
+    b = [sq(1, 2.0, 2.0, 4.0), sq(2, 4.0, 4.0, 4.0)]  # overlap [4,6]^2
+    r = erase_features(spark, a, b).collect()[0]
+    # area(B1 ∪ B2) = 16 + 16 - 4 = 28 -> leftover 72
+    assert r["erased_area"] == pytest.approx(72.0, abs=1e-9)
+
+
+def test_union_features_partitions_input(spark):
+    """Union feature classes: per input zone, pair pieces + the input
+    leftover partition area(A) exactly (disjoint method layer); leftover
+    rows carry NULL attrs on the absent side."""
+    from gdal_spark import geom as G
+    from gdal_spark import wkb as W
+    from gdal_spark.layer_algebra import disjoint_method_defs, shift_defs
+    from gdal_spark.overlay_features import union_features
+    from gdal_spark.zones import zone_defs
+
+    defs = zone_defs()
+    method = disjoint_method_defs(shift_defs(defs, 0.31, 0.17))
+    rows = union_features(spark, defs, method).collect()
+
+    def multi_area(blob):
+        g = W.loads(bytes(blob))
+        return sum(abs(G.ring_area(np.asarray(p[0], dtype=np.float64)))
+                   for p in g["coords"])
+
+    for z in defs:
+        pair_area = sum(multi_area(r["geom"]) for r in rows
+                        if r["input_zone"] == z["zone_id"]
+                        and r["method_zone"] is not None)
+        left = [r for r in rows if r["input_zone"] == z["zone_id"]
+                and r["method_zone"] is None]
+        left_area = sum(multi_area(r["geom"]) for r in left)
+        for r in left:
+            assert r["method_eas_id"] is None
+        assert pair_area + left_area == pytest.approx(
+            G.polygon_area(z["rings"]), abs=1e-9)
+    # method leftovers exist and carry NULL input attrs
+    b_left = [r for r in rows if r["input_zone"] is None]
+    assert b_left and all(r["input_eas_id"] is None for r in b_left)
