@@ -59,7 +59,7 @@ _PRIORITY = [
     # -- new operators this round (no driver row yet)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
     "warp_cutline", "reproject_lcc93",
-    "layer_algebra_intersection_nonconvex",
+    "layer_algebra_intersection_nonconvex", "layer_algebra_union_features",
     "polygonize_rings", "ogrsql_execute_join_chain",
     "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
     # -- round-1 hard errors, fixed (ANSI semantics)
@@ -81,7 +81,7 @@ _PRIORITY = [
     "raster_sample_interp", "polygonize_components", "dem_metrics",
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_kernels", "contour_lines", "contour_cells",
+    "grid_kernels", "contour_lines",
     "raster_calc_reclassify",
     "raster_stats", "raster_histogram", "raster_sieve",
     "tile_pyramid_z5_z2",
@@ -90,7 +90,10 @@ _PRIORITY = [
     "st_constructive",  # new constructive-geometry surface
     "dedup_cluster_canonical",  # new: components + canonical selection
     # ---- (~50-query driver budget reaches about here; everything
-    # below registers after the round-1-green queries keep their rows)
+    # below registers after the round-1-green queries keep their rows.
+    # contour_cells rotated below the line: its marching-squares cell
+    # classes feed contour_lines, which is checked above)
+    "contour_cells",
 ]
 
 

@@ -45,6 +45,25 @@ from gdal_spark.layer_algebra import (DUCKDB, SPARK, clip_convex_np,
 
 TRAP_KEY = 1000  # trap id = zone_id * TRAP_KEY + k
 
+CELL_DEG = 1.0  # coarse candidate-cell size (degrees) for the prejoin
+
+
+def _with_cover_cells(df: DataFrame, prefix: str) -> DataFrame:
+    """Explode each row to the integer (cx, cy) grid cells its bbox
+    covers at CELL_DEG resolution — the equi-join key of the candidate
+    prejoin (same staged-filter pattern as gdal_spark.pip_join: cell
+    equi-join first, exact test second; GDAL's SetSpatialFilter bbox
+    stage, ogrlayer.cpp:2136). Expects {prefix}minx/... bbox columns."""
+    p = prefix
+    return df.withColumn("cell", F.expr(
+        f"explode(flatten(transform("
+        f" sequence(cast(floor({p}minx / {CELL_DEG}) as int),"
+        f"          cast(floor({p}maxx / {CELL_DEG}) as int)),"
+        f" cx -> transform("
+        f"   sequence(cast(floor({p}miny / {CELL_DEG}) as int),"
+        f"            cast(floor({p}maxy / {CELL_DEG}) as int)),"
+        f"   cy -> struct(cx, cy)))))"))
+
 
 def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
     """Vertical-slab trapezoids of an even-odd polygon (rings closed).
@@ -178,17 +197,17 @@ def intersection_features(spark: SparkSession, defs_a: list[dict],
     attributes (ogrlayer.cpp:3077 schema rule). Candidates via a bbox
     equi-prejoin on trap rows; clipping is Sutherland–Hodgman per convex
     pair inside a grouped pandas kernel."""
-    rows_a = [(t["zone_id"] // TRAP_KEY, int(t["eas_id"]),
+    rows_a = [(t["zone_id"], t["zone_id"] // TRAP_KEY, int(t["eas_id"]),
                [list(map(float, p)) for p in t["rings"][0]])
               for t in trap_defs(defs_a)]
-    rows_b = [(t["zone_id"] // TRAP_KEY, int(t["eas_id"]),
+    rows_b = [(t["zone_id"], t["zone_id"] // TRAP_KEY, int(t["eas_id"]),
                [list(map(float, p)) for p in t["rings"][0]])
               for t in trap_defs(defs_b)]
     a = spark.createDataFrame(
-        rows_a, "input_zone int, input_eas_id int,"
+        rows_a, "trap_a int, input_zone int, input_eas_id int,"
                 " ring_a array<array<double>>")
     b = spark.createDataFrame(
-        rows_b, "method_zone int, method_eas_id int,"
+        rows_b, "trap_b int, method_zone int, method_eas_id int,"
                 " ring_b array<array<double>>")
 
     def bbox(df: DataFrame, ring: str, p: str) -> DataFrame:
@@ -203,10 +222,11 @@ def intersection_features(spark: SparkSession, defs_a: list[dict],
                     f"array_max(transform({ring}, q -> q[1]))")))
 
     cand = (
-        bbox(a, "ring_a", "a").join(
-            bbox(b, "ring_b", "b"),
-            F.expr("aminx <= bmaxx and bminx <= amaxx"
-                   " and aminy <= bmaxy and bminy <= amaxy"))
+        _with_cover_cells(bbox(a, "ring_a", "a"), "a").join(
+            _with_cover_cells(bbox(b, "ring_b", "b"), "b"), "cell")
+        .filter(F.expr("aminx <= bmaxx and bminx <= amaxx"
+                       " and aminy <= bmaxy and bminy <= amaxy"))
+        .dropDuplicates(["trap_a", "trap_b"])
         .select("input_zone", "input_eas_id", "method_zone",
                 "method_eas_id", "ring_a", "ring_b")
     )
@@ -280,12 +300,19 @@ def erase_features(spark: SparkSession, defs_a: list[dict],
                 .withColumn(f"{p}maxy", F.expr(
                     f"array_max(transform({flat}, q -> q[1]))")))
 
+    pairs = (
+        _with_cover_cells(bbox(a, "rings_a", "a"), "a")
+        .select("input_zone", "cell", "aminx", "amaxx", "aminy", "amaxy")
+        .join(_with_cover_cells(bbox(b, "rings_b", "b"), "b")
+              .select("method_zone", "cell",
+                      "bminx", "bmaxx", "bminy", "bmaxy"), "cell")
+        .filter(F.expr("aminx <= bmaxx and bminx <= amaxx"
+                       " and aminy <= bmaxy and bminy <= amaxy"))
+        .select("input_zone", "method_zone").distinct()
+    )
     cand = (
-        bbox(a, "rings_a", "a").join(
-            bbox(b, "rings_b", "b"),
-            F.expr("aminx <= bmaxx and bminx <= amaxx"
-                   " and aminy <= bmaxy and bminy <= amaxy"),
-            "left")
+        a.join(pairs, "input_zone", "left")
+        .join(b, "method_zone", "left")
         .select("input_zone", "input_eas_id", "rings_a", "rings_b")
     )
 
@@ -351,6 +378,15 @@ def union_features(spark: SparkSession, defs_a: list[dict],
     pairs = intersection_features(spark, defs_a, defs_b).select(
         "input_zone", "input_eas_id", "method_zone", "method_eas_id",
         "n_pieces", "geom")
+    left_a, left_b = _leftover_features(spark, defs_a, defs_b)
+    return pairs.unionByName(left_a).unionByName(left_b)
+
+
+def _leftover_features(spark: SparkSession, defs_a: list[dict],
+                       defs_b: list[dict]) -> tuple[DataFrame, DataFrame]:
+    """The two leftover feature classes shared by Union and
+    SymDifference: erase_features run in both directions, with the
+    absent side's prefixed attributes NULL (ogrlayer.cpp:3077)."""
     left_a = erase_features(spark, defs_a, defs_b).filter("n_pieces > 0") \
         .select("input_zone", "input_eas_id",
                 F.lit(None).cast("int").alias("method_zone"),
@@ -362,4 +398,125 @@ def union_features(spark: SparkSession, defs_a: list[dict],
                 F.col("input_zone").alias("method_zone"),
                 F.col("input_eas_id").alias("method_eas_id"),
                 "n_pieces", "geom")
-    return pairs.unionByName(left_a).unionByName(left_b)
+    return left_a, left_b
+
+
+def sym_difference_features(spark: SparkSession, defs_a: list[dict],
+                            defs_b: list[dict]) -> DataFrame:
+    """Layer-algebra SymDifference with GEOMETRY output
+    (ogrlayer.cpp:4300): exactly the two leftover classes of Union —
+    input − union(method) and method − union(input) — without the pair
+    pieces."""
+    left_a, left_b = _leftover_features(spark, defs_a, defs_b)
+    return left_a.unionByName(left_b)
+
+
+# ---------------------------------------------------------------------------
+# Contract query: Union feature classes, canonical numeric form
+# ---------------------------------------------------------------------------
+
+
+def union_contract_defs() -> tuple[list[dict], list[dict]]:
+    """The Union/SymDifference contract layer pair. Both layers are
+    pairwise-disjoint *within themselves* (disjoint_method_defs) so the
+    oracle's leftover areas are exact sums: area(X) − Σ pair areas.
+    Overlap BETWEEN the layers is everywhere (the 0.31/0.17 shift);
+    the overlapping-method union_fold path is exercised by tests."""
+    from gdal_spark.layer_algebra import disjoint_method_defs, shift_defs
+    from gdal_spark.zones import zone_defs
+
+    a = disjoint_method_defs(zone_defs())
+    b = disjoint_method_defs(shift_defs(zone_defs(), 0.31, 0.17))
+    return a, b
+
+
+def _multi_area_kernel(blobs: pd.Series) -> pd.Series:
+    """Area of a MultiPolygon WKB: per polygon |outer| − Σ|holes|,
+    folded in piece order (the exactness stance of the feature kernels)."""
+    out = []
+    for blob in blobs:
+        g = W.loads(bytes(blob))
+        area = 0.0
+        for poly in g["coords"]:
+            rings = [np.asarray(r, dtype=np.float64) for r in poly]
+            area += abs(G.ring_area(rings[0])) - sum(
+                abs(G.ring_area(h)) for h in rings[1:])
+        out.append(area)
+    return pd.Series(out, dtype=np.float64)
+
+
+def union_features_canon(spark: SparkSession) -> DataFrame:
+    """Union feature set in hashable form: one row per feature of the
+    three GDAL Union classes with a class tag and the piece area decoded
+    FROM THE WKB GEOMETRY (so the contract exercises the real feature
+    output, not the aggregate shortcut). SymDifference is the
+    cls <> 'pair' subset (sym_difference_features)."""
+    a, b = union_contract_defs()
+    feats = union_features(spark, a, b)
+    multi_area = F.pandas_udf(_multi_area_kernel, "double")
+    cls = (F.when(F.col("input_zone").isNull(), F.lit("left_method"))
+           .when(F.col("method_zone").isNull(), F.lit("left_input"))
+           .otherwise(F.lit("pair")))
+    return feats.select(
+        cls.alias("cls"), "input_zone", "input_eas_id",
+        "method_zone", "method_eas_id",
+        F.round(multi_area("geom"), 6).alias("area"))
+
+
+def union_features_oracle_sql() -> str:
+    """DuckDB oracle for union_features_canon: pair areas from the
+    shared trap-pair fold (intersection_agg_sql); leftover areas by
+    exact subtraction — area(X) − Σ pair areas — valid because each
+    contract layer is internally disjoint (union_contract_defs)."""
+    from gdal_spark.layer_algebra import _fmt
+
+    defs_a, defs_b = union_contract_defs()
+    ia = intersection_agg_sql(defs_a, defs_b, DUCKDB)
+
+    def zone_values(defs: list[dict]) -> str:
+        return ", ".join(
+            f"({z['zone_id']}, {int(z.get('eas_id', 0))},"
+            f" {_fmt(G.polygon_area(z['rings']))})"
+            for z in defs)
+
+    return f"""
+with ia as ({ia}),
+za(zone_id, eas_id, zarea) as (values {zone_values(defs_a)}),
+zb(zone_id, eas_id, zarea) as (values {zone_values(defs_b)}),
+pair as (
+  select 'pair' as cls,
+         cast(zone_a as int) as input_zone,
+         cast(input_eas_id as int) as input_eas_id,
+         cast(zone_b as int) as method_zone,
+         cast(method_eas_id as int) as method_eas_id,
+         round(inter_area, 6) as area
+  from ia
+),
+left_in as (
+  select 'left_input' as cls,
+         cast(za.zone_id as int) as input_zone,
+         cast(za.eas_id as int) as input_eas_id,
+         cast(null as int) as method_zone,
+         cast(null as int) as method_eas_id,
+         round(za.zarea - coalesce(s.tot, 0e0), 6) as area
+  from za left join (
+    select zone_a, sum(inter_area) as tot from ia group by 1
+  ) s on s.zone_a = za.zone_id
+  where round(za.zarea - coalesce(s.tot, 0e0), 6) > 0
+),
+left_m as (
+  select 'left_method' as cls,
+         cast(null as int) as input_zone,
+         cast(null as int) as input_eas_id,
+         cast(zb.zone_id as int) as method_zone,
+         cast(zb.eas_id as int) as method_eas_id,
+         round(zb.zarea - coalesce(s.tot, 0e0), 6) as area
+  from zb left join (
+    select zone_b, sum(inter_area) as tot from ia group by 1
+  ) s on s.zone_b = zb.zone_id
+  where round(zb.zarea - coalesce(s.tot, 0e0), 6) > 0
+)
+select * from pair
+union all select * from left_in
+union all select * from left_m
+"""

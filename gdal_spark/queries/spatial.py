@@ -194,6 +194,20 @@ def q_layer_intersection_nonconvex(spark: SparkSession,
     return intersection_agg(spark, defs, shift_defs(defs, 0.31, 0.17))
 
 
+def q_layer_union_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-algebra Union with FEATURE output (ogrlayer.cpp:3763): the
+    three GDAL Union feature classes — (input, method) pair pieces, input
+    leftovers, method leftovers — with prefixed attributes and the area
+    decoded from the emitted MultiPolygon WKB (gdal_spark.
+    overlay_features.union_features). SymDifference (:4300) is the
+    cls <> 'pair' subset. The oracle recomputes pair areas from the
+    shared trap-pair fold and the leftovers by exact subtraction."""
+    from gdal_spark.overlay_features import union_features_canon
+
+    _ = sf_dir  # layer-vs-layer fixture op
+    return union_features_canon(spark)
+
+
 def q_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQLite-dialect ST_ scalar surface (ogrsqlitesqlfunctions.cpp:
     ST_Area/ST_Centroid/ST_Contains/ST_Distance, OGR_GEOM_AREA special
@@ -345,6 +359,7 @@ QUERIES = {
     "layer_algebra_overlay": q_layer_overlay,
     "layer_algebra_identity_update": q_layer_identity_update,
     "layer_algebra_intersection_nonconvex": q_layer_intersection_nonconvex,
+    "layer_algebra_union_features": q_layer_union_features,
     "st_functions": q_st_functions,
     "st_predicates": q_st_predicates,
     "st_constructive": q_st_constructive,
@@ -450,6 +465,10 @@ from documents
     "layer_algebra_overlay": _overlay_oracle(),
     "layer_algebra_identity_update": _identity_update_oracle(),
     "layer_algebra_intersection_nonconvex": _nonconvex_oracle(),
+    "layer_algebra_union_features": __import__(
+        "gdal_spark.overlay_features",
+        fromlist=["union_features_oracle_sql"]
+    ).union_features_oracle_sql(),
     "st_functions": __import__(
         "gdal_spark.stfuncs", fromlist=["st_functions_oracle_sql"]
     ).st_functions_oracle_sql(zone_defs()),
