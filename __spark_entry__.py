@@ -72,7 +72,7 @@ _PRIORITY = [
     "ann_lsh_topk", "ann_ivf_topk",
     # -- round-1 never-checked: textpipe tail (meta+decode merged)
     "text_fingerprint", "text_rare_terms", "multimodal_inspect",
-    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_resize",
     # -- round-1 never-checked: §2.10 raster. Sibling kernels that share
     # a verified plan shape are exposed as merged entries (method/op
     # column unions, or one-pass suites like grid_kernels), so EVERY
@@ -81,7 +81,7 @@ _PRIORITY = [
     "raster_sample_interp", "polygonize_components", "dem_metrics",
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_kernels", "contour_lines",
+    "grid_kernels", "grid_linear_delaunay", "contour_lines",
     "raster_calc_reclassify",
     "raster_stats", "raster_histogram", "raster_sieve",
     "tile_pyramid_z5_z2",
@@ -91,9 +91,11 @@ _PRIORITY = [
     "dedup_cluster_canonical",  # new: components + canonical selection
     # ---- (~50-query driver budget reaches about here; everything
     # below registers after the round-1-green queries keep their rows.
-    # contour_cells rotated below the line: its marching-squares cell
-    # classes feed contour_lines, which is checked above)
-    "contour_cells",
+    # Rotated below the line: contour_cells (its marching-squares cell
+    # classes feed contour_lines, checked above) and
+    # multimodal_frame_sample (same mapInPandas plumbing as
+    # multimodal_inspect/resize, checked above)
+    "contour_cells", "multimodal_frame_sample",
 ]
 
 

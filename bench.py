@@ -55,6 +55,7 @@ HEADLINE = [
     "warp_reproject_dem",
     "embed_neardup_cosine",
     "grid_kernels",
+    "grid_linear_delaunay",
     "ann_lsh_topk",
     "dedup_cluster_canonical",
 ]

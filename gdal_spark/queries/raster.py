@@ -264,6 +264,17 @@ def q_grid_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_kernels(spark, sf_dir)
 
 
+def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid -a linear (GDALGridLinear, alg/gdalgrid.cpp:2459):
+    numpy Bowyer–Watson Delaunay of the scatter fixture broadcast as
+    triangle literals, pixels located via a cover-cell equi-join, then
+    barycentric z = λ1·z1 + λ2·z2 + λ3·z3 (alg/delaunay.c:377);
+    outside-hull pixels dropped (radius=0 NODATA)."""
+    from gdal_spark.delaunay import grid_linear
+
+    return grid_linear(spark, sf_dir)
+
+
 def q_overview_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four overview resamplers (overview.cpp Sum / Average / Mode /
     RMS kernels) z5 → z4, checksummed, unioned with a method column.
@@ -694,6 +705,7 @@ QUERIES = {
     "raster_viewshed": q_viewshed,
     "raster_pansharpen_brovey": q_pansharpen,
     "grid_kernels": q_grid_kernels,
+    "grid_linear_delaunay": q_grid_linear,
     "contour_cells": q_contour,
     "contour_lines": q_contour_lines,
     "raster_calc_reclassify": q_raster_calc,
@@ -861,6 +873,9 @@ ORACLES = {
     "grid_kernels": __import__(
         "gdal_spark.gridding",
         fromlist=["grid_kernels_sql"]).grid_kernels_sql("duckdb"),
+    "grid_linear_delaunay": __import__(
+        "gdal_spark.delaunay",
+        fromlist=["grid_linear_sql"]).grid_linear_sql("duckdb"),
     "contour_cells": _contour_oracle(),
     "contour_lines": __import__(
         "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]

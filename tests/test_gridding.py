@@ -109,3 +109,81 @@ def test_grid_kernels_suite_matches_individual_kernels(spark):
     assert (suite["min_dist"] == prox["dist"].reindex(suite.index)).all()
     assert (suite["n_pts"] == prox["n_in_range"].reindex(
         suite.index)).all()
+
+
+# ---------------------------------------------------------------------------
+# Linear (Delaunay) gridding — alg/gdalgrid.cpp:2459 GDALGridLinear
+# ---------------------------------------------------------------------------
+
+
+def test_delaunay_properties():
+    """Bowyer–Watson output is a real Delaunay triangulation of the
+    scatter fixture: covers the convex hull exactly, uses every point,
+    and no point lies strictly inside any triangle's circumcircle."""
+    import numpy as np
+
+    from gdal_spark.delaunay import (_circumcircle_contains, delaunay,
+                                     scatter_points)
+
+    pts = scatter_points()
+    assert len(np.unique(pts[:, :2], axis=0)) == len(pts)
+    tris = delaunay(pts)
+
+    def tri_area(t):
+        a, b, c = pts[t[0], :2], pts[t[1], :2], pts[t[2], :2]
+        return 0.5 * abs((b[0] - a[0]) * (c[1] - a[1])
+                         - (b[1] - a[1]) * (c[0] - a[0]))
+
+    # hull area via monotone chain
+    p = pts[np.lexsort((pts[:, 1], pts[:, 0]))][:, :2]
+
+    def half(pp):
+        h = []
+        for q in pp:
+            while len(h) >= 2 and (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1]) \
+                    - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0]) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    ring = half(p)[:-1] + half(p[::-1])[:-1]
+    s = 0.0
+    for i in range(len(ring)):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % len(ring)]
+        s += x0 * y1 - x1 * y0
+    hull = abs(s) / 2
+    assert sum(tri_area(t) for t in tris) == pytest.approx(hull, abs=1e-9)
+    assert {i for t in tris for i in t} == set(range(len(pts)))
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        for k in range(len(pts)):
+            if k in t:
+                continue
+            assert not _circumcircle_contains(
+                a[0], a[1], b[0], b[1], c[0], c[1], pts[k, 0], pts[k, 1])
+
+
+def test_grid_linear_matches_duckdb_and_barycentric(spark):
+    """grid_linear is bit-identical to the DuckDB twin, every z is a
+    convex combination of its triangle's vertex values, and scatter
+    points' own pixels interpolate near their z."""
+    import duckdb
+    import numpy as np
+
+    from gdal_spark.delaunay import (DUCKDB, SPARK, delaunay,
+                                     grid_linear_sql, scatter_points)
+
+    sdf = spark.sql(grid_linear_sql(SPARK)).toPandas()
+    odf = duckdb.connect().execute(grid_linear_sql(DUCKDB)).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.shape == b.shape and len(a) > 1000
+    for c in cols:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy())
+    # every interpolated z within the triangle's vertex z range
+    pts, tris = scatter_points(), delaunay(scatter_points())
+    for _, r in sdf.iterrows():
+        zs = [pts[i, 2] for i in tris[int(r["tid"])]]
+        assert min(zs) - 1e-9 <= r["z"] <= max(zs) + 1e-9
