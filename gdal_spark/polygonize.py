@@ -160,23 +160,23 @@ def propagate_labels(parts: DataFrame, edges: DataFrame,
         )
         stepped = (
             labels.join(neigh, "lbl", "left")
-            .select("lbl", F.least("comp", F.coalesce("nmin", "comp"))
+            .select("lbl", F.col("comp").alias("_old"),
+                    F.least("comp", F.coalesce("nmin", "comp"))
                     .alias("mid"))
         )
         # pointer jump: follow mid one more level (mid is itself a lbl)
         jump = stepped.select(F.col("lbl").alias("_jl"),
                               F.col("mid").alias("_jc"))
+        # _old rides along so convergence is a scan of the checkpointed
+        # frame, not an extra labels⋈new_labels shuffle job per round
         updated = (
             stepped.join(jump, stepped.mid == jump._jl, "left")
-            .select("lbl", "mid",
-                    F.least("mid", F.coalesce("_jc", "mid")).alias("new"))
-        )
-        new_labels = updated.select("lbl", F.col("new").alias("comp")) \
+            .select("lbl", "_old",
+                    F.least("mid", F.coalesce("_jc", "mid")).alias("comp"))
             .localCheckpoint(eager=True)
-        changed = new_labels.join(
-            labels.withColumnRenamed("comp", "_old"), "lbl") \
-            .filter("comp < _old").count()
-        labels = new_labels
+        )
+        changed = updated.filter("comp < _old").count()
+        labels = updated.select("lbl", "comp")
         if changed == 0:
             break
     return labels
