@@ -86,16 +86,18 @@ _PRIORITY = [
     "raster_stats", "raster_histogram", "raster_sieve",
     "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
-    "streaming_stateful_totals", "streaming_dedup_urls",  # new streaming ops
+    "text_decontaminate",  # new: eval-split n-gram containment guard
+    "streaming_stateful_totals",  # new streaming op
     "st_constructive",  # new constructive-geometry surface
     "dedup_cluster_canonical",  # new: components + canonical selection
     # ---- (~50-query driver budget reaches about here; everything
     # below registers after the round-1-green queries keep their rows.
     # Rotated below the line: contour_cells (its marching-squares cell
-    # classes feed contour_lines, checked above) and
-    # multimodal_frame_sample (same mapInPandas plumbing as
-    # multimodal_inspect/resize, checked above)
-    "contour_cells", "multimodal_frame_sample",
+    # classes feed contour_lines, checked above), multimodal_frame_sample
+    # (same mapInPandas plumbing as multimodal_inspect/resize, checked
+    # above), streaming_dedup_urls (sibling of the two checked
+    # streaming entries)
+    "contour_cells", "multimodal_frame_sample", "streaming_dedup_urls",
 ]
 
 

@@ -174,6 +174,36 @@ def ngram_jaccard_pairs(crawl: DataFrame, k: int = 2,
     return out.select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
 
 
+def decontaminate(crawl: DataFrame, k: int = 3, threshold: float = 0.3,
+                  eval_mod: int = 41, eval_rem: int = 7) -> DataFrame:
+    """Benchmark decontamination: directional k-shingle containment of a
+    (small) eval split inside the training corpus — the pretraining-
+    pipeline guard against test-set leakage (the n-gram-overlap rule of
+    the GPT-3/C4 cleanup recipes). A corpus doc is contaminated by an
+    eval doc when it contains ≥ ``threshold`` of the eval doc's distinct
+    k-word shingles: containment = |S_eval ∩ S_corpus| / |S_eval|.
+
+    Plan shape for 100 TB: the eval split is tiny by construction, so
+    its shingle table is **broadcast** — the corpus shingle stream is
+    never shuffled against itself (unlike the symmetric Jaccard join);
+    the only wide op is the (corpus_id, eval_id) count aggregation,
+    keyed by hit pairs (O(actual overlaps), not O(corpus))."""
+    sh = shingle_rows(crawl, k=k).select("crawl_id", "sh")
+    ev = (sh.filter(F.col("crawl_id") % eval_mod == eval_rem)
+          .select(F.col("crawl_id").alias("eval_id"), "sh"))
+    ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    corpus = (sh.filter(F.col("crawl_id") % eval_mod != eval_rem)
+              .select(F.col("crawl_id").alias("corpus_id"), "sh"))
+    hits = (corpus.join(F.broadcast(ev), "sh")
+            .groupBy("corpus_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_common")))
+    return (hits.join(F.broadcast(ev_sz), "eval_id")
+            .withColumn("_c", F.expr("cast(n_common as double) / n_eval"))
+            .filter(F.col("_c") >= threshold)
+            .select("eval_id", "corpus_id", "n_common",
+                    F.round("_c", 6).alias("containment")))
+
+
 def simhash_table(crawl: DataFrame) -> DataFrame:
     """(crawl_id, simhash): 60-bit SimHash over the distinct-word set."""
     toks = tokens_sql("text", SPARK)

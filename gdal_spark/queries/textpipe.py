@@ -84,6 +84,36 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (gdal_spark.dedup.decontaminate):
+    directional 3-shingle containment of the eval split (crawl_id %
+    41 == 7) inside the rest of the corpus, broadcast-eval plan."""
+    from gdal_spark.dedup import decontaminate
+
+    return decontaminate(_crawl(spark, sf_dir), k=3, threshold=0.3)
+
+
+def _decontaminate_oracle(k: int = 3, threshold: float = 0.3,
+                          eval_mod: int = 41, eval_rem: int = 7) -> str:
+    sh = textops.shingle_rows_sql("documents", DUCKDB, k=k)
+    return f"""
+with sh as ({sh}),
+ev as (select crawl_id as eval_id, sh from sh
+       where crawl_id % {eval_mod} = {eval_rem}),
+sz as (select eval_id, count(*) as n_eval from ev group by 1),
+hits as (
+  select c.crawl_id as corpus_id, e.eval_id, count(*) as n_common
+  from sh c join ev e on c.sh = e.sh
+  where c.crawl_id % {eval_mod} <> {eval_rem}
+  group by 1, 2
+)
+select h.eval_id, h.corpus_id, h.n_common,
+       round(cast(h.n_common as double) / s.n_eval, 6) as containment
+from hits h join sz s on h.eval_id = s.eval_id
+where cast(h.n_common as double) / s.n_eval >= {threshold}
+"""
+
+
 def _crawl_d() -> str:
     return textops.crawl_sql("documents", DUCKDB)
 
@@ -393,6 +423,7 @@ QUERIES = {
     "dedup_cluster_canonical": q_dedup_cluster,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -418,6 +449,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "dedup_cluster_canonical": _cluster_oracle(k=3, threshold=0.8),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
+    "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),
     # Both ANN variants are fully oracle-checked: the sign sketches /

@@ -281,3 +281,35 @@ def test_boilerplate_segments_known_fixture(spark):
         "select " + segments_sql("split('a b c d e f g h i', ' ')",
                                  8, SPARK) + " as s").collect()[0]["s"]
     assert segs == ["a b c d e f g h", "i"]
+
+
+def test_decontaminate_flags_planted_copies(docs, crawl):
+    """Decontamination: the eval split (crawl_id % 41 == 7) is flagged
+    against the rest of the corpus — every planted byte-identical copy
+    of an eval doc shows containment 1.0, the split sides never mix,
+    and containment stays in (0, 1]."""
+    from gdal_spark.dedup import decontaminate
+
+    rows = decontaminate(crawl, k=3, threshold=0.3).collect()
+    assert rows
+    for r in rows:
+        assert r["eval_id"] % 41 == 7
+        assert r["corpus_id"] % 41 != 7
+        assert 0.0 < r["containment"] <= 1.0
+    got = {(r["eval_id"], r["corpus_id"]): r["containment"] for r in rows}
+    planted = 0
+    for r in docs.filter("doc_id % 5 = 2 and doc_id % 41 = 7") \
+            .select("doc_id").collect():
+        d = r["doc_id"]
+        if (d + 1000000) % 41 != 7:
+            assert got[(d, d + 1000000)] == 1.0
+            planted += 1
+    # dup copies whose ORIGINAL is in the corpus but the copy landed in
+    # the eval split are flagged in the other direction
+    for r in docs.filter("doc_id % 5 = 2 and (doc_id + 1000000) % 41 = 7") \
+            .select("doc_id").collect():
+        d = r["doc_id"]
+        if d % 41 != 7:
+            assert got[(d + 1000000, d)] == 1.0
+            planted += 1
+    assert planted >= 1
