@@ -372,6 +372,7 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
                        geom_cols.get(name), style_cols.get(name)) \
             .createOrReplaceTempView(name)
 
+    sql = _rewrite_layer_functions(sql, geom_cols, spark)
     selects = _split_union_all(sql.strip().rstrip(";"))
     frames = [_execute_one(spark, s, layers, fid_order) for s in selects]
     out = frames[0]
@@ -380,11 +381,102 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
     return out
 
 
-_SELECT_HEAD = re.compile(
-    r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<cols>.*?)\s+"
-    r"from\s+(?P<table>[\w.`\"']+)(?:\s+(?P<talias>\w+))?\s*$",
-    re.I | re.S,
-)
+_LAYER_FN = re.compile(
+    r"\bogr_layer_(?P<fn>FeatureCount|Extent)\s*\(\s*'(?P<layer>\w+)'\s*\)",
+    re.I)
+
+
+def _rewrite_layer_functions(sql: str, geom_cols: dict,
+                             spark: SparkSession) -> str:
+    """The SQLite-dialect layer-level scalar functions
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitevirtualogr.cpp —
+    ogr_layer_FeatureCount :2097, ogr_layer_Extent :1990).
+    FeatureCount becomes an uncorrelated scalar subquery; Extent is
+    evaluated EAGERLY on the layer and inlined as an envelope-polygon
+    WKB literal — exactly the reference's shape (OGR2SQLITE_ogr_layer_
+    Extent calls poLayer->GetExtent() at evaluation time; a Spark
+    scalar subquery additionally cannot host the pandas-UDF bbox
+    kernels)."""
+
+    def repl(m: re.Match) -> str:
+        layer = m.group("layer")
+        if m.group("fn").lower() == "featurecount":
+            return f"(select count(*) from {layer})"
+        g = geom_cols.get(layer)
+        if g is None:
+            raise ValueError(
+                f"ogr_layer_Extent: layer {layer!r} has no geometry "
+                f"column (pass geom_cols)")
+        row = spark.sql(
+            f"select min(st_xmin({g})) as x0, min(st_ymin({g})) as y0,"
+            f" max(st_xmax({g})) as x1, max(st_ymax({g})) as y1"
+            f" from {layer}").collect()[0]
+        from gdal_spark import wkb as W
+
+        ring = [[row["x0"], row["y0"]], [row["x1"], row["y0"]],
+                [row["x1"], row["y1"]], [row["x0"], row["y1"]],
+                [row["x0"], row["y0"]]]
+        return f"unhex('{bytes(W.dumps_polygon([ring])).hex()}')"
+
+    if _LAYER_FN.search(sql):
+        from gdal_spark.stfuncs import register_st_functions
+
+        register_st_functions(spark)
+    return _LAYER_FN.sub(repl, sql)
+
+
+_HEAD_PREFIX = re.compile(r"^\s*select\s+(?P<distinct>distinct\s+)?",
+                          re.I | re.S)
+_HEAD_TABLE = re.compile(
+    r"^\s*(?P<table>[\w.`\"']+)(?:\s+(?P<talias>\w+))?\s*$", re.I | re.S)
+
+
+def _mask_depth0(text: str) -> str:
+    """Replace every character inside parentheses or string literals
+    with a space, preserving offsets — so keyword scans (FROM) only see
+    depth-0 text and subqueries in the select list stay opaque."""
+    out = list(text)
+    depth = 0
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c == "(":
+            depth += 1
+            out[i] = " "
+        elif c == ")":
+            depth -= 1
+            out[i] = " "
+        elif c == "'":
+            out[i] = " "
+            i += 1
+            while i < len(text) and text[i] != "'":
+                out[i] = " "
+                i += 1
+            if i < len(text):
+                out[i] = " "
+        elif depth > 0:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+def _match_select_head(text: str) -> dict | None:
+    """Parse ``select [distinct] <items> from <table> [alias]`` with the
+    FROM located at paren depth 0 (a ``from`` inside a scalar subquery
+    in the select list must not split the head)."""
+    pre = _HEAD_PREFIX.match(text)
+    if pre is None:
+        return None
+    masked = _mask_depth0(text)
+    fm = re.search(r"\bfrom\b", masked, re.I)
+    if fm is None or fm.start() < pre.end():
+        return None
+    tbl = _HEAD_TABLE.match(text[fm.end():])
+    if tbl is None:
+        return None
+    return {"distinct": pre.group("distinct"),
+            "cols": text[pre.end():fm.start()].strip(),
+            "table": tbl.group("table"), "talias": tbl.group("talias")}
 _JOIN_CLAUSE = re.compile(
     r"^(?P<jtable>[\w.`\"']+)(?:\s+(?!on\b)(?P<jalias>\w+))?\s+"
     r"on\s+(?P<cond>.*)$",
@@ -396,10 +488,9 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
                  fid_order: dict) -> DataFrame:
     sql = _rewrite_expressions(sql)
     clauses = _split_clauses(sql.strip())
-    head = _SELECT_HEAD.match(clauses[0][1])
-    if head is None:
+    g = _match_select_head(clauses[0][1])
+    if g is None:
         raise ValueError(f"unsupported OGR SQL: {sql!r}")
-    g = head.groupdict()
     table = g["table"].strip("'\"`")
     if table not in layers:
         raise KeyError(f"unknown layer {table!r}")

@@ -229,6 +229,22 @@ def _st_makepoint(xs: pd.Series, ys: pd.Series) -> pd.Series:
         for x, y in zip(xs, ys)], dtype="object")
 
 
+def _st_makeenvelope(x0s: pd.Series, y0s: pd.Series, x1s: pd.Series,
+                     y1s: pd.Series) -> pd.Series:
+    """ST_MakeEnvelope(minx, miny, maxx, maxy) → CCW rectangle polygon
+    WKB — the shape ogr_layer_Extent() returns (sqlite dialect,
+    ogr/ogrsf_frmts/sqlite/ogrsqlitevirtualogr.cpp:1990)."""
+    out = []
+    for x0, y0, x1, y1 in zip(x0s, y0s, x1s, y1s):
+        if x0 is None or y0 is None or x1 is None or y1 is None:
+            out.append(None)
+            continue
+        x0, y0, x1, y1 = float(x0), float(y0), float(x1), float(y1)
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        out.append(bytearray(W.dumps_polygon([ring])))
+    return pd.Series(out, dtype="object")
+
+
 def _length_line_seq(arr: np.ndarray) -> float:
     return _seq_sum(math.sqrt(
         (arr[j + 1, 0] - arr[j, 0]) ** 2 + (arr[j + 1, 1] - arr[j, 1]) ** 2)
@@ -693,6 +709,7 @@ _REGISTRY = {
     "st_geomfromwkb": (_st_geomfromwkb, "binary"),
     "st_srid": (_st_srid, "int"),
     "st_makepoint": (_st_makepoint, "binary"),
+    "st_makeenvelope": (_st_makeenvelope, "binary"),
     "st_length": (_st_length, "double"),
     "st_distance": (_st_distance, "double"),
     "st_centroid": (_st_centroid, "binary"),

@@ -532,3 +532,37 @@ def test_rewrites_protect_string_literals(spark, at_poly):
                     "where prfedea like '%--%' or eas_id = 158",
              at_poly).collect()
     assert len(r) == 1 and r[0]["d"] == "a--b" and r[0]["f"] == "FID"
+
+
+def test_ogr_layer_featurecount_and_extent(spark, poly):
+    """SQLite-dialect layer functions (ogrsqlitevirtualogr.cpp:
+    ogr_layer_FeatureCount :2097, ogr_layer_Extent :1990) rewritten to
+    scalar subqueries; Extent returns the envelope polygon of the whole
+    layer (checked against the per-feature bbox columns)."""
+    rows = execute_sql(
+        spark,
+        "SELECT eas_id, ogr_layer_FeatureCount('poly') AS cnt, "
+        "ST_XMin(ogr_layer_Extent('poly')) AS lminx, "
+        "ST_YMax(ogr_layer_Extent('poly')) AS lmaxy "
+        "FROM poly WHERE eas_id <= 159",
+        {"poly": poly}, fid_order={"poly": "zone_id"},
+        geom_cols={"poly": "geom"}).collect()
+    assert len(rows) == 2
+    exp = poly.selectExpr("min(minx) as minx", "max(maxy) as maxy",
+                          "count(*) as n").collect()[0]
+    for r in rows:
+        assert r["cnt"] == exp["n"]
+        assert r["lminx"] == exp["minx"]
+        assert r["lmaxy"] == exp["maxy"]
+
+
+def test_scalar_subquery_in_select_list(spark, poly):
+    """A depth-0 FROM must not be confused by a subquery FROM in the
+    select list (the head split is paren-aware)."""
+    rows = execute_sql(
+        spark,
+        "SELECT eas_id, (SELECT COUNT(*) FROM poly) AS total FROM poly "
+        "ORDER BY eas_id LIMIT 2",
+        {"poly": poly}, fid_order={"poly": "zone_id"}).collect()
+    assert [r["eas_id"] for r in rows] == [158, 159]
+    assert all(r["total"] == poly.count() for r in rows)
