@@ -361,6 +361,23 @@ def _st_convexhull(col: pd.Series) -> pd.Series:
         for b in col], dtype="object")
 
 
+def _st_concavehull(col: pd.Series, ratio: pd.Series) -> pd.Series:
+    """ST_ConcaveHull(geom, ratio) — OGRGeometry::ConcaveHull
+    (ogr/ogrgeometry.cpp:4305, GEOS 3.11 ConcaveHullOfPoints semantics,
+    holes not allowed): chi-shape erosion of the Delaunay triangulation
+    of the geometry's vertices (gdal_spark.delaunay.concave_hull)."""
+    from gdal_spark.delaunay import concave_hull
+
+    out = []
+    for b, r in zip(col, ratio):
+        if b is None:
+            out.append(None)
+            continue
+        ring = concave_hull(_all_vertices(W.loads(bytes(b))), float(r))
+        out.append(bytearray(W.dumps_polygon([ring.tolist()])))
+    return pd.Series(out, dtype="object")
+
+
 def _st_buffer(col: pd.Series, dist: pd.Series,
                quadsegs: pd.Series) -> pd.Series:
     return pd.Series([
@@ -495,6 +512,7 @@ def _st_isempty(col: pd.Series) -> pd.Series:
 
 REGISTRY = {
     "st_convexhull": (_st_convexhull, "binary"),
+    "st_concavehull": (_st_concavehull, "binary"),
     "st_buffer": (_st_buffer, "binary"),
     "st_simplify": (_st_simplify, "binary"),
     "st_makevalid": (_st_makevalid, "binary"),

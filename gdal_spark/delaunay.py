@@ -120,6 +120,83 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     return sorted(out)
 
 
+def concave_hull(points: np.ndarray, ratio: float) -> np.ndarray:
+    """Concave hull of a point set (OGRGeometry::ConcaveHull,
+    ogr/ogrgeometry.cpp:4305 → GEOS 3.11 ConcaveHullOfPoints): the
+    chi-shape erosion of the Delaunay triangulation. Border triangles
+    whose border edge is longer than
+    ``threshold = min_len + ratio · (max_len − min_len)`` (min/max over
+    all triangulation edges) are removed longest-edge-first, provided
+    the opposite vertex is not already on the border (regularity — the
+    hull stays a simple polygon containing every input point).
+    ratio=1 ⇒ the convex hull; smaller ratios hug the points tighter.
+    Deterministic: heap ties break on vertex indices. Returns a closed
+    CCW ring."""
+    import heapq
+
+    pts = np.unique(np.asarray(points, dtype=np.float64)[:, :2], axis=0)
+    tris = delaunay(pts)
+    if not tris:  # degenerate (<3 distinct or collinear) — closed chain
+        return np.vstack([pts, pts[:1]]) if len(pts) else pts
+
+    def elen(e):
+        return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    edge_tris: dict[tuple[int, int], list[int]] = {}
+    for ti, t in enumerate(tris):
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edge_tris.setdefault((min(a, b), max(a, b)), []).append(ti)
+    lens = [elen(e) for e in edge_tris]
+    threshold = min(lens) + float(ratio) * (max(lens) - min(lens))
+
+    active = set(range(len(tris)))
+
+    def is_boundary(e):
+        return sum(1 for ti in edge_tris[e] if ti in active) == 1
+
+    boundary = {e for e in edge_tris if is_boundary(e)}
+    heap = [(-elen(e), e) for e in boundary if elen(e) > threshold]
+    heapq.heapify(heap)
+    while heap and len(active) > 1:
+        _, e = heapq.heappop(heap)
+        if e not in boundary:
+            continue
+        alive = [ti for ti in edge_tris[e] if ti in active]
+        if len(alive) != 1:
+            continue
+        t = tris[alive[0]]
+        c = next(v for v in t if v not in e)
+        on_border = any(c in be for be in boundary)
+        if on_border:
+            continue  # removal would pinch the polygon
+        active.discard(alive[0])
+        boundary.discard(e)
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            ne = (min(a, b), max(a, b))
+            if ne == e:
+                continue
+            boundary.add(ne)
+            if elen(ne) > threshold:
+                heapq.heappush(heap, (-elen(ne), ne))
+
+    # trace the boundary ring (each border vertex has exactly 2 edges)
+    nbr: dict[int, list[int]] = {}
+    for a, b in boundary:
+        nbr.setdefault(a, []).append(b)
+        nbr.setdefault(b, []).append(a)
+    start = min(nbr)
+    ring_idx = [start, min(nbr[start])]
+    while ring_idx[-1] != start:
+        prev, cur = ring_idx[-2], ring_idx[-1]
+        nxt = [v for v in nbr[cur] if v != prev]
+        ring_idx.append(nxt[0])
+    ring = pts[ring_idx]
+    area = 0.0
+    for i in range(len(ring) - 1):
+        area += ring[i, 0] * ring[i + 1, 1] - ring[i + 1, 0] * ring[i, 1]
+    return ring if area >= 0 else ring[::-1]
+
+
 def grid_linear_sql(engine: str) -> str:
     """Shared-text SQL: pixel grid ⋈ triangles via cover-cell equi-join,
     exact barycentric containment (λ ≥ 0), min-facet tie-break on shared

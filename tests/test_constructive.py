@@ -170,3 +170,45 @@ def test_st_constructive_sql_surface(spark):
     assert res[6][0] == 55.0
     assert res[7][0] == 156.0
     assert res[8] == (144.0, 5)
+
+
+def test_concave_hull_properties(spark):
+    """ST_ConcaveHull (ogrgeometry.cpp:4305, GEOS chi-shape semantics):
+    ratio=1 equals the convex hull; area is monotone non-increasing in
+    ratio; every input point stays inside or on the hull; the SQL
+    registration round-trips."""
+    from gdal_spark.delaunay import concave_hull, scatter_points
+    from gdal_spark.constructive import convex_hull_pts
+    from gdal_spark.stfuncs import register_st_functions
+
+    pts = scatter_points()[:, :2]
+    assert abs(G.ring_area(concave_hull(pts, 1.0))) == pytest.approx(
+        abs(G.ring_area(convex_hull_pts(pts))), abs=1e-12)
+    prev = None
+    for r in [1.0, 0.6, 0.3, 0.0]:
+        h = concave_hull(pts, r)
+        a = abs(G.ring_area(h))
+        assert prev is None or a <= prev + 1e-12
+        prev = a
+        inside = G.points_in_ring(pts[:, 0], pts[:, 1], h)
+        on_edge = np.zeros(len(pts), bool)
+        for i in range(len(h) - 1):
+            ax, ay = h[i]
+            bx, by = h[i + 1]
+            cross = (bx - ax) * (pts[:, 1] - ay) \
+                - (by - ay) * (pts[:, 0] - ax)
+            dot = (pts[:, 0] - ax) * (bx - ax) \
+                + (pts[:, 1] - ay) * (by - ay)
+            ll = (bx - ax) ** 2 + (by - ay) ** 2
+            on_edge |= (np.abs(cross) < 1e-12) & (dot >= -1e-12) \
+                & (dot <= ll + 1e-12)
+        assert (inside | on_edge).all()
+    # SQL surface: hull area via the registry, vs the direct kernel
+    register_st_functions(spark)
+    mp = W.dumps_multi("MultiPoint", [W.dumps_point(float(x), float(y))
+                                      for x, y in pts])
+    got = spark.createDataFrame([(bytearray(mp),)], "g binary") \
+        .selectExpr("st_area(st_concavehull(g, 0.3e0)) as a") \
+        .collect()[0]["a"]
+    assert got == pytest.approx(abs(G.ring_area(concave_hull(pts, 0.3))),
+                                abs=1e-9)
