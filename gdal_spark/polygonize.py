@@ -86,17 +86,29 @@ def tile_components(tiles: DataFrame, grid_w: int,
                 flat_l = lbl[mask]
                 flat_x = gx[mask]
                 flat_y = gy[mask]
-                for li in np.unique(flat_l):
-                    sel = flat_l == li
-                    out_parts.append((
-                        int(li), int(sel.sum()),
-                        int(flat_x[sel].min()), int(flat_y[sel].min()),
-                        int(flat_x[sel].max()), int(flat_y[sel].max())))
+                # vectorized per-component stats: unique labels +
+                # scatter-min/max (no Python loop over components)
+                uniq, inv = np.unique(flat_l, return_inverse=True)
+                n = len(uniq)
+                cnt = np.bincount(inv, minlength=n)
+                mnx = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                mny = mnx.copy()
+                mxx = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+                mxy = mxx.copy()
+                np.minimum.at(mnx, inv, flat_x)
+                np.minimum.at(mny, inv, flat_y)
+                np.maximum.at(mxx, inv, flat_x)
+                np.maximum.at(mxy, inv, flat_y)
+                out_parts.extend(zip(uniq.tolist(), cnt.tolist(),
+                                     mnx.tolist(), mny.tolist(),
+                                     mxx.tolist(), mxy.tolist()))
                 edge = mask.copy()
                 edge[1:-1, 1:-1] = False
-                for yy, xx in zip(*np.nonzero(edge)):
-                    out_borders.append((int(gx[yy, xx]), int(gy[yy, xx]),
-                                        int(lbl[yy, xx]), 1))
+                ey, ex = np.nonzero(edge)
+                out_borders.extend(zip(gx[ey, ex].tolist(),
+                                       gy[ey, ex].tolist(),
+                                       lbl[ey, ex].tolist(),
+                                       np.ones(len(ey), np.int64).tolist()))
             yield pd.DataFrame(
                 [p + (0,) for p in out_parts] + [
                     (b[2], 0, b[0], b[1], 0, 0, 1) for b in out_borders],
