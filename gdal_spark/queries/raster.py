@@ -304,9 +304,12 @@ def q_sample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdalwarp -r nearest + -r average over their respective dst grids,
-    unioned with a method column (n_src = -1 for the nearest kernel,
-    which ships no footprint count)."""
+    """gdalwarp -r nearest + -r average + -r mode (GWKAverageOrMode)
+    over their respective dst grids, unioned with a method column
+    (n_src = -1 for the nearest kernel, which ships no footprint count;
+    the winning-value count for mode; ties in mode break to the
+    smallest value — the reference's scan-order tie is unstable under
+    parallel chunking)."""
     _ = sf_dir
     tiles = synth_dem_tiles(spark, DEM_PX)
     from gdal_spark.raster import warp_average
@@ -318,7 +321,14 @@ def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
                       _AVG_DST_PX).select(
         F.lit("average").alias("method"), "di", "dj", "n_src", "value")
-    return wn.unionByName(wa)
+    from gdal_spark.raster import warp_mode
+
+    wm = warp_mode(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
+                   _AVG_DST_PX).select(
+        F.lit("mode").alias("method"), "di", "dj",
+        F.col("n_mode").alias("n_src"),
+        F.col("value").cast("double").alias("value"))
+    return wn.unionByName(wa).unionByName(wm)
 
 
 _CUTLINE = [(-12.0e6, -8.0e6), (4.0e6, -14.0e6), (14.0e6, -2.0e6),
@@ -584,11 +594,19 @@ def q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdalwarp bilinear (GWKBilinear kernel): DEM resampled onto the
-    shifted 1.37×-scaled grid with fractional src coords."""
+    """gdalwarp -r bilinear + -r cubic (GWKBilinear / GWKCubic kernels,
+    alg/gdalwarpkernel.cpp): DEM resampled onto the shifted
+    1.37×-scaled grid with fractional src coords, unioned with a method
+    column — both kernels share the chunk-gather plan shape."""
+    from gdal_spark.raster import warp_cubic
+
     _ = sf_dir
     tiles = synth_dem_tiles(spark, DEM_PX)
-    return warp_bilinear(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
+    wb = warp_bilinear(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX).select(
+        F.lit("bilinear").alias("method"), "qid", "value")
+    wc = warp_cubic(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX).select(
+        F.lit("cubic").alias("method"), "qid", "value")
+    return wb.unionByName(wc)
 
 
 # srcwin fixture: a populated tile window of the z5 raster
@@ -804,6 +822,13 @@ union all
 select 'average' as method, di, dj, n_src, value
 from ({warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT,
                                _AVG_DST_PX, DEM_PX)}) wa
+union all
+select 'mode' as method, di, dj, n_mode as n_src,
+       cast(value as double) as value
+from ({__import__("gdal_spark.raster",
+                  fromlist=["warp_mode_oracle_sql"])
+       .warp_mode_oracle_sql(_AVG_DST_GT, _SRC_GT,
+                             _AVG_DST_PX, DEM_PX)}) wm
 """
 
 
@@ -860,8 +885,14 @@ ORACLES = {
         "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
     ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _CRS_DST_GT,
                                   _CRS_DST_PX, src_epsg=2154),
-    "warp_bilinear_dem": warp_bilinear_oracle_sql(
-        _DST_GT, _SRC_GT, _DST_PX, DEM_PX),
+    "warp_bilinear_dem": f"""
+select 'bilinear' as method, qid, value from (
+{warp_bilinear_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) b
+union all
+select 'cubic' as method, qid, value from (
+{__import__("gdal_spark.raster", fromlist=["warp_cubic_oracle_sql"])
+ .warp_cubic_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) c
+""",
     "translate_ops": _translate_ops_oracle(),
     "raster_fillnodata": fillnodata_sql(_PTS, RASTER_Z, "duckdb"),
     "raster_viewshed": __import__(

@@ -40,7 +40,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gdal_spark.cells import tile_x_sql, tile_y_sql
@@ -1429,6 +1429,39 @@ from (select a.range as di, b.range as dj
     return bilinear_dem_oracle_sql(queries_sql, raster_px)
 
 
+def warp_cubic(tiles: DataFrame, src_gt: list[float], raster_px: int,
+               dst_gt: list[float], dst_px: int,
+               dtype: str = "int64") -> DataFrame:
+    """Cubic warp (gdalwarp -r cubic, GWKCubic kernel
+    alg/gdalwarpkernel.cpp:101-178): dst pixel grid → fractional src
+    coords (Catalyst arithmetic) → 4×4 convolution gather through the
+    per-tile chunk path (sample_cubic). Dst pixels whose 4×4 window
+    leaves the source are dropped (the kernel's edge-skip)."""
+    spark = tiles.sparkSession
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries = (
+        spark.range(dst_px * dst_px, numPartitions=16)
+        .selectExpr(f"id % {dst_px} as di",
+                    f"cast(id / {dst_px} as bigint) as dj")
+        .selectExpr(f"dj * {dst_px} + di as qid",
+                    f"{qx_e} as qx", f"{qy_e} as qy")
+    )
+    return sample_cubic(tiles, queries, raster_px, dtype)
+
+
+def warp_cubic_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                          dst_px: int, raster_px: int) -> str:
+    """Oracle: identical dst→src arithmetic over a DuckDB range grid,
+    cubic closed-form DEM evaluation."""
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries_sql = f"""
+select dj * {dst_px} + di as qid, {qx_e} as qx, {qy_e} as qy
+from (select a.range as di, b.range as dj
+      from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
+"""
+    return cubic_dem_oracle_sql(queries_sql, raster_px)
+
+
 def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                  dst_gt: list[float], dst_px: int,
                  dtype: str = "int64") -> DataFrame:
@@ -1475,6 +1508,86 @@ def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
             .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .selectExpr("di", "dj", "c as n_src",
                         "cast(s as double) / c as value"))
+
+
+def warp_mode(tiles: DataFrame, src_gt: list[float], raster_px: int,
+              dst_gt: list[float], dst_px: int,
+              dtype: str = "int64") -> DataFrame:
+    """Mode-resampled warp (gdalwarp -r mode, GWKAverageOrMode
+    alg/gdalwarpkernel.cpp): each src pixel center is assigned to the
+    dst pixel containing it; per dst pixel the most frequent value,
+    ties broken by the SMALLEST value (deterministic — the reference's
+    tie order is scan order, unstable under parallel chunking).
+
+    Same partial+final shape as warp_average, with (dst, value) count
+    partials: the shuffle carries one row per distinct value per dst
+    pixel per tile, never pixel rows."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + int(tx) * t
+                gy = gy + int(ty) * t
+                wx = src_gt[0] + (gx + 0.5) * src_gt[1]
+                wy = src_gt[3] + (gy + 0.5) * src_gt[5]
+                di = np.floor((wx - dst_gt[0]) / dst_gt[1]).astype(np.int64)
+                dj = np.floor((wy - dst_gt[3]) / dst_gt[5]).astype(np.int64)
+                keep = ((di >= 0) & (di < dst_px)
+                        & (dj >= 0) & (dj < dst_px))
+                if not keep.any():
+                    continue
+                key = dj[keep] * dst_px + di[keep]
+                vals = buf[keep].astype(np.int64)
+                pair = np.stack([key, vals], axis=1)
+                uniq, cnts = np.unique(pair, axis=0, return_counts=True)
+                yield pd.DataFrame({
+                    "di": uniq[:, 0] % dst_px, "dj": uniq[:, 0] // dst_px,
+                    "v": uniq[:, 1], "c": cnts.astype(np.int64),
+                })
+
+    p = tiles.mapInPandas(partials, "di long, dj long, v long, c long")
+    counts = p.groupBy("di", "dj", "v").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy("di", "dj").orderBy(F.desc("c"), F.asc("v"))
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .selectExpr("di", "dj", "v as value", "c as n_mode"))
+
+
+def warp_mode_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                         dst_px: int, raster_px: int) -> str:
+    """Oracle: enumerate src pixels, identical dst assignment, mode via
+    count-desc/value-asc row_number."""
+    wx = f"({_lit(src_gt[0])} + (gx + 0.5) * {_lit(src_gt[1])})"
+    wy = f"({_lit(src_gt[3])} + (gy + 0.5) * {_lit(src_gt[5])})"
+    di = (f"cast(floor(({wx} - {_lit(dst_gt[0])}) / {_lit(dst_gt[1])})"
+          f" as bigint)")
+    dj = (f"cast(floor(({wy} - {_lit(dst_gt[3])}) / {_lit(dst_gt[5])})"
+          f" as bigint)")
+    return f"""
+with s as (
+  select a.range as gx, b.range as gy
+  from range(0, {raster_px}) a cross join range(0, {raster_px}) b
+),
+m as (
+  select {di} as di, {dj} as dj, {DEM_ELEV_SQL} as v from s
+),
+c as (
+  select di, dj, v, count(*) as c from m
+  where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}
+  group by 1, 2, 3
+),
+r as (
+  select di, dj, v, c,
+         row_number() over (partition by di, dj
+                            order by c desc, v asc) as rn
+  from c
+)
+select di, dj, v as value, c as n_mode from r where rn = 1
+"""
 
 
 def warp_average_oracle_sql(dst_gt: list[float], src_gt: list[float],

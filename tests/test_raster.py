@@ -232,9 +232,12 @@ def test_warp_bilinear_matches_direct_numpy(spark):
     from gdal_spark.queries.raster import (_DST_GT, _DST_PX, _SRC_GT,
                                            q_warp_bilinear)
 
-    got = {r["qid"]: r["value"]
-           for r in q_warp_bilinear(spark, "unused").collect()}
-    assert len(got) > 30000
+    rows = q_warp_bilinear(spark, "unused").collect()
+    got = {r["qid"]: r["value"] for r in rows
+           if r["method"] == "bilinear"}
+    got_cubic = {r["qid"]: r["value"] for r in rows
+                 if r["method"] == "cubic"}
+    assert len(got) > 30000 and len(got_cubic) > 30000
 
     def elev(gx, gy):
         return (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
@@ -253,6 +256,18 @@ def test_warp_bilinear_matches_direct_numpy(spark):
                 + elev(x0, y0 + 1) * (1 - fx) * fy
                 + elev(x0 + 1, y0 + 1) * fx * fy)
         assert abs(got[qid] - want) < 1e-9
+        # cubic: direct separable Catmull-Rom convolution of the DEM
+        if qid not in got_cubic:
+            continue
+
+        def cm(f, v0, v1, v2, v3):
+            return (v1 + 0.5 * f * (v2 - v0 + f * (
+                2 * v0 - 5 * v1 + 4 * v2 - v3 + f * (
+                    3 * (v1 - v2) + v3 - v0))))
+
+        rowsv = [cm(fx, *(elev(x0 + kx - 1, y0 + ky - 1)
+                          for kx in range(4))) for ky in range(4)]
+        assert abs(got_cubic[qid] - cm(fy, *rowsv)) < 1e-6
 
 
 def test_fillnodata_basic_properties(spark):
