@@ -431,16 +431,36 @@ def q_translate_projwin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_checksums(tiles_from_pixel_counts(px, RASTER_Z))
 
 
+def q_translate_outsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -outsize 50% 50% (nearest on-the-fly decimation):
+    RasterIO's nearest kernel samples src index floor((i+0.5)·ratio)
+    (gcore/rasterio.cpp:4243) — at ratio 2 the ODD src pixels — then
+    re-addresses to the half grid; checksummed. The decimation is a
+    pixel-row filter + integer remap BEFORE tile assembly, so only the
+    kept quarter of the pixels ever reaches the applyInPandas barrier."""
+    from gdal_spark.raster import (pixel_counts, tile_checksums,
+                                   tiles_from_pixel_counts)
+
+    pts = points_from_documents(spark, sf_dir)
+    px = (pixel_counts(pts, RASTER_Z)
+          .filter("gx % 2 = 1 and gy % 2 = 1")
+          .selectExpr("gx div 2 as gx", "gy div 2 as gy", "cnt"))
+    return tile_checksums(tiles_from_pixel_counts(px, RASTER_Z))
+
+
 def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdal_translate -srcwin + -projwin + -scale/-ot Byte as one entry
-    (op column), all checksummed tile outputs."""
+    """gdal_translate -srcwin + -projwin + -scale/-ot Byte + -outsize
+    50% as one entry (op column), all checksummed tile outputs."""
     srcwin = q_translate_srcwin(spark, sf_dir) \
         .withColumn("op", F.lit("srcwin"))
     projwin = q_translate_projwin(spark, sf_dir) \
         .withColumn("op", F.lit("projwin"))
     scaled = q_translate_scale(spark, sf_dir) \
         .withColumn("op", F.lit("scale_byte"))
-    return srcwin.unionByName(projwin).unionByName(scaled)
+    outsize = q_translate_outsize(spark, sf_dir) \
+        .withColumn("op", F.lit("outsize_half"))
+    return srcwin.unionByName(projwin).unionByName(scaled) \
+        .unionByName(outsize)
 
 
 RECLASS_BOUNDS = [1, 3, 10]
@@ -860,6 +880,10 @@ def _translate_ops_oracle() -> str:
         px_where=(f"gx >= {gx0} and gx < {gx1}"
                   f" and gy >= {gy0} and gy < {gy1}"))
     scaled = checksum_oracle_sql(_PTS, RASTER_Z, value_expr=_SCALED)
+    outsize = checksum_oracle_sql(
+        _PTS, RASTER_Z,
+        px_remap=("select gx // 2 as gx, gy // 2 as gy, cnt from px0"
+                  " where gx % 2 = 1 and gy % 2 = 1"))
     return f"""
 select 'srcwin' as op, z, tx, ty, checksum, n_nonzero from ({srcwin}) ts
 union all
@@ -867,6 +891,9 @@ select 'projwin' as op, z, tx, ty, checksum, n_nonzero from ({projwin}) tp
 union all
 select 'scale_byte' as op, z, tx, ty, checksum, n_nonzero
 from ({scaled}) tb
+union all
+select 'outsize_half' as op, z, tx, ty, checksum, n_nonzero
+from ({outsize}) to_
 """
 
 

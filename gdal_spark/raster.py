@@ -166,21 +166,26 @@ def projwin_to_srcwin(gt: list[float], ulx: float, uly: float,
 
 def checksum_oracle_sql(points_sql: str, z: int,
                         value_expr: str = "cnt",
-                        px_where: str = "true") -> str:
+                        px_where: str = "true",
+                        px_remap: str | None = None) -> str:
     """DuckDB SQL reproducing rasterize→checksum exactly: pixel counts by
     the shared cell formula, per-pixel value % primes[(py*64+px) % 11],
     summed mod 65536 per tile (zero pixels contribute 0).
     ``value_expr`` maps the raw count to the burned value (identity for
-    plain counts; a CASE ladder for reclassify map algebra)."""
+    plain counts; a CASE ladder for reclassify map algebra);
+    ``px_remap`` optionally re-addresses the filtered pixels (a SELECT
+    over ``px0`` producing gx, gy, cnt — e.g. -outsize decimation)."""
     gxe, gye = gpixel_exprs("lon", "lat", z)
     primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
     t = TILE_PX
+    remap = px_remap or "select * from px0"
     return f"""
 with px_all as (
   select {gxe} as gx, {gye} as gy, count(*) as cnt
   from ({points_sql}) p group by 1, 2
 ),
-px as (select * from px_all where {px_where})
+px0 as (select * from px_all where {px_where}),
+px as ({remap})
 select {z} as z, gx // {t} as tx, gy // {t} as ty,
        cast(sum(({value_expr})
            % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
