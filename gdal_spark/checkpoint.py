@@ -56,6 +56,13 @@ def lineage(spark: SparkSession, root: str) -> DataFrame:
         .parquet(os.path.join(root, "lineage"))
 
 
+def metrics(spark: SparkSession, root: str) -> DataFrame:
+    """Per-snapshot run metrics (keys/rows written, wall time,
+    throughput) — one row per commit."""
+    return spark.read.option("basePath", os.path.join(root, "metrics")) \
+        .parquet(os.path.join(root, "metrics"))
+
+
 def run_checkpointed(df: DataFrame, root: str, key_col: str,
                      key_filter: str | None = None) -> dict:
     """Write ``df`` partitioned by ``key_col``, skipping keys already
@@ -67,6 +74,9 @@ def run_checkpointed(df: DataFrame, root: str, key_col: str,
 
     Returns {"snapshot": n, "keys_written": k, "rows_written": r}.
     """
+    import time
+
+    t0 = time.monotonic()
     spark = df.sparkSession
     prev = _latest_snapshot(root)
     done = committed_keys(spark, root, key_col)
@@ -97,13 +107,30 @@ def run_checkpointed(df: DataFrame, root: str, key_col: str,
     snap = prev + 1
     pending.write.mode("append").partitionBy(key_col) \
         .parquet(os.path.join(root, "data"))
-    lin.withColumn("snap", F.lit(snap)).write.mode("overwrite").parquet(
+    # the snap=<n> partition path supplies the snap column on read —
+    # writing it into the files too triggers COLUMN_ALREADY_EXISTS
+    lin.write.mode("overwrite").parquet(
         os.path.join(root, "lineage", f"snap={snap}"))
 
     manifest = done.unionByName(new_keys)
     manifest_path = os.path.join(root, "snapshots",
                                  f"snap-{snap}.keys.parquet")
     manifest.write.mode("overwrite").parquet(manifest_path)
+
+    # per-snapshot run metrics (the north rule's "lineage + metrics"):
+    # one row per commit, queryable like the lineage table. Written
+    # before the pointer flip so a metrics row exists iff its snapshot
+    # may become authoritative.
+    import time
+
+    wall = time.monotonic() - t0
+    spark.createDataFrame(
+        [(int(n_keys), int(n_rows), float(wall),
+          float(n_rows / wall) if wall > 0 else 0.0)],
+        "keys_written long, rows_written long,"
+        " wall_sec double, rows_per_sec double"
+    ).write.mode("overwrite").parquet(
+        os.path.join(root, "metrics", f"snap={snap}"))
 
     # atomic pointer flip — the commit point (crash before this line
     # leaves the previous snapshot authoritative; orphan data files are

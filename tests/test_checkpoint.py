@@ -81,3 +81,23 @@ def test_resumable_flagship_pipeline(spark, tmp_path):
     r2 = run_checkpointed(geo, root, "bucket")
     assert r1["rows_written"] + r2["rows_written"] == geo.count()
     assert read_committed(spark, root, "bucket").count() == geo.count()
+
+
+def test_metrics_one_row_per_commit(spark, tmp_path, workload):
+    """Every commit writes a metrics row (keys/rows written, wall time,
+    throughput) readable like the lineage table; a no-op resume adds
+    none."""
+    from gdal_spark.checkpoint import metrics, run_checkpointed
+
+    root = str(tmp_path / "ckpt_metrics")
+    r1 = run_checkpointed(workload, root, "tile_key",
+                          key_filter="tile_key % 2 = 0")
+    r2 = run_checkpointed(workload, root, "tile_key")
+    run_checkpointed(workload, root, "tile_key")  # no-op: all committed
+    m = {r["snap"]: r for r in metrics(spark, root).collect()}
+    assert set(m) == {r1["snapshot"], r2["snapshot"]}
+    for res in (r1, r2):
+        row = m[res["snapshot"]]
+        assert row["keys_written"] == res["keys_written"]
+        assert row["rows_written"] == res["rows_written"]
+        assert row["wall_sec"] > 0 and row["rows_per_sec"] > 0
