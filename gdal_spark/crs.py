@@ -367,6 +367,98 @@ def lcc_sql_stages(lon: str, lat: str,
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant B (EPSG method 9829, south-pole aspect) —
+# e.g. EPSG:3031 (WGS84 / Antarctic Polar Stereographic, φF = −71°,
+# λ0 = 0, FE = FN = 0) and EPSG:3032 (Australian Antarctic, λ0 = 70°,
+# FE = FN = 6,000,000). Constants precomputed in Python, emitted as
+# shared double literals; per-point math restricted to the verified
+# primitive set (tan/atan/sin/cos/ln/exp).
+# ---------------------------------------------------------------------------
+
+class PsParams:
+    """Precomputed variant-B constants for one south-pole PS definition:
+    ρ = k_rho · t with k_rho = a·mF/tF (EPSG Guidance Note 7-2)."""
+
+    def __init__(self, phi_f_deg: float, lon0_deg: float,
+                 fe: float, fn: float,
+                 a: float = WGS84_A, e: float = WGS84_E):
+        self.lon0_deg = lon0_deg
+        self.fe = fe
+        self.fn = fn
+        self.e = e
+        pf = math.radians(phi_f_deg)
+        t_f = (math.tan(math.pi / 4.0 + pf / 2.0)
+               / ((1.0 + e * math.sin(pf))
+                  / (1.0 - e * math.sin(pf))) ** (e / 2.0))
+        m_f = math.cos(pf) / math.sqrt(1.0 - e * e * math.sin(pf) ** 2)
+        self.k_rho = a * m_f / t_f
+
+
+PS_3031 = PsParams(phi_f_deg=-71.0, lon0_deg=0.0, fe=0.0, fn=0.0)
+PS_3032 = PsParams(phi_f_deg=-71.0, lon0_deg=70.0,
+                   fe=6000000.0, fn=6000000.0)
+
+
+def ps_fwd_np(lon, lat, p: PsParams = PS_3031):
+    """Polar Stereographic (south) forward: (easting, northing, ok)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = (np.isfinite(lon) & np.isfinite(lat) & (lat < 90.0)
+          & (lat >= -90.0))
+    phi = np.radians(np.where(ok, lat, 0.0))
+    s = np.sin(phi)
+    t = (np.tan(np.pi / 4.0 + phi / 2.0)
+         / np.exp((p.e / 2.0)
+                  * np.log((1.0 + p.e * s) / (1.0 - p.e * s))))
+    rho = p.k_rho * t
+    th = np.radians(lon) - math.radians(p.lon0_deg)
+    easting = np.where(ok, p.fe + rho * np.sin(th), np.nan)
+    northing = np.where(ok, p.fn + rho * np.cos(th), np.nan)
+    return easting, northing, ok
+
+
+def ps_inv_np(E, N, p: PsParams = PS_3031, iters: int = 8):
+    """Polar Stereographic (south) inverse (fixed-point on φ)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    x = E - p.fe
+    y = N - p.fn
+    t = np.sqrt(x * x + y * y) / p.k_rho
+    phi = 2.0 * np.arctan(t) - np.pi / 2.0
+    for _ in range(iters):
+        s = p.e * np.sin(phi)
+        phi = 2.0 * np.arctan(
+            t * np.exp((p.e / 2.0) * np.log((1.0 + s) / (1.0 - s)))) \
+            - np.pi / 2.0
+    lon = np.degrees(np.arctan2(x, y) + math.radians(p.lon0_deg))
+    lat = np.degrees(phi)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def ps_sql_stages(lon: str, lat: str,
+                  p: PsParams = PS_3031) -> list[tuple[str, str]]:
+    """Stages computing easting, northing, ok — PS variant B (south),
+    shared text."""
+    e = _fmt(p.e)
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and {lat} < 90.0 and {lat} >= -90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_s", "sin(_phi)"),
+        ("_t", f"tan(pi() / 4.0 + _phi / 2.0)"
+               f" / exp(({e} / 2.0) * ln((1.0 + {e} * _s)"
+               f" / (1.0 - {e} * _s)))"),
+        ("_rho", f"{_fmt(p.k_rho)} * _t"),
+        ("_th", f"radians({lon}) - radians({_fmt(p.lon0_deg)})"),
+        ("easting", f"case when ok then {_fmt(p.fe)} + _rho * sin(_th)"
+                    f" else cast('nan' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.fn)} + _rho * cos(_th)"
+                     f" else cast('nan' as double) end"),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # EPSG-code-keyed dispatch (the proj_create_crs_to_crs surface,
 # ogr/ogrct.cpp:1705-1803): forward SQL stages and numpy fwd/inv kernels
 # per code; transforms route through the lon/lat hub. SQL-path transforms
@@ -398,6 +490,9 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
     elif code == 2154:
         st = lcc_sql_stages(lon, lat)
         ren = {"easting": out_x, "northing": out_y}
+    elif code in (3031, 3032):
+        st = ps_sql_stages(lon, lat, PS_3031 if code == 3031 else PS_3032)
+        ren = {"easting": out_x, "northing": out_y}
     else:
         lon0, fn = _utm_epsg_params(code)
         st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
@@ -415,6 +510,9 @@ def epsg_fwd_np(code: int):
         return webmercator_fwd_np
     if code == 2154:
         return lcc_fwd_np
+    if code in (3031, 3032):
+        p = PS_3031 if code == 3031 else PS_3032
+        return lambda lon, lat: ps_fwd_np(lon, lat, p)
     lon0, fn = _utm_epsg_params(code)
     return lambda lon, lat: tmerc_fwd_np(lon, lat, lon0, fn=fn)
 
@@ -429,6 +527,9 @@ def epsg_inv_np(code: int):
         return webmercator_inv_np
     if code == 2154:
         return lcc_inv_np
+    if code in (3031, 3032):
+        p = PS_3031 if code == 3031 else PS_3032
+        return lambda x, y: ps_inv_np(x, y, p)
     lon0, fn = _utm_epsg_params(code)
     return lambda x, y: tmerc_inv_np(x, y, lon0, fn=fn)
 

@@ -53,19 +53,25 @@ def q_reproject_utm31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reproject_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EPSG:4326 → EPSG:2154 (RGF93 / Lambert-93, LCC 2SP) through the
-    EPSG-code-keyed dispatch (crs.epsg_fwd_stages — the
-    proj_create_crs_to_crs surface, ogr/ogrct.cpp:1705), with per-point
-    failure flags."""
+    """EPSG:4326 → EPSG:2154 (RGF93 / Lambert-93, LCC 2SP) AND
+    EPSG:4326 → EPSG:3031 (Antarctic Polar Stereographic, EPSG method
+    9829) through the EPSG-code-keyed dispatch (crs.epsg_fwd_stages —
+    the proj_create_crs_to_crs surface, ogr/ogrct.cpp:1705), with
+    per-point failure flags; one row per doc carries both projections."""
     from gdal_spark.crs import epsg_fwd_stages
 
     pts = points_from_documents(spark, sf_dir)
     out = apply_sql_stages(pts, epsg_fwd_stages(2154, "lon", "lat",
                                                 "easting", "northing"))
+    out = apply_sql_stages(out, epsg_fwd_stages(3031, "lon", "lat",
+                                                "ps_easting",
+                                                "ps_northing"))
     return out.select(
         "doc_id",
         F.round("easting", 3).alias("easting"),
         F.round("northing", 3).alias("northing"),
+        F.round("ps_easting", 3).alias("ps_easting"),
+        F.round("ps_northing", 3).alias("ps_northing"),
         "ok",
     )
 
@@ -100,12 +106,17 @@ QUERIES = {
 def _lcc_oracle() -> str:
     from gdal_spark.crs import epsg_fwd_stages
 
+    stages = (epsg_fwd_stages(2154, "lon", "lat", "easting", "northing")
+              + epsg_fwd_stages(3031, "lon", "lat",
+                                "ps_easting", "ps_northing"))
     inner = stages_to_duckdb_sql(
-        f"select doc_id, lon, lat from ({_PTS}) p",
-        epsg_fwd_stages(2154, "lon", "lat", "easting", "northing"),
-        ["doc_id", "easting", "northing", "ok"])
+        f"select doc_id, lon, lat from ({_PTS}) p", stages,
+        ["doc_id", "easting", "northing",
+         "ps_easting", "ps_northing", "ok"])
     return (f"select doc_id, round(easting, 3) as easting,"
-            f" round(northing, 3) as northing, ok from ({inner}) q")
+            f" round(northing, 3) as northing,"
+            f" round(ps_easting, 3) as ps_easting,"
+            f" round(ps_northing, 3) as ps_northing, ok from ({inner}) q")
 
 
 def _webmerc_oracle() -> str:

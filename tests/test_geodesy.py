@@ -170,3 +170,41 @@ def test_epsg_registry_dispatch_and_flags():
     # UTM south false northing
     es, ns, oks = epsg_fwd_np(32731)(np.array([3.0]), np.array([-20.0]))
     assert oks[0] and ns[0] > 7000000.0
+
+
+def test_polar_stereographic_epsg_example_and_roundtrip():
+    """Polar Stereographic variant B (EPSG method 9829): the published
+    EPSG Guidance Note 7-2 worked example for EPSG:3032 (75°S 120°E →
+    E 7,255,380.79 / N 7,053,389.56), fwd∘inv identity, the pole maps
+    to the false origin, and scale is true at the standard parallel."""
+    import numpy as np
+
+    from gdal_spark.crs import PS_3031, PS_3032, ps_fwd_np, ps_inv_np
+
+    E, N, ok = ps_fwd_np([120.0], [-75.0], PS_3032)
+    assert ok[0]
+    assert abs(E[0] - 7255380.79) < 0.01
+    assert abs(N[0] - 7053389.56) < 0.01
+
+    lons = np.linspace(-179.0, 179.0, 25)
+    lats = np.linspace(-89.5, -20.0, 21)
+    LO, LA = np.meshgrid(lons, lats)
+    E, N, ok = ps_fwd_np(LO.ravel(), LA.ravel(), PS_3031)
+    lo2, la2, ok2 = ps_inv_np(E, N, PS_3031)
+    assert ok.all() and ok2.all()
+    assert np.max(np.abs(lo2 - LO.ravel())) < 1e-11
+    assert np.max(np.abs(la2 - LA.ravel())) < 1e-11
+
+    E, N, ok = ps_fwd_np([33.0], [-90.0], PS_3031)
+    assert E[0] == PS_3031.fe and N[0] == PS_3031.fn
+
+    # true scale at phi_F = -71: local ratio of projected to ellipsoidal
+    # arc length along the parallel equals 1
+    import math
+    d = 1e-6
+    (e1, e2), (n1, n2), _ = ps_fwd_np([0.0, d], [-71.0, -71.0], PS_3031)
+    proj_arc = math.hypot(e2 - e1, n2 - n1)
+    a, e = 6378137.0, PS_3031.e
+    nu = a / math.sqrt(1 - e * e * math.sin(math.radians(-71.0)) ** 2)
+    true_arc = nu * math.cos(math.radians(-71.0)) * math.radians(d)
+    assert abs(proj_arc / true_arc - 1.0) < 1e-7
