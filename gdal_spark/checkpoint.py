@@ -41,10 +41,16 @@ def _latest_snapshot(root: str) -> int:
         return 0
 
 
-def committed_keys(spark: SparkSession, root: str, key_col: str) -> DataFrame:
-    """Keys committed as of the latest snapshot (empty frame if none)."""
-    snap = _latest_snapshot(root)
-    if snap == 0:
+def committed_keys(spark: SparkSession, root: str, key_col: str,
+                   snapshot: int | None = None) -> DataFrame:
+    """Keys committed as of ``snapshot`` (default: the latest). Every
+    manifest is retained, so any earlier commit stays addressable —
+    Iceberg's snapshot time travel over the plain-parquet seam."""
+    latest = _latest_snapshot(root)
+    snap = latest if snapshot is None else snapshot
+    if snap > latest:
+        raise ValueError(f"snapshot {snap} not committed (latest {latest})")
+    if snap <= 0:
         return spark.createDataFrame([], f"{key_col} long")
     path = os.path.join(root, "snapshots", f"snap-{snap}.keys.parquet")
     return spark.read.parquet(path)
@@ -145,10 +151,14 @@ def run_checkpointed(df: DataFrame, root: str, key_col: str,
     return {"snapshot": snap, "keys_written": n_keys, "rows_written": n_rows}
 
 
-def read_committed(spark: SparkSession, root: str, key_col: str) -> DataFrame:
+def read_committed(spark: SparkSession, root: str, key_col: str,
+                   snapshot: int | None = None) -> DataFrame:
     """Read back exactly the committed data (anti-orphan: inner-join the
-    partition dirs against the committed manifest)."""
+    partition dirs against the committed manifest). ``snapshot`` reads
+    an earlier commit's view — time travel: keys committed after it are
+    invisible, because a key is written by exactly one snapshot and
+    manifests are cumulative."""
     data = spark.read.option("basePath", os.path.join(root, "data")) \
         .parquet(os.path.join(root, "data"))
-    return data.join(committed_keys(spark, root, key_col), key_col,
-                     "left_semi")
+    return data.join(committed_keys(spark, root, key_col, snapshot),
+                     key_col, "left_semi")

@@ -101,3 +101,29 @@ def test_metrics_one_row_per_commit(spark, tmp_path, workload):
         assert row["keys_written"] == res["keys_written"]
         assert row["rows_written"] == res["rows_written"]
         assert row["wall_sec"] > 0 and row["rows_per_sec"] > 0
+
+
+def test_snapshot_time_travel(spark, tmp_path, workload):
+    """read_committed(snapshot=n) sees exactly the keys committed as of
+    snapshot n; later commits are invisible; snapshot 0 is empty; an
+    uncommitted snapshot raises."""
+    import pytest
+
+    from gdal_spark.checkpoint import read_committed, run_checkpointed
+
+    root = str(tmp_path / "ckpt_tt")
+    r1 = run_checkpointed(workload, root, "tile_key",
+                          key_filter="tile_key % 2 = 0")
+    r2 = run_checkpointed(workload, root, "tile_key")
+    assert (r1["snapshot"], r2["snapshot"]) == (1, 2)
+    even = {r["tile_key"] for r in workload.filter("tile_key % 2 = 0")
+            .select("tile_key").collect()}
+    v1 = {r["tile_key"] for r in
+          read_committed(spark, root, "tile_key", snapshot=1)
+          .select("tile_key").collect()}
+    assert v1 == even
+    v2 = read_committed(spark, root, "tile_key", snapshot=2).count()
+    assert v2 == workload.count()
+    assert read_committed(spark, root, "tile_key", snapshot=0).count() == 0
+    with pytest.raises(ValueError):
+        read_committed(spark, root, "tile_key", snapshot=9).count()
