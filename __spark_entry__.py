@@ -82,8 +82,9 @@ _PRIORITY = [
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
     "grid_kernels", "grid_linear_delaunay", "contour_lines",
+    "contour_polygons",
     "raster_calc_reclassify",
-    "raster_stats", "raster_histogram", "raster_sieve",
+    "raster_stats", "raster_sieve",
     "tile_pyramid_z5_z2",
     "embed_neardup_cosine",  # re-routed through LSH candidates this round
     "text_decontaminate",  # new: eval-split n-gram containment guard
@@ -96,8 +97,10 @@ _PRIORITY = [
     # classes feed contour_lines, checked above), multimodal_frame_sample
     # (same mapInPandas plumbing as multimodal_inspect/resize, checked
     # above), streaming_dedup_urls (sibling of the two checked
-    # streaming entries)
+    # streaming entries), raster_histogram (same partial+final
+    # aggregation shape as raster_stats, checked above)
     "contour_cells", "multimodal_frame_sample", "streaming_dedup_urls",
+    "raster_histogram",
 ]
 
 

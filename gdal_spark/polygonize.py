@@ -55,6 +55,199 @@ def _label_tile(mask: np.ndarray, pid: np.ndarray) -> np.ndarray:
     return np.where(mask, lbl, -1)
 
 
+def _label_tile_values(vals: np.ndarray, pid: np.ndarray) -> np.ndarray:
+    """4-connected min-label propagation where components are runs of
+    EQUAL-VALUED pixels — the actual GDALPolygonize semantics
+    (alg/polygonize.cpp:73 merges runs of equal pixels; the nonzero-mask
+    variant below is its binary special case). Every pixel belongs to a
+    component."""
+    inf = np.int64(2 ** 62)
+    lbl = pid.copy()
+
+    def shifted(a: np.ndarray, dy: int, dx: int, fill) -> np.ndarray:
+        out = np.full_like(a, fill)
+        if dy == 1:
+            out[1:, :] = a[:-1, :]
+        elif dy == -1:
+            out[:-1, :] = a[1:, :]
+        elif dx == 1:
+            out[:, 1:] = a[:, :-1]
+        else:
+            out[:, :-1] = a[:, 1:]
+        return out
+
+    while True:
+        prev = lbl
+        m = lbl
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nl = shifted(lbl, dy, dx, inf)
+            nv = shifted(vals, dy, dx, np.int64(-2 ** 62))
+            m = np.minimum(m, np.where(nv == vals, nl, inf))
+        lbl = m
+        if np.array_equal(lbl, prev):
+            break
+    return lbl
+
+
+def tile_components_values(tiles: DataFrame, grid_w: int,
+                           dtype: str = "int64"
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Per-tile equal-valued labeling pass (value-aware polygonize).
+
+    Returns (parts, borders): parts — (lbl, value, n_pixels, bbox) per
+    tile-local equal-valued component; borders — (gx, gy, lbl, value)
+    for every tile-border pixel."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_parts = []
+            out_borders = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["data"], dtype=np_dtype) \
+                    .reshape(t, t).astype(np.int64)
+                ty0 = int(row["ty"]) * t
+                tx0 = int(row["tx"]) * t
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + tx0
+                gy = gy + ty0
+                pid = gy * np.int64(grid_w) + gx
+                lbl = _label_tile_values(buf, pid)
+                flat_l = lbl.ravel()
+                flat_v = buf.ravel()
+                flat_x = gx.ravel()
+                flat_y = gy.ravel()
+                uniq, idx, inv = np.unique(flat_l, return_index=True,
+                                           return_inverse=True)
+                n = len(uniq)
+                cnt = np.bincount(inv, minlength=n)
+                mnx = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                mny = mnx.copy()
+                mxx = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+                mxy = mxx.copy()
+                np.minimum.at(mnx, inv, flat_x)
+                np.minimum.at(mny, inv, flat_y)
+                np.maximum.at(mxx, inv, flat_x)
+                np.maximum.at(mxy, inv, flat_y)
+                out_parts.extend(zip(uniq.tolist(),
+                                     flat_v[idx].tolist(), cnt.tolist(),
+                                     mnx.tolist(), mny.tolist(),
+                                     mxx.tolist(), mxy.tolist()))
+                edge = np.zeros((t, t), dtype=bool)
+                edge[0, :] = edge[-1, :] = True
+                edge[:, 0] = edge[:, -1] = True
+                ey, ex = np.nonzero(edge)
+                out_borders.extend(zip(gx[ey, ex].tolist(),
+                                       gy[ey, ex].tolist(),
+                                       lbl[ey, ex].tolist(),
+                                       buf[ey, ex].tolist()))
+            yield pd.DataFrame(
+                [p + (0,) for p in out_parts]
+                + [(b[2], b[3], 0, b[0], b[1], 0, 0, 1)
+                   for b in out_borders],
+                columns=["lbl", "value", "n_pixels", "min_gx", "min_gy",
+                         "max_gx", "max_gy", "is_border"])
+
+    mixed = tiles.mapInPandas(
+        run, "lbl long, value long, n_pixels long, min_gx long,"
+             " min_gy long, max_gx long, max_gy long, is_border int"
+    ).cache()
+    parts = mixed.filter("is_border = 0").drop("is_border")
+    borders = mixed.filter("is_border = 1").select(
+        F.col("min_gx").alias("gx"), F.col("min_gy").alias("gy"),
+        "lbl", "value")
+    return parts, borders
+
+
+def cross_tile_edges_values(borders: DataFrame,
+                            tile_px: int = TILE_PX) -> DataFrame:
+    """(la, lb) label pairs for 4-adjacent EQUAL-VALUED pixels in
+    different tiles."""
+    a = borders.select(F.col("gx").alias("ax"), F.col("gy").alias("ay"),
+                       F.col("lbl").alias("la"),
+                       F.col("value").alias("va"))
+    b = borders.select(F.col("gx").alias("bx"), F.col("gy").alias("by"),
+                       F.col("lbl").alias("lb"),
+                       F.col("value").alias("vb"))
+    right = a.join(b, (F.col("bx") == F.col("ax") + 1)
+                   & (F.col("by") == F.col("ay"))
+                   & (F.expr(f"ax % {tile_px}") == tile_px - 1))
+    down = a.join(b, (F.col("by") == F.col("ay") + 1)
+                  & (F.col("bx") == F.col("ax"))
+                  & (F.expr(f"ay % {tile_px}") == tile_px - 1))
+    return (right.select("la", "lb", "va", "vb")
+            .unionByName(down.select("la", "lb", "va", "vb"))
+            .filter("la <> lb and va = vb")
+            .select("la", "lb").distinct())
+
+
+def polygonize_by_value(tiles: DataFrame, grid_w: int,
+                        dtype: str = "int64") -> DataFrame:
+    """Full value-aware polygonize: (comp, value, n_pixels, bbox) per
+    4-connected component of EQUAL-VALUED pixels; comp = min global
+    pixel id of the component (GDALPolygonize over the band values —
+    the iso-band polygon output of gdal_contour -p composes as this
+    over a band-classified raster)."""
+    parts, borders = tile_components_values(tiles, grid_w, dtype)
+    labels = propagate_labels(parts, cross_tile_edges_values(borders))
+    return (
+        parts.join(labels, "lbl")
+        .groupBy("comp").agg(
+            F.min("value").alias("value"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("min_gx").alias("min_gx"),
+            F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"),
+            F.max("max_gy").alias("max_gy"))
+    )
+
+
+def polygonize_values_oracle_sql(raster_px: int, band_np) -> str:
+    """Ground truth for the value-aware polygonize: an INDEPENDENT
+    single-machine BFS over the closed-form banded DEM grid (no tiling,
+    no label propagation — plain flood fill), computed at oracle-build
+    time and emitted as a VALUES table. (A DuckDB 1.0 recursive CTE
+    floods every reachable smaller label — O(Σ nᵢ²) rows, measured
+    ~190 s at 128² — so the BFS literal table is the honest fast
+    oracle; DuckDB ≥1.3's USING KEY would fix the CTE.)
+    ``band_np(gx, gy) -> int array`` maps pixel coords to band values.
+    """
+    from collections import deque
+
+    w = raster_px
+    gy, gx = np.mgrid[0:w, 0:w]
+    band = np.asarray(band_np(gx, gy), dtype=np.int64)
+    comp = np.full((w, w), -1, dtype=np.int64)
+    rows = []
+    for sy in range(w):
+        for sx in range(w):
+            if comp[sy, sx] >= 0:
+                continue
+            v = band[sy, sx]
+            cid = sy * w + sx  # BFS from raster-scan order ⇒ min pid
+            q = deque([(sy, sx)])
+            comp[sy, sx] = cid
+            n = 0
+            mnx = mxx = sx
+            mny = mxy = sy
+            while q:
+                y, x = q.popleft()
+                n += 1
+                mnx, mxx = min(mnx, x), max(mxx, x)
+                mny, mxy = min(mny, y), max(mxy, y)
+                for yy, xx in ((y + 1, x), (y - 1, x),
+                               (y, x + 1), (y, x - 1)):
+                    if 0 <= yy < w and 0 <= xx < w \
+                            and comp[yy, xx] < 0 and band[yy, xx] == v:
+                        comp[yy, xx] = cid
+                        q.append((yy, xx))
+            rows.append(f"({cid}, {int(v)}, {n}, {mnx}, {mny},"
+                        f" {mxx}, {mxy})")
+    return (f"select * from (values {', '.join(rows)})"
+            f" t(comp, value, n_pixels, min_gx, min_gy, max_gx, max_gy)")
+
+
 def tile_components(tiles: DataFrame, grid_w: int,
                     dtype: str = "int64") -> tuple[DataFrame, DataFrame]:
     """Per-tile labeling pass.

@@ -577,6 +577,53 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CONTOUR_LINES_PX)
 
 
+CONTOUR_BANDS = [53, 106, 159]
+
+
+def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p (iso-band polygons, apps/gdal_contour_lib /
+    alg/contour.cpp polygon writer): classify the DEM into threshold
+    bands (map algebra), then VALUE-AWARE polygonize — 4-connected
+    components of equal-band pixels (GDALPolygonize semantics,
+    alg/polygonize.cpp:73) — emitting per component its band, pixel
+    count and bbox. Oracle: DuckDB recursive-CTE min-label over the
+    closed-form banded DEM."""
+    from gdal_spark.contour import CONTOUR_LINES_PX
+    from gdal_spark.polygonize import polygonize_by_value
+
+    _ = sf_dir
+
+    def band_kernel(buf):
+        import numpy as np
+
+        out = np.zeros_like(buf, dtype=np.int64)
+        for thr in CONTOUR_BANDS:
+            out += (buf >= thr).astype(np.int64)
+        return out
+
+    from gdal_spark.raster import map_algebra
+
+    tiles = map_algebra(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                        band_kernel)
+    return polygonize_by_value(tiles, CONTOUR_LINES_PX)
+
+
+def _contour_polygons_oracle() -> str:
+    from gdal_spark.contour import CONTOUR_LINES_PX
+    from gdal_spark.polygonize import polygonize_values_oracle_sql
+
+    def band_np(gx, gy):
+        import numpy as np
+
+        v = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211  # DEM_ELEV_SQL
+        out = np.zeros_like(v, dtype=np.int64)
+        for thr in CONTOUR_BANDS:
+            out += (v >= thr).astype(np.int64)
+        return out
+
+    return polygonize_values_oracle_sql(CONTOUR_LINES_PX, band_np)
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity raster: per-pixel distance to the nearest point within
     the search radius (alg/gdalproximity.cpp:94)."""
@@ -746,6 +793,7 @@ QUERIES = {
     "grid_linear_delaunay": q_grid_linear,
     "contour_cells": q_contour,
     "contour_lines": q_contour_lines,
+    "contour_polygons": q_contour_polygons,
     "raster_calc_reclassify": q_raster_calc,
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
@@ -935,6 +983,7 @@ select 'cubic' as method, qid, value from (
         "gdal_spark.delaunay",
         fromlist=["grid_linear_sql"]).grid_linear_sql("duckdb"),
     "contour_cells": _contour_oracle(),
+    "contour_polygons": _contour_polygons_oracle(),
     "contour_lines": __import__(
         "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]
     ).contour_lines_oracle_sql(),

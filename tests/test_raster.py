@@ -634,3 +634,26 @@ def test_projwin_to_srcwin_rounding():
     # mid-pixel bounds: off floors, size covers the partial pixel
     assert projwin_to_srcwin(gt, 125.0, 475.0, 156.0, 443.0) \
         == (2, 6, 2, 6)
+
+
+def test_polygonize_by_value_matches_bfs(spark):
+    """Value-aware polygonize (equal-valued 4-connected components —
+    the actual GDALPolygonize semantics) agrees with an independent
+    whole-grid BFS on a banded 2x2-tile DEM."""
+    import duckdb
+
+    from gdal_spark.queries.raster import (_contour_polygons_oracle,
+                                           q_contour_polygons)
+
+    got = q_contour_polygons(spark, "unused").toPandas()
+    want = duckdb.connect().execute(_contour_polygons_oracle()).df()
+    cols = ["comp", "value", "n_pixels", "min_gx", "min_gy",
+            "max_gx", "max_gy"]
+    a = got[cols].sort_values("comp").reset_index(drop=True)
+    b = want[cols].sort_values("comp").reset_index(drop=True)
+    assert a.shape == b.shape and len(a) > 1000
+    for c in cols:
+        assert (a[c].astype("int64") == b[c].astype("int64")).all()
+    # bands partition the full grid
+    from gdal_spark.contour import CONTOUR_LINES_PX
+    assert a["n_pixels"].sum() == CONTOUR_LINES_PX ** 2
