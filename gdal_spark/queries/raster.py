@@ -321,14 +321,17 @@ def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
                       _AVG_DST_PX).select(
         F.lit("average").alias("method"), "di", "dj", "n_src", "value")
-    from gdal_spark.raster import warp_mode
+    from gdal_spark.raster import warp_mode, warp_rms
 
     wm = warp_mode(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
                    _AVG_DST_PX).select(
         F.lit("mode").alias("method"), "di", "dj",
         F.col("n_mode").alias("n_src"),
         F.col("value").cast("double").alias("value"))
-    return wn.unionByName(wa).unionByName(wm)
+    wr = warp_rms(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
+                  _AVG_DST_PX).select(
+        F.lit("rms").alias("method"), "di", "dj", "n_src", "value")
+    return wn.unionByName(wa).unionByName(wm).unionByName(wr)
 
 
 _CUTLINE = [(-12.0e6, -8.0e6), (4.0e6, -14.0e6), (14.0e6, -2.0e6),
@@ -897,6 +900,12 @@ from ({__import__("gdal_spark.raster",
                   fromlist=["warp_mode_oracle_sql"])
        .warp_mode_oracle_sql(_AVG_DST_GT, _SRC_GT,
                              _AVG_DST_PX, DEM_PX)}) wm
+union all
+select 'rms' as method, di, dj, n_src, value
+from ({__import__("gdal_spark.raster",
+                  fromlist=["warp_rms_oracle_sql"])
+       .warp_rms_oracle_sql(_AVG_DST_GT, _SRC_GT,
+                            _AVG_DST_PX, DEM_PX)}) wr
 """
 
 

@@ -1515,6 +1515,76 @@ def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                         "cast(s as double) / c as value"))
 
 
+def warp_rms(tiles: DataFrame, src_gt: list[float], raster_px: int,
+             dst_gt: list[float], dst_px: int,
+             dtype: str = "int64") -> DataFrame:
+    """RMS-resampled warp (gdalwarp -r rms): per dst pixel
+    sqrt(mean(v²)) of the src pixels whose centers fall in it — the
+    same partial+final shape as warp_average with sum-of-squares
+    partials."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + int(tx) * t
+                gy = gy + int(ty) * t
+                wx = src_gt[0] + (gx + 0.5) * src_gt[1]
+                wy = src_gt[3] + (gy + 0.5) * src_gt[5]
+                di = np.floor((wx - dst_gt[0]) / dst_gt[1]).astype(np.int64)
+                dj = np.floor((wy - dst_gt[3]) / dst_gt[5]).astype(np.int64)
+                keep = ((di >= 0) & (di < dst_px)
+                        & (dj >= 0) & (dj < dst_px))
+                if not keep.any():
+                    continue
+                key = dj[keep] * dst_px + di[keep]
+                vals = buf[keep].astype(np.int64)
+                uniq, inv = np.unique(key, return_inverse=True)
+                ssq = np.bincount(inv, weights=(vals * vals)
+                                  .astype(np.float64)).astype(np.int64)
+                cnts = np.bincount(inv).astype(np.int64)
+                yield pd.DataFrame({
+                    "di": uniq % dst_px, "dj": uniq // dst_px,
+                    "ss": ssq, "c": cnts,
+                })
+
+    p = tiles.mapInPandas(partials, "di long, dj long, ss long, c long")
+    return (p.groupBy("di", "dj")
+            .agg(F.sum("ss").alias("ss"), F.sum("c").alias("c"))
+            .selectExpr("di", "dj", "c as n_src",
+                        "sqrt(cast(ss as double) / c) as value"))
+
+
+def warp_rms_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                        dst_px: int, raster_px: int) -> str:
+    """Oracle: enumerate src pixels, identical dst assignment and
+    sqrt-of-mean-of-squares expression."""
+    wx = f"({_lit(src_gt[0])} + (gx + 0.5) * {_lit(src_gt[1])})"
+    wy = f"({_lit(src_gt[3])} + (gy + 0.5) * {_lit(src_gt[5])})"
+    di = (f"cast(floor(({wx} - {_lit(dst_gt[0])}) / {_lit(dst_gt[1])})"
+          f" as bigint)")
+    dj = (f"cast(floor(({wy} - {_lit(dst_gt[3])}) / {_lit(dst_gt[5])})"
+          f" as bigint)")
+    return f"""
+with s as (
+  select a.range as gx, b.range as gy
+  from range(0, {raster_px}) a cross join range(0, {raster_px}) b
+),
+m as (
+  select {di} as di, {dj} as dj, {DEM_ELEV_SQL} as v from s
+)
+select di, dj, cast(count(*) as bigint) as n_src,
+       sqrt(cast(sum(cast(v as bigint) * cast(v as bigint)) as double)
+            / count(*)) as value
+from m
+where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}
+group by 1, 2
+"""
+
+
 def warp_mode(tiles: DataFrame, src_gt: list[float], raster_px: int,
               dst_gt: list[float], dst_px: int,
               dtype: str = "int64") -> DataFrame:
