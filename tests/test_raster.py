@@ -657,3 +657,46 @@ def test_polygonize_by_value_matches_bfs(spark):
     # bands partition the full grid
     from gdal_spark.contour import CONTOUR_LINES_PX
     assert a["n_pixels"].sum() == CONTOUR_LINES_PX ** 2
+
+
+def test_warp_mode_and_rms_direct(spark):
+    """Mode warp picks the most frequent src value (ties to the
+    smallest); RMS warp equals sqrt(mean(v^2)) — both checked against a
+    direct numpy aggregation of the closed-form DEM."""
+    import math
+
+    from gdal_spark.queries.raster import (_AVG_DST_GT, _AVG_DST_PX,
+                                           _SRC_GT)
+    from gdal_spark.raster import synth_dem_tiles, warp_mode, warp_rms
+
+    px = 128
+    tiles = synth_dem_tiles(spark, px)
+    gy, gx = np.mgrid[0:px, 0:px]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    wx = _SRC_GT[0] + (gx + 0.5) * _SRC_GT[1]
+    wy = _SRC_GT[3] + (gy + 0.5) * _SRC_GT[5]
+    di = np.floor((wx - _AVG_DST_GT[0]) / _AVG_DST_GT[1]).astype(int)
+    dj = np.floor((wy - _AVG_DST_GT[3]) / _AVG_DST_GT[5]).astype(int)
+    keep = (di >= 0) & (di < _AVG_DST_PX) & (dj >= 0) & (dj < _AVG_DST_PX)
+
+    want_mode, want_rms = {}, {}
+    for d_i, d_j, v in zip(di[keep], dj[keep], elev[keep]):
+        want_mode.setdefault((d_i, d_j), []).append(int(v))
+    for k, vs in want_mode.items():
+        counts = {}
+        for v in vs:
+            counts[v] = counts.get(v, 0) + 1
+        best = min(counts, key=lambda v: (-counts[v], v))
+        want_rms[k] = math.sqrt(sum(v * v for v in vs) / len(vs))
+        want_mode[k] = best
+
+    got_m = {(r["di"], r["dj"]): r["value"] for r in
+             warp_mode(tiles, _SRC_GT, px, _AVG_DST_GT,
+                       _AVG_DST_PX).collect()}
+    got_r = {(r["di"], r["dj"]): r["value"] for r in
+             warp_rms(tiles, _SRC_GT, px, _AVG_DST_GT,
+                      _AVG_DST_PX).collect()}
+    assert set(got_m) == set(want_mode) and len(got_m) > 100
+    for k in want_mode:
+        assert got_m[k] == want_mode[k], k
+        assert abs(got_r[k] - want_rms[k]) < 1e-9, k
