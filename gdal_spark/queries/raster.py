@@ -451,9 +451,26 @@ def q_translate_outsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_checksums(tiles_from_pixel_counts(px, RASTER_Z))
 
 
+_MOSAIC_WIN = (32, 96, 32, 96)
+
+
+def q_raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_merge / gdal raster mosaic: composite the DEM with a
+    windowed overlay source — the later source paints over the earlier
+    except where it is nodata(0) — then checksum
+    (gdal_spark.raster.mosaic_tiles)."""
+    from gdal_spark.raster import mosaic_tiles, synth_overlay_tiles
+
+    _ = sf_dir
+    a = synth_dem_tiles(spark, 128)
+    b = synth_overlay_tiles(spark, 128, _MOSAIC_WIN)
+    return tile_checksums(mosaic_tiles(a, b))
+
+
 def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -srcwin + -projwin + -scale/-ot Byte + -outsize
-    50% as one entry (op column), all checksummed tile outputs."""
+    50% + gdal_merge mosaic compositing as one entry (op column), all
+    checksummed tile outputs."""
     srcwin = q_translate_srcwin(spark, sf_dir) \
         .withColumn("op", F.lit("srcwin"))
     projwin = q_translate_projwin(spark, sf_dir) \
@@ -462,8 +479,10 @@ def q_translate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("scale_byte"))
     outsize = q_translate_outsize(spark, sf_dir) \
         .withColumn("op", F.lit("outsize_half"))
+    mosaic = q_raster_mosaic(spark, sf_dir) \
+        .withColumn("op", F.lit("mosaic"))
     return srcwin.unionByName(projwin).unionByName(scaled) \
-        .unionByName(outsize)
+        .unionByName(outsize).unionByName(mosaic)
 
 
 RECLASS_BOUNDS = [1, 3, 10]
@@ -926,6 +945,17 @@ left join c on c.gx = s.gx and c.gy = s.gy
 """
 
 
+def _mosaic_oracle() -> str:
+    from gdal_spark.raster import (DEM_ELEV_SQL, OVERLAY_VAL_SQL,
+                                   dem_checksum_oracle_sql)
+
+    x0, x1, y0, y1 = _MOSAIC_WIN
+    v = (f"case when gx >= {x0} and gx < {x1} and gy >= {y0}"
+         f" and gy < {y1} and {OVERLAY_VAL_SQL} <> 0"
+         f" then {OVERLAY_VAL_SQL} else {DEM_ELEV_SQL} end")
+    return dem_checksum_oracle_sql(128, v)
+
+
 def _translate_ops_oracle() -> str:
     srcwin = (
         f"select * from ({checksum_oracle_sql(_PTS, RASTER_Z)}) c"
@@ -951,6 +981,9 @@ from ({scaled}) tb
 union all
 select 'outsize_half' as op, z, tx, ty, checksum, n_nonzero
 from ({outsize}) to_
+union all
+select 'mosaic' as op, z, tx, ty, checksum, n_nonzero
+from ({_mosaic_oracle()}) tm
 """
 
 

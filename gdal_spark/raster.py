@@ -948,6 +948,98 @@ def synth_dem_tiles(spark, raster_px: int = 256,
 
 DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"
 
+OVERLAY_VAL_SQL = "((gx * 7 + gy * gy * 11 + 13) % 199)"
+
+
+def synth_overlay_tiles(spark, raster_px: int,
+                        window: tuple[int, int, int, int],
+                        dtype: str = "int64") -> DataFrame:
+    """Second mosaic source: value = OVERLAY_VAL_SQL inside ``window``
+    (x0, x1, y0, y1), 0 (= nodata) outside — the closed form lets the
+    oracle evaluate it without tiles; in-window zeros exercise the
+    nodata fall-through organically."""
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+    np_dtype = np.dtype(dtype)
+    x0, x1, y0, y1 = window
+    keys = spark.range(n_tiles * n_tiles).select(
+        (F.col("id") % n_tiles).alias("_tx"),
+        (F.col("id") / n_tiles).cast("long").alias("_ty"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        gx = gx + tx * tile_px
+        gy = gy + ty * tile_px
+        val = ((gx * 7 + gy * gy * 11 + 13) % 199).astype(np_dtype)
+        inside = (gx >= x0) & (gx < x1) & (gy >= y0) & (gy < y1)
+        val = np.where(inside, val, 0).astype(np_dtype)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [1],
+            "gt": [tile_geotransform(tx, ty, 0)],
+            "data": [val.tobytes()],
+        })
+
+    return keys.groupBy("_tx", "_ty").applyInPandas(build, TILE_SCHEMA)
+
+
+def mosaic_tiles(tiles_a: DataFrame, tiles_b: DataFrame, nodata: int = 0,
+                 dtype: str = "int64") -> DataFrame:
+    """gdal_merge / gdal raster mosaic compositing
+    (swig/python/gdal-utils gdal_merge.py semantics; new CLI
+    apps/gdalalg_raster_mosaic.cpp): the LATER source paints over the
+    earlier except where it is nodata. One full-outer equi-join on the
+    tile key + a per-tile numpy where() — compositing never shuffles
+    pixels, only tile rows."""
+    np_dtype = np.dtype(dtype)
+    a = tiles_a.select("z", "tx", "ty", "band",
+                       F.col("data").alias("data_a"))
+    b = tiles_b.select("z", "tx", "ty", "band",
+                       F.col("data").alias("data_b"))
+    j = a.join(b, ["z", "tx", "ty", "band"], "full_outer")
+    t = TILE_PX
+
+    def composite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                buf_a = (np.frombuffer(r["data_a"], dtype=np_dtype)
+                         .reshape(t, t) if r["data_a"] is not None
+                         else np.full((t, t), nodata, dtype=np_dtype))
+                buf_b = (np.frombuffer(r["data_b"], dtype=np_dtype)
+                         .reshape(t, t) if r["data_b"] is not None
+                         else np.full((t, t), nodata, dtype=np_dtype))
+                buf = np.where(buf_b != nodata, buf_b, buf_a)
+                out.append((int(r["z"]), int(r["tx"]), int(r["ty"]),
+                            int(r["band"]),
+                            tile_geotransform(int(r["tx"]), int(r["ty"]),
+                                              int(r["z"])),
+                            buf.astype(np_dtype).tobytes()))
+            yield pd.DataFrame(out, columns=["z", "tx", "ty", "band",
+                                             "gt", "data"])
+
+    return j.mapInPandas(composite, TILE_SCHEMA)
+
+
+def dem_checksum_oracle_sql(raster_px: int, value_expr: str) -> str:
+    """GDALChecksumImage per tile over a GENERATED pixel grid with a
+    closed-form ``value_expr`` (the DEM-family analog of
+    checksum_oracle_sql, which counts burned points)."""
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    t = TILE_PX
+    return f"""
+with px as (
+  select gx, gy, {value_expr} as v
+  from (select a.range as gx, b.range as gy
+        from range(0, {raster_px}) a cross join range(0, {raster_px}) b) g
+)
+select 0 as z, gx // {t} as tx, gy // {t} as ty,
+       cast(sum(v % ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1])
+         % 65536 as bigint) as checksum,
+       cast(sum(case when v > 0 then 1 else 0 end) as bigint) as n_nonzero
+from px group by 2, 3
+"""
+
 
 def map_algebra(tiles: DataFrame, kernel, out_dtype: str = "int64",
                 dtype: str = "int64") -> DataFrame:
