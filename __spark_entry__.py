@@ -101,6 +101,7 @@ _PRIORITY = [
     # aggregation shape as raster_stats, checked above)
     "contour_cells", "multimodal_frame_sample", "streaming_dedup_urls",
     "raster_histogram",
+    "sql_asof_join",  # new as-of join; first in line if the budget grows
 ]
 
 

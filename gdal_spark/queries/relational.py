@@ -311,6 +311,35 @@ def q_execute_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
          "customer": _t(spark, sf_dir, "customer")})
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension — absent from OGR SQL, SURVEY §2.3
+    'Theta/range/as-of joins'): every purchase event joined to the most
+    recent prior click of the same user. Executed as one union + one
+    per-user window (last_value over the interleaved stream) — a single
+    shuffle keyed by user, never a range join; ties on (ts, event_id)
+    order deterministically."""
+    e = _t(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+        .alias("_click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts"))
+        .alias("_click_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = both.withColumn(
+        "last_click_id", F.last("_click_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ts", F.last("_click_ts", ignorenulls=True).over(w))
+    return (out.filter("event_type = 'purchase'")
+            .select("user_id",
+                    F.col("event_id").alias("purchase_id"),
+                    "last_click_id",
+                    F.unix_timestamp("ts").alias("purchase_epoch"),
+                    F.unix_timestamp("last_click_ts")
+                    .alias("click_epoch")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity cut) — the standard
     web-log session op a pages/events pipeline needs; GDAL has no
@@ -359,6 +388,7 @@ def _dataset_info_oracle() -> str:
 QUERIES = {
     "dataset_info": q_dataset_info,
     "sql_sessionize": q_sessionize,
+    "sql_asof_join": q_asof_join,
     "ogrsql_execute_select": q_execute_sql_select,
     "ogrsql_execute_summary": q_execute_sql_summary,
     "ogrsql_execute_join_chain": q_execute_sql_join_chain,
@@ -384,6 +414,17 @@ QUERIES = {
 
 ORACLES = {
     "dataset_info": _dataset_info_oracle(),
+    # oracle independence: DuckDB's NATIVE ASOF LEFT JOIN vs the Spark
+    # union+window plan ((user_id, ts) is unique in the fixture, so
+    # strict-< asof and last-prior-row semantics coincide)
+    "sql_asof_join": """
+select p.user_id, p.event_id as purchase_id, c.event_id as last_click_id,
+       cast(floor(epoch(p.ts)) as bigint) as purchase_epoch,
+       cast(floor(epoch(c.ts)) as bigint) as click_epoch
+from (select * from events where event_type = 'purchase') p
+asof left join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and c.ts < p.ts
+""",
     "sql_sessionize": """
 with g as (
   select user_id, event_id, ts,
