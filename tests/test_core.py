@@ -217,3 +217,20 @@ class TestZoneIndex:
         pt, zi = idx.match_points(np.array([cx]), np.array([cy]))
         assert not any(defs[z]["zone_id"] == hole_zone["zone_id"]
                        for z in zi.tolist())
+
+
+def test_contract_priority_names_resolve():
+    """Every _PRIORITY entry must name a registered query — a typo would
+    silently drop it from the driver's checked set — and the ordered
+    contract must keep queries and oracles aligned."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    m = importlib.import_module("__spark_entry__")
+    qs = m.queries()
+    osql = m.oracle_sql()
+    missing = [k for k in m._PRIORITY if k not in qs]
+    assert not missing, f"_PRIORITY names without a query: {missing}"
+    assert set(qs) == set(osql)
+    assert list(qs)[:len(m._PRIORITY)] == [k for k in m._PRIORITY]
