@@ -102,6 +102,7 @@ _PRIORITY = [
     "contour_cells", "multimodal_frame_sample", "streaming_dedup_urls",
     "raster_histogram",
     "sql_asof_join",  # new as-of join; first in line if the budget grows
+    "text_repetition",  # new Gopher-style repetition metrics
 ]
 
 

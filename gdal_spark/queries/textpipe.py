@@ -71,6 +71,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                          threshold=0.8))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition metrics (Gopher/RefinedWeb repetition
+    filters): distinct-word fraction + top-2-gram fraction per doc,
+    dual-dialect SQL (textops.repetition_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.repetition_sql("documents", textops.SPARK))
+
+
 def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-segment removal stats (repeated-paragraph stage of a
     pretraining pipeline): per-doc segment counts + ratio of segments
@@ -435,6 +443,7 @@ QUERIES = {
     "text_fingerprint": _staged_query(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": q_rare_terms,
     "text_boilerplate": q_text_boilerplate,
+    "text_repetition": q_text_repetition,
     "multimodal_inspect": q_multimodal_inspect,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
@@ -466,6 +475,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "text_fingerprint": _staged_oracle(textops.fingerprint_stages, _FP_COLS),
     "text_rare_terms": _rare_terms_sql(DUCKDB),
     "text_boilerplate": textops.boilerplate_sql("documents", DUCKDB),
+    "text_repetition": textops.repetition_sql("documents", DUCKDB),
     "multimodal_inspect": f"""
 select m.url, m.n_bytes, m.content_md5, m.format,
        d.width, d.height, d.n_frames, d.feat

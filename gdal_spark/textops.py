@@ -133,6 +133,46 @@ from per_doc
 """
 
 
+def repetition_sql(doc_view: str, engine: str) -> str:
+    """Intra-document repetition metrics (the Gopher/RefinedWeb
+    repetition filters): per doc the token count, the distinct-word
+    fraction and the fraction of all 2-grams taken by the single most
+    frequent 2-gram — high top-bigram fraction flags machine-generated
+    or boilerplate-looping pages. Two shuffles keyed by doc (word and
+    bigram counts), both with map-side partials; never cross-doc."""
+    toks = tokens_sql("text", engine)
+    bigrams = shingles_sql("_toks", 2, engine)
+    return f"""
+with t as (
+  select doc_id, {toks} as _toks from {doc_view}
+),
+w as (
+  select doc_id, {explode_sql('_toks', 'w', engine)} from t
+),
+wc as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(count(distinct w) as bigint) as n_distinct
+  from w group by doc_id
+),
+bg as (
+  select doc_id, {explode_sql(bigrams, 'sh', engine)} from t
+),
+bc as (
+  select doc_id, sh, count(*) as c from bg group by doc_id, sh
+),
+btop as (
+  select doc_id, max(c) as max_c, cast(sum(c) as bigint) as n_bigrams
+  from bc group by doc_id
+)
+select wc.doc_id, wc.n_tokens,
+       round(cast(wc.n_distinct as double) / wc.n_tokens, 6)
+         as distinct_word_frac,
+       round(cast(btop.max_c as double) / btop.n_bigrams, 6)
+         as top_bigram_frac
+from wc join btop on wc.doc_id = btop.doc_id
+"""
+
+
 def explode_sql(arr_expr: str, alias: str, engine: str) -> str:
     if engine == SPARK:
         return f"explode({arr_expr}) as {alias}"
