@@ -234,3 +234,33 @@ def test_contract_priority_names_resolve():
     assert not missing, f"_PRIORITY names without a query: {missing}"
     assert set(qs) == set(osql)
     assert list(qs)[:len(m._PRIORITY)] == [k for k in m._PRIORITY]
+
+
+def test_asof_join_semantics(spark):
+    """Every purchase's matched click strictly precedes it, belongs to
+    the same user, and is the LATEST such click (checked directly
+    against the collected event stream)."""
+    from gdal_spark.queries.relational import q_asof_join
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_asof_join(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "unix_timestamp(ts) as epoch").collect()
+    clicks = {}
+    for e in ev:
+        if e["event_type"] == "click":
+            clicks.setdefault(e["user_id"], []).append(
+                (e["epoch"], e["event_id"]))
+    n_purchases = sum(1 for e in ev if e["event_type"] == "purchase")
+    assert len(rows) == n_purchases > 0
+    matched = 0
+    for r in rows:
+        cand = [c for c in clicks.get(r["user_id"], [])
+                if c[0] < r["purchase_epoch"]]
+        if r["last_click_id"] is None:
+            assert not cand
+            continue
+        assert (r["click_epoch"], r["last_click_id"]) == max(cand)
+        matched += 1
+    assert matched > 0
