@@ -56,7 +56,23 @@ def _modules():
 # queries fixed this round (ANSI + output-representation), and new operators.
 # Previously-green queries keep their r01 rows and register afterward.
 _PRIORITY = [
-    # -- new operators this round (no driver row yet)
+    # -- round 3: the 7 queries never driver-checked in r01/r02 (all green
+    # under scripts/verify_contract.py, the strict driver mirror) go first
+    # so CORRECTNESS_r03 closes the loop to fully driver-backed coverage.
+    "sql_asof_join", "text_boilerplate", "text_repetition",
+    "multimodal_frame_sample", "contour_cells", "raster_histogram",
+    "streaming_dedup_urls",
+    # -- round 3: new operators (general dst-CRS warp, contour WKB,
+    # OGR SQL divergence fixes, new CRS families, buffer options)
+    # registered here as they land.
+    "warp_to_webmercator", "warp_to_lcc93",
+    "contour_linestrings",
+    "reproject_utm_south", "reproject_albers",
+    "st_buffer_styles",
+    "ogrsql_execute_distinct_like",
+    "ogrsql_execute_division_typing",
+    # -- round-2 operators (green driver rows in r02; keep high so they
+    # stay within budget if re-checked)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
     "warp_cutline", "reproject_lcc93",
     "layer_algebra_intersection_nonconvex", "layer_algebra_union_features",
@@ -91,18 +107,8 @@ _PRIORITY = [
     "streaming_stateful_totals",  # new streaming op
     "st_constructive",  # new constructive-geometry surface
     "dedup_cluster_canonical",  # new: components + canonical selection
-    # ---- (~50-query driver budget reaches about here; everything
-    # below registers after the round-1-green queries keep their rows.
-    # Rotated below the line: contour_cells (its marching-squares cell
-    # classes feed contour_lines, checked above), multimodal_frame_sample
-    # (same mapInPandas plumbing as multimodal_inspect/resize, checked
-    # above), streaming_dedup_urls (sibling of the two checked
-    # streaming entries), raster_histogram (same partial+final
-    # aggregation shape as raster_stats, checked above)
-    "contour_cells", "multimodal_frame_sample", "streaming_dedup_urls",
-    "raster_histogram",
-    "sql_asof_join",  # new as-of join; first in line if the budget grows
-    "text_repetition",  # new Gopher-style repetition metrics
+    # ---- (~50-query driver budget reaches about here; the formerly
+    # never-checked tail now registers at the very top of this list.)
 ]
 
 

@@ -64,9 +64,13 @@ def lineage(spark: SparkSession, root: str) -> DataFrame:
 
 def metrics(spark: SparkSession, root: str) -> DataFrame:
     """Per-snapshot run metrics (keys/rows written, wall time,
-    throughput) — one row per commit."""
+    throughput) — one row per commit. Bounded by the latest committed
+    snapshot (mirroring committed_keys): a crash between the metrics
+    write and the pointer flip must not surface a phantom commit."""
+    latest = _latest_snapshot(root)
     return spark.read.option("basePath", os.path.join(root, "metrics")) \
-        .parquet(os.path.join(root, "metrics"))
+        .parquet(os.path.join(root, "metrics")) \
+        .filter(F.col("snap") <= F.lit(latest))
 
 
 def run_checkpointed(df: DataFrame, root: str, key_col: str,
@@ -125,10 +129,8 @@ def run_checkpointed(df: DataFrame, root: str, key_col: str,
 
     # per-snapshot run metrics (the north rule's "lineage + metrics"):
     # one row per commit, queryable like the lineage table. Written
-    # before the pointer flip so a metrics row exists iff its snapshot
-    # may become authoritative.
-    import time
-
+    # before the pointer flip; metrics() bounds by the committed pointer
+    # so an abandoned write here never surfaces.
     wall = time.monotonic() - t0
     spark.createDataFrame(
         [(int(n_keys), int(n_rows), float(wall),

@@ -477,13 +477,16 @@ def _utm_epsg_params(code: int) -> tuple[float, float]:
 
 
 def epsg_fwd_stages(code: int, lon: str, lat: str,
-                    out_x: str = "x", out_y: str = "y"
-                    ) -> list[tuple[str, str]]:
+                    out_x: str = "x", out_y: str = "y",
+                    ok_col: str = "ok") -> list[tuple[str, str]]:
     """Forward staged SQL for 4326 → code; output columns renamed to
-    (out_x, out_y) plus the per-point ``ok`` failure flag."""
+    (out_x, out_y) plus the per-point failure flag (``ok_col`` — pass a
+    distinct name when composing several projections over one row so a
+    later stage list does not overwrite an earlier flag)."""
     if code == 4326:
-        return [("ok", f"(isnan({lon}) = false and isnan({lat}) = false)"),
-                (out_x, lon), (out_y, lat)]
+        st = [("ok", f"(isnan({lon}) = false and isnan({lat}) = false)"),
+              (out_x, lon), (out_y, lat)]
+        return st if ok_col == "ok" else st + [(ok_col, "ok")]
     if code == 3857:
         st = webmercator_sql_stages(lon, lat)
         ren = {"x_3857": out_x, "y_3857": out_y}
@@ -497,7 +500,12 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
         lon0, fn = _utm_epsg_params(code)
         st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
         ren = {"easting": out_x, "northing": out_y}
-    return [(ren.get(name, name), expr) for name, expr in st]
+    out = [(ren.get(name, name), expr) for name, expr in st]
+    # the stage expressions reference the flag as ``ok`` internally, so a
+    # caller-visible rename is an appended alias, not a definition rename
+    if ok_col != "ok":
+        out.append((ok_col, "ok"))
+    return out
 
 
 def epsg_fwd_np(code: int):

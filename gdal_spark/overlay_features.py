@@ -457,10 +457,15 @@ def union_features_canon(spark: SparkSession) -> DataFrame:
     cls = (F.when(F.col("input_zone").isNull(), F.lit("left_method"))
            .when(F.col("method_zone").isNull(), F.lit("left_input"))
            .otherwise(F.lit("pair")))
-    return feats.select(
+    out = feats.select(
         cls.alias("cls"), "input_zone", "input_eas_id",
         "method_zone", "method_eas_id",
         F.round(multi_area("geom"), 6).alias("area"))
+    # align the leftover-row predicate with the oracle: both sides keep a
+    # leftover iff its ROUNDED area exceeds 0 (the engine's n_pieces > 0
+    # alone would admit a sub-5e-7 sliver the oracle's area subtraction
+    # rounds away)
+    return out.filter("cls = 'pair' or area > 0")
 
 
 def union_features_oracle_sql() -> str:

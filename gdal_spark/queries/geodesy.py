@@ -61,18 +61,23 @@ def q_reproject_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.crs import epsg_fwd_stages
 
     pts = points_from_documents(spark, sf_dir)
+    # distinct per-projection flags: the two stage lists each define an
+    # internal ``ok``; aliasing per projection keeps the LCC flag from
+    # being overwritten by the PS one (a lat=-90 row is ps-ok, not lcc-ok)
     out = apply_sql_stages(pts, epsg_fwd_stages(2154, "lon", "lat",
-                                                "easting", "northing"))
+                                                "easting", "northing",
+                                                ok_col="lcc_ok"))
     out = apply_sql_stages(out, epsg_fwd_stages(3031, "lon", "lat",
                                                 "ps_easting",
-                                                "ps_northing"))
+                                                "ps_northing",
+                                                ok_col="ps_ok"))
     return out.select(
         "doc_id",
         F.round("easting", 3).alias("easting"),
         F.round("northing", 3).alias("northing"),
         F.round("ps_easting", 3).alias("ps_easting"),
         F.round("ps_northing", 3).alias("ps_northing"),
-        "ok",
+        "lcc_ok", "ps_ok",
     )
 
 
@@ -106,17 +111,20 @@ QUERIES = {
 def _lcc_oracle() -> str:
     from gdal_spark.crs import epsg_fwd_stages
 
-    stages = (epsg_fwd_stages(2154, "lon", "lat", "easting", "northing")
+    stages = (epsg_fwd_stages(2154, "lon", "lat", "easting", "northing",
+                              ok_col="lcc_ok")
               + epsg_fwd_stages(3031, "lon", "lat",
-                                "ps_easting", "ps_northing"))
+                                "ps_easting", "ps_northing",
+                                ok_col="ps_ok"))
     inner = stages_to_duckdb_sql(
         f"select doc_id, lon, lat from ({_PTS}) p", stages,
         ["doc_id", "easting", "northing",
-         "ps_easting", "ps_northing", "ok"])
+         "ps_easting", "ps_northing", "lcc_ok", "ps_ok"])
     return (f"select doc_id, round(easting, 3) as easting,"
             f" round(northing, 3) as northing,"
             f" round(ps_easting, 3) as ps_easting,"
-            f" round(ps_northing, 3) as ps_northing, ok from ({inner}) q")
+            f" round(ps_northing, 3) as ps_northing, lcc_ok, ps_ok"
+            f" from ({inner}) q")
 
 
 def _webmerc_oracle() -> str:

@@ -1635,8 +1635,11 @@ def warp_rms(tiles: DataFrame, src_gt: list[float], raster_px: int,
                 key = dj[keep] * dst_px + di[keep]
                 vals = buf[keep].astype(np.int64)
                 uniq, inv = np.unique(key, return_inverse=True)
-                ssq = np.bincount(inv, weights=(vals * vals)
-                                  .astype(np.float64)).astype(np.int64)
+                # int64 scatter-add, not float bincount weights: float64
+                # mantissas silently truncate sum-of-squares once values
+                # exceed ~2^26 for the generic int64 dtype this accepts
+                ssq = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(ssq, inv, vals * vals)
                 cnts = np.bincount(inv).astype(np.int64)
                 yield pd.DataFrame({
                     "di": uniq % dst_px, "dj": uniq // dst_px,

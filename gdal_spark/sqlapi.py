@@ -386,6 +386,29 @@ _LAYER_FN = re.compile(
     re.I)
 
 
+def _mask_literals(text: str) -> str:
+    """Blank out string-literal interiors only (keep parens), preserving
+    offsets, honoring '' escapes — so token rewrites can locate matches
+    outside literals and apply them by offset on the original text."""
+    out = list(text)
+    i = 0
+    while i < len(text):
+        if text[i] == "'":
+            i += 1
+            while i < len(text):
+                if text[i] == "'":
+                    if i + 1 < len(text) and text[i + 1] == "'":
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_layer_functions(sql: str, geom_cols: dict,
                              spark: SparkSession) -> str:
     """The SQLite-dialect layer-level scalar functions
@@ -418,11 +441,24 @@ def _rewrite_layer_functions(sql: str, geom_cols: dict,
                 [row["x0"], row["y0"]]]
         return f"unhex('{bytes(W.dumps_polygon([ring])).hex()}')"
 
-    if _LAYER_FN.search(sql):
-        from gdal_spark.stfuncs import register_st_functions
+    # only rewrite occurrences OUTSIDE string literals: a match whose
+    # start offset was blanked by the literal mask is literal text
+    # (e.g. a description column mentioning the function name)
+    lit_mask = _mask_literals(sql)
+    matches = [m for m in _LAYER_FN.finditer(sql)
+               if lit_mask[m.start()] == sql[m.start()]]
+    if not matches:
+        return sql
+    from gdal_spark.stfuncs import register_st_functions
 
-        register_st_functions(spark)
-    return _LAYER_FN.sub(repl, sql)
+    register_st_functions(spark)
+    parts, pos = [], 0
+    for m in matches:
+        parts.append(sql[pos:m.start()])
+        parts.append(repl(m))
+        pos = m.end()
+    parts.append(sql[pos:])
+    return "".join(parts)
 
 
 _HEAD_PREFIX = re.compile(r"^\s*select\s+(?P<distinct>distinct\s+)?",
@@ -449,7 +485,15 @@ def _mask_depth0(text: str) -> str:
         elif c == "'":
             out[i] = " "
             i += 1
-            while i < len(text) and text[i] != "'":
+            while i < len(text):
+                if text[i] == "'":
+                    # SQL-escaped quote ('') stays inside the literal
+                    if i + 1 < len(text) and text[i + 1] == "'":
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
                 out[i] = " "
                 i += 1
             if i < len(text):
