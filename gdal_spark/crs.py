@@ -336,6 +336,7 @@ def lcc_inv_np(E, N, p: LccParams = LCC_2154, iters: int = 8):
     t = np.exp(np.log(r / (p.a * p.big_f)) / p.n)
     th = np.arctan2(x, y)
     lon = np.degrees(th / p.n + math.radians(p.lon0_deg))
+    lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(iters):
         s = p.e * np.sin(phi)
@@ -431,6 +432,7 @@ def ps_inv_np(E, N, p: PsParams = PS_3031, iters: int = 8):
             t * np.exp((p.e / 2.0) * np.log((1.0 + s) / (1.0 - s)))) \
             - np.pi / 2.0
     lon = np.degrees(np.arctan2(x, y) + math.radians(p.lon0_deg))
+    lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
     lat = np.degrees(phi)
     ok = np.isfinite(lon) & np.isfinite(lat)
     return lon, lat, ok
@@ -459,11 +461,292 @@ def ps_sql_stages(lon: str, lat: str,
 
 
 # ---------------------------------------------------------------------------
+# Albers Equal Area 2SP (EPSG method 9822) — e.g. EPSG:3577 (GDA94 /
+# Australian Albers, GRS80; the GDA94↔WGS84 transformation is the
+# published null transform EPSG:1150, so no datum-shift step applies).
+# Formulas: EPSG Guidance Note 7-2 §3.5.1 / Snyder 1987 §14. Constants
+# (n, C, ρ0) precomputed in Python, emitted as shared double literals.
+# Note n < 0 for southern two-parallel definitions: ρ and ρ0 carry n's
+# sign (the PROJ/Snyder convention), so forward needs no case split and
+# the inverse flips atan2's arguments by sign(n).
+# ---------------------------------------------------------------------------
+
+
+class AeaParams:
+    """Precomputed 2SP constants for one Albers Equal Area definition."""
+
+    def __init__(self, phi1_deg: float, phi2_deg: float, phi0_deg: float,
+                 lon0_deg: float, fe: float, fn: float,
+                 a: float = GRS80_A, e: float = GRS80_E):
+        self.lon0_deg = lon0_deg
+        self.fe = fe
+        self.fn = fn
+        self.a = a
+        self.e = e
+        e2 = e * e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(
+                1.0 - e2 * math.sin(phi) ** 2)
+
+        def q(phi):
+            s = math.sin(phi)
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+
+        p1, p2, p0 = (math.radians(v) for v in (phi1_deg, phi2_deg, phi0_deg))
+        self.n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+        self.c = m(p1) ** 2 + self.n * q(p1)
+        self.rho0 = a * math.sqrt(self.c - self.n * q(p0)) / self.n
+
+
+AEA_3577 = AeaParams(phi1_deg=-18.0, phi2_deg=-36.0, phi0_deg=0.0,
+                     lon0_deg=132.0, fe=0.0, fn=0.0)
+
+
+def aea_fwd_np(lon, lat, p: AeaParams = AEA_3577):
+    """Albers Equal Area forward. Returns (easting, northing, ok)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e2 = p.e * p.e
+    ok = (np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0))
+    phi = np.radians(np.where(ok, lat, 0.0))
+    s = np.sin(phi)
+    q = (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * p.e)) * np.log((1.0 - p.e * s) / (1.0 + p.e * s)))
+    arg = p.c - p.n * q
+    ok = ok & (arg >= 0.0)
+    rho = p.a * np.sqrt(np.where(ok, arg, 0.0)) / p.n
+    th = p.n * (np.radians(lon) - math.radians(p.lon0_deg))
+    easting = np.where(ok, p.fe + rho * np.sin(th), np.nan)
+    northing = np.where(ok, p.fn + p.rho0 - rho * np.cos(th), np.nan)
+    return easting, northing, ok
+
+
+def aea_inv_np(E, N, p: AeaParams = AEA_3577, iters: int = 8):
+    """Albers Equal Area inverse (fixed-point on φ, Snyder eq. 3-16)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    e2 = p.e * p.e
+    sgn = 1.0 if p.n >= 0.0 else -1.0
+    x = E - p.fe
+    y = p.rho0 - (N - p.fn)
+    rho = np.sqrt(x * x + y * y)
+    th = np.arctan2(sgn * x, sgn * y)
+    lon = np.degrees(th / p.n + math.radians(p.lon0_deg))
+    lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
+    qp = (p.c - rho * rho * p.n * p.n / (p.a * p.a)) / p.n
+    phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        es = p.e * s
+        phi = phi + ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+            qp / (1.0 - e2) - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * p.e)) * np.log((1.0 - es) / (1.0 + es)))
+    lat = np.degrees(phi)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def aea_sql_stages(lon: str, lat: str,
+                   p: AeaParams = AEA_3577) -> list[tuple[str, str]]:
+    """Stages computing easting, northing, ok — Albers 2SP, shared text."""
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_s", "sin(_phi)"),
+        ("_q", f"(1.0 - {e2}) * (_s / (1.0 - {e2} * _s * _s)"
+               f" - (1.0 / (2.0 * {e}))"
+               f" * ln((1.0 - {e} * _s) / (1.0 + {e} * _s)))"),
+        ("_arg", f"{_fmt(p.c)} - {_fmt(p.n)} * _q"),
+        ("ok", "(ok and _arg >= 0.0)"),
+        ("_rho", f"{_fmt(p.a)} * sqrt(case when ok then _arg else 0.0 end)"
+                 f" / {_fmt(p.n)}"),
+        ("_th", f"{_fmt(p.n)} * (radians({lon})"
+                f" - radians({_fmt(p.lon0_deg)}))"),
+        ("easting", f"case when ok then {_fmt(p.fe)} + _rho * sin(_th)"
+                    f" else cast('nan' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.fn)} + {_fmt(p.rho0)}"
+                     f" - _rho * cos(_th) else cast('nan' as double) end"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Inverse staged-SQL pipelines (projected x/y → lon/lat), the dst-CRS⁻¹
+# leg of a general `gdalwarp -t_srs` chain (alg/gdaltransformer.cpp:342:
+# dst pixel → dst CRS⁻¹ → geographic → src CRS → src pixel). Fixed-point
+# and Newton loops are unrolled to a constant iteration count so the
+# identical expression text runs under Catalyst and DuckDB — the whole
+# coordinate path stays oracle-checkable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+INV_ITERS = 8
+
+
+def webmercator_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                               out_lat: str = "lat"
+                               ) -> list[tuple[str, str]]:
+    """WebMercator inverse (closed form): x/y meters → lon/lat degrees."""
+    a = _fmt(WGS84_A)
+    return [
+        (out_lon, f"degrees({x} / {a})"),
+        (out_lat, f"degrees(2.0 * atan(exp({y} / {a})) - pi() / 2.0)"),
+        ("ok", f"(isnan({out_lon}) = false and isnan({out_lat}) = false)"),
+    ]
+
+
+def lcc_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                       out_lat: str = "lat",
+                       p: LccParams = LCC_2154) -> list[tuple[str, str]]:
+    """LCC 2SP inverse, fixed-point on φ unrolled INV_ITERS times
+    (mirrors lcc_inv_np)."""
+    e = _fmt(p.e)
+    sgn = _fmt(1.0 if p.n >= 0.0 else -1.0)
+    stages: list[tuple[str, str]] = [
+        ("_ix", f"({x} - {_fmt(p.fe)})"),
+        ("_iy", f"({_fmt(p.r0)} - ({y} - {_fmt(p.fn)}))"),
+        ("_ir", f"{sgn} * sqrt(_ix * _ix + _iy * _iy)"),
+        ("_it", f"exp(ln(_ir / {_fmt(p.a * p.big_f)}) / {_fmt(p.n)})"),
+        ("_lonu", f"degrees(atan2(_ix, _iy) / {_fmt(p.n)}"
+                  f" + radians({_fmt(p.lon0_deg)}))"),
+        (out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"),
+        ("_iphi", "pi() / 2.0 - 2.0 * atan(_it)"),
+    ]
+    for _ in range(INV_ITERS):
+        stages.append(("_is", f"{e} * sin(_iphi)"))
+        stages.append(("_iphi",
+                       f"pi() / 2.0 - 2.0 * atan(_it * exp(({e} / 2.0)"
+                       f" * ln((1.0 - _is) / (1.0 + _is))))"))
+    stages.append((out_lat, "degrees(_iphi)"))
+    stages.append(("ok", f"(isnan({out_lon}) = false"
+                         f" and isnan({out_lat}) = false)"))
+    return stages
+
+
+def ps_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                      out_lat: str = "lat",
+                      p: PsParams = PS_3031) -> list[tuple[str, str]]:
+    """Polar Stereographic (south) inverse, fixed-point on φ unrolled
+    INV_ITERS times (mirrors ps_inv_np)."""
+    e = _fmt(p.e)
+    stages: list[tuple[str, str]] = [
+        ("_ix", f"({x} - {_fmt(p.fe)})"),
+        ("_iy", f"({y} - {_fmt(p.fn)})"),
+        ("_it", f"sqrt(_ix * _ix + _iy * _iy) / {_fmt(p.k_rho)}"),
+        ("_iphi", "2.0 * atan(_it) - pi() / 2.0"),
+    ]
+    for _ in range(INV_ITERS):
+        stages.append(("_is", f"{e} * sin(_iphi)"))
+        stages.append(("_iphi",
+                       f"2.0 * atan(_it * exp(({e} / 2.0)"
+                       f" * ln((1.0 + _is) / (1.0 - _is)))) - pi() / 2.0"))
+    stages.append(("_lonu", f"degrees(atan2(_ix, _iy)"
+                            f" + radians({_fmt(p.lon0_deg)}))"))
+    stages.append((out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"))
+    stages.append((out_lat, "degrees(_iphi)"))
+    stages.append(("ok", f"(isnan({out_lon}) = false"
+                         f" and isnan({out_lat}) = false)"))
+    return stages
+
+
+def tmerc_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                         out_lat: str = "lat", lon0_deg: float = 3.0,
+                         k0: float = UTM_K0, fe: float = UTM_FE,
+                         fn: float = 0.0) -> list[tuple[str, str]]:
+    """Krüger-series inverse transverse Mercator + Newton on τ (5
+    iterations, mirrors tmerc_inv_np / Karney 2011 eqs. 19-21)."""
+    e = _fmt(WGS84_E)
+    ome2 = _fmt(1.0 - WGS84_E2)
+    ka = _fmt(k0 * KRUGER_A)
+    stages: list[tuple[str, str]] = [
+        ("_xi", f"(({y} - {_fmt(fn)}) / {ka})"),
+        ("_eta", f"(({x} - {_fmt(fe)}) / {ka})"),
+        ("_xip", "_xi"),
+        ("_etap", "_eta"),
+    ]
+    for j, b in enumerate(BETA, start=1):
+        stages.append((f"_ich{j}",
+                       f"(exp({2*j} * _eta) + exp({-2*j} * _eta)) / 2.0"))
+        stages.append((f"_ish{j}",
+                       f"(exp({2*j} * _eta) - exp({-2*j} * _eta)) / 2.0"))
+        stages.append(("_xip",
+                       f"_xip - {_fmt(b)} * sin({2*j} * _xi) * _ich{j}"))
+        stages.append(("_etap",
+                       f"_etap - {_fmt(b)} * cos({2*j} * _xi) * _ish{j}"))
+    stages += [
+        ("_shp", "(exp(_etap) - exp(-_etap)) / 2.0"),
+        ("_cx", "cos(_xip)"),
+        ("_taup", "sin(_xip) / sqrt(_shp * _shp + _cx * _cx)"),
+        ("_tau", "_taup"),
+    ]
+    for _ in range(5):
+        stages += [
+            # σ = sinh(e·atanh(e·τ/√(1+τ²)))
+            ("_z", f"{e} * _tau / sqrt(1.0 + _tau * _tau)"),
+            ("_w", f"{e} * 0.5 * ln((1.0 + _z) / (1.0 - _z))"),
+            ("_sig", "(exp(_w) - exp(-_w)) / 2.0"),
+            ("_ft", "_tau * sqrt(1.0 + _sig * _sig)"
+                    " - _sig * sqrt(1.0 + _tau * _tau) - _taup"),
+            ("_dt", f"(sqrt((1.0 + _sig * _sig) * (1.0 + _tau * _tau))"
+                    f" - _sig * _tau) * {ome2} * sqrt(1.0 + _tau * _tau)"
+                    f" / (1.0 + {ome2} * _tau * _tau)"),
+            ("_tau", "_tau - _ft / _dt"),
+        ]
+    stages += [
+        (out_lat, "degrees(atan(_tau))"),
+        ("_lonu", f"degrees(atan2(_shp, _cx)) + {_fmt(lon0_deg)}"),
+        (out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"),
+        ("ok", f"(isnan({out_lon}) = false and isnan({out_lat}) = false)"),
+    ]
+    return stages
+
+
+def aea_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                       out_lat: str = "lat",
+                       p: AeaParams = AEA_3577) -> list[tuple[str, str]]:
+    """Albers Equal Area inverse, fixed-point on φ unrolled INV_ITERS
+    times (mirrors aea_inv_np)."""
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    sgn = _fmt(1.0 if p.n >= 0.0 else -1.0)
+    stages: list[tuple[str, str]] = [
+        ("_ix", f"({x} - {_fmt(p.fe)})"),
+        ("_iy", f"({_fmt(p.rho0)} - ({y} - {_fmt(p.fn)}))"),
+        ("_ir", "sqrt(_ix * _ix + _iy * _iy)"),
+        ("_lonu", f"degrees(atan2({sgn} * _ix, {sgn} * _iy) / {_fmt(p.n)}"
+                  f" + radians({_fmt(p.lon0_deg)}))"),
+        (out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"),
+        ("_qp", f"({_fmt(p.c)} - _ir * _ir * {_fmt(p.n * p.n)}"
+                f" / {_fmt(p.a * p.a)}) / {_fmt(p.n)}"),
+        ("_iphi", "asin(greatest(-1.0, least(1.0, _qp / 2.0)))"),
+    ]
+    for _ in range(INV_ITERS):
+        stages.append(("_is", "sin(_iphi)"))
+        stages.append(("_iphi",
+                       f"_iphi + ((1.0 - {e2} * _is * _is)"
+                       f" * (1.0 - {e2} * _is * _is) / (2.0 * cos(_iphi)))"
+                       f" * (_qp / (1.0 - {e2})"
+                       f" - _is / (1.0 - {e2} * _is * _is)"
+                       f" + (1.0 / (2.0 * {e}))"
+                       f" * ln((1.0 - {e} * _is) / (1.0 + {e} * _is)))"))
+    stages.append((out_lat, "degrees(_iphi)"))
+    stages.append(("ok", f"(isnan({out_lon}) = false"
+                         f" and isnan({out_lat}) = false)"))
+    return stages
+
+
+# ---------------------------------------------------------------------------
 # EPSG-code-keyed dispatch (the proj_create_crs_to_crs surface,
 # ogr/ogrct.cpp:1705-1803): forward SQL stages and numpy fwd/inv kernels
-# per code; transforms route through the lon/lat hub. SQL-path transforms
-# are 4326 → code (the gdalwarp -t_srs direction); code → code goes
-# through the numpy inverses.
+# per code; transforms route through the lon/lat hub. The staged-SQL
+# surface covers both directions (epsg_fwd_stages / epsg_inv_stages), so
+# a general code→code chain — e.g. gdalwarp -t_srs with any registered
+# destination — stays pure Catalyst and oracle-checkable.
 # ---------------------------------------------------------------------------
 
 
@@ -496,6 +779,9 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
     elif code in (3031, 3032):
         st = ps_sql_stages(lon, lat, PS_3031 if code == 3031 else PS_3032)
         ren = {"easting": out_x, "northing": out_y}
+    elif code == 3577:
+        st = aea_sql_stages(lon, lat, AEA_3577)
+        ren = {"easting": out_x, "northing": out_y}
     else:
         lon0, fn = _utm_epsg_params(code)
         st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
@@ -521,6 +807,8 @@ def epsg_fwd_np(code: int):
     if code in (3031, 3032):
         p = PS_3031 if code == 3031 else PS_3032
         return lambda lon, lat: ps_fwd_np(lon, lat, p)
+    if code == 3577:
+        return lambda lon, lat: aea_fwd_np(lon, lat, AEA_3577)
     lon0, fn = _utm_epsg_params(code)
     return lambda lon, lat: tmerc_fwd_np(lon, lat, lon0, fn=fn)
 
@@ -538,8 +826,37 @@ def epsg_inv_np(code: int):
     if code in (3031, 3032):
         p = PS_3031 if code == 3031 else PS_3032
         return lambda x, y: ps_inv_np(x, y, p)
+    if code == 3577:
+        return lambda x, y: aea_inv_np(x, y, AEA_3577)
     lon0, fn = _utm_epsg_params(code)
     return lambda x, y: tmerc_inv_np(x, y, lon0, fn=fn)
+
+
+def epsg_inv_stages(code: int, x: str, y: str,
+                    out_lon: str = "lon", out_lat: str = "lat",
+                    ok_col: str = "ok") -> list[tuple[str, str]]:
+    """Inverse staged SQL for code → 4326 (projected x/y → lon/lat),
+    the dst-CRS⁻¹ leg of a general cross-CRS warp. Same alias rule as
+    epsg_fwd_stages: the flag is computed as ``ok`` and aliased to
+    ``ok_col`` so several stage lists can compose over one row."""
+    if code == 4326:
+        st = [("ok", f"(isnan({x}) = false and isnan({y}) = false)"),
+              (out_lon, x), (out_lat, y)]
+    elif code == 3857:
+        st = webmercator_inv_sql_stages(x, y, out_lon, out_lat)
+    elif code == 2154:
+        st = lcc_inv_sql_stages(x, y, out_lon, out_lat, LCC_2154)
+    elif code in (3031, 3032):
+        st = ps_inv_sql_stages(x, y, out_lon, out_lat,
+                               PS_3031 if code == 3031 else PS_3032)
+    elif code == 3577:
+        st = aea_inv_sql_stages(x, y, out_lon, out_lat, AEA_3577)
+    else:
+        lon0, fn = _utm_epsg_params(code)
+        st = tmerc_inv_sql_stages(x, y, out_lon, out_lat, lon0, fn=fn)
+    if ok_col != "ok":
+        st = st + [(ok_col, "ok")]
+    return st
 
 
 def transform_np(src_epsg: int, dst_epsg: int, x, y):

@@ -81,6 +81,44 @@ def q_reproject_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_utm_south(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:32731 (UTM 31S): the southern-hemisphere UTM
+    family (false northing 10,000,000 m — ogrct.cpp routes 327xx like
+    326xx with FN; same Krüger series, same ±6° envelope), southern
+    points only."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir).filter(
+        "lon >= -3.0 and lon <= 9.0 and lat < 0.0")
+    out = apply_sql_stages(pts, epsg_fwd_stages(32731, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
+def q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:3577 (GDA94 / Australian Albers, Albers Equal
+    Area 2SP, EPSG method 9822 — the first non-conformal and first
+    negative-n family in the registry; GDA94↔WGS84 is the published
+    null transform EPSG:1150). ρ = a·√(C−n·q)/n is defined for every
+    latitude under these parallels, so all geotagged points project."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(3577, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN: every 13th doc queries the geotagged point set."""
     # cache the NARROW projection (id, lon, lat ≈ 24 B/row — bounded even
@@ -104,6 +142,8 @@ QUERIES = {
     "reproject_webmercator": q_reproject_webmercator,
     "reproject_utm31": q_reproject_utm31,
     "reproject_lcc93": q_reproject_lcc93,
+    "reproject_utm_south": q_reproject_utm_south,
+    "reproject_albers": q_reproject_albers,
     "knn": q_knn,
 }
 
@@ -148,6 +188,31 @@ def _utm_oracle() -> str:
             f" round(northing, 3) as northing, ok from ({inner}) q")
 
 
+def _utm_south_oracle() -> str:
+    from gdal_spark.crs import epsg_fwd_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p"
+        f" where lon >= -3.0 and lon <= 9.0 and lat < 0.0",
+        epsg_fwd_stages(32731, "lon", "lat", "easting", "northing"),
+        ["doc_id", "easting", "northing", "ok"],
+    )
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
+
+
+def _albers_oracle() -> str:
+    from gdal_spark.crs import epsg_fwd_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p",
+        epsg_fwd_stages(3577, "lon", "lat", "easting", "northing"),
+        ["doc_id", "easting", "northing", "ok"],
+    )
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
+
+
 def _knn_oracle() -> str:
     dist = haversine_sql("q.lon", "q.lat", "p.lon", "p.lat")
     return f"""
@@ -168,5 +233,7 @@ ORACLES = {
     "reproject_webmercator": _webmerc_oracle(),
     "reproject_utm31": _utm_oracle(),
     "reproject_lcc93": _lcc_oracle(),
+    "reproject_utm_south": _utm_south_oracle(),
+    "reproject_albers": _albers_oracle(),
     "knn": _knn_oracle(),
 }

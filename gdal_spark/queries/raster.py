@@ -682,6 +682,45 @@ def q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _CRS_DST_GT, _CRS_DST_PX, src_epsg=2154)
 
 
+# general-destination cross-CRS fixtures: (a) warp the EPSG:2154 DEM onto
+# a WebMercator-meters grid (gdalwarp -t_srs EPSG:3857 — dst px → 3857
+# inverse → lon/lat → LCC forward → src px, both projection legs
+# non-trivial); (b) warp a degree-gridded DEM onto a Lambert-93 grid
+# (dst px → LCC inverse → lon/lat → identity → src px).
+_WEBM_DST_GT = [0.0, 3000.0, 0.0, 6180000.0, 0.0, -3000.0]
+_WEBM_DST_PX = 160
+_DEG_SRC_GT = [0.5, 0.02, 0.0, 49.0, 0.0, -0.02]
+_LCC_DST_GT = [560000.0, 2000.0, 0.0, 6800000.0, 0.0, -2000.0]
+_LCC_DST_PX = 160
+
+
+def q_warp_to_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:3857 of the EPSG:2154-gridded DEM — the
+    general-destination path the round-2 engine refused (dst grid no
+    longer required to be 4326): WebMercator inverse then LCC forward,
+    all staged Catalyst SQL (alg/gdaltransformer.cpp:342 chain)."""
+    from gdal_spark.raster import warp_nearest_crs
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest_crs(tiles, _CRS_SRC_GT, DEM_PX,
+                            _WEBM_DST_GT, _WEBM_DST_PX,
+                            src_epsg=2154, dst_epsg=3857)
+
+
+def q_warp_to_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:2154 of a degree-gridded (EPSG:4326) DEM:
+    LCC 2SP inverse (fixed-point unrolled in SQL) as the destination
+    leg."""
+    from gdal_spark.raster import warp_nearest_crs
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest_crs(tiles, _DEG_SRC_GT, DEM_PX,
+                            _LCC_DST_GT, _LCC_DST_PX,
+                            src_epsg=4326, dst_epsg=2154)
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r bilinear + -r cubic (GWKBilinear / GWKCubic kernels,
     alg/gdalwarpkernel.cpp): DEM resampled onto the shifted
@@ -806,6 +845,8 @@ QUERIES = {
     "warp_resample_dem": q_warp_resample,
     "warp_cutline": q_warp_cutline,
     "warp_reproject_dem": q_warp_reproject,
+    "warp_to_webmercator": q_warp_to_webmercator,
+    "warp_to_lcc93": q_warp_to_lcc93,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
@@ -1002,6 +1043,16 @@ ORACLES = {
         "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
     ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _CRS_DST_GT,
                                   _CRS_DST_PX, src_epsg=2154),
+    "warp_to_webmercator": __import__(
+        "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
+    ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _WEBM_DST_GT,
+                                  _WEBM_DST_PX, src_epsg=2154,
+                                  dst_epsg=3857),
+    "warp_to_lcc93": __import__(
+        "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
+    ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _LCC_DST_GT,
+                                  _LCC_DST_PX, src_epsg=4326,
+                                  dst_epsg=2154),
     "warp_bilinear_dem": f"""
 select 'bilinear' as method, qid, value from (
 {warp_bilinear_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) b

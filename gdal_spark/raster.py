@@ -1851,31 +1851,42 @@ def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
                      dst_gt: list[float], dst_px: int,
                      src_epsg: int, dst_epsg: int = 4326,
                      dtype: str = "int64") -> DataFrame:
-    """Nearest warp where the destination grid lives in ``dst_epsg``
-    (must be 4326 — the lon/lat hub) and the source raster's affine grid
-    lives in ``src_epsg``: dst pixel centers → lon/lat (affine) →
-    forward-projected to the source CRS (gdal_spark.crs staged SQL) →
-    source pixel (inverted affine) → chunk gather."""
-    from gdal_spark.crs import apply_sql_stages, epsg_fwd_stages
+    """Nearest warp between any two registered EPSG grids (gdalwarp
+    -t_srs, the composed transformer chain of alg/gdaltransformer.cpp:342):
+    dst pixel centers → dst-CRS world (affine) → inverse-projected to
+    lon/lat (gdal_spark.crs epsg_inv_stages — fixed-point loops unrolled
+    so the leg stays pure Catalyst) → forward-projected to the source
+    CRS → source pixel (inverted affine) → chunk gather."""
+    from gdal_spark.crs import (apply_sql_stages, epsg_fwd_stages,
+                                epsg_inv_stages)
 
-    if dst_epsg != 4326:
-        raise NotImplementedError("destination grid must be EPSG:4326")
     spark = tiles.sparkSession
     np_dtype = np.dtype(dtype)
     t = TILE_PX
-    lon_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
-    lat_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    dx_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    dy_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
     dst = (
         spark.range(dst_px * dst_px, numPartitions=16)
         .select((F.col("id") % dst_px).alias("di"),
                 (F.col("id") / dst_px).cast("long").alias("dj"))
-        .withColumn("lon", F.expr(lon_e))
-        .withColumn("lat", F.expr(lat_e))
+        .withColumn("dwx", F.expr(dx_e))
+        .withColumn("dwy", F.expr(dy_e))
     )
+    dst = apply_sql_stages(dst, epsg_inv_stages(dst_epsg, "dwx", "dwy",
+                                                "lon", "lat",
+                                                ok_col="inv_ok"))
     dst = apply_sql_stages(dst, epsg_fwd_stages(src_epsg, "lon", "lat",
                                                 "wx", "wy"))
+    # pushdown barrier: predicate pushdown would substitute the unrolled
+    # fixed-point stages into the filter condition level by level —
+    # exponential expression blowup (measured 69 s for a 160² LCC dst
+    # grid, 0.3 s with the barrier). A nondeterministic project field
+    # pins the filter above the staged projects (Catalyst only pushes
+    # through all-deterministic projections); the always-true clause
+    # keeps column pruning from stripping it.
+    dst = dst.withColumn("_pin", F.rand(42))
     dst = (
-        dst.filter("ok")
+        dst.filter("inv_ok and ok and _pin <= 2.0").drop("_pin")
         .withColumn("sgx", F.expr(
             f"cast(floor((wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])})"
             f" as bigint)"))
@@ -1912,30 +1923,36 @@ def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
 
 def warp_nearest_crs_oracle_sql(src_gt: list[float], raster_px: int,
                                 dst_gt: list[float], dst_px: int,
-                                src_epsg: int) -> str:
-    """Oracle: identical dst→lon/lat→src-CRS→src-pixel chain over a range
-    grid, closed-form DEM values."""
-    from gdal_spark.crs import epsg_fwd_stages, stages_to_duckdb_sql
+                                src_epsg: int, dst_epsg: int = 4326) -> str:
+    """Oracle: identical dst→dst-CRS⁻¹→lon/lat→src-CRS→src-pixel chain
+    over a range grid, closed-form DEM values."""
+    from gdal_spark.crs import (epsg_fwd_stages, epsg_inv_stages,
+                                stages_to_duckdb_sql)
 
-    lon_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
-    lat_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    dx_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    dy_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
     base = f"""
-select di, dj, {lon_e} as lon, {lat_e} as lat
+select di, dj, {dx_e} as dwx, {dy_e} as dwy
 from (select a.range as di, b.range as dj
       from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
 """
+    stages = (epsg_inv_stages(dst_epsg, "dwx", "dwy", "lon", "lat",
+                              ok_col="inv_ok")
+              + epsg_fwd_stages(src_epsg, "lon", "lat", "wx", "wy"))
     proj = stages_to_duckdb_sql(
-        base, epsg_fwd_stages(src_epsg, "lon", "lat", "wx", "wy"),
-        ["di", "dj", "wx", "wy", "ok"])
+        base, stages, ["di", "dj", "wx", "wy", "inv_ok", "ok"])
+    # materialized: DuckDB's filter pushdown would otherwise substitute
+    # the unrolled fixed-point stages into the ok-filter (the same
+    # exponential expression blowup the Spark side pins with _pin)
     return f"""
-with q as ({proj}),
+with q as materialized ({proj}),
 s as (
   select di, dj,
          cast(floor((wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])}) as bigint)
            as gx,
          cast(floor((wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])}) as bigint)
            as gy
-  from q where ok
+  from q where inv_ok and ok
 )
 select di, dj, {DEM_ELEV_SQL} as value
 from s

@@ -208,3 +208,142 @@ def test_polar_stereographic_epsg_example_and_roundtrip():
     nu = a / math.sqrt(1 - e * e * math.sin(math.radians(-71.0)) ** 2)
     true_arc = nu * math.cos(math.radians(-71.0)) * math.radians(d)
     assert abs(proj_arc / true_arc - 1.0) < 1e-7
+
+
+def test_albers_equal_area_property_and_roundtrip():
+    """Independent oracle for the EPSG:3577 Albers family: (a) the
+    defining equal-area property — the projected area of a small
+    geographic quad equals its ellipsoidal area (Jacobian ≈ 1, checked
+    to 1e-6 relative) — and (b) fwd∘inv round-trips to 1e-9 degrees
+    across the Australian domain (n < 0 southern two-parallel case)."""
+    import math
+
+    from gdal_spark.crs import AEA_3577, aea_fwd_np, aea_inv_np
+
+    p = AEA_3577
+    e2 = p.e * p.e
+    d = 0.01
+    for lon in (115.0, 132.0, 140.0, 153.0):
+        for lat in (-43.0, -35.0, -25.0, -11.0):
+            xs, ys, ok = aea_fwd_np(
+                [lon, lon + d, lon + d, lon],
+                [lat, lat, lat + d, lat + d])
+            assert ok.all()
+            area_proj = 0.5 * abs(sum(
+                xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                for i in range(4)))
+            phi = math.radians(lat + d / 2.0)
+            area_ell = (p.a * p.a * (1.0 - e2) * math.cos(phi)
+                        / (1.0 - e2 * math.sin(phi) ** 2) ** 2
+                        * math.radians(d) * math.radians(d))
+            assert abs(area_proj / area_ell - 1.0) < 1e-6
+            lo, la, ok2 = aea_inv_np(xs, ys)
+            assert ok2.all()
+            assert np.abs(lo - [lon, lon + d, lon + d, lon]).max() < 1e-9
+            assert np.abs(la - [lat, lat, lat + d, lat + d]).max() < 1e-9
+
+
+def test_albers_center_and_parallel_invariants():
+    """At (φ0, λ0) the projection maps to (FE, FN) exactly; on the two
+    standard parallels the meridian scale h = k⁻¹ and the parallel scale
+    k = 1 (true-scale parallels) — checked numerically via finite
+    differences."""
+    from gdal_spark.crs import AEA_3577, aea_fwd_np
+
+    p = AEA_3577
+    x0, y0, ok = aea_fwd_np([p.lon0_deg], [0.0])
+    assert ok.all()
+    assert abs(x0[0] - p.fe) < 1e-6 and abs(y0[0] - p.fn) < 1e-6
+    import math
+
+    for lat in (-18.0, -36.0):  # the standard parallels
+        d = 1e-6
+        (x1, x2), (y1, y2), _ = aea_fwd_np([140.0, 140.0 + d], [lat, lat])
+        dist = math.hypot(x2 - x1, y2 - y1)
+        # length of d degrees of parallel on the ellipsoid
+        nu = p.a / math.sqrt(1.0 - p.e * p.e
+                             * math.sin(math.radians(lat)) ** 2)
+        ell = nu * math.cos(math.radians(lat)) * math.radians(d)
+        assert abs(dist / ell - 1.0) < 1e-4  # k = 1 on a std parallel
+
+
+def test_utm_south_false_northing_family():
+    """EPSG:32731 is EPSG:31-N's Krüger with FN = 10,000,000 (the 327xx
+    family rule): southern points differ from the fn=0 series by exactly
+    the false northing, and the inverse round-trips."""
+    from gdal_spark.crs import epsg_fwd_np, epsg_inv_np
+
+    lon = np.array([1.0, 3.0, 5.5, 8.9])
+    lat = np.array([-1.0, -33.7, -55.0, -79.9])
+    e_s, n_s, ok = epsg_fwd_np(32731)(lon, lat)
+    assert ok.all()
+    e_n, n_n, _ = epsg_fwd_np(32631)(lon, lat)
+    assert np.abs(e_s - e_n).max() < 1e-9
+    assert np.abs((n_s - n_n) - 10000000.0).max() < 1e-9
+    lo, la, ok2 = epsg_inv_np(32731)(e_s, n_s)
+    assert ok2.all()
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_inverse_sql_stages_match_numpy_all_families(ddb):
+    """The unrolled inverse staged-SQL pipelines (the dst-CRS⁻¹ warp
+    leg) agree with the numpy inverse kernels to 1e-9 and round-trip
+    the forward kernels, for every registered family."""
+    from gdal_spark.crs import (epsg_fwd_np, epsg_inv_np, epsg_inv_stages,
+                                stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(11)
+    domains = {
+        3857: (rng.uniform(-179, 179, 50), rng.uniform(-84, 84, 50)),
+        2154: (rng.uniform(-4, 9, 50), rng.uniform(41, 51, 50)),
+        3031: (rng.uniform(-179, 179, 50), rng.uniform(-89, -60, 50)),
+        3032: (rng.uniform(-179, 179, 50), rng.uniform(-89, -60, 50)),
+        3577: (rng.uniform(112, 154, 50), rng.uniform(-44, -9, 50)),
+        32631: (rng.uniform(-1, 7, 50), rng.uniform(1, 80, 50)),
+        32731: (rng.uniform(-1, 7, 50), rng.uniform(-80, -1, 50)),
+    }
+    for code, (lon, lat) in domains.items():
+        x, y, _ = epsg_fwd_np(code)(lon, lat)
+        lo_np, la_np, _ = epsg_inv_np(code)(x, y)
+        ddb.register("inv_pts", pd.DataFrame({"x": x, "y": y}))
+        sql = stages_to_duckdb_sql(
+            "select x, y from inv_pts",
+            epsg_inv_stages(code, "x", "y"), ["lon", "lat", "ok"])
+        out = ddb.execute(sql).df()
+        assert out["ok"].all(), code
+        assert np.abs(out["lon"] - lo_np).max() < 1e-9, code
+        assert np.abs(out["lat"] - la_np).max() < 1e-9, code
+        assert np.abs(out["lon"] - lon).max() < 1e-8, code
+        assert np.abs(out["lat"] - lat).max() < 1e-8, code
+
+
+def test_inverse_sql_stages_spark_matches_duckdb(spark, ddb):
+    """Cross-engine parity of the inverse stage text, spot-checked for
+    the iterative LCC and Albers inverses. JVM Math and DuckDB libm
+    differ by ≤1 ULP on exp/ln/atan2 for some inputs, so parity here is
+    ≤1e-9 degrees (~0.1 µm) — far below the mm rounding every contract
+    query applies before hashing."""
+    from gdal_spark.crs import (apply_sql_stages, epsg_fwd_np,
+                                epsg_inv_stages, stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(5)
+    for code, dom in ((2154, ((-4, 9), (41, 51))),
+                      (3577, ((112, 154), (-44, -9)))):
+        lon = rng.uniform(*dom[0], 40)
+        lat = rng.uniform(*dom[1], 40)
+        x, y, _ = epsg_fwd_np(code)(lon, lat)
+        pdf = pd.DataFrame({"i": np.arange(40), "x": x, "y": y})
+        sdf = apply_sql_stages(spark.createDataFrame(pdf),
+                               epsg_inv_stages(code, "x", "y"))
+        got = (sdf.select("i", "lon", "lat").toPandas()
+               .sort_values("i").reset_index(drop=True))
+        ddb.register("inv_pts2", pdf)
+        sql = stages_to_duckdb_sql(
+            "select i, x, y from inv_pts2",
+            epsg_inv_stages(code, "x", "y"), ["i", "lon", "lat"])
+        want = ddb.execute(sql).df().sort_values("i").reset_index(drop=True)
+        assert np.abs(got["lon"].to_numpy()
+                      - want["lon"].to_numpy()).max() < 1e-9, code
+        assert np.abs(got["lat"].to_numpy()
+                      - want["lat"].to_numpy()).max() < 1e-9, code
