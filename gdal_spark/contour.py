@@ -267,13 +267,11 @@ def _seg_exprs(w: int, engine: str,
     return v, b
 
 
-def contour_lines(tiles: DataFrame, raster_px: int = CONTOUR_LINES_PX,
-                  thresholds=LEVELS,
-                  driver_merge_max: int = 200_000) -> DataFrame:
-    """Stitched contour polylines: one row per connected line per level.
-
-    (level, comp = min crossing-node id, n_segments, closed, len_sum)
-    """
+def _labeled_segments(tiles: DataFrame, raster_px: int,
+                      thresholds=LEVELS,
+                      driver_merge_max: int = 200_000) -> DataFrame:
+    """Globally-labeled iso-segments: (li, comp, na, nb, v, b) — the
+    shared front half of contour_lines / contour_linestrings."""
     from gdal_spark.polygonize import propagate_labels
 
     mixed = contour_segments(tiles, raster_px, thresholds).cache()
@@ -316,8 +314,18 @@ def contour_lines(tiles: DataFrame, raster_px: int = CONTOUR_LINES_PX,
     labeled = (segs.join(sub, segs.lroot == sub.lbl, "left")
                .withColumn("comp", F.coalesce("comp", "lroot"))
                .drop("lbl"))
+    return labeled.select("li", "comp", "na", "nb", "v", "b")
 
-    per_seg = labeled.select("li", "comp", "na", "nb", "v", "b")
+
+def contour_lines(tiles: DataFrame, raster_px: int = CONTOUR_LINES_PX,
+                  thresholds=LEVELS,
+                  driver_merge_max: int = 200_000) -> DataFrame:
+    """Stitched contour polylines: one row per connected line per level.
+
+    (level, comp = min crossing-node id, n_segments, closed, len_sum)
+    """
+    per_seg = _labeled_segments(tiles, raster_px, thresholds,
+                                driver_merge_max)
     agg = per_seg.groupBy("li", "comp").agg(
         F.expr("collect_list(struct(na, nb, v))").alias("arr"),
         F.count(F.lit(1)).alias("n_segments"),
@@ -409,4 +417,239 @@ select {t_expr} as level,
              (s, x) -> s + x), 6) as len_sum
 from sv
 group by li, comp
+"""
+
+
+# ---------------------------------------------------------------------------
+# LineString geometry output (alg/contour.cpp:393 — GDAL's contour
+# writer emits ordered-vertex linestrings, not line statistics).
+# ---------------------------------------------------------------------------
+
+_LS_SCHEMA = ("li int, comp long, n_points int, closed int, "
+              "len_sum double, geom string, wkb binary")
+
+
+def _micro(c: np.ndarray) -> np.ndarray:
+    """Integer micro-units: floor(c·1e6 + 0.5) — the same expression
+    text the oracle uses, so the serialized vertex string is identical
+    across engines (per-node coords are already bit-identical)."""
+    return np.floor(c * 1000000.0 + 0.5).astype(np.int64)
+
+
+def contour_linestrings(tiles: DataFrame,
+                        raster_px: int = CONTOUR_LINES_PX,
+                        thresholds=LEVELS,
+                        driver_merge_max: int = 200_000) -> DataFrame:
+    """Stitched contour LINESTRINGS: one row per connected line per
+    level with ordered-vertex geometry (the real GDALContourGenerate
+    output shape, alg/contour.cpp:393 + alg/marching_squares/).
+
+    Canonical vertex order (both engines): an open line starts at its
+    smaller boundary endpoint; a closed ring starts at its minimum node,
+    steps first to that node's smaller neighbor, and repeats the start
+    as final vertex. Interior nodes have degree exactly 2, so the walk
+    is deterministic.
+
+    Columns: level, comp, n_points, closed, len_sum (ordered fold as
+    contour_lines), geom (ordered 'x y' vertex pairs in integer
+    micro-pixel units — the oracle-hashable serialization; DuckDB
+    cannot assemble IEEE754 bytes, so raw WKB stays engine-side), wkb
+    (little-endian LineString WKB over the exact double coords — the
+    API output, round-tripped in tests/test_contour.py).
+
+    Scale note: one group per contour line; the kernel is O(line
+    length), the same per-feature bound as GDAL's writer.
+    """
+    import struct
+
+    per_seg = _labeled_segments(tiles, raster_px, thresholds,
+                                driver_merge_max)
+    w = raster_px
+    levels = list(thresholds)
+
+    def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        li, comp = int(key[0]), int(key[1])
+        thr = levels[li]
+        na = pdf["na"].to_numpy(np.int64)
+        nb = pdf["nb"].to_numpy(np.int64)
+        vs = pdf["v"].to_numpy(np.float64)
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(na.tolist(), nb.tolist()):
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        ends = sorted(n for n, nbrs in adj.items() if len(nbrs) == 1)
+        closed = 0 if ends else 1
+        if ends:
+            start = ends[0]
+            second = adj[start][0]
+        else:
+            start = min(adj)
+            second = min(adj[start])
+        path = [start, second]
+        prev, cur = start, second
+        while True:
+            if closed and cur == start:
+                break
+            nxt = [n for n in adj[cur] if n != prev]
+            if not nxt:
+                break
+            prev, cur = cur, nxt[0]
+            path.append(cur)
+        nodes = np.asarray(path, dtype=np.int64)
+        cx, cy, _ = _node_coords(nodes, w, thr)
+        mx, my = _micro(cx), _micro(cy)
+        geom = ",".join(f"{x} {y}" for x, y in zip(mx.tolist(),
+                                                   my.tolist()))
+        wkb = struct.pack("<BII", 1, 2, len(path))
+        wkb += np.column_stack([cx, cy]).astype("<f8").tobytes()
+        # ordered fold over (na, nb, v)-sorted segments — same
+        # association as contour_lines' aggregate(array_sort(...))
+        len_sum = 0.0
+        for _, _, v in sorted(zip(na.tolist(), nb.tolist(), vs.tolist())):
+            len_sum = len_sum + v
+        return pd.DataFrame({
+            "li": [li], "comp": [comp], "n_points": [len(path)],
+            "closed": [closed], "len_sum": [round(len_sum, 6)],
+            "geom": [geom], "wkb": [wkb],
+        })
+
+    out = per_seg.groupBy("li", "comp").applyInPandas(trace, _LS_SCHEMA)
+    t_expr = _thr_expr(thresholds)
+    return out.selectExpr(
+        f"{t_expr} as level",
+        # canonical component id: min crossing node (comp labels are
+        # namespaced per level; strip the level offset like contour_lines)
+        f"comp % {2 * w * w} as comp",
+        "n_points", "closed", "len_sum", "geom", "wkb")
+
+
+def contour_linestrings_oracle_sql(raster_px: int = CONTOUR_LINES_PX,
+                                   thresholds=LEVELS) -> str:
+    """DuckDB ground truth for contour_linestrings (minus the WKB
+    column): components via the flat min-label CTE, then a recursive
+    deterministic path walk — seeded at the canonical start, stepping
+    to the only non-previous neighbor — serialized with the identical
+    micro-unit expression text."""
+    w = raster_px
+    t_expr = _thr_expr(thresholds)
+    lv_rows = ", ".join(f"({li}, {thr!r}e0)"
+                        for li, thr in enumerate(thresholds))
+    m_rows = ", ".join(f"({ci}, {ea}, {eb})"
+                       for ci, pairs in CASES.items()
+                       for ea, eb in pairs)
+    v, bnd = _seg_exprs(w, "duckdb", thresholds)
+    cxw, cyw, _b = _node_xy("cur", w, "t", "duckdb")
+
+    def elev(xx: str, yy: str) -> str:
+        return (f"((({xx}) * ({xx}) * 5 + ({yy}) * ({yy}) * 3"
+                f" + ({xx}) * ({yy})) % 211)")
+
+    def nid(code: str) -> str:
+        return (f"(case {code} when 0 then 2 * (y * {w} + x)"
+                f" when 1 then 2 * ((y + 1) * {w} + x)"
+                f" when 2 then 2 * (y * {w} + x) + 1"
+                f" else 2 * (y * {w} + x + 1) + 1 end)")
+
+    return f"""
+with recursive
+lv(li, t) as (select * from (values {lv_rows}) v(li, t)),
+m(ci, ea, eb) as (select * from (values {m_rows}) v(ci, ea, eb)),
+g as (
+  select a.range as x, b.range as y
+  from range(0, {w - 1}) a cross join range(0, {w - 1}) b
+),
+c as (
+  select li, t, x, y,
+         8 * (case when {elev("x", "y")} > t then 1 else 0 end)
+       + 4 * (case when {elev("(x + 1)", "y")} > t then 1 else 0 end)
+       + 2 * (case when {elev("(x + 1)", "(y + 1)")} > t then 1 else 0 end)
+       + 1 * (case when {elev("x", "(y + 1)")} > t then 1 else 0 end) as ci
+  from g cross join lv
+),
+s2 as (
+  select c.li, {nid("m.ea")} as na, {nid("m.eb")} as nb
+  from c join m on m.ci = c.ci
+),
+nodes as (
+  select distinct li, na as node from s2
+  union select distinct li, nb from s2
+),
+esym as (
+  select li, na as u, nb as v from s2
+  union select li, nb, na from s2
+),
+lbl(li, node, l) as (
+  select li, node, node from nodes
+  union
+  select es.li, es.v, lbl.l
+  from lbl join esym es on es.li = lbl.li and es.u = lbl.node
+  where lbl.l < es.v
+),
+fin as materialized (select li, node, min(l) as comp
+                     from lbl group by li, node),
+-- materialized: DuckDB inlines plain CTEs, so the recursive walk would
+-- otherwise re-run the whole lbl label propagation on every iteration
+ec as materialized (
+  select e.li, f.comp, e.u, e.v
+  from esym e join fin f on f.li = e.li and f.node = e.u
+),
+deg as (select li, comp, u, count(*) as d from ec group by 1, 2, 3),
+starts as (
+  select li, comp,
+         coalesce(min(u) filter (where d = 1), min(u)) as start,
+         cast(max(case when d = 1 then 0 else 1 end) as int)
+           = cast(1 as int)
+           and min(d) = 2 as is_closed
+  from deg group by li, comp
+),
+seconds as materialized (
+  select s.li, s.comp, s.start, s.is_closed, min(ec.v) as second
+  from starts s join ec on ec.li = s.li and ec.comp = s.comp
+   and ec.u = s.start
+  group by 1, 2, 3, 4
+),
+walk(li, comp, start, prev, cur, step) as (
+  select li, comp, start, start, second, 1 from seconds
+  union all
+  select wk.li, wk.comp, wk.start, wk.cur, e.v, wk.step + 1
+  from walk wk join ec e
+    on e.li = wk.li and e.comp = wk.comp and e.u = wk.cur
+  where e.v <> wk.prev and wk.cur <> wk.start
+),
+verts as (
+  select li, comp, start, cur, step from walk
+  union all
+  select li, comp, start, start as cur, 0 as step from seconds
+),
+vx as (
+  select vr.li, vr.comp, vr.step,
+         cast(floor({cxw} * 1000000.0 + 0.5) as bigint) as px,
+         cast(floor({cyw} * 1000000.0 + 0.5) as bigint) as py
+  from verts vr join lv on lv.li = vr.li
+),
+geo as (
+  select li, comp, count(*) as n_points,
+         string_agg(px || ' ' || py, ',' order by step) as geom
+  from vx group by li, comp
+),
+sb as (
+  select s2.li as li, f.comp as comp, s2.na as na, s2.nb as nb
+  from s2 join fin f on f.li = s2.li and f.node = s2.na
+),
+sv as (select li, comp, na, nb, {v} as v, {bnd} as b from sb),
+st as (
+  select li, comp,
+         cast(case when max(b) = 0 then 1 else 0 end as int) as closed,
+         round(list_reduce(list_concat([cast(0 as double)],
+                 list_transform(list_sort(list({{'na': na, 'nb': nb,
+                                                 'v': v}})),
+                                s -> s.v)),
+               (s, x) -> s + x), 6) as len_sum
+  from sv group by li, comp
+)
+select {t_expr.replace("case li", "case st.li")} as level,
+       st.comp as comp,
+       cast(geo.n_points as int) as n_points, st.closed, st.len_sum,
+       geo.geom as geom
+from st join geo on geo.li = st.li and geo.comp = st.comp
 """

@@ -599,6 +599,21 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CONTOUR_LINES_PX)
 
 
+def q_contour_linestrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour LINESTRING geometry (alg/contour.cpp:393 — the writer's
+    real ordered-vertex output): deterministic path walk per stitched
+    component, vertices serialized in integer micro-pixel units for the
+    oracle hash (the WKB bytes themselves are engine-side API, decoded
+    and checked in tests/test_contour.py — DuckDB cannot assemble
+    IEEE754 doubles into binary)."""
+    from gdal_spark.contour import CONTOUR_LINES_PX, contour_linestrings
+
+    _ = sf_dir
+    out = contour_linestrings(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                              CONTOUR_LINES_PX)
+    return out.drop("wkb")
+
+
 CONTOUR_BANDS = [53, 106, 159]
 
 
@@ -856,6 +871,7 @@ QUERIES = {
     "grid_linear_delaunay": q_grid_linear,
     "contour_cells": q_contour,
     "contour_lines": q_contour_lines,
+    "contour_linestrings": q_contour_linestrings,
     "contour_polygons": q_contour_polygons,
     "raster_calc_reclassify": q_raster_calc,
     "raster_stats": q_raster_stats,
@@ -1080,6 +1096,9 @@ select 'cubic' as method, qid, value from (
     "contour_lines": __import__(
         "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]
     ).contour_lines_oracle_sql(),
+    "contour_linestrings": __import__(
+        "gdal_spark.contour", fromlist=["contour_linestrings_oracle_sql"]
+    ).contour_linestrings_oracle_sql(),
     "raster_calc_reclassify": f"""
 select *, 'reclassify' as op from (
 {checksum_oracle_sql(_PTS, RASTER_Z, value_expr=_RECLS)})

@@ -137,3 +137,60 @@ def test_degree_invariant():
                         deg[2 * (y * w + x + 1) + 1] += 1
         assert max(deg.values()) <= 2
         _ = oracle_segments
+
+
+def test_linestring_wkb_roundtrip(spark):
+    """contour_linestrings' WKB decodes to the ordered vertex path:
+    header = little-endian LineString, vertex count = n_points, the
+    micro-unit geom string re-derives from the decoded doubles, path
+    endpoints coincide iff closed, consecutive-vertex distances sum to
+    the independently-aggregated segment length."""
+    import struct
+
+    from gdal_spark.contour import contour_linestrings
+
+    df = contour_linestrings(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                             CONTOUR_LINES_PX).toPandas()
+    assert len(df) > 0
+    seen_closed = seen_open = 0
+    for _, row in df.iterrows():
+        wkb = bytes(row["wkb"])
+        bo, gtype, n = struct.unpack_from("<BII", wkb, 0)
+        assert bo == 1 and gtype == 2
+        assert n == row["n_points"]
+        assert len(wkb) == 9 + 16 * n
+        xy = np.frombuffer(wkb, dtype="<f8", offset=9).reshape(n, 2)
+        micro = ",".join(
+            f"{int(np.floor(x * 1e6 + 0.5))} {int(np.floor(y * 1e6 + 0.5))}"
+            for x, y in xy)
+        assert micro == row["geom"]
+        closed = bool(row["closed"])
+        if closed:
+            assert (xy[0] == xy[-1]).all()
+            seen_closed += 1
+        else:
+            assert not (xy[0] == xy[-1]).all()
+            seen_open += 1
+        path_len = float(np.hypot(*(xy[1:] - xy[:-1]).T).sum())
+        assert abs(path_len - row["len_sum"]) < 1e-5
+    assert seen_closed > 0 and seen_open > 0
+
+
+def test_linestrings_agree_with_contour_lines(spark):
+    """Per (level, comp): n_segments of contour_lines equals the path
+    edge count of contour_linestrings (n_points − 1), and len_sum
+    matches bit-for-bit (same ordered fold)."""
+    from gdal_spark.contour import contour_linestrings
+
+    a = contour_lines(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                      CONTOUR_LINES_PX).toPandas() \
+        .set_index(["level", "comp"]).sort_index()
+    b = contour_linestrings(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                            CONTOUR_LINES_PX).toPandas() \
+        .set_index(["level", "comp"]).sort_index()
+    assert len(a) == len(b)
+    assert (a.index == b.index).all()
+    assert (a["n_segments"].to_numpy()
+            == (b["n_points"] - 1).to_numpy()).all()
+    assert (a["len_sum"].to_numpy() == b["len_sum"].to_numpy()).all()
+    assert (a["closed"].to_numpy() == b["closed"].to_numpy()).all()
