@@ -311,6 +311,40 @@ def q_execute_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
          "customer": _t(spark, sf_dir, "customer")})
 
 
+def q_execute_sql_distinct_like(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """DISTINCT_LIST mode + LIKE ESCAPE grammar (round-3 divergence
+    closures): single-column SELECT DISTINCT (multi-column now rejected
+    like swq_select.cpp:1049), an ESCAPE pattern whose escape pair
+    survives sanitization, and a quoted table name."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT DISTINCT p_brand FROM \"part\" "
+        "WHERE 'a_b' LIKE 'a!_b' ESCAPE '!' AND p_size > 40",
+        {"part": _t(spark, sf_dir, "part")})
+
+
+def q_execute_sql_division_typing(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Schema-aware OGR integer-division typing (swq type promotion;
+    autotest ogr_sql_test.py::test_ogr_sql_49 / rfc28_17): int column ÷
+    int column and int column ÷ int literal divide integrally, float
+    operands keep float semantics, bare decimal literals are doubles
+    (not DECIMAL), and unaliased expressions take OGR's FIELD_N output
+    names (ogr_gensql.cpp:199)."""
+    from gdal_spark.sqlapi import execute_sql
+
+    return execute_sql(
+        spark,
+        "SELECT l_orderkey, l_linenumber, l_orderkey / l_linenumber, "
+        "l_orderkey / 7, 100 / 8, l_quantity / 2, 2.5 "
+        "FROM lineitem WHERE l_orderkey < 200 "
+        "ORDER BY l_orderkey, l_linenumber",
+        {"lineitem": _t(spark, sf_dir, "lineitem")})
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (engine extension — absent from OGR SQL, SURVEY §2.3
     'Theta/range/as-of joins'): every purchase event joined to the most
@@ -394,6 +428,8 @@ QUERIES = {
     "ogrsql_execute_join_chain": q_execute_sql_join_chain,
     "ogrsql_execute_groupby": q_execute_sql_groupby,
     "ogrsql_execute_in_subquery": q_execute_sql_in_subquery,
+    "ogrsql_execute_distinct_like": q_execute_sql_distinct_like,
+    "ogrsql_execute_division_typing": q_execute_sql_division_typing,
     "sql_summary_record": q_summary_record,
     "sql_groupby_agg": q_groupby_agg,
     "sql_count_distinct": q_count_distinct,
@@ -472,6 +508,21 @@ select o_orderkey, o_totalprice from orders
 where o_custkey in (select c_custkey from customer where c_nationkey < 3)
   and o_totalprice > 400000
 order by o_orderkey
+""",
+    "ogrsql_execute_distinct_like": """
+select distinct p_brand from part
+where 'a_b' like 'a!_b' escape '!' and p_size > 40
+order by p_brand
+""",
+    "ogrsql_execute_division_typing": """
+select l_orderkey, l_linenumber,
+       l_orderkey // l_linenumber as field_3,
+       l_orderkey // 7 as field_4,
+       100 // 8 as field_5,
+       l_quantity / 2 as field_6,
+       2.5e0 as field_7
+from lineitem where l_orderkey < 200
+order by l_orderkey, l_linenumber
 """,
     "sql_summary_record": """
 select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,

@@ -64,6 +64,16 @@ def _outside_strings(sql: str, fn) -> str:
     return "".join(p if p.startswith("'") else fn(p) for p in parts)
 
 
+def _escape_literal_backslashes(sql: str) -> str:
+    """OGR string literals have no escape character (a backslash is one
+    literal char, ogr_sql_test.py::test_ogr_sql_43); Spark's parser
+    treats ``\\`` as an escape by default — double them inside literals,
+    exactly once per statement."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p.replace("\\", "\\\\") if p.startswith("'") else p
+                   for p in parts)
+
+
 def _rewrite_code(out: str) -> str:
     # OGR quotes identifiers with double quotes (rfc28 quoting tests);
     # Spark uses backticks (double quotes open string literals)
@@ -83,6 +93,11 @@ def _rewrite_code(out: str) -> str:
     # Spark's `div`. 5.0/2, 5/2.0 etc. keep float semantics on both.
     out = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])",
                  r"(\1 div \2)", out)
+    # OGR floating literals are SWQ_FLOAT (double); Spark parses bare
+    # decimal literals as DECIMAL(p,s) — pin them to double with an e0
+    # exponent (ogr_sql_49: '1/1.' is double 1.0, not Decimal)
+    out = re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.eE])", r"\1e0", out)
+    out = re.sub(r"(?<![\w.])(\d+)\.(?![\d\w.eE])", r"\1.0e0", out)
     for pat, repl in _CAST_TYPES:
         out = pat.sub(repl, out)
     return out
@@ -92,14 +107,26 @@ def _sanitize_like_escape(m: re.Match) -> str:
     """OGR's LIKE ESCAPE drops the escape char and takes the next char
     literally whatever it is (swq LIKE evaluator); Spark/ANSI reject an
     escape not followed by a wildcard or itself. Rewrite the literal
-    pattern: keep valid escape pairs, unwrap invalid ones."""
+    pattern: keep valid escape pairs, unwrap invalid ones. A doubled
+    quote ('') in the raw pattern text is ONE literal quote char — scan
+    it as a unit so an escape followed by a quote unwraps to '' (not a
+    bare quote that would terminate the literal)."""
     pat, esc = m.group(1), m.group(2)
     out = []
     kept_escape = False
     i = 0
     while i < len(pat):
         ch = pat[i]
+        if ch == "'" and i + 1 < len(pat) and pat[i + 1] == "'":
+            out.append("''")
+            i += 2
+            continue
         if ch == esc and i + 1 < len(pat):
+            if pat[i + 1] == "'" and i + 2 < len(pat) \
+                    and pat[i + 2] == "'":
+                out.append("''")  # escaped literal quote: unwrap to ''
+                i += 3
+                continue
             nxt = pat[i + 1]
             if nxt in ("%", "_", esc):
                 out.append(ch)
@@ -116,6 +143,30 @@ def _sanitize_like_escape(m: re.Match) -> str:
             else f"LIKE '{new}'")
 
 
+_DIV_PAIR = re.compile(
+    r"(?<![\w.'])((?:\w+\.)?\w+)\s*/\s*((?:\w+\.)?\w+)(?![\w.('])")
+
+
+def _int_div_rewrite(text: str, int_names: set[str]) -> str:
+    """Schema-aware OGR integer-division typing (swq type promotion,
+    rfc28_17): ``a / b`` where BOTH operands are integer-typed columns
+    or integer literals divides integrally. Literal/literal is already
+    handled schema-free in _rewrite_code; this covers column operands
+    using the layers' Spark dtypes. Single-level only (a/b/c chains
+    would need full expression typing, as swq does)."""
+
+    def is_int(tok: str) -> bool:
+        return tok.isdigit() or tok.lower() in int_names
+
+    def repl(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if is_int(a) and is_int(b):
+            return f"({a} div {b})"
+        return m.group(0)
+
+    return _DIV_PAIR.sub(repl, text)
+
+
 def _rewrite_expressions(sql: str) -> str:
     out = re.sub(r"\bHSTORE_GET_VALUE\s*\(([^,]+),\s*('[^']*')\s*\)",
                  r"str_to_map(\1, ',', '=>')[\2]", sql, flags=re.I)
@@ -124,6 +175,7 @@ def _rewrite_expressions(sql: str) -> str:
     out = re.sub(r"'(\d{4})/(\d{2})/(\d{2})", r"'\1-\2-\3", out)
     out = re.sub(r"\blike\s+'((?:[^']|'')*)'\s+escape\s+'(.)'",
                  _sanitize_like_escape, out, flags=re.I)
+    out = _escape_literal_backslashes(out)
     return _outside_strings(out, _rewrite_code)
 
 
@@ -202,21 +254,42 @@ def _has_alias(s: str) -> bool:
     return True
 
 
-def _name_select_items(cols: str) -> str:
+def _name_select_items(cols: str, star_widths: dict[str, int] | None = None,
+                       total_star: int = 0) -> str:
     """OGR's output-column naming for unaliased select items
     (ogr_gensql.cpp field-defn synthesis; asserted across
     ogr_sql_test.py::test_ogr_sql_5/6/17 and ogr_sql_rfc28.py 12/14/15):
     aggregates and scalar functions become ``fn_firstcolarg``
     (``count_*`` for COUNT(*)), CAST keeps the underlying column name,
-    and literals / arithmetic become ``field_N``. Names are pinned
-    lowercase (OGR's own field lookup is case-insensitive, so the case
-    is unobservable there); N counts select-list items, not
-    post-``*``-expansion output columns."""
+    and literals / arithmetic become ``FIELD_N`` where N is the 1-based
+    OUTPUT-column position counting post-``*``-expansion fields
+    (ogr_gensql.cpp:199 numbers by ``GetFieldCount() + 1``, not by
+    select-list item). ``total_star`` is the field count a bare ``*``
+    contributes; ``star_widths`` maps table/alias → field count for
+    ``t.*`` items. Names are pinned lowercase (OGR's own field lookup
+    is case-insensitive, so the case is unobservable there)."""
     out = []
-    for i, item in enumerate(_split_select_items(cols)):
+    pos = 0  # output-field position so far (post-* expansion)
+    for item in _split_select_items(cols):
         s = item.strip()
-        if not s or s.startswith("*") or s.endswith(".*") \
-                or _BARE_COL.match(s) or _has_alias(s):
+        if not s:
+            out.append(item)
+            continue
+        if s.startswith("*"):
+            out.append(item)
+            ex = re.match(r"\*\s+except\s*\((.*)\)\s*$", s, re.I | re.S)
+            n_except = len(_split_select_items(ex.group(1))) if ex else 0
+            pos += max(0, total_star - n_except)
+            continue
+        if s.endswith(".*"):
+            out.append(item)
+            t = s[:-2].strip().strip("`\"'")
+            pos += (star_widths or {}).get(t, 1)
+            continue
+        pos += 1
+        # a bare NUMBER is a literal (gets FIELD_N), not a column ref
+        if (_BARE_COL.match(s) and not re.match(r"^\d", s)) \
+                or _has_alias(s):
             out.append(item)
             continue
         m = _AGG_ITEM.match(s)
@@ -236,7 +309,7 @@ def _name_select_items(cols: str) -> str:
                            f"`{m.group(1).lower()}_"
                            f"{first.split('.')[-1].lower()}`")
                 continue
-        out.append(f"{s} as field_{i + 1}")
+        out.append(f"{s} as field_{pos}")
     return ", ".join(out)
 
 
@@ -539,7 +612,51 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     if table not in layers:
         raise KeyError(f"unknown layer {table!r}")
 
-    parts = [f"select {g['distinct'] or ''}{_name_select_items(g['cols'])}",
+    items = [s for s in _split_select_items(g["cols"]) if s.strip()]
+    if g["distinct"]:
+        # swq_select.cpp:1049 / :333 — OGR rejects multi-column DISTINCT
+        # and DISTINCT mixed with aggregation
+        if len(items) > 1:
+            raise ValueError(
+                "SELECT DISTINCT not supported on multiple columns.")
+        if _AGG_ITEM.match(items[0].strip()):
+            raise ValueError(
+                "SELECT DISTINCT and COUNT(DISTINCT...) not supported "
+                "together" if re.match(r"count", items[0].strip(), re.I)
+                else "Field list implies mixture of regular recordset "
+                     "mode, summary mode or distinct field list mode.")
+
+    # table/alias → attribute-field width, for OGR's post-*-expansion
+    # FIELD_N numbering and for schema-aware integer-division typing
+    star_widths: dict[str, int] = {}
+    int_names: set[str] = set()
+
+    def _register_scope(lname: str, alias: str | None) -> None:
+        cols = spark.table(lname).columns
+        for nm in {lname, alias or lname}:
+            star_widths[nm] = len(cols)
+        for c, dt in spark.table(lname).dtypes:
+            if dt in ("int", "bigint", "smallint", "tinyint"):
+                for nm in {lname, alias or lname}:
+                    int_names.add(f"{nm}.{c}".lower())
+                int_names.add(c.lower())
+
+    _register_scope(table, g["talias"])
+    for kw, body in clauses[1:]:
+        if kw in ("join", "left join"):
+            jm = _JOIN_CLAUSE.match(body)
+            if jm is not None:
+                jt = jm.group("jtable").strip("'\"`")
+                if jt in layers:
+                    _register_scope(jt, jm.group("jalias"))
+
+    def _typed(text: str) -> str:
+        return _outside_strings(
+            text, lambda seg: _int_div_rewrite(seg, int_names))
+
+    named = _name_select_items(_typed(g["cols"]), star_widths,
+                               star_widths.get(table, 0))
+    parts = [f"select {g['distinct'] or ''}{named}",
              f"from {table} {g['talias'] or table}"]
     tail: dict[str, str] = {}
     n_dedup = 0
@@ -569,11 +686,11 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
         else:
             tail[kw] = body
     if "where" in tail:
-        parts.append(f"where {tail['where']}")
+        parts.append(f"where {_typed(tail['where'])}")
     if "group by" in tail:
         parts.append(f"group by {tail['group by']}")
     if "having" in tail:
-        parts.append(f"having {tail['having']}")
+        parts.append(f"having {_typed(tail['having'])}")
     order_by = tail.get("order by")
     cols = g["cols"]
     if g["distinct"] and not order_by and "," not in cols \

@@ -566,3 +566,130 @@ def test_scalar_subquery_in_select_list(spark, poly):
         {"poly": poly}, fid_order={"poly": "zone_id"}).collect()
     assert [r["eas_id"] for r in rows] == [158, 159]
     assert all(r["total"] == poly.count() for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-3 grammar-parity additions (the four documented divergences +
+# further ogr_sql_test.py ports)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_multiple_columns_rejected(spark, poly):
+    """swq_select.cpp:1049 — OGR errors on multi-column DISTINCT."""
+    with pytest.raises(ValueError, match="DISTINCT not supported"):
+        run(spark, "SELECT DISTINCT eas_id, prfedea FROM poly", poly)
+
+
+def test_distinct_with_aggregate_rejected(spark, poly):
+    """swq_select.cpp:333 / :1095 — DISTINCT cannot mix with
+    aggregation."""
+    with pytest.raises(ValueError):
+        run(spark, "SELECT DISTINCT COUNT(eas_id) FROM poly", poly)
+    with pytest.raises(ValueError):
+        run(spark, "SELECT DISTINCT MIN(eas_id) FROM poly", poly)
+
+
+def test_literal_field_numbering_post_star_expansion(spark, poly):
+    """ogr_gensql.cpp:199 — an unaliased literal is FIELD_N where N is
+    the OUTPUT column position counting expanded ``*`` fields."""
+    width = len(poly.columns)
+    df = execute_sql(spark, "SELECT *, 5 FROM poly", {"poly": poly})
+    assert df.columns[-1] == f"field_{width + 1}"
+    # without a star the position equals the select-item index
+    df2 = execute_sql(spark, "SELECT eas_id, 5, 'x' FROM poly",
+                      {"poly": poly})
+    assert df2.columns[1] == "field_2" and df2.columns[2] == "field_3"
+
+
+def test_schema_aware_integer_division(spark, poly):
+    """swq type promotion (rfc28_17 / ogr_sql_49): int column / int
+    literal divides integrally; any float operand keeps float
+    semantics."""
+    df = run(spark, "SELECT eas_id / 4 FROM poly "
+                    "WHERE eas_id = 170", poly)
+    assert df.collect()[0][0] == 42          # 170 div 4, not 42.5
+    df = run(spark, "SELECT eas_id / 4.0 FROM poly "
+                    "WHERE eas_id = 170", poly)
+    assert df.collect()[0][0] == 42.5
+    df = run(spark, "SELECT area / eas_id FROM poly "
+                    "WHERE eas_id = 170", poly)
+    assert isinstance(df.collect()[0][0], float)
+    # int column / int column
+    df = run(spark, "SELECT eas_id / zone_id FROM poly "
+                    "WHERE zone_id = 4", poly)
+    v = df.collect()[0][0]
+    assert v == int(v) and not isinstance(v, float)
+
+
+def test_arithmetic_expression_typing_ogr_sql_49(spark, poly):
+    """ogr_sql_test.py::test_ogr_sql_49 — literal arithmetic typing."""
+    cases = [("1/1", 1), ("1/1.", 1.0), ("cast((1) as integer)/1.", 1.0),
+             ("1./cast((1) as integer)", 1.0), ("1.5+1", 2.5),
+             ("(1*1)+1.5", 2.5), ("1+1", 2),
+             ("cast(1 as integer)+ 1234567890123", 1234567890124),
+             ("cast(1 as integer)* 1234567890123", 1234567890123)]
+    for expr, want in cases:
+        got = run(spark, f"select {expr} as result from poly limit 1",
+                  poly).collect()[0][0]
+        assert got == want, expr
+        assert isinstance(got, float) == isinstance(want, float), expr
+
+
+def test_like_escape_with_doubled_quote(spark):
+    """The LIKE ESCAPE sanitizer scans '' as one literal quote: an
+    escaped quote unwraps to '' (not a literal-terminating bare
+    quote)."""
+    df = spark.createDataFrame(
+        [("a'bc",), ("abc",), ("a%bc",)], "s string")
+    out = execute_sql(
+        spark, "select s from t where s like 'a!''%' escape '!'",
+        {"t": df})
+    assert [r[0] for r in out.collect()] == ["a'bc"]
+    out2 = execute_sql(
+        spark, "select s from t where s like 'a!%%' escape '!'",
+        {"t": df})
+    assert [r[0] for r in out2.collect()] == ["a%bc"]
+
+
+def test_quote_escape_literals_ogr_sql_43(spark, poly):
+    """ogr_sql_test.py::test_ogr_sql_43 — '"' stays a string literal
+    (not an identifier), '''' is one quote char, backslash is
+    literal."""
+    r = run(spark, "SELECT '\"' as a, '\\' as b, '''' as c "
+                   "FROM poly LIMIT 1", poly).collect()[0]
+    assert r["a"] == '"' and r["b"] == "\\" and r["c"] == "'"
+
+
+def test_from_inside_string_literal_head_split(spark, poly):
+    """The depth-0 masker honors '' escapes: a FROM inside a literal
+    containing an escaped quote must not split the head."""
+    r = run(spark, "SELECT 'it''s from mars' as a FROM poly LIMIT 1",
+            poly).collect()[0]
+    assert r["a"] == "it's from mars"
+
+
+def test_huge_select_list_ogr_sql_35(spark, poly):
+    """ogr_sql_test.py::test_ogr_sql_35 — 1024-column select list."""
+    cols = "area"
+    for _ in range(10):
+        cols = cols + "," + cols
+    df = run(spark, f"select {cols} from poly", poly)
+    assert len(df.columns) == 1024
+
+
+def test_order_by_special_fields_ogr_sql_39_40(spark, poly):
+    """ogr_sql_test.py::test_ogr_sql_39/40 — ORDER BY on float/int
+    special fields."""
+    rows = run(spark, "SELECT eas_id, OGR_GEOM_AREA FROM poly "
+                      "ORDER BY OGR_GEOM_AREA", poly).collect()
+    areas = [r[1] for r in rows]
+    assert areas == sorted(areas)
+    rows = run(spark, "SELECT FID FROM poly ORDER BY FID DESC LIMIT 1",
+               poly).collect()
+    assert rows[0][0] == poly.count() - 1
+
+
+def test_empty_string_compare_ogr_sql_42(spark, poly):
+    """ogr_sql_test.py::test_ogr_sql_42 — comparing to ''."""
+    assert run(spark, "SELECT * FROM poly WHERE prfedea <> ''",
+               poly).count() == poly.count()
