@@ -71,6 +71,20 @@ def _guarantee_expr(z: int, ty: str) -> str:
     return f"(0.45 * {EARTH_CIRCUM!r} / {n} * cos(radians({maxlat})))"
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate from the optimized plan's statistics — reads
+    only metadata (Parquet footers / CBO stats), never launches a job."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        return max(1, int(str(stats.sizeInBytes())) // 64)
+    except Exception:
+        # non-JVM plans (e.g. mocked frames in tests): one action
+        return df.count()
+
+
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              z0: int | None = None, point_id: str = "doc_id",
              query_id: str = "qid") -> DataFrame:
@@ -87,11 +101,14 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     """
     spark = points.sparkSession
     if z0 is None:
-        # density heuristic — costs one count() action over the point
-        # table, so production callers at large scale should pass z0
-        # explicitly (it is a static property of the dataset density;
-        # exactness never depends on it, only round count does)
-        n = points.count()
+        # density heuristic from CATALYST PLAN STATISTICS — no Spark
+        # action: exact rowCount when CBO stats exist, else the
+        # metadata sizeInBytes (file footers) over an assumed ~64 B/row.
+        # z0 enters through log base 4, so an order-of-magnitude
+        # estimate lands within one level; exactness never depends on
+        # it, only round count does. Production callers should still
+        # pass z0 (a static property of dataset density).
+        n = _estimate_rows(points)
         z0 = min(14, max(2, round(math.log(max(n, 13) / 12.0, 4.0))))
         if z0 % 2 == 1:
             z0 += 1

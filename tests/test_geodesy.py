@@ -347,3 +347,29 @@ def test_inverse_sql_stages_spark_matches_duckdb(spark, ddb):
                       - want["lon"].to_numpy()).max() < 1e-9, code
         assert np.abs(got["lat"].to_numpy()
                       - want["lat"].to_numpy()).max() < 1e-9, code
+
+
+def test_knn_default_z0_no_action(spark, monkeypatch):
+    """The default-z0 density heuristic derives from plan statistics —
+    it must not spend a count() action on the point table (the round-2
+    scale concern). count() is poisoned; the join must still resolve
+    exactly."""
+    from gdal_spark.knn import knn_join
+
+    pts = spark.range(200).selectExpr(
+        "id as doc_id",
+        "cast(-5.0 + (id % 40) * 0.25 as double) as lon",
+        "cast(40.0 + (id div 40) * 0.3 as double) as lat")
+    qs = pts.filter("doc_id % 37 = 1").selectExpr(
+        "doc_id as qid", "lon", "lat")
+    import pyspark.sql
+
+    def _no_count(self):
+        raise AssertionError("count() action in knn default path")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", _no_count)
+    out = knn_join(pts, qs, k=3)  # z0 defaulted
+    monkeypatch.undo()
+    got = out.toPandas()
+    assert len(got) == qs.count() * 3
+    assert (got.groupby("qid")["rank"].max() == 3).all()
