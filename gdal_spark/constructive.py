@@ -159,6 +159,169 @@ def buffer_geom(geom: dict, dist: float, quadsegs: int = 1) -> dict:
     return {"type": "Polygon", "coords": [ring_out]}
 
 
+def buffer_geom_styled(geom: dict, dist: float, quadsegs: int = 1,
+                       join_style: str = "round",
+                       mitre_limit: float = 5.0) -> dict:
+    """Polygon buffer with GEOS join styles (OGRGeometry::BufferEx,
+    ogr/ogrgeometry.cpp:4637 → GEOSBufferWithParams; join codes
+    GEOSBUF_JOIN_ROUND/MITRE/BEVEL):
+
+    - round: vertex arc approximated by ``quadsegs`` chords per turn
+      (buffer_geom's rule);
+    - bevel: one straight chord across each vertex;
+    - mitre: offset edges extended to their intersection
+      p + r·(n̂+m̂)/(1+n̂·m̂); vertices whose mitre ratio
+      √(2/(1+n̂·m̂)) exceeds ``mitre_limit`` fall back to bevel
+      (GEOS's MITRE limit rule).
+    """
+    if geom["type"] == "Point" or join_style == "round":
+        return buffer_geom(geom, dist, quadsegs)
+    verts = _all_vertices(geom)
+    ring = _ccw_ring(convex_hull_pts(verts)) \
+        if geom["type"] != "Polygon" or not _is_convex_ring(
+            np.asarray(geom["coords"][0])) \
+        else _ccw_ring(np.asarray(geom["coords"][0], dtype=np.float64))
+    v = ring[:-1]
+    if len(v) > 1:
+        d0 = np.any(v != np.roll(v, 1, axis=0), axis=1)
+        v = v[d0]
+    n = len(v)
+    out: list[tuple[float, float]] = []
+    for i in range(n):
+        p0, p1 = v[i], v[(i + 1) % n]
+        d = p1 - p0
+        ln = float(np.hypot(d[0], d[1]))
+        nx, ny = d[1] / ln, -d[0] / ln
+        out.append((float(p0[0] + dist * nx), float(p0[1] + dist * ny)))
+        out.append((float(p1[0] + dist * nx), float(p1[1] + dist * ny)))
+        if join_style == "mitre":
+            p2 = v[(i + 2) % n]
+            d2 = p2 - p1
+            ln2 = float(np.hypot(d2[0], d2[1]))
+            mx, my = d2[1] / ln2, -d2[0] / ln2
+            dot = nx * mx + ny * my
+            if 1.0 + dot > 1e-12:
+                ratio = float(np.sqrt(2.0 / (1.0 + dot)))
+                if ratio <= mitre_limit:
+                    sx, sy = (nx + mx) / (1.0 + dot), (ny + my) / (1.0 + dot)
+                    out.append((float(p1[0] + dist * sx),
+                                float(p1[1] + dist * sy)))
+        # bevel: no vertex point at all — consecutive offset edge
+        # endpoints connect by the straight chord
+    ring_out = np.asarray(out + [out[0]], dtype=np.float64)
+    return {"type": "Polygon", "coords": [ring_out]}
+
+
+def buffer_segment(p0, p1, dist: float, quadsegs: int = 1,
+                   endcap: str = "round") -> np.ndarray:
+    """Buffer ring of a single straight segment with GEOS endcap styles
+    (GEOSBUF_CAP_ROUND/FLAT/SQUARE): the exact rectangle of width 2r
+    plus per-style caps; the round cap is a semicircle fan of
+    2·quadsegs chords per end (GEOS quadrant-segment rule)."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    d = p1 - p0
+    ln = float(np.hypot(d[0], d[1]))
+    tx, ty = d[0] / ln, d[1] / ln
+    nx, ny = ty, -tx  # right-of-travel normal
+    q = max(1, int(quadsegs))
+    out: list[tuple[float, float]] = []
+
+    def cap(center, th_from, direction):
+        """Semicircle fan: 2q chords sweeping π from th_from, CCW."""
+        for k in range(1, 2 * q):
+            th = th_from + np.pi * k / (2 * q)
+            out.append((float(center[0] + dist * np.cos(th)),
+                        float(center[1] + dist * np.sin(th))))
+        _ = direction
+
+    # right side p0→p1, then the p1 cap, left side p1→p0, then p0 cap
+    out.append((float(p0[0] + dist * nx), float(p0[1] + dist * ny)))
+    out.append((float(p1[0] + dist * nx), float(p1[1] + dist * ny)))
+    if endcap == "round":
+        cap(p1, float(np.arctan2(ny, nx)), +1)
+    elif endcap == "square":
+        out.append((float(p1[0] + dist * (nx + tx)),
+                    float(p1[1] + dist * (ny + ty))))
+        out.append((float(p1[0] + dist * (-nx + tx)),
+                    float(p1[1] + dist * (-ny + ty))))
+    out.append((float(p1[0] - dist * nx), float(p1[1] - dist * ny)))
+    out.append((float(p0[0] - dist * nx), float(p0[1] - dist * ny)))
+    if endcap == "round":
+        cap(p0, float(np.arctan2(-ny, -nx)), +1)
+    elif endcap == "square":
+        out.append((float(p0[0] + dist * (-nx - tx)),
+                    float(p0[1] + dist * (-ny - ty))))
+        out.append((float(p0[0] + dist * (nx - tx)),
+                    float(p0[1] + dist * (ny - ty))))
+    return np.asarray(out + [out[0]], dtype=np.float64)
+
+
+def _segments_properly_intersect(a0, a1, b0, b1) -> bool:
+    """Proper (interior) crossing test for the simplify validity check."""
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    o1, o2 = orient(a0, a1, b0), orient(a0, a1, b1)
+    o3, o4 = orient(b0, b1, a0), orient(b0, b1, a1)
+    return (o1 * o2 < 0) and (o3 * o4 < 0)
+
+
+def _ring_is_simple(ring: np.ndarray) -> bool:
+    v = ring[:-1]
+    n = len(v)
+    if n < 3:
+        return False
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            if _segments_properly_intersect(v[i], v[(i + 1) % n],
+                                            v[j], v[(j + 1) % n]):
+                return False
+    return True
+
+
+def simplify_ring_preserve(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Topology-preserving Douglas–Peucker (OGRGeometry::
+    SimplifyPreserveTopology, ogr/ogrgeometry.cpp:5029 → GEOS
+    TopologyPreservingSimplifier): plain DP first, then while the
+    simplified ring self-intersects or degenerates (<3 distinct
+    vertices), restore the dropped vertex with the largest deviation
+    from its surviving chord. Terminates at the original ring in the
+    worst case — topology is never sacrificed for vertex budget."""
+    pts = np.asarray(ring, dtype=np.float64)
+    simplified = simplify_ring(pts, tol)
+    v_all = pts[:-1]
+    kept = {(float(x), float(y)) for x, y in simplified[:-1]}
+
+    def build(keep_mask):
+        vv = v_all[keep_mask]
+        return np.vstack([vv, vv[:1]])
+
+    mask = np.array([(float(x), float(y)) in kept for x, y in v_all])
+    cand = build(mask)
+    while len(cand) < 4 or not _ring_is_simple(cand):
+        dropped = np.nonzero(~mask)[0]
+        if len(dropped) == 0:
+            return pts
+        # deviation of each dropped vertex from its surviving chord
+        best_i, best_d = -1, -1.0
+        kept_idx = np.nonzero(mask)[0]
+        for di in dropped:
+            prev_k = kept_idx[kept_idx < di]
+            next_k = kept_idx[kept_idx > di]
+            a = v_all[prev_k[-1] if len(prev_k) else kept_idx[-1]]
+            b = v_all[next_k[0] if len(next_k) else kept_idx[0]]
+            d2 = float(G.point_segment_dist2(v_all[di, 0], v_all[di, 1],
+                                             a[0], a[1], b[0], b[1]))
+            if d2 > best_d:
+                best_d, best_i = d2, di
+        mask[best_i] = True
+        cand = build(mask)
+    return cand
+
+
 def _is_convex_ring(ring: np.ndarray) -> bool:
     r = _ccw_ring(np.asarray(ring, dtype=np.float64))
     v = r[:-1]
@@ -386,6 +549,46 @@ def _st_buffer(col: pd.Series, dist: pd.Series,
         for b, d, q in zip(col, dist, quadsegs)], dtype="object")
 
 
+def _st_buffer_style(col: pd.Series, dist: pd.Series, quadsegs: pd.Series,
+                     endcap: pd.Series, join: pd.Series,
+                     mitre_limit: pd.Series) -> pd.Series:
+    """BufferEx surface (ogr/ogrgeometry.cpp:4637): endcap applies to
+    LineString input (2-point segments — exact closed caps), join style
+    + mitre limit to polygon vertices."""
+    out = []
+    for b, d, q, ec, js, ml in zip(col, dist, quadsegs, endcap, join,
+                                   mitre_limit):
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "LineString" and len(g["coords"]) == 2:
+            ring = buffer_segment(g["coords"][0], g["coords"][1],
+                                  float(d), int(q), str(ec))
+            out.append(bytearray(W.dumps_polygon([ring])))
+        else:
+            out.append(bytearray(W.dumps(buffer_geom_styled(
+                g, float(d), int(q), str(js), float(ml)))))
+    return pd.Series(out, dtype="object")
+
+
+def _st_simplifytopo(col: pd.Series, tol: pd.Series) -> pd.Series:
+    """SimplifyPreserveTopology (ogr/ogrgeometry.cpp:5029)."""
+    out = []
+    for b, t in zip(col, tol):
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "Polygon":
+            rings = [simplify_ring_preserve(r, float(t))
+                     for r in g["coords"]]
+            out.append(bytearray(W.dumps_polygon(rings)))
+        else:
+            out.append(bytearray(bytes(b)))
+    return pd.Series(out, dtype="object")
+
+
 def _st_simplify(col: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for b, t in zip(col, tol):
@@ -514,7 +717,9 @@ REGISTRY = {
     "st_convexhull": (_st_convexhull, "binary"),
     "st_concavehull": (_st_concavehull, "binary"),
     "st_buffer": (_st_buffer, "binary"),
+    "st_buffer_style": (_st_buffer_style, "binary"),
     "st_simplify": (_st_simplify, "binary"),
+    "st_simplifypreservetopology": (_st_simplifytopo, "binary"),
     "st_makevalid": (_st_makevalid, "binary"),
     "st_unionpair": (_st_unionpair, "binary"),
     "st_intersection": (_boolean_udf("intersection"), "binary"),
@@ -923,3 +1128,104 @@ select 27, 'geomtype_mix',
        -- MULTIPOINT flag (1) + 2 * POINT flag
        round(1e0 + 2e0 * 1e0, 6), cast(48 as bigint)
 """
+
+
+# ---------------------------------------------------------------------------
+# BufferEx style + SimplifyPreserveTopology contract fixture
+# (OGRGeometry::BufferEx ogr/ogrgeometry.cpp:4637 — endcap/join/
+# mitre-limit/quadsegs — and SimplifyPreserveTopology :5029). Closed
+# forms: a segment buffer is the 2r·L rectangle plus caps (flat: 0,
+# square: 2r·2r per... square adds 2r·r per end = 2r·2r total per the
+# extended rectangle; round: a 2q-chord semicircle fan of area
+# q·r²·sin(π/(2q)) per end); a convex-polygon buffer is
+# A + P·r + Σ vertex joins (mitre at 90°: r² per corner, bevel: r²/2,
+# round q: (q/2)·r²·sin(π/(2q))).
+# ---------------------------------------------------------------------------
+
+BS_SEG = [(0.0, 0.0), (30.0, 0.0)]   # L = 30
+BS_SQ = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]
+BS_R = 4.0
+BS_Q = 3       # segment cases: sin(pi/6) = 1/2 → exact dyadic areas
+BS_PQ = 2      # polygon round case
+
+
+def buffer_styles_cases(spark):
+    """Contract DataFrame: (case_id, style, area round-6, npoints) per
+    endcap/join/mitre/topology-simplify case, all through the
+    registered ST_ SQL surface."""
+    import pandas as pd  # noqa: F811
+
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    seg = W.dumps_linestring(np.asarray(BS_SEG))
+    sq = W.dumps_polygon([np.asarray(BS_SQ)])
+    rows = [
+        (1, "seg_flat", seg), (2, "seg_square", seg), (3, "seg_round", seg),
+        (4, "poly_mitre", sq), (5, "poly_bevel", sq),
+        (6, "poly_mitre_limited", sq), (7, "poly_round", sq),
+        (8, "simplify_topo", sq),
+    ]
+    pdf = pd.DataFrame(rows, columns=["case_id", "style", "geom"])
+    spark.createDataFrame(pdf).createOrReplaceTempView(
+        "buffer_styles_cases")
+    r, q, pq = f"{BS_R}e0", BS_Q, BS_PQ
+    return spark.sql(f"""
+select case_id, style, round(st_area(res), 6) as area,
+       st_npoints(res) as npoints
+from (
+  select case_id, style,
+         case style
+           when 'seg_flat'
+             then st_buffer_style(geom, {r}, {q}, 'flat', 'round', 5.0e0)
+           when 'seg_square'
+             then st_buffer_style(geom, {r}, {q}, 'square', 'round', 5.0e0)
+           when 'seg_round'
+             then st_buffer_style(geom, {r}, {q}, 'round', 'round', 5.0e0)
+           when 'poly_mitre'
+             then st_buffer_style(geom, {r}, {pq}, 'round', 'mitre', 5.0e0)
+           when 'poly_bevel'
+             then st_buffer_style(geom, {r}, {pq}, 'round', 'bevel', 5.0e0)
+           when 'poly_mitre_limited'
+             then st_buffer_style(geom, {r}, {pq}, 'round', 'mitre', 1.2e0)
+           when 'poly_round'
+             then st_buffer_style(geom, {r}, {pq}, 'round', 'round', 5.0e0)
+           when 'simplify_topo'
+             then st_simplifypreservetopology(geom, 100.0e0)
+         end as res
+  from buffer_styles_cases
+) t
+""")
+
+
+def buffer_styles_oracle_sql() -> str:
+    """First-principles closed forms for every style case (see section
+    comment): L = 30, a = 20, r = 4, segment q = 3 (sin(π/6) = 1/2),
+    polygon q = 2 (sin(π/4) = √2/2). npoints counts the deterministic
+    ring construction: 2 per edge + cap/fan/mitre vertices + the
+    closing vertex."""
+    L, a, r, q, pq = 30.0, 20.0, BS_R, BS_Q, BS_PQ
+    cases = [
+        # (id, style, area_sql, npoints)
+        (1, "seg_flat", f"2*{r}*{L}", 5),
+        (2, "seg_square", f"2*{r}*({L} + 2*{r})", 9),
+        (3, "seg_round",
+         f"2*{r}*{L} + 2*{q}*{r}*{r}*sin(pi()/(2*{q}))", 4 + 2*(2*q-1) + 1),
+        (4, "poly_mitre", f"({a} + 2*{r})*({a} + 2*{r})", 13),
+        (5, "poly_bevel", f"{a}*{a} + 4*{a}*{r} + 4*{r}*{r}/2", 9),
+        (6, "poly_mitre_limited",
+         f"{a}*{a} + 4*{a}*{r} + 4*{r}*{r}/2", 9),
+        (7, "poly_round",
+         f"{a}*{a} + 4*{a}*{r}"
+         f" + 4*({pq}/2.0)*{r}*{r}*sin(pi()/(2*{pq}))", 8 + 4*(pq-1) + 1),
+        # huge-tol DP degenerates the square; preserve restores the
+        # max-deviation dropped vertex → the (0,0),(20,0),(20,20)
+        # triangle, area a²/2, 4 ring points
+        (8, "simplify_topo", f"{a}*{a}/2", 4),
+    ]
+    rows = ", ".join(
+        f"({cid}, '{sty}', round(cast({expr} as double), 6), {np_})"
+        for cid, sty, expr, np_ in cases)
+    return (f"select case_id, style, area, cast(npoints as bigint)"
+            f" as npoints from (values {rows})"
+            f" v(case_id, style, area, npoints)")

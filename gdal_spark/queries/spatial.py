@@ -264,6 +264,21 @@ def q_st_constructive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return constructive_cases(spark)
 
 
+def q_st_buffer_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BufferEx option parity (OGRGeometry::BufferEx
+    ogr/ogrgeometry.cpp:4637 → GEOSBufferWithParams): endcap styles
+    round/flat/square on a segment, join styles round/mitre/bevel with
+    the mitre-limit fallback on a polygon, quadrant-segment counts —
+    plus SimplifyPreserveTopology (:5029), which restores dropped
+    vertices rather than emit a degenerate or self-crossing ring. The
+    DuckDB oracle holds the closed-form areas (rectangle + cap /
+    A + P·r + vertex-join wedges) and deterministic vertex counts."""
+    from gdal_spark.constructive import buffer_styles_cases
+
+    _ = sf_dir  # fixture op
+    return buffer_styles_cases(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -363,6 +378,7 @@ QUERIES = {
     "st_functions": q_st_functions,
     "st_predicates": q_st_predicates,
     "st_constructive": q_st_constructive,
+    "st_buffer_styles": q_st_buffer_styles,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -475,6 +491,9 @@ from documents
     "st_constructive": __import__(
         "gdal_spark.constructive", fromlist=["constructive_oracle_sql"]
     ).constructive_oracle_sql(),
+    "st_buffer_styles": __import__(
+        "gdal_spark.constructive", fromlist=["buffer_styles_oracle_sql"]
+    ).buffer_styles_oracle_sql(),
     "st_predicates": __import__(
         "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
     ).predicates_oracle_sql(),

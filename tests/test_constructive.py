@@ -212,3 +212,96 @@ def test_concave_hull_properties(spark):
         .collect()[0]["a"]
     assert got == pytest.approx(abs(G.ring_area(concave_hull(pts, 0.3))),
                                 abs=1e-9)
+
+
+def test_buffer_segment_endcap_closed_forms():
+    """Endcap styles on an exact segment: flat = 2rL, square = 2r(L+2r),
+    round = 2rL + 2q·r²·sin(π/(2q)) (two 2q-chord semicircle fans)."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark.constructive import buffer_segment
+
+    L, r = 30.0, 4.0
+    for q in (1, 2, 3, 8):
+        flat = buffer_segment((0, 0), (L, 0), r, q, "flat")
+        assert abs(G.ring_area(flat)) == 2 * r * L
+        sq = buffer_segment((0, 0), (L, 0), r, q, "square")
+        assert abs(G.ring_area(sq)) == 2 * r * (L + 2 * r)
+        rnd = buffer_segment((0, 0), (L, 0), r, q, "round")
+        want = 2 * r * L + 2 * q * r * r * math.sin(math.pi / (2 * q))
+        assert abs(abs(G.ring_area(rnd)) - want) < 1e-9
+        assert len(rnd) == 4 + 2 * (2 * q - 1) + 1
+    # a diagonal segment: area invariant under rotation
+    diag = buffer_segment((1, 1), (1 + 18, 1 + 24), r, 2, "square")
+    assert abs(abs(G.ring_area(diag)) - 2 * r * (30.0 + 2 * r)) < 1e-9
+
+
+def test_buffer_polygon_join_styles():
+    """Join styles on a square: mitre = (a+2r)², bevel = a²+4ar+2r²,
+    mitre beyond the limit falls back to bevel, round q-fan matches
+    the wedge closed form."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark.constructive import buffer_geom_styled
+
+    a, r = 20.0, 4.0
+    sq = {"type": "Polygon", "coords": [np.array(
+        [(0.0, 0.0), (a, 0.0), (a, a), (0.0, a), (0.0, 0.0)])]}
+    mit = buffer_geom_styled(sq, r, 2, "mitre", 5.0)
+    assert abs(abs(G.ring_area(np.asarray(mit["coords"][0])))
+               - (a + 2 * r) ** 2) < 1e-9
+    bev = buffer_geom_styled(sq, r, 2, "bevel", 5.0)
+    assert abs(abs(G.ring_area(np.asarray(bev["coords"][0])))
+               - (a * a + 4 * a * r + 2 * r * r)) < 1e-9
+    # right-angle mitre ratio is √2 ≈ 1.414 — limit 1.2 must bevel
+    lim = buffer_geom_styled(sq, r, 2, "mitre", 1.2)
+    assert abs(abs(G.ring_area(np.asarray(lim["coords"][0])))
+               - (a * a + 4 * a * r + 2 * r * r)) < 1e-9
+    rnd = buffer_geom_styled(sq, r, 3, "round", 5.0)
+    want = a * a + 4 * a * r + 4 * (3 / 2) * r * r * math.sin(math.pi / 6)
+    assert abs(abs(G.ring_area(np.asarray(rnd["coords"][0]))) - want) < 1e-9
+
+
+def test_simplify_preserve_topology_repairs_crossing():
+    """A fixture where plain Douglas–Peucker produces a SELF-CROSSING
+    ring: SimplifyPreserveTopology restores the minimal vertex set that
+    keeps the ring simple (GEOS TopologyPreservingSimplifier
+    behavior)."""
+    import numpy as np
+
+    from gdal_spark.constructive import (_ring_is_simple, simplify_ring,
+                                         simplify_ring_preserve)
+
+    ring = np.asarray(
+        [[4.837, 5.718], [4.346, 5.588], [2.417, 3.12], [1.527, 2.176],
+         [4.051, 6.066], [1.41, 3.682], [-5.864, 7.848], [-6.735, 3.456],
+         [-4.305, 1.216], [-9.694, 2.449], [-2.207, -0.037],
+         [3.892, -0.356], [4.837, 5.718]])
+    assert _ring_is_simple(ring)
+    plain = simplify_ring(ring, 1.0)
+    assert not _ring_is_simple(plain)          # the DP hazard is real
+    fixed = simplify_ring_preserve(ring, 1.0)
+    assert _ring_is_simple(fixed)
+    assert len(fixed) <= len(ring)             # still simplifies
+
+
+def test_simplify_preserve_topology_degenerate_restore():
+    """Huge tolerance degenerates plain DP below a ring; preserve
+    restores the max-deviation vertex → a simple triangle."""
+    import numpy as np
+
+    from gdal_spark import geom as G
+    from gdal_spark.constructive import (_ring_is_simple,
+                                         simplify_ring_preserve)
+
+    a = 20.0
+    sq = np.array([(0.0, 0.0), (a, 0.0), (a, a), (0.0, a), (0.0, 0.0)])
+    out = simplify_ring_preserve(sq, 100.0)
+    assert _ring_is_simple(out) and len(out) == 4
+    assert abs(abs(G.ring_area(out)) - a * a / 2) < 1e-9
