@@ -67,7 +67,7 @@ _PRIORITY = [
     # registered here as they land.
     "warp_to_webmercator", "warp_to_lcc93",
     "contour_linestrings",
-    "reproject_utm_south", "reproject_albers",
+    "reproject_utm_south", "reproject_albers", "reproject_osgb36",
     "st_buffer_styles",
     "ogrsql_execute_distinct_like",
     "ogrsql_execute_division_typing",

@@ -10,9 +10,23 @@ pyproj/PROJ is not available in this environment, so the projection math is
 implemented directly (public formulas):
 
 - EPSG:3857 WebMercator: spherical Mercator on the WGS84 semi-major axis.
-- EPSG:326xx UTM: transverse Mercator via the Krüger series to n^6
+- EPSG:326xx/327xx UTM: transverse Mercator via the Krüger series to n^6
   (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers"),
   nanometer-accurate within UTM extents.
+- EPSG:2154 Lambert-93 (LCC 2SP), EPSG:3031/3032 Polar Stereographic,
+  EPSG:3577 Australian Albers (equal-area, GDA94≡WGS84 null transform).
+- EPSG:27700 OSGB36 / British National Grid — the one registered
+  NON-WGS84 datum: the published 7-parameter Helmert (OS Guide §6.6,
+  position-vector) through geocentric XYZ, then Krüger on Airy 1830.
+
+DATUM CONTRACT (read this before adding codes): every registered family
+except 27700 sits on WGS84 (or a datum with a published null transform
+to it); arbitrary-EPSG datum shifts are NOT supported — GDAL does any
+pair via PROJ's transformation database (ogr/ogrct.cpp:1705-1803).
+Adding a datum here requires its published Helmert parameters (a
+HelmertParams instance) plus a worked example; grid-based corrections
+(NTv2/OSTN15) are out of scope, so 27700 carries the documented ~3.5 m
+single-Helmert accuracy vs OSTN15.
 
 Two execution paths, same formulas:
 
@@ -782,6 +796,9 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
     elif code == 3577:
         st = aea_sql_stages(lon, lat, AEA_3577)
         ren = {"easting": out_x, "northing": out_y}
+    elif code == 27700:
+        st = osgb36_sql_stages(lon, lat)
+        ren = {"easting": out_x, "northing": out_y}
     else:
         lon0, fn = _utm_epsg_params(code)
         st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
@@ -809,6 +826,8 @@ def epsg_fwd_np(code: int):
         return lambda lon, lat: ps_fwd_np(lon, lat, p)
     if code == 3577:
         return lambda lon, lat: aea_fwd_np(lon, lat, AEA_3577)
+    if code == 27700:
+        return osgb36_fwd_np
     lon0, fn = _utm_epsg_params(code)
     return lambda lon, lat: tmerc_fwd_np(lon, lat, lon0, fn=fn)
 
@@ -828,6 +847,8 @@ def epsg_inv_np(code: int):
         return lambda x, y: ps_inv_np(x, y, p)
     if code == 3577:
         return lambda x, y: aea_inv_np(x, y, AEA_3577)
+    if code == 27700:
+        return osgb36_inv_np
     lon0, fn = _utm_epsg_params(code)
     return lambda x, y: tmerc_inv_np(x, y, lon0, fn=fn)
 
@@ -851,6 +872,8 @@ def epsg_inv_stages(code: int, x: str, y: str,
                                PS_3031 if code == 3031 else PS_3032)
     elif code == 3577:
         st = aea_inv_sql_stages(x, y, out_lon, out_lat, AEA_3577)
+    elif code == 27700:
+        st = osgb36_inv_sql_stages(x, y, out_lon, out_lat)
     else:
         lon0, fn = _utm_epsg_params(code)
         st = tmerc_inv_sql_stages(x, y, out_lon, out_lat, lon0, fn=fn)
@@ -889,3 +912,419 @@ def stages_to_duckdb_sql(base_select: str, stages: list[tuple[str, str]],
         sql = f"select {star}, {expr} as {name} from ({sql}) _t"
         seen.add(name)
     return f"select {', '.join(final_cols)} from ({sql}) _f"
+
+
+# ---------------------------------------------------------------------------
+# Non-WGS84 datums: parameterized Krüger + 7-parameter Helmert shift.
+# EPSG:27700 (OSGB36 / British National Grid): transverse Mercator on
+# Airy 1830 with the published WGS84↔OSGB36 Helmert transformation
+# (EPSG:1314 / OS "A guide to coordinate systems in Great Britain",
+# position-vector convention, EPSG method 9606). This breaks the
+# rounds-1/2 WGS84-datum-only contract: the 4326→27700 chain is
+# geodetic→geocentric XYZ → Helmert → XYZ→geodetic (Airy, fixed-point)
+# → Krüger forward with Airy coefficients. The existing WGS84 tmerc
+# functions stay byte-identical (their SQL text is hashed by the
+# correctness gate); the parameterized versions live alongside.
+# Ref: ogr/ogrct.cpp:1705-1803 (PROJ pipeline dispatch), PROJ +towgs84.
+# ---------------------------------------------------------------------------
+
+
+def _kruger_coeffs(f: float) -> tuple[float, tuple, tuple]:
+    """(A/a ratio base, alpha[6], beta[6]) for third-flattening n of an
+    arbitrary ellipsoid (Karney 2011 eqs. 14-23, same series as the
+    WGS84 constants at module top)."""
+    nn = f / (2.0 - f)
+    n2, n3, n4 = nn * nn, nn ** 3, nn ** 4
+    n5, n6 = nn ** 5, nn ** 6
+    alpha = (
+        nn / 2.0 - 2.0 / 3.0 * n2 + 5.0 / 16.0 * n3 + 41.0 / 180.0 * n4
+        - 127.0 / 288.0 * n5 + 7891.0 / 37800.0 * n6,
+        13.0 / 48.0 * n2 - 3.0 / 5.0 * n3 + 557.0 / 1440.0 * n4
+        + 281.0 / 630.0 * n5 - 1983433.0 / 1935360.0 * n6,
+        61.0 / 240.0 * n3 - 103.0 / 140.0 * n4 + 15061.0 / 26880.0 * n5
+        + 167603.0 / 181440.0 * n6,
+        49561.0 / 161280.0 * n4 - 179.0 / 168.0 * n5
+        + 6601661.0 / 7257600.0 * n6,
+        34729.0 / 80640.0 * n5 - 3418889.0 / 1995840.0 * n6,
+        212378941.0 / 319334400.0 * n6,
+    )
+    beta = (
+        nn / 2.0 - 2.0 / 3.0 * n2 + 37.0 / 96.0 * n3 - 1.0 / 360.0 * n4
+        - 81.0 / 512.0 * n5 + 96199.0 / 604800.0 * n6,
+        1.0 / 48.0 * n2 + 1.0 / 15.0 * n3 - 437.0 / 1440.0 * n4
+        + 46.0 / 105.0 * n5 - 1118711.0 / 3870720.0 * n6,
+        17.0 / 480.0 * n3 - 37.0 / 840.0 * n4 - 209.0 / 4480.0 * n5
+        + 5569.0 / 90720.0 * n6,
+        4397.0 / 161280.0 * n4 - 11.0 / 504.0 * n5
+        - 830251.0 / 7257600.0 * n6,
+        4583.0 / 161280.0 * n5 - 108847.0 / 3991680.0 * n6,
+        20648693.0 / 638668800.0 * n6,
+    )
+    base = 1.0 / (1.0 + nn) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    return base, alpha, beta
+
+
+class TmercParams:
+    """Krüger transverse Mercator on an arbitrary ellipsoid with a
+    non-equatorial latitude of origin (the national-grid shape)."""
+
+    def __init__(self, a: float, f: float, lon0_deg: float, k0: float,
+                 fe: float, fn: float, lat0_deg: float = 0.0):
+        self.a = a
+        self.f = f
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0_deg = lon0_deg
+        self.k0 = k0
+        self.fe = fe
+        self.fn = fn
+        base, self.alpha, self.beta = _kruger_coeffs(f)
+        self.ka = a * base  # rectifying radius A
+        # meridian-arc offset of the latitude of origin: at λ = λ0 the
+        # Krüger ξ is the rectifying latitude, so N(φ0,λ0) = k0·A·ξ(φ0)
+        phi0 = math.radians(lat0_deg)
+        s0 = math.sin(phi0)
+        t0 = math.sinh(math.atanh(s0) - self.e * math.atanh(self.e * s0))
+        xi0 = math.atan(t0)
+        for j, al in enumerate(self.alpha, start=1):
+            xi0 += al * math.sin(2 * j * math.atan(t0))
+        self.m0 = k0 * self.ka * xi0
+
+
+def tmerc_fwd_np_p(lon, lat, p: TmercParams):
+    """Parameterized Krüger forward (mirrors tmerc_fwd_np)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    phi = np.radians(np.where(ok, lat, 0.0))
+    lam = np.radians(lon) - math.radians(p.lon0_deg)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - p.e * np.arctanh(p.e * s))
+    cl = np.cos(lam)
+    xi_p = np.arctan2(t, cl)
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, al in enumerate(p.alpha, start=1):
+        xi += al * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += al * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = p.fe + p.k0 * p.ka * eta
+    N = p.fn + p.k0 * p.ka * xi - p.m0
+    return np.where(ok, E, np.nan), np.where(ok, N, np.nan), ok
+
+
+def tmerc_inv_np_p(E, N, p: TmercParams):
+    """Parameterized Krüger inverse (mirrors tmerc_inv_np)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    xi = (N - p.fn + p.m0) / (p.k0 * p.ka)
+    eta = (E - p.fe) / (p.k0 * p.ka)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, bt in enumerate(p.beta, start=1):
+        xi_p -= bt * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= bt * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    sh = np.sinh(eta_p)
+    cx = np.cos(xi_p)
+    tau_p = np.sin(xi_p) / np.sqrt(sh * sh + cx * cx)
+    tau = tau_p.copy()
+    e = p.e
+    for _ in range(5):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = (tau * np.sqrt(1.0 + sigma * sigma)
+                 - sigma * np.sqrt(1.0 + tau * tau) - tau_p)
+        d_tau = ((np.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau))
+                  - sigma * tau) * (1.0 - e * e)
+                 * np.sqrt(1.0 + tau * tau)
+                 / (1.0 + (1.0 - e * e) * tau * tau))
+        tau = tau - f_tau / d_tau
+    lat = np.degrees(np.arctan(tau))
+    lon = np.degrees(np.arctan2(sh, cx)) + p.lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+class HelmertParams:
+    """7-parameter position-vector Helmert transformation (EPSG method
+    9606) between two geodetic datums, with the exact matrix inverse
+    precomputed (negating small parameters would leave O(s²+r²)·R ≈ mm
+    round-trip error; the exact inverse round-trips to float noise)."""
+
+    def __init__(self, tx: float, ty: float, tz: float,
+                 rx_as: float, ry_as: float, rz_as: float, s_ppm: float,
+                 src_a: float, src_f: float, dst_a: float, dst_f: float):
+        rx, ry, rz = (math.radians(v / 3600.0)
+                      for v in (rx_as, ry_as, rz_as))
+        s = s_ppm * 1e-6
+        self.m = [[(1.0 + s) * 1.0, (1.0 + s) * -rz, (1.0 + s) * ry],
+                  [(1.0 + s) * rz, (1.0 + s) * 1.0, (1.0 + s) * -rx],
+                  [(1.0 + s) * -ry, (1.0 + s) * rx, (1.0 + s) * 1.0]]
+        self.t = [tx, ty, tz]
+        self.minv = np.linalg.inv(np.asarray(self.m)).tolist()
+        self.src_a, self.src_e2 = src_a, src_f * (2.0 - src_f)
+        self.dst_a, self.dst_e2 = dst_a, dst_f * (2.0 - dst_f)
+
+
+AIRY_A, AIRY_B = 6377563.396, 6356256.909
+AIRY_F = (AIRY_A - AIRY_B) / AIRY_A
+# OS Guide §6.6: WGS84 → OSGB36 (EPSG:1314 approximation, ~3.5 m grid
+# accuracy vs OSTN15 — the published single-Helmert national values)
+HELMERT_WGS84_TO_OSGB36 = HelmertParams(
+    -446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894,
+    src_a=WGS84_A, src_f=WGS84_F, dst_a=AIRY_A, dst_f=AIRY_F)
+TMERC_27700 = TmercParams(AIRY_A, AIRY_F, lon0_deg=-2.0,
+                          k0=0.9996012717, fe=400000.0, fn=-100000.0,
+                          lat0_deg=49.0)
+
+
+def _geo_to_xyz_np(lon, lat, a: float, e2: float):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    return (nu * np.cos(phi) * np.cos(lam),
+            nu * np.cos(phi) * np.sin(lam),
+            nu * (1.0 - e2) * np.sin(phi))
+
+
+def _xyz_to_geo_np(X, Y, Z, a: float, e2: float, iters: int = 8):
+    lon = np.degrees(np.arctan2(Y, X))
+    pr = np.hypot(X, Y)
+    phi = np.arctan2(Z, pr * (1.0 - e2))
+    for _ in range(iters):
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * nu * np.sin(phi), pr)
+    return lon, np.degrees(phi)
+
+
+def datum_shift_np(lon, lat, h: HelmertParams, inverse: bool = False):
+    """Geodetic (src datum) → geodetic (dst datum), ellipsoid height 0
+    (the planar-analytics convention; OGR's default for 2D geometry)."""
+    if inverse:
+        X, Y, Z = _geo_to_xyz_np(lon, lat, h.dst_a, h.dst_e2)
+        m, t = h.minv, h.t
+        X2 = m[0][0] * (X - t[0]) + m[0][1] * (Y - t[1]) \
+            + m[0][2] * (Z - t[2])
+        Y2 = m[1][0] * (X - t[0]) + m[1][1] * (Y - t[1]) \
+            + m[1][2] * (Z - t[2])
+        Z2 = m[2][0] * (X - t[0]) + m[2][1] * (Y - t[1]) \
+            + m[2][2] * (Z - t[2])
+        return _xyz_to_geo_np(X2, Y2, Z2, h.src_a, h.src_e2)
+    X, Y, Z = _geo_to_xyz_np(lon, lat, h.src_a, h.src_e2)
+    m, t = h.m, h.t
+    X2 = t[0] + m[0][0] * X + m[0][1] * Y + m[0][2] * Z
+    Y2 = t[1] + m[1][0] * X + m[1][1] * Y + m[1][2] * Z
+    Z2 = t[2] + m[2][0] * X + m[2][1] * Y + m[2][2] * Z
+    return _xyz_to_geo_np(X2, Y2, Z2, h.dst_a, h.dst_e2)
+
+
+def osgb36_fwd_np(lon, lat):
+    """EPSG:4326 → EPSG:27700: Helmert datum shift then Airy Krüger."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok0 = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    lo, la = datum_shift_np(np.where(ok0, lon, 0.0),
+                            np.where(ok0, lat, 0.0),
+                            HELMERT_WGS84_TO_OSGB36)
+    E, N, ok = tmerc_fwd_np_p(lo, la, TMERC_27700)
+    E = np.where(ok0, E, np.nan)
+    N = np.where(ok0, N, np.nan)
+    return E, N, ok0 & ok
+
+
+def osgb36_inv_np(E, N):
+    """EPSG:27700 → EPSG:4326: Airy Krüger inverse then inverse
+    Helmert (exact matrix)."""
+    lo, la, ok = tmerc_inv_np_p(E, N, TMERC_27700)
+    lon, lat = datum_shift_np(lo, la, HELMERT_WGS84_TO_OSGB36,
+                              inverse=True)
+    ok = ok & np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def _geo_to_xyz_stages(lon: str, lat: str, a: float, e2: float,
+                       px: str, py: str, pz: str) -> list[tuple[str, str]]:
+    return [
+        ("_gphi", f"radians({lat})"),
+        ("_glam", f"radians({lon})"),
+        ("_gs", "sin(_gphi)"),
+        ("_gnu", f"{_fmt(a)} / sqrt(1.0 - {_fmt(e2)} * _gs * _gs)"),
+        ("_gc", "cos(_gphi)"),
+        (px, "_gnu * _gc * cos(_glam)"),
+        (py, "_gnu * _gc * sin(_glam)"),
+        (pz, f"_gnu * (1.0 - {_fmt(e2)}) * _gs"),
+    ]
+
+
+def _xyz_to_geo_stages(px: str, py: str, pz: str, a: float, e2: float,
+                       out_lon: str, out_lat: str,
+                       iters: int = INV_ITERS) -> list[tuple[str, str]]:
+    st = [
+        (out_lon, f"degrees(atan2({py}, {px}))"),
+        ("_gpr", f"sqrt({px} * {px} + {py} * {py})"),
+        ("_gphi", f"atan2({pz}, _gpr * (1.0 - {_fmt(e2)}))"),
+    ]
+    for _ in range(iters):
+        st.append(("_gs", "sin(_gphi)"))
+        st.append(("_gnu", f"{_fmt(a)} / sqrt(1.0 - {_fmt(e2)}"
+                           f" * _gs * _gs)"))
+        st.append(("_gphi", f"atan2({pz} + {_fmt(e2)} * _gnu * _gs,"
+                            f" _gpr)"))
+    st.append((out_lat, "degrees(_gphi)"))
+    return st
+
+
+def _helmert_stages(px: str, py: str, pz: str, h: HelmertParams,
+                    ox: str, oy: str, oz: str,
+                    inverse: bool = False) -> list[tuple[str, str]]:
+    if inverse:
+        m, t = h.minv, h.t
+        dx = f"({px} - {_fmt(t[0])})"
+        dy = f"({py} - {_fmt(t[1])})"
+        dz = f"({pz} - {_fmt(t[2])})"
+        return [
+            (ox, f"{_fmt(m[0][0])} * {dx} + {_fmt(m[0][1])} * {dy}"
+                 f" + {_fmt(m[0][2])} * {dz}"),
+            (oy, f"{_fmt(m[1][0])} * {dx} + {_fmt(m[1][1])} * {dy}"
+                 f" + {_fmt(m[1][2])} * {dz}"),
+            (oz, f"{_fmt(m[2][0])} * {dx} + {_fmt(m[2][1])} * {dy}"
+                 f" + {_fmt(m[2][2])} * {dz}"),
+        ]
+    m, t = h.m, h.t
+    return [
+        (ox, f"{_fmt(t[0])} + {_fmt(m[0][0])} * {px}"
+             f" + {_fmt(m[0][1])} * {py} + {_fmt(m[0][2])} * {pz}"),
+        (oy, f"{_fmt(t[1])} + {_fmt(m[1][0])} * {px}"
+             f" + {_fmt(m[1][1])} * {py} + {_fmt(m[1][2])} * {pz}"),
+        (oz, f"{_fmt(t[2])} + {_fmt(m[2][0])} * {px}"
+             f" + {_fmt(m[2][1])} * {py} + {_fmt(m[2][2])} * {pz}"),
+    ]
+
+
+def tmerc_sql_stages_p(lon: str, lat: str,
+                       p: TmercParams) -> list[tuple[str, str]]:
+    """Parameterized Krüger forward stages (mirrors tmerc_sql_stages
+    with arbitrary-ellipsoid coefficients and the m0 origin offset)."""
+    e = _fmt(p.e)
+    stages: list[tuple[str, str]] = [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_lam", f"radians({lon}) - radians({_fmt(p.lon0_deg)})"),
+        ("_lam", "atan2(sin(_lam), cos(_lam))"),
+        ("_sp", "sin(_phi)"),
+        ("_at1", "0.5 * ln((1.0 + _sp) / (1.0 - _sp))"),
+        ("_at2", f"0.5 * ln((1.0 + {e} * _sp) / (1.0 - {e} * _sp))"),
+        ("_w", f"_at1 - {e} * _at2"),
+        ("_t", "(exp(_w) - exp(-_w)) / 2.0"),
+        ("_cl", "cos(_lam)"),
+        ("_xip", "atan2(_t, _cl)"),
+        ("_q", "sin(_lam) / sqrt(_t * _t + _cl * _cl)"),
+        ("_etap", "ln(_q + sqrt(_q * _q + 1.0))"),
+        ("_xi", "_xip"),
+        ("_eta", "_etap"),
+    ]
+    for j, al in enumerate(p.alpha, start=1):
+        stages.append((f"_ch{j}",
+                       f"(exp({2*j} * _etap) + exp({-2*j} * _etap)) / 2.0"))
+        stages.append((f"_sh{j}",
+                       f"(exp({2*j} * _etap) - exp({-2*j} * _etap)) / 2.0"))
+        stages.append(("_xi", f"_xi + {_fmt(al)} * sin({2*j} * _xip)"
+                              f" * _ch{j}"))
+        stages.append(("_eta", f"_eta + {_fmt(al)} * cos({2*j} * _xip)"
+                               f" * _sh{j}"))
+    ka = _fmt(p.k0 * p.ka)
+    stages.append(("easting", f"case when ok then {_fmt(p.fe)}"
+                              f" + {ka} * _eta"
+                              f" else cast('nan' as double) end"))
+    stages.append(("northing", f"case when ok then {_fmt(p.fn)}"
+                               f" + {ka} * _xi - {_fmt(p.m0)}"
+                               f" else cast('nan' as double) end"))
+    return stages
+
+
+def tmerc_inv_sql_stages_p(x: str, y: str, out_lon: str, out_lat: str,
+                           p: TmercParams) -> list[tuple[str, str]]:
+    """Parameterized Krüger inverse stages (mirrors
+    tmerc_inv_sql_stages with arbitrary-ellipsoid coefficients)."""
+    e = _fmt(p.e)
+    ome2 = _fmt(1.0 - p.e2)
+    ka = _fmt(p.k0 * p.ka)
+    stages: list[tuple[str, str]] = [
+        ("_xi", f"(({y} - {_fmt(p.fn)} + {_fmt(p.m0)}) / {ka})"),
+        ("_eta", f"(({x} - {_fmt(p.fe)}) / {ka})"),
+        ("_xip", "_xi"),
+        ("_etap", "_eta"),
+    ]
+    for j, b in enumerate(p.beta, start=1):
+        stages.append((f"_ich{j}",
+                       f"(exp({2*j} * _eta) + exp({-2*j} * _eta)) / 2.0"))
+        stages.append((f"_ish{j}",
+                       f"(exp({2*j} * _eta) - exp({-2*j} * _eta)) / 2.0"))
+        stages.append(("_xip",
+                       f"_xip - {_fmt(b)} * sin({2*j} * _xi) * _ich{j}"))
+        stages.append(("_etap",
+                       f"_etap - {_fmt(b)} * cos({2*j} * _xi) * _ish{j}"))
+    stages += [
+        ("_shp", "(exp(_etap) - exp(-_etap)) / 2.0"),
+        ("_cx", "cos(_xip)"),
+        ("_taup", "sin(_xip) / sqrt(_shp * _shp + _cx * _cx)"),
+        ("_tau", "_taup"),
+    ]
+    for _ in range(5):
+        stages += [
+            ("_z", f"{e} * _tau / sqrt(1.0 + _tau * _tau)"),
+            ("_w", f"{e} * 0.5 * ln((1.0 + _z) / (1.0 - _z))"),
+            ("_sig", "(exp(_w) - exp(-_w)) / 2.0"),
+            ("_ft", "_tau * sqrt(1.0 + _sig * _sig)"
+                    " - _sig * sqrt(1.0 + _tau * _tau) - _taup"),
+            ("_dt", f"(sqrt((1.0 + _sig * _sig) * (1.0 + _tau * _tau))"
+                    f" - _sig * _tau) * {ome2} * sqrt(1.0 + _tau * _tau)"
+                    f" / (1.0 + {ome2} * _tau * _tau)"),
+            ("_tau", "_tau - _ft / _dt"),
+        ]
+    stages += [
+        (out_lat, "degrees(atan(_tau))"),
+        ("_lonu", f"degrees(atan2(_shp, _cx)) + {_fmt(p.lon0_deg)}"),
+        (out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"),
+        ("ok", f"(isnan({out_lon}) = false and isnan({out_lat}) = false)"),
+    ]
+    return stages
+
+
+def osgb36_sql_stages(lon: str, lat: str) -> list[tuple[str, str]]:
+    """4326 → 27700 staged SQL: WGS84 geodetic→XYZ → Helmert →
+    XYZ→geodetic (Airy, fixed-point unrolled) → Airy Krüger forward.
+    Identical text both engines — the datum-shifted chain stays
+    oracle-checkable like every other family."""
+    h = HELMERT_WGS84_TO_OSGB36
+    st = [("ok0", f"(isnan({lon}) = false and isnan({lat}) = false"
+                  f" and abs({lat}) <= 90.0)"),
+          ("_slon", f"case when ok0 then {lon} else 0.0 end"),
+          ("_slat", f"case when ok0 then {lat} else 0.0 end")]
+    st += _geo_to_xyz_stages("_slon", "_slat", h.src_a, h.src_e2,
+                             "_hx", "_hy", "_hz")
+    st += _helmert_stages("_hx", "_hy", "_hz", h, "_hx2", "_hy2", "_hz2")
+    st += _xyz_to_geo_stages("_hx2", "_hy2", "_hz2", h.dst_a, h.dst_e2,
+                             "_olon", "_olat")
+    st += tmerc_sql_stages_p("_olon", "_olat", TMERC_27700)
+    st += [("ok", "(ok0 and ok)")]
+    return st
+
+
+def osgb36_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                          out_lat: str = "lat") -> list[tuple[str, str]]:
+    """27700 → 4326 staged SQL: Airy Krüger inverse → Airy geodetic→XYZ
+    → exact inverse Helmert → XYZ→geodetic (WGS84, unrolled)."""
+    h = HELMERT_WGS84_TO_OSGB36
+    st = tmerc_inv_sql_stages_p(x, y, "_ilon", "_ilat", TMERC_27700)
+    st += _geo_to_xyz_stages("_ilon", "_ilat", h.dst_a, h.dst_e2,
+                             "_hx", "_hy", "_hz")
+    st += _helmert_stages("_hx", "_hy", "_hz", h, "_hx2", "_hy2", "_hz2",
+                          inverse=True)
+    st += _xyz_to_geo_stages("_hx2", "_hy2", "_hz2", h.src_a, h.src_e2,
+                             out_lon, out_lat)
+    st += [("ok", f"(isnan({out_lon}) = false"
+                  f" and isnan({out_lat}) = false)")]
+    return st

@@ -119,6 +119,30 @@ def q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_osgb36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:27700 (OSGB36 / British National Grid): the
+    first NON-WGS84-DATUM family — WGS84 geodetic→geocentric, published
+    7-parameter Helmert (OS Guide §6.6 / EPSG:1314, position-vector),
+    geocentric→Airy-1830 geodetic (fixed-point unrolled), Krüger
+    forward with Airy coefficients and the 49°N/2°W national-grid
+    origin. Validated against the OS Guide worked example (mm-exact on
+    the projection leg, tests/test_geodesy.py). Points restricted to
+    ±20° longitude (the Krüger operating envelope); accuracy is the
+    single-Helmert ~3.5 m vs OSTN15, documented."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir).filter(
+        "lon >= -20.0 and lon <= 20.0")
+    out = apply_sql_stages(pts, epsg_fwd_stages(27700, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN: every 13th doc queries the geotagged point set."""
     # cache the NARROW projection (id, lon, lat ≈ 24 B/row — bounded even
@@ -144,6 +168,7 @@ QUERIES = {
     "reproject_lcc93": q_reproject_lcc93,
     "reproject_utm_south": q_reproject_utm_south,
     "reproject_albers": q_reproject_albers,
+    "reproject_osgb36": q_reproject_osgb36,
     "knn": q_knn,
 }
 
@@ -213,6 +238,19 @@ def _albers_oracle() -> str:
             f" round(northing, 3) as northing, ok from ({inner}) q")
 
 
+def _osgb36_oracle() -> str:
+    from gdal_spark.crs import epsg_fwd_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p"
+        f" where lon >= -20.0 and lon <= 20.0",
+        epsg_fwd_stages(27700, "lon", "lat", "easting", "northing"),
+        ["doc_id", "easting", "northing", "ok"],
+    )
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
+
+
 def _knn_oracle() -> str:
     dist = haversine_sql("q.lon", "q.lat", "p.lon", "p.lat")
     return f"""
@@ -235,5 +273,6 @@ ORACLES = {
     "reproject_lcc93": _lcc_oracle(),
     "reproject_utm_south": _utm_south_oracle(),
     "reproject_albers": _albers_oracle(),
+    "reproject_osgb36": _osgb36_oracle(),
     "knn": _knn_oracle(),
 }

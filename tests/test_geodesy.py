@@ -373,3 +373,71 @@ def test_knn_default_z0_no_action(spark, monkeypatch):
     got = out.toPandas()
     assert len(got) == qs.count() * 3
     assert (got.groupby("qid")["rank"].max() == 3).all()
+
+
+def test_osgb36_os_guide_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' worked
+    example (projection leg, OSGB36 geodetic in): 52°39′27.2531″N
+    1°43′4.5177″E → E 651409.903 / N 313177.270 (mm-exact)."""
+    from gdal_spark.crs import TMERC_27700, tmerc_fwd_np_p
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N, ok = tmerc_fwd_np_p([lon], [lat], TMERC_27700)
+    assert ok[0]
+    assert abs(E[0] - 651409.903) < 1e-3
+    assert abs(N[0] - 313177.270) < 1e-3
+
+
+def test_osgb36_datum_shift_and_roundtrip():
+    """Full 4326→27700 chain: the Helmert datum shift moves Greenwich
+    by the published ~120 m (vs the naive no-shift projection), the
+    exact-matrix inverse round-trips to ~1e-8 degrees (the XYZ→geodetic
+    fixed point), and the dispatch surfaces agree."""
+    import math
+
+    from gdal_spark.crs import (TMERC_27700, epsg_fwd_np, epsg_inv_np,
+                                osgb36_fwd_np, tmerc_fwd_np_p)
+
+    E, N, ok = osgb36_fwd_np([0.0], [51.4779])
+    En, Nn, _ = tmerc_fwd_np_p([0.0], [51.4779], TMERC_27700)
+    shift = math.hypot(E[0] - En[0], N[0] - Nn[0])
+    assert 100.0 < shift < 140.0  # published WGS84↔OSGB36 offset scale
+    rng = np.random.RandomState(4)
+    lon = rng.uniform(-7, 1.8, 200)
+    lat = rng.uniform(49.9, 60.8, 200)
+    x, y, ok = epsg_fwd_np(27700)(lon, lat)
+    assert ok.all()
+    lo, la, ok2 = epsg_inv_np(27700)(x, y)
+    assert ok2.all()
+    assert np.abs(lo - lon).max() < 5e-8
+    assert np.abs(la - lat).max() < 5e-8
+
+
+def test_osgb36_sql_stages_match_numpy(ddb):
+    """The 27700 staged-SQL chain (geocentric Helmert + Airy Krüger,
+    both directions) matches the numpy kernels to nm scale."""
+    from gdal_spark.crs import (epsg_fwd_stages, epsg_inv_stages,
+                                osgb36_fwd_np, osgb36_inv_np,
+                                stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(12)
+    lon = rng.uniform(-7, 1.8, 80)
+    lat = rng.uniform(49.9, 60.8, 80)
+    ddb.register("gb_pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    sql = stages_to_duckdb_sql(
+        "select lon, lat from gb_pts",
+        epsg_fwd_stages(27700, "lon", "lat", "e", "n"), ["e", "n", "ok"])
+    out = ddb.execute(sql).df()
+    E, N, _ = osgb36_fwd_np(lon, lat)
+    assert out["ok"].all()
+    assert np.abs(out["e"] - E).max() < 1e-6
+    assert np.abs(out["n"] - N).max() < 1e-6
+    ddb.register("gb_xy", pd.DataFrame({"x": E, "y": N}))
+    sql2 = stages_to_duckdb_sql(
+        "select x, y from gb_xy",
+        epsg_inv_stages(27700, "x", "y"), ["lon", "lat", "ok"])
+    out2 = ddb.execute(sql2).df()
+    lo, la, _ = osgb36_inv_np(E, N)
+    assert np.abs(out2["lon"] - lo).max() < 1e-12
+    assert np.abs(out2["lat"] - la).max() < 1e-12
