@@ -88,6 +88,28 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(textops.boilerplate_sql("documents", textops.SPARK))
 
 
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan (the redaction pre-pass of a pretraining pipeline):
+    per-doc email/phone regex counts + the character count a redaction
+    pass would remove, over deterministically PII-injected fixture text
+    (textops.pii_text_sql). Narrow map, zero shuffle — the 100 TB shape
+    is embarrassingly parallel; both engines run backslash-free regex
+    classes that behave identically under Java regex and RE2."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.pii_scan_sql("documents", textops.SPARK))
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by (lang, length bucket) — the
+    data-mixing stage: keep decisions are a pure multiplicative-hash
+    function of doc_id (seed-stable, so a re-run partition reproduces
+    its sample exactly — the checkpoint/resume invariant rand()-based
+    Bernoulli sampling breaks); per-stratum totals ride a window."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        textops.stratified_sample_sql("documents", textops.SPARK))
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
 
@@ -444,6 +466,8 @@ QUERIES = {
     "text_rare_terms": q_rare_terms,
     "text_boilerplate": q_text_boilerplate,
     "text_repetition": q_text_repetition,
+    "text_pii_scan": q_text_pii_scan,
+    "text_stratified_sample": q_text_stratified_sample,
     "multimodal_inspect": q_multimodal_inspect,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
@@ -476,6 +500,9 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "text_rare_terms": _rare_terms_sql(DUCKDB),
     "text_boilerplate": textops.boilerplate_sql("documents", DUCKDB),
     "text_repetition": textops.repetition_sql("documents", DUCKDB),
+    "text_pii_scan": textops.pii_scan_sql("documents", DUCKDB),
+    "text_stratified_sample":
+        textops.stratified_sample_sql("documents", DUCKDB),
     "multimodal_inspect": f"""
 select m.url, m.n_bytes, m.content_md5, m.format,
        d.width, d.height, d.n_frames, d.feat

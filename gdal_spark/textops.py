@@ -404,3 +404,102 @@ def fingerprint_stages(engine: str) -> list[tuple[str, str]]:
         ("fp", char_fold_sql("text", engine)),
         ("fp64", char_fold_sql("substr(text, 1, 64)", engine)),
     ]
+
+
+# ---------------------------------------------------------------------------
+# PII scan (the redaction pre-pass of a pretraining pipeline) and
+# deterministic stratified sampling (reproducible data mixing).
+# ---------------------------------------------------------------------------
+
+# backslash-free patterns: Spark (Java regex) processes backslash escapes
+# inside string literals while DuckDB (RE2) keeps them — classes and
+# bounded quantifiers behave identically in both engines
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_text_sql(text: str) -> str:
+    """Deterministic PII injection over the synthetic corpus (shared
+    ANSI text): docs with doc_id % 7 = 0 gain an email token, docs with
+    doc_id % 11 = 0 a phone token, so the scan has a non-trivial,
+    exactly-reproducible ground truth on the fixture tables."""
+    return (
+        f"concat({text},"
+        f" case when doc_id % 7 = 0 then"
+        f" concat(' user', doc_id, '@example.com') else '' end,"
+        f" case when doc_id % 11 = 0 then"
+        f" concat(' 555-', lpad(cast(doc_id % 1000 as string), 3, '0'),"
+        f" '-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+        f" else '' end)"
+    )
+
+
+def pii_scan_stages(engine: str) -> list[tuple[str, str]]:
+    """Per-doc PII counts + the redacted character count (what a
+    regexp_replace redaction pass would remove): pure narrow Catalyst
+    stages, no shuffle — the 100 TB shape is a map over the text
+    column."""
+    email = regex_count_sql("_pii_text", PII_EMAIL_RE, engine)
+    phone = regex_count_sql("_pii_text", PII_PHONE_RE, engine)
+    if engine == SPARK:
+        red = (f"length(_pii_text) - length(regexp_replace("
+               f"regexp_replace(_pii_text, '{PII_EMAIL_RE}', ''),"
+               f" '{PII_PHONE_RE}', ''))")
+    else:
+        red = (f"length(_pii_text) - length(regexp_replace("
+               f"regexp_replace(_pii_text, '{PII_EMAIL_RE}', '', 'g'),"
+               f" '{PII_PHONE_RE}', '', 'g'))")
+    return [
+        ("n_email", email),
+        ("n_phone", phone),
+        ("pii_chars", f"cast({red} as bigint)"),
+        ("has_pii", "(n_email > 0 or n_phone > 0)"),
+    ]
+
+
+def pii_scan_sql(doc_view: str, engine: str) -> str:
+    base = (f"select doc_id, {pii_text_sql('text')} as _pii_text"
+            f" from {doc_view}")
+    from gdal_spark.crs import stages_to_duckdb_sql
+
+    # the stage renderer is engine-agnostic nested selects; Spark parses
+    # the same nested form (no DuckDB-only syntax in these stages)
+    return stages_to_duckdb_sql(
+        base, pii_scan_stages(engine),
+        ["doc_id", "n_email", "n_phone", "pii_chars", "has_pii"])
+
+
+# per-language target sampling rates, permil (the data-mixing recipe);
+# languages absent from the map keep the default rate
+SAMPLE_RATES_PERMIL = {"en": 800, "de": 500, "fr": 500, "es": 300}
+SAMPLE_DEFAULT_PERMIL = 100
+# Knuth multiplicative hash on doc_id: deterministic, seed-stable across
+# engines and retries — resumable sampling needs the decision to be a
+# pure function of the row key, never of rand()
+SAMPLE_HASH = "((doc_id * 2654435761) % 1000)"
+
+
+def stratified_sample_sql(doc_view: str, engine: str) -> str:
+    """Deterministic stratified sampling by (lang, length bucket): every
+    doc carries its stratum, hash slot and keep decision; per-stratum
+    totals ride along via a window so the realized rate is checkable in
+    one pass. The keep rule is a pure function of doc_id — re-running a
+    failed partition reproduces the identical sample (the checkpoint/
+    resume invariant), unlike rand()-based Bernoulli sampling."""
+    _ = engine  # shared ANSI spelling
+    rates = " ".join(
+        f"when '{lg}' then {pm}" for lg, pm in SAMPLE_RATES_PERMIL.items())
+    return f"""
+select doc_id, stratum, keep,
+       cast(count(*) over (partition by stratum) as bigint) as n_stratum,
+       cast(sum(case when keep then 1 else 0 end)
+            over (partition by stratum) as bigint) as n_kept
+from (
+  select doc_id,
+         concat(lang, '/', case when length(text) >= 200 then 'long'
+                                else 'short' end) as stratum,
+         {SAMPLE_HASH} < (case lang {rates}
+                          else {SAMPLE_DEFAULT_PERMIL} end) as keep
+  from {doc_view}
+) s
+"""

@@ -313,3 +313,48 @@ def test_decontaminate_flags_planted_copies(docs, crawl):
             assert got[(d + 1000000, d)] == 1.0
             planted += 1
     assert planted >= 1
+
+
+def test_pii_scan_injection_ground_truth(spark):
+    """The PII scan's counts match the deterministic injection rule:
+    exactly the doc_id % 7 == 0 docs carry one email, the
+    doc_id % 11 == 0 docs one phone, and pii_chars equals the injected
+    token lengths."""
+    from gdal_spark import textops as T
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    df = spark.sql(T.pii_scan_sql("documents", T.SPARK)).toPandas()
+    assert (df["n_email"] == (df["doc_id"] % 7 == 0).astype(int)).all()
+    assert (df["n_phone"] == (df["doc_id"] % 11 == 0).astype(int)).all()
+    import numpy as np
+
+    email_len = np.where(df["doc_id"] % 7 == 0,
+                         df["doc_id"].astype(str).str.len() + 16, 0)
+    phone_len = np.where(df["doc_id"] % 11 == 0, 12, 0)
+    assert (df["pii_chars"] == email_len + phone_len).all()
+    assert (df["has_pii"] == ((df["n_email"] > 0)
+                              | (df["n_phone"] > 0))).all()
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Sampling decisions are a pure function of doc_id (two runs are
+    identical) and realized per-stratum rates track the permil targets
+    within binomial-ish slack."""
+    from gdal_spark import textops as T
+
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    a = spark.sql(T.stratified_sample_sql("documents", T.SPARK)) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = spark.sql(T.stratified_sample_sql("documents", T.SPARK)) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    for stratum, g in a.groupby("stratum"):
+        lang = stratum.split("/")[0]
+        target = T.SAMPLE_RATES_PERMIL.get(
+            lang, T.SAMPLE_DEFAULT_PERMIL) / 1000.0
+        rate = g["keep"].mean()
+        assert abs(rate - target) < 0.25, (stratum, rate, target)
+        assert (g["n_stratum"] == len(g)).all()
+        assert (g["n_kept"] == g["keep"].sum()).all()
