@@ -289,6 +289,11 @@ def _labeled_segments(tiles: DataFrame, raster_px: int,
     # chain of k crossings costs k pointer hops, not k join rounds); the
     # distributed pointer-jump loop is the large-scale path — the same
     # two-regime split GDAL's contour writer applies per chunk.
+    # 200k default sized in bytes: an edge row is two int64 labels
+    # (~16 B + ~40 B Row overhead collected), so the driver copy tops
+    # out ≈ 11 MB plus a dict of ≤ 400k int keys (~30 MB) — well under
+    # one task's memory; at 200k+ seam crossings the O(log d)
+    # pointer-jump rounds amortize and the distributed path wins anyway.
     n_edges = edges.count()
     if n_edges <= driver_merge_max:
         parent: dict[int, int] = {}
