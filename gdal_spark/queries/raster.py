@@ -372,6 +372,32 @@ from crossed where crossings % 2 = 1
 """
 
 
+def q_warp_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r min/max/med/q1/q3 (GWKAOM_Imin/Imax/Quant,
+    alg/gdalwarpkernel.cpp:6595-6628): the order-statistic resamplers
+    over the average-warp dst grid, one method column. Quantiles follow
+    GDAL's exact index rule — ascending value at ceil(q·n − 1)
+    (:7605-7607), computed from value-count histograms so the shuffle
+    never carries per-pixel value lists."""
+    from gdal_spark.raster import warp_minmax, warp_quantile
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    outs = []
+    for label, op in (("min", "min"), ("max", "max")):
+        outs.append(warp_minmax(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
+                                _AVG_DST_PX, op=op).select(
+            F.lit(label).alias("method"), "di", "dj", "n_src", "value"))
+    for label, q in (("med", 0.5), ("q1", 0.25), ("q3", 0.75)):
+        outs.append(warp_quantile(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT,
+                                  _AVG_DST_PX, quant=q).select(
+            F.lit(label).alias("method"), "di", "dj", "n_src", "value"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -cutline (apps/gdalwarp_lib.cpp:458): the affine
     nearest warp masked to a polygon cutline — dst pixels whose center
@@ -862,6 +888,7 @@ QUERIES = {
     "warp_reproject_dem": q_warp_reproject,
     "warp_to_webmercator": q_warp_to_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
+    "warp_order_stats": q_warp_order_stats,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
@@ -1069,6 +1096,12 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _LCC_DST_GT,
                                   _LCC_DST_PX, src_epsg=4326,
                                   dst_epsg=2154),
+    "warp_order_stats": __import__(
+        "gdal_spark.raster", fromlist=["warp_order_stats_oracle_sql"]
+    ).warp_order_stats_oracle_sql(
+        _AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,
+        [("min", "min"), ("max", "max"), ("med", "0.5"),
+         ("q1", "0.25"), ("q3", "0.75")]),
     "warp_bilinear_dem": f"""
 select 'bilinear' as method, qid, value from (
 {warp_bilinear_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) b

@@ -1727,6 +1727,134 @@ def warp_mode(tiles: DataFrame, src_gt: list[float], raster_px: int,
             .selectExpr("di", "dj", "v as value", "c as n_mode"))
 
 
+def _warp_value_counts(tiles: DataFrame, src_gt: list[float],
+                       dst_gt: list[float], dst_px: int,
+                       np_dtype) -> DataFrame:
+    """Shared (di, dj, v, c) value-count partials (the warp_mode shape):
+    one pass per tile buffer, shuffle carries one row per distinct value
+    per dst pixel per tile — never pixel rows."""
+    t = TILE_PX
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                gy, gx = np.mgrid[0:t, 0:t]
+                gx = gx + int(tx) * t
+                gy = gy + int(ty) * t
+                wx = src_gt[0] + (gx + 0.5) * src_gt[1]
+                wy = src_gt[3] + (gy + 0.5) * src_gt[5]
+                di = np.floor((wx - dst_gt[0]) / dst_gt[1]).astype(np.int64)
+                dj = np.floor((wy - dst_gt[3]) / dst_gt[5]).astype(np.int64)
+                keep = ((di >= 0) & (di < dst_px)
+                        & (dj >= 0) & (dj < dst_px))
+                if not keep.any():
+                    continue
+                key = dj[keep] * dst_px + di[keep]
+                vals = buf[keep].astype(np.int64)
+                pair = np.stack([key, vals], axis=1)
+                uniq, cnts = np.unique(pair, axis=0, return_counts=True)
+                yield pd.DataFrame({
+                    "di": uniq[:, 0] % dst_px, "dj": uniq[:, 0] // dst_px,
+                    "v": uniq[:, 1], "c": cnts.astype(np.int64),
+                })
+
+    return tiles.mapInPandas(partials, "di long, dj long, v long, c long") \
+        .groupBy("di", "dj", "v").agg(F.sum("c").alias("c"))
+
+
+def warp_minmax(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                dst_gt: list[float], dst_px: int, op: str = "min",
+                dtype: str = "int64") -> DataFrame:
+    """Min/max-resampled warp (gdalwarp -r min / -r max, GWKAOM_Imin/
+    Imax alg/gdalwarpkernel.cpp:6595-6613): per dst pixel the extreme of
+    the src pixels whose centers fall in it — exact integer partials,
+    one keyed reduction."""
+    _ = raster_px
+    counts = _warp_value_counts(tiles, src_gt, dst_gt, dst_px,
+                                np.dtype(dtype))
+    agg = F.min("v") if op == "min" else F.max("v")
+    return (counts.groupBy("di", "dj")
+            .agg(agg.alias("value"), F.sum("c").alias("n_src"))
+            .select("di", "dj", "n_src", "value"))
+
+
+def warp_quantile(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                  dst_gt: list[float], dst_px: int, quant: float = 0.5,
+                  dtype: str = "int64") -> DataFrame:
+    """Quantile-resampled warp (gdalwarp -r med/q1/q3, GWKAOM_Quant):
+    GDAL picks the ascending-sorted contributing value at index
+    ceil(quant·n − 1) (0-based, no interpolation —
+    alg/gdalwarpkernel.cpp:7605). Computed exactly from the value-count
+    histogram: a running count locates the value whose cumulative
+    interval covers the index — the shuffle stays one row per distinct
+    value per dst pixel, never a per-pixel value list."""
+    _ = raster_px
+    counts = _warp_value_counts(tiles, src_gt, dst_gt, dst_px,
+                                np.dtype(dtype))
+    w_n = Window.partitionBy("di", "dj")
+    w_cum = (Window.partitionBy("di", "dj").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    q = repr(float(quant))
+    return (counts
+            .withColumn("n", F.sum("c").over(w_n))
+            .withColumn("cum", F.sum("c").over(w_cum))
+            .withColumn("qidx",
+                        F.expr(f"cast(ceil({q} * n - 1) as bigint)"))
+            .filter("cum - c <= qidx and cum >= qidx + 1")
+            .selectExpr("di", "dj", "n as n_src", "v as value"))
+
+
+def warp_order_stats_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                                dst_px: int, raster_px: int,
+                                methods: list[tuple[str, str]]) -> str:
+    """Oracle for the min/max/med/q1/q3 suite: identical dst assignment,
+    identical ceil(q·n − 1) index rule over the per-pixel value counts.
+    ``methods`` is a list of (label, op) with op ∈ {'min','max'} or a
+    quantile literal like '0.5'."""
+    wx = f"({_lit(src_gt[0])} + (gx + 0.5) * {_lit(src_gt[1])})"
+    wy = f"({_lit(src_gt[3])} + (gy + 0.5) * {_lit(src_gt[5])})"
+    di = (f"cast(floor(({wx} - {_lit(dst_gt[0])}) / {_lit(dst_gt[1])})"
+          f" as bigint)")
+    dj = (f"cast(floor(({wy} - {_lit(dst_gt[3])}) / {_lit(dst_gt[5])})"
+          f" as bigint)")
+    base = f"""
+with s as (
+  select a.range as gx, b.range as gy
+  from range(0, {raster_px}) a cross join range(0, {raster_px}) b
+),
+m as (
+  select {di} as di, {dj} as dj, {DEM_ELEV_SQL} as v from s
+),
+c as (
+  select di, dj, v, count(*) as c from m
+  where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}
+  group by 1, 2, 3
+),
+r as (
+  select di, dj, v, c,
+         sum(c) over (partition by di, dj) as n,
+         sum(c) over (partition by di, dj order by v
+                      rows unbounded preceding) as cum
+  from c
+)
+"""
+    parts = []
+    for label, op in methods:
+        if op in ("min", "max"):
+            parts.append(
+                f"select '{label}' as method, di, dj,"
+                f" cast(sum(c) as bigint) as n_src, {op}(v) as value"
+                f" from c group by di, dj")
+        else:
+            parts.append(
+                f"select '{label}' as method, di, dj,"
+                f" cast(n as bigint) as n_src, v as value from r"
+                f" where cum - c <= cast(ceil({op} * n - 1) as bigint)"
+                f" and cum >= cast(ceil({op} * n - 1) as bigint) + 1")
+    return base + "\nunion all\n".join(parts)
+
+
 def warp_mode_oracle_sql(dst_gt: list[float], src_gt: list[float],
                          dst_px: int, raster_px: int) -> str:
     """Oracle: enumerate src pixels, identical dst assignment, mode via
