@@ -398,6 +398,19 @@ def q_warp_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r lanczos (GWKLanczosSinc radius 3): 6×6 windowed-sinc
+    taps normalized by their sum, fractional src coords in Catalyst,
+    chunk-gather per tile — completes the gdalwarp -r kernel matrix
+    (nearest/bilinear/cubic/lanczos/average/mode/rms/min/max/med/q1/q3)."""
+    from gdal_spark.raster import warp_lanczos
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    out = warp_lanczos(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
+    return out.selectExpr("qid", "round(value, 6) as value")
+
+
 def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -cutline (apps/gdalwarp_lib.cpp:458): the affine
     nearest warp masked to a polygon cutline — dst pixels whose center
@@ -889,6 +902,7 @@ QUERIES = {
     "warp_to_webmercator": q_warp_to_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_order_stats": q_warp_order_stats,
+    "warp_lanczos_dem": q_warp_lanczos,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
@@ -1096,6 +1110,11 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _LCC_DST_GT,
                                   _LCC_DST_PX, src_epsg=4326,
                                   dst_epsg=2154),
+    "warp_lanczos_dem": f"""
+select qid, round(value, 6) as value from (
+{__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])
+ .warp_lanczos_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) l
+""",
     "warp_order_stats": __import__(
         "gdal_spark.raster", fromlist=["warp_order_stats_oracle_sql"]
     ).warp_order_stats_oracle_sql(

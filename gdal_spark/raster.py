@@ -2086,3 +2086,154 @@ select di, dj, {DEM_ELEV_SQL} as value
 from s
 where gx >= 0 and gx < {raster_px} and gy >= 0 and gy < {raster_px}
 """
+
+
+# ---------------------------------------------------------------------------
+# Lanczos warp kernel (gdalwarp -r lanczos, GWKLanczosSinc radius 3 —
+# alg/gdalwarpkernel.cpp GWKLanczosSinc / GWKResample): 6×6 windowed-
+# sinc taps, weights normalized by their sum (the truncated-window
+# renormalization GDAL applies). Same chunk-gather plan as cubic.
+# ---------------------------------------------------------------------------
+
+LANCZOS_R = 3
+
+
+def _lanczos_weight_sql(d: str) -> str:
+    """Windowed sinc weight, shared text: 3·sin(πd)·sin(πd/3)/(π²d²),
+    1 at d=0, 0 at |d| ≥ 3 (the radius). The d≈0 case guards the 0/0."""
+    return (f"case when abs({d}) < 1e-12 then 1.0"
+            f" when abs({d}) >= {float(LANCZOS_R)!r} then 0.0"
+            f" else {float(LANCZOS_R)!r} * sin(pi() * ({d}))"
+            f" * sin(pi() * ({d}) / {float(LANCZOS_R)!r})"
+            f" / (pi() * pi() * ({d}) * ({d})) end")
+
+
+def _lanczos_sum_sql(v: "list[list[str]]", fx: str, fy: str) -> str:
+    """Separable 6×6 normalized lanczos sum, term order pinned:
+    Σ_ky Σ_kx v·wx·wy / (Σwx · Σwy)."""
+    wx = [_lanczos_weight_sql(f"({fx}) - {float(kx - 2)!r}")
+          for kx in range(6)]
+    wy = [_lanczos_weight_sql(f"({fy}) - {float(ky - 2)!r}")
+          for ky in range(6)]
+    rows = [
+        "(" + " + ".join(f"{v[ky][kx]} * ({wx[kx]})" for kx in range(6))
+        + ")"
+        for ky in range(6)
+    ]
+    num = " + ".join(f"{rows[ky]} * ({wy[ky]})" for ky in range(6))
+    sx = "(" + " + ".join(f"({w})" for w in wx) + ")"
+    sy = "(" + " + ".join(f"({w})" for w in wy) + ")"
+    return f"({num}) / ({sx} * {sy})"
+
+
+def sample_lanczos(tiles: DataFrame, queries: DataFrame,
+                   raster_px: int, dtype: str = "int64") -> DataFrame:
+    """Lanczos InterpolateAtPoint: 36-tap gather through the per-tile
+    chunk path; weights and the normalized separable sum are Catalyst
+    arithmetic shared textually with the oracle. Queries whose 6×6
+    window leaves the raster are dropped (the kernel's edge-skip)."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    taps = ", ".join(
+        f"struct({ky * 6 + kx} as k, x1 + {kx - 2} as gx,"
+        f" y1 + {ky - 2} as gy)"
+        for ky in range(6) for kx in range(6))
+    nb = (
+        queries
+        .withColumn("x1", F.expr("cast(floor(qx - 0.5e0) as bigint)"))
+        .withColumn("y1", F.expr("cast(floor(qy - 0.5e0) as bigint)"))
+        .filter(f"x1 - 2 >= 0 and x1 + 3 < {raster_px}"
+                f" and y1 - 2 >= 0 and y1 + 3 < {raster_px}")
+        .selectExpr("qid", f"explode(array({taps})) as nb")
+        .selectExpr("qid", "nb.k as k", "nb.gx as gx", "nb.gy as gy")
+        .withColumn("tx", F.expr(f"gx div {t}"))
+        .withColumn("ty", F.expr(f"gy div {t}"))
+    )
+    chunks = (
+        nb.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("qid", "k", "gx", "gy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                p = pd.DataFrame(list(px))
+                ly = p["gy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["gx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "qid": p["qid"].astype("int64"),
+                    "k": p["k"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
+
+    vals = chunks.mapInPandas(gather, "qid long, k long, value long")
+    pivoted = vals.groupBy("qid").pivot("k", list(range(36))).sum("value")
+    for ky in range(6):
+        for kx in range(6):
+            pivoted = pivoted.withColumnRenamed(
+                str(ky * 6 + kx), f"lv{ky}{kx}")
+    wsum = pivoted.join(queries.selectExpr(
+        "qid", "qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx",
+        "qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy"), "qid")
+    v = [[f"lv{ky}{kx}" for kx in range(6)] for ky in range(6)]
+    return wsum.selectExpr(
+        "qid", _lanczos_sum_sql(v, "fx", "fy") + " as value")
+
+
+def warp_lanczos(tiles: DataFrame, src_gt: list[float], raster_px: int,
+                 dst_gt: list[float], dst_px: int,
+                 dtype: str = "int64") -> DataFrame:
+    """Lanczos warp (gdalwarp -r lanczos): dst pixel grid → fractional
+    src coords (Catalyst arithmetic) → 6×6 windowed-sinc gather."""
+    spark = tiles.sparkSession
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries = (
+        spark.range(dst_px * dst_px, numPartitions=16)
+        .selectExpr(f"id % {dst_px} as di",
+                    f"cast(id / {dst_px} as bigint) as dj")
+        .selectExpr(f"dj * {dst_px} + di as qid",
+                    f"{qx_e} as qx", f"{qy_e} as qy")
+    )
+    return sample_lanczos(tiles, queries, raster_px, dtype)
+
+
+def lanczos_dem_oracle_sql(queries_sql: str, raster_px: int) -> str:
+    """Oracle: closed-form DEM at the 36 taps, identical weight/sum
+    expression text."""
+    def elev(x: str, y: str) -> str:
+        return ("(" + DEM_ELEV_SQL.replace("gx", f"({x})")
+                .replace("gy", f"({y})") + ")")
+
+    v = [[elev(f"x1 + {kx - 2}", f"y1 + {ky - 2}") for kx in range(6)]
+         for ky in range(6)]
+    return f"""
+with q as ({queries_sql}),
+n as (
+  select qid,
+         cast(floor(qx - 0.5e0) as bigint) as x1,
+         cast(floor(qy - 0.5e0) as bigint) as y1,
+         qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx,
+         qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy
+  from q
+  where cast(floor(qx - 0.5e0) as bigint) - 2 >= 0
+    and cast(floor(qx - 0.5e0) as bigint) + 3 < {raster_px}
+    and cast(floor(qy - 0.5e0) as bigint) - 2 >= 0
+    and cast(floor(qy - 0.5e0) as bigint) + 3 < {raster_px}
+)
+select qid, {_lanczos_sum_sql(v, "fx", "fy")} as value
+from n
+"""
+
+
+def warp_lanczos_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                            dst_px: int, raster_px: int) -> str:
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries_sql = f"""
+select dj * {dst_px} + di as qid, {qx_e} as qx, {qy_e} as qy
+from (select a.range as di, b.range as dj
+      from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
+"""
+    return lanczos_dem_oracle_sql(queries_sql, raster_px)

@@ -700,3 +700,39 @@ def test_warp_mode_and_rms_direct(spark):
     for k in want_mode:
         assert got_m[k] == want_mode[k], k
         assert abs(got_r[k] - want_rms[k]) < 1e-9, k
+
+
+def test_lanczos_interpolating_and_normalized(spark):
+    """The lanczos sampler is interpolating (a query at an exact pixel
+    center returns that pixel's value: all non-center weights vanish at
+    integer distances) and normalized (value is a convex-ish combination
+    — bounded by the 6×6 window's min/max within ~ the kernel's
+    overshoot, and exactly v for a constant window)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.queries.raster import DEM_PX
+    from gdal_spark.raster import sample_lanczos, synth_dem_tiles
+
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    # pixel-center queries: qx = gx + 0.5
+    centers = [(17, 23), (100, 40), (200, 200), (63, 64)]
+    q = spark.createDataFrame(pd.DataFrame({
+        "qid": range(len(centers)),
+        "qx": [x + 0.5 for x, _ in centers],
+        "qy": [y + 0.5 for _, y in centers]}))
+    got = sample_lanczos(tiles, q, DEM_PX).toPandas() \
+        .set_index("qid").sort_index()
+    for qid, (x, y) in enumerate(centers):
+        want = float((x * x * 5 + y * y * 3 + x * y) % 211)
+        assert abs(got.loc[qid, "value"] - want) < 1e-9, (x, y)
+    # fractional query: bounded by window extremes with lanczos
+    # overshoot slack (windowed sinc has negative lobes)
+    q2 = spark.createDataFrame(pd.DataFrame(
+        {"qid": [0], "qx": [50.37], "qy": [80.61]}))
+    v = sample_lanczos(tiles, q2, DEM_PX).toPandas()["value"][0]
+    gy, gx = np.mgrid[78:84, 47:54]
+    w = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    lo, hi = w.min(), w.max()
+    span = hi - lo
+    assert lo - 0.3 * span <= v <= hi + 0.3 * span
