@@ -55,31 +55,35 @@ def _label_tile(mask: np.ndarray, pid: np.ndarray) -> np.ndarray:
     return np.where(mask, lbl, -1)
 
 
-def _label_tile_values(vals: np.ndarray, pid: np.ndarray) -> np.ndarray:
-    """4-connected min-label propagation where components are runs of
-    EQUAL-VALUED pixels — the actual GDALPolygonize semantics
-    (alg/polygonize.cpp:73 merges runs of equal pixels; the nonzero-mask
-    variant below is its binary special case). Every pixel belongs to a
-    component."""
+_NEIGH4 = ((1, 0), (-1, 0), (0, 1), (0, -1))
+_NEIGH8 = _NEIGH4 + ((1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def _label_tile_values(vals: np.ndarray, pid: np.ndarray,
+                       connect8: bool = False) -> np.ndarray:
+    """Min-label propagation where components are runs of EQUAL-VALUED
+    pixels — the actual GDALPolygonize semantics (alg/polygonize.cpp:73
+    merges runs of equal pixels; the nonzero-mask variant below is its
+    binary special case). ``connect8`` adds the diagonal adjacency
+    (GDALPolygonize 8CONNECTED=8, alg/polygonize.cpp:87). Every pixel
+    belongs to a component."""
     inf = np.int64(2 ** 62)
     lbl = pid.copy()
 
     def shifted(a: np.ndarray, dy: int, dx: int, fill) -> np.ndarray:
         out = np.full_like(a, fill)
-        if dy == 1:
-            out[1:, :] = a[:-1, :]
-        elif dy == -1:
-            out[:-1, :] = a[1:, :]
-        elif dx == 1:
-            out[:, 1:] = a[:, :-1]
-        else:
-            out[:, :-1] = a[:, 1:]
+        ys_d = slice(max(dy, 0), a.shape[0] + min(dy, 0))
+        ys_s = slice(max(-dy, 0), a.shape[0] + min(-dy, 0))
+        xs_d = slice(max(dx, 0), a.shape[1] + min(dx, 0))
+        xs_s = slice(max(-dx, 0), a.shape[1] + min(-dx, 0))
+        out[ys_d, xs_d] = a[ys_s, xs_s]
         return out
 
+    neigh = _NEIGH8 if connect8 else _NEIGH4
     while True:
         prev = lbl
         m = lbl
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        for dy, dx in neigh:
             nl = shifted(lbl, dy, dx, inf)
             nv = shifted(vals, dy, dx, np.int64(-2 ** 62))
             m = np.minimum(m, np.where(nv == vals, nl, inf))
@@ -90,7 +94,7 @@ def _label_tile_values(vals: np.ndarray, pid: np.ndarray) -> np.ndarray:
 
 
 def tile_components_values(tiles: DataFrame, grid_w: int,
-                           dtype: str = "int64"
+                           dtype: str = "int64", connect8: bool = False
                            ) -> tuple[DataFrame, DataFrame]:
     """Per-tile equal-valued labeling pass (value-aware polygonize).
 
@@ -113,7 +117,7 @@ def tile_components_values(tiles: DataFrame, grid_w: int,
                 gx = gx + tx0
                 gy = gy + ty0
                 pid = gy * np.int64(grid_w) + gx
-                lbl = _label_tile_values(buf, pid)
+                lbl = _label_tile_values(buf, pid, connect8)
                 flat_l = lbl.ravel()
                 flat_v = buf.ravel()
                 flat_x = gx.ravel()
@@ -161,9 +165,12 @@ def tile_components_values(tiles: DataFrame, grid_w: int,
 
 
 def cross_tile_edges_values(borders: DataFrame,
-                            tile_px: int = TILE_PX) -> DataFrame:
-    """(la, lb) label pairs for 4-adjacent EQUAL-VALUED pixels in
-    different tiles."""
+                            tile_px: int = TILE_PX,
+                            connect8: bool = False) -> DataFrame:
+    """(la, lb) label pairs for adjacent EQUAL-VALUED pixels in
+    different tiles (4-adjacency; ``connect8`` adds the two downward
+    diagonals — a cross-tile diagonal neighbor is always in the border
+    ring of both tiles, so the border table suffices)."""
     a = borders.select(F.col("gx").alias("ax"), F.col("gy").alias("ay"),
                        F.col("lbl").alias("la"),
                        F.col("value").alias("va"))
@@ -176,21 +183,41 @@ def cross_tile_edges_values(borders: DataFrame,
     down = a.join(b, (F.col("by") == F.col("ay") + 1)
                   & (F.col("bx") == F.col("ax"))
                   & (F.expr(f"ay % {tile_px}") == tile_px - 1))
-    return (right.select("la", "lb", "va", "vb")
-            .unionByName(down.select("la", "lb", "va", "vb"))
-            .filter("la <> lb and va = vb")
+    parts = [right.select("la", "lb", "va", "vb"),
+             down.select("la", "lb", "va", "vb")]
+    if connect8:
+        t1 = tile_px - 1
+        dr = a.join(b, (F.col("bx") == F.col("ax") + 1)
+                    & (F.col("by") == F.col("ay") + 1)
+                    & ((F.expr(f"ax % {tile_px}") == t1)
+                       | (F.expr(f"ay % {tile_px}") == t1)))
+        dl = a.join(b, (F.col("bx") == F.col("ax") - 1)
+                    & (F.col("by") == F.col("ay") + 1)
+                    & ((F.expr(f"ax % {tile_px}") == 0)
+                       | (F.expr(f"ay % {tile_px}") == t1)))
+        parts += [dr.select("la", "lb", "va", "vb"),
+                  dl.select("la", "lb", "va", "vb")]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.filter("la <> lb and va = vb")
             .select("la", "lb").distinct())
 
 
 def polygonize_by_value(tiles: DataFrame, grid_w: int,
-                        dtype: str = "int64") -> DataFrame:
+                        dtype: str = "int64",
+                        connect8: bool = False) -> DataFrame:
     """Full value-aware polygonize: (comp, value, n_pixels, bbox) per
-    4-connected component of EQUAL-VALUED pixels; comp = min global
-    pixel id of the component (GDALPolygonize over the band values —
-    the iso-band polygon output of gdal_contour -p composes as this
-    over a band-classified raster)."""
-    parts, borders = tile_components_values(tiles, grid_w, dtype)
-    labels = propagate_labels(parts, cross_tile_edges_values(borders))
+    connected component of EQUAL-VALUED pixels — 4-connected by default,
+    diagonal adjacency with ``connect8`` (GDALPolygonize 8CONNECTED=8,
+    alg/polygonize.cpp:87); comp = min global pixel id of the component
+    (GDALPolygonize over the band values — the iso-band polygon output
+    of gdal_contour -p composes as this over a band-classified
+    raster)."""
+    parts, borders = tile_components_values(tiles, grid_w, dtype,
+                                            connect8)
+    labels = propagate_labels(
+        parts, cross_tile_edges_values(borders, connect8=connect8))
     return (
         parts.join(labels, "lbl")
         .groupBy("comp").agg(
@@ -203,7 +230,8 @@ def polygonize_by_value(tiles: DataFrame, grid_w: int,
     )
 
 
-def polygonize_values_oracle_sql(raster_px: int, band_np) -> str:
+def polygonize_values_oracle_sql(raster_px: int, band_np,
+                                 connect8: bool = False) -> str:
     """Ground truth for the value-aware polygonize: an INDEPENDENT
     single-machine BFS over the closed-form banded DEM grid (no tiling,
     no label propagation — plain flood fill), computed at oracle-build
@@ -236,8 +264,11 @@ def polygonize_values_oracle_sql(raster_px: int, band_np) -> str:
                 n += 1
                 mnx, mxx = min(mnx, x), max(mxx, x)
                 mny, mxy = min(mny, y), max(mxy, y)
-                for yy, xx in ((y + 1, x), (y - 1, x),
-                               (y, x + 1), (y, x - 1)):
+                neigh = ((y + 1, x), (y - 1, x), (y, x + 1), (y, x - 1))
+                if connect8:
+                    neigh += ((y + 1, x + 1), (y + 1, x - 1),
+                              (y - 1, x + 1), (y - 1, x - 1))
+                for yy, xx in neigh:
                     if 0 <= yy < w and 0 <= xx < w \
                             and comp[yy, xx] < 0 and band[yy, xx] == v:
                         comp[yy, xx] = cid

@@ -684,6 +684,32 @@ def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize_by_value(tiles, CONTOUR_LINES_PX)
 
 
+def q_polygonize_components8(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GDALPolygonize 8CONNECTED=8 (alg/polygonize.cpp:87): the same
+    banded fixture as contour_polygons labeled with DIAGONAL adjacency —
+    components that touch only at corners merge; the distributed path
+    adds the two downward-diagonal cross-tile border joins. Oracle: the
+    same independent single-machine BFS with 8 neighbors."""
+    from gdal_spark.contour import CONTOUR_LINES_PX
+    from gdal_spark.polygonize import polygonize_by_value
+    from gdal_spark.raster import map_algebra
+
+    _ = sf_dir
+
+    def band_kernel(buf):
+        import numpy as np
+
+        out = np.zeros_like(buf, dtype=np.int64)
+        for thr in CONTOUR_BANDS:
+            out += (buf >= thr).astype(np.int64)
+        return out
+
+    tiles = map_algebra(synth_dem_tiles(spark, CONTOUR_LINES_PX),
+                        band_kernel)
+    return polygonize_by_value(tiles, CONTOUR_LINES_PX, connect8=True)
+
+
 def _contour_polygons_oracle() -> str:
     from gdal_spark.contour import CONTOUR_LINES_PX
     from gdal_spark.polygonize import polygonize_values_oracle_sql
@@ -698,6 +724,23 @@ def _contour_polygons_oracle() -> str:
         return out
 
     return polygonize_values_oracle_sql(CONTOUR_LINES_PX, band_np)
+
+
+def _polygonize8_oracle() -> str:
+    from gdal_spark.contour import CONTOUR_LINES_PX
+    from gdal_spark.polygonize import polygonize_values_oracle_sql
+
+    def band_np(gx, gy):
+        import numpy as np
+
+        v = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211  # DEM_ELEV_SQL
+        out = np.zeros_like(v, dtype=np.int64)
+        for thr in CONTOUR_BANDS:
+            out += (v >= thr).astype(np.int64)
+        return out
+
+    return polygonize_values_oracle_sql(CONTOUR_LINES_PX, band_np,
+                                        connect8=True)
 
 
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +957,7 @@ QUERIES = {
     "contour_lines": q_contour_lines,
     "contour_linestrings": q_contour_linestrings,
     "contour_polygons": q_contour_polygons,
+    "polygonize_components8": q_polygonize_components8,
     "raster_calc_reclassify": q_raster_calc,
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
@@ -1145,6 +1189,7 @@ select 'cubic' as method, qid, value from (
         fromlist=["grid_linear_sql"]).grid_linear_sql("duckdb"),
     "contour_cells": _contour_oracle(),
     "contour_polygons": _contour_polygons_oracle(),
+    "polygonize_components8": _polygonize8_oracle(),
     "contour_lines": __import__(
         "gdal_spark.contour", fromlist=["contour_lines_oracle_sql"]
     ).contour_lines_oracle_sql(),

@@ -736,3 +736,22 @@ def test_lanczos_interpolating_and_normalized(spark):
     lo, hi = w.min(), w.max()
     span = hi - lo
     assert lo - 0.3 * span <= v <= hi + 0.3 * span
+
+
+def test_polygonize_8connected_merges_diagonals(spark):
+    """8CONNECTED=8 semantics: on the same banded raster the 8-connected
+    labeling produces no more components than 4-connected, covers the
+    same pixels, and strictly merges at least one corner-touching pair
+    on this fixture."""
+    from gdal_spark.queries.raster import (q_contour_polygons,
+                                           q_polygonize_components8)
+
+    a4 = q_contour_polygons(spark, "x").toPandas()
+    a8 = q_polygonize_components8(spark, "x").toPandas()
+    assert a4["n_pixels"].sum() == a8["n_pixels"].sum()
+    assert len(a8) < len(a4)
+    # every 8-component is a union of 4-components: per band, pixel
+    # totals agree
+    s4 = a4.groupby("value")["n_pixels"].sum()
+    s8 = a8.groupby("value")["n_pixels"].sum()
+    assert s4.equals(s8)
