@@ -1229,3 +1229,152 @@ def buffer_styles_oracle_sql() -> str:
     return (f"select case_id, style, area, cast(npoints as bigint)"
             f" as npoints from (values {rows})"
             f" v(case_id, style, area, npoints)")
+
+
+# ---------------------------------------------------------------------------
+# Segmentize (OGRSimpleCurve::segmentize, ogr/ogrlinestring.cpp:2628 —
+# the ogr2ogr -segmentize option): insert evenly-spaced intermediate
+# points so no segment exceeds dfMaxLength, with GDAL's exact epsilon
+# rules (split when d² − m² > 1e-5·m²; n = floor(√(d²/m²) − 0.01)) and
+# its direction canonicalization (the same line followed in either
+# direction segmentizes to the same vertex set).
+# ---------------------------------------------------------------------------
+
+
+def segmentize_coords(pts: np.ndarray, max_length: float) -> np.ndarray:
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) < 2:
+        return pts
+    rev = (pts[0, 0] < pts[-1, 0]
+           or (pts[0, 0] == pts[-1, 0] and pts[0, 1] < pts[-1, 1]))
+    if rev:
+        pts = pts[::-1]
+    m2 = max_length * max_length
+    out: list[tuple[float, float]] = []
+    for i in range(len(pts)):
+        out.append((float(pts[i, 0]), float(pts[i, 1])))
+        if i == len(pts) - 1:
+            break
+        dx = pts[i + 1, 0] - pts[i, 0]
+        dy = pts[i + 1, 1] - pts[i, 1]
+        d2 = dx * dx + dy * dy
+        if d2 - m2 > 1e-5 * m2:
+            n = int(np.floor(np.sqrt(d2 / m2) - 1e-2))
+            rx = dx / (n + 1.0)
+            ry = dy / (n + 1.0)
+            for j in range(1, n + 1):
+                out.append((float(pts[i, 0] + rx * j),
+                            float(pts[i, 1] + ry * j)))
+    arr = np.asarray(out, dtype=np.float64)
+    return arr[::-1] if rev else arr
+
+
+def _st_segmentize(col: pd.Series, maxlen: pd.Series) -> pd.Series:
+    out = []
+    for b, m in zip(col, maxlen):
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] == "LineString":
+            out.append(bytearray(W.dumps_linestring(
+                segmentize_coords(np.asarray(g["coords"]), float(m)))))
+        elif g["type"] == "Polygon":
+            rings = [segmentize_coords(np.asarray(r), float(m))
+                     for r in g["coords"]]
+            out.append(bytearray(W.dumps_polygon(rings)))
+        else:
+            out.append(bytearray(bytes(b)))
+    return pd.Series(out, dtype="object")
+
+
+# registered here (the REGISTRY literal is defined above this section)
+REGISTRY["st_segmentize"] = (_st_segmentize, "binary")
+
+SEGMENTIZE_CASES = [
+    # (case_id, vertices, maxlen) — dyadic coords; closed ring as a
+    # closed LineString so the accessor surface stays uniform
+    (1, [(0.0, 0.0), (10.0, 0.0), (10.0, 7.0)], 3.0),
+    (2, [(0.0, 0.0), (10.0, 0.0), (10.0, 7.0)], 10.0),
+    (3, [(0.0, 0.0), (3.0, 4.0)], 1.0),
+    (4, [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)],
+     4.0),
+    (5, [(2.0, 1.0), (2.0, 1.0 + 6.25)], 2.0),
+]
+
+
+def segmentize_cases(spark):
+    """Contract DataFrame: per case the segmentized npoints, the exactly
+    invariant length and a vertex fingerprint Σ(x + 2y) — all through
+    the registered ST_ surface."""
+    import pandas as pd  # noqa: F811
+
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    rows = [(cid, W.dumps_linestring(np.asarray(pts)), ml)
+            for cid, pts, ml in SEGMENTIZE_CASES]
+    pdf = pd.DataFrame(rows, columns=["case_id", "geom", "maxlen"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("segmentize_cases")
+    return spark.sql("""
+select s.case_id,
+       st_npoints(s.seg) as npoints,
+       round(st_length(s.seg), 6) as length,
+       round(sum(st_x(st_pointn(s.seg, i)) +
+                 2.0e0 * st_y(st_pointn(s.seg, i))), 6) as fingerprint
+from (
+  select case_id, st_segmentize(geom, maxlen) as seg
+  from segmentize_cases
+) s
+lateral view explode(sequence(1, st_npoints(s.seg))) t as i
+group by s.case_id, s.seg
+""")
+
+
+def segmentize_oracle_sql() -> str:
+    """Closed-form oracle: per edge n = floor(√(d²/m²) − 0.01) when
+    d² − m² > 1e-5·m² else 0; npoints = Σ(1+n) + 1; length invariant;
+    the intermediate fingerprint contribution per edge is exactly
+    n·(x + 2y) + (dx + 2dy)·n/2 (arithmetic series)."""
+    from gdal_spark.layer_algebra import _fmt
+
+    edge_rows = []
+    base_rows = []
+    for cid, pts, ml in SEGMENTIZE_CASES:
+        for i in range(len(pts) - 1):
+            edge_rows.append(
+                f"({cid}, {_fmt(pts[i][0])}, {_fmt(pts[i][1])},"
+                f" {_fmt(pts[i + 1][0])}, {_fmt(pts[i + 1][1])},"
+                f" {_fmt(ml)})")
+        sb = sum(x + 2.0 * y for x, y in pts)
+        base_rows.append(f"({cid}, {len(pts)}, {_fmt(sb)})")
+    return f"""
+with e(case_id, x0, y0, x1, y1, m) as (values {", ".join(edge_rows)}),
+b(case_id, n_base, f_base) as (values {", ".join(base_rows)}),
+d as (
+  select case_id, x0, y0, x1, y1,
+         (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) as d2,
+         m * m as m2
+  from e
+),
+n as (
+  select case_id, x0, y0, x1, y1, d2,
+         case when d2 - m2 > 1e-5 * m2
+              then cast(floor(sqrt(d2 / m2) - 1e-2) as bigint)
+              else 0 end as ni
+  from d
+),
+agg as (
+  select case_id,
+         sum(ni) as n_inter,
+         sum(sqrt(d2)) as len,
+         sum(ni * (x0 + 2.0 * y0)
+             + ((x1 - x0) + 2.0 * (y1 - y0)) * ni / 2.0) as f_inter
+  from n group by case_id
+)
+select b.case_id,
+       cast(b.n_base + agg.n_inter as int) as npoints,
+       round(agg.len, 6) as length,
+       round(b.f_base + agg.f_inter, 6) as fingerprint
+from b join agg on agg.case_id = b.case_id
+"""

@@ -279,6 +279,18 @@ def q_st_buffer_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buffer_styles_cases(spark)
 
 
+def q_st_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentize (OGRSimpleCurve::segmentize ogr/ogrlinestring.cpp:2628
+    — the ogr2ogr -segmentize densification): GDAL's exact epsilon rules
+    (split when d² − m² > 1e-5·m², n = floor(√(d²/m²) − 0.01)) and
+    even spacing, checked against a closed-form oracle (arithmetic-
+    series vertex fingerprint, invariant length, exact point counts)."""
+    from gdal_spark.constructive import segmentize_cases
+
+    _ = sf_dir  # fixture op
+    return segmentize_cases(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -379,6 +391,7 @@ QUERIES = {
     "st_predicates": q_st_predicates,
     "st_constructive": q_st_constructive,
     "st_buffer_styles": q_st_buffer_styles,
+    "st_segmentize": q_st_segmentize,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -494,6 +507,9 @@ from documents
     "st_buffer_styles": __import__(
         "gdal_spark.constructive", fromlist=["buffer_styles_oracle_sql"]
     ).buffer_styles_oracle_sql(),
+    "st_segmentize": __import__(
+        "gdal_spark.constructive", fromlist=["segmentize_oracle_sql"]
+    ).segmentize_oracle_sql(),
     "st_predicates": __import__(
         "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
     ).predicates_oracle_sql(),

