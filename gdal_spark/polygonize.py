@@ -435,7 +435,7 @@ def polygonize_summary(tiles: DataFrame, grid_w: int,
 
 
 def sieve_pixels(px: DataFrame, grid_w: int,
-                 min_pixels: int = 2) -> DataFrame:
+                 min_pixels: int = 2, connect8: bool = False) -> DataFrame:
     """Sieve filter (alg/gdalsievefilter.cpp:178): drop pixels whose
     4-connected occupancy component is smaller than ``min_pixels``.
     (GDAL merges small polygons into their largest neighbour; on a
@@ -448,7 +448,7 @@ def sieve_pixels(px: DataFrame, grid_w: int,
     two-level labeling in `polygonize_summary` supplies the labels
     instead; the filter step is identical.
     """
-    labeled = label_pixels(px, grid_w)
+    labeled = label_pixels(px, grid_w, connect8)
     sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
     keep = sizes.filter(F.col("_n") >= min_pixels).select("comp")
     return (
@@ -457,11 +457,13 @@ def sieve_pixels(px: DataFrame, grid_w: int,
     )
 
 
-def label_pixels(px: DataFrame, grid_w: int) -> DataFrame:
-    """(gx, gy, …) pixel rows → + ``comp`` (4-connected component id =
-    min pixel id). Adjacency is two equi-joins unioned, never one
-    OR-join: an OR between the right-neighbor and down-neighbor
-    conditions defeats equi-key extraction and Spark plans a
+def label_pixels(px: DataFrame, grid_w: int,
+                 connect8: bool = False) -> DataFrame:
+    """(gx, gy, …) pixel rows → + ``comp`` (component id = min pixel
+    id; 4-connected, diagonals with ``connect8`` — gdal_sieve -8 /
+    GDALSieveFilter 8CONNECTED). Adjacency is per-direction equi-joins
+    unioned, never one OR-join: an OR between the neighbor conditions
+    defeats equi-key extraction and Spark plans a
     BroadcastNestedLoopJoin over all pixel pairs (the same split
     cross_tile_edges uses)."""
     pix = px.withColumn("pid", F.expr(f"gy * {grid_w} + gx"))
@@ -473,12 +475,20 @@ def label_pixels(px: DataFrame, grid_w: int) -> DataFrame:
     down = a.join(b, (F.col("bx") == F.col("gx"))
                   & (F.col("by") == F.col("gy") + 1))
     edges = right.select("la", "lb").unionByName(down.select("la", "lb"))
+    if connect8:
+        dr = a.join(b, (F.col("bx") == F.col("gx") + 1)
+                    & (F.col("by") == F.col("gy") + 1))
+        dl = a.join(b, (F.col("bx") == F.col("gx") - 1)
+                    & (F.col("by") == F.col("gy") + 1))
+        edges = edges.unionByName(dr.select("la", "lb")) \
+            .unionByName(dl.select("la", "lb"))
     labels = propagate_labels(pix.select(F.col("pid").alias("lbl")), edges)
     return pix.join(labels, pix.pid == labels.lbl).drop("lbl", "pid")
 
 
 def sieve_checksum_oracle_sql(points_sql: str, z: int, min_pixels: int = 2,
-                              tile_px_log2: int = 6) -> str:
+                              tile_px_log2: int = 6,
+                              connect8: bool = False) -> str:
     """DuckDB ground truth: recursive-CTE components over the occupancy
     graph, then the GDAL checksum of the sieved count raster per tile."""
     from gdal_spark.raster import CHECKSUM_PRIMES, gpixel_exprs
@@ -487,6 +497,9 @@ def sieve_checksum_oracle_sql(points_sql: str, z: int, min_pixels: int = 2,
     grid_w = 1 << (z + tile_px_log2)
     t = 1 << tile_px_log2
     primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    diag = ("or (b.gx = a.gx + 1 and b.gy = a.gy + 1)"
+            " or (b.gx = a.gx - 1 and b.gy = a.gy + 1)"
+            if connect8 else "")
     return f"""
 with recursive px as (
   select gx, gy, cnt, gy * {grid_w} + gx as pid from (
@@ -497,6 +510,7 @@ with recursive px as (
 e as (
   select a.pid as u, b.pid as v from px a join px b
     on (b.gx = a.gx + 1 and b.gy = a.gy) or (b.gx = a.gx and b.gy = a.gy + 1)
+       {diag}
 ),
 esym as (select u, v from e union select v, u from e),
 lbl(pid, l) as (

@@ -606,6 +606,21 @@ def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_checksums(tiles_from_pixel_counts(kept, RASTER_Z))
 
 
+def q_sieve8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve -8 (GDALSieveFilter 8CONNECTED,
+    alg/gdalsievefilter.cpp): diagonal adjacency keeps corner-touching
+    singletons alive — two extra diagonal equi-joins in the label
+    graph; same checksum output as raster_sieve."""
+    from gdal_spark.polygonize import sieve_pixels
+    from gdal_spark.raster import pixel_counts, tiles_from_pixel_counts
+
+    pts = points_from_documents(spark, sf_dir)
+    grid_w = 1 << (RASTER_Z + 6)
+    kept = sieve_pixels(pixel_counts(pts, RASTER_Z), grid_w,
+                        min_pixels=2, connect8=True)
+    return tile_checksums(tiles_from_pixel_counts(kept, RASTER_Z))
+
+
 def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon burn of the zone layer (scanline center-inside fill,
     ALL_TOUCHED, MERGE_ALG=REPLACE/ADD, attribute burn from eas_id) —
@@ -962,6 +977,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "raster_histogram": q_raster_histogram,
     "raster_sieve": q_sieve,
+    "raster_sieve8": q_sieve8,
     "rasterize_polygons_checksum": q_rasterize_polygons,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
@@ -1211,6 +1227,10 @@ select *, 'calc' as op from (
     "raster_sieve": __import__(
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2),
+    "raster_sieve8": __import__(
+        "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
+    ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2,
+                                connect8=True),
     "tile_pyramid_z5_z2": " union all ".join(
         f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),
