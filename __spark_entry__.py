@@ -73,7 +73,7 @@ _PRIORITY = [
     "ogrsql_execute_division_typing",
     "text_pii_scan", "text_stratified_sample",
     "warp_order_stats", "warp_lanczos_dem", "polygonize_components8",
-    "raster_sieve8",
+    "raster_sieve8", "raster_viewshed_exact",
     # -- round-2 operators (green driver rows in r02; keep high so they
     # stay within budget if re-checked)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",

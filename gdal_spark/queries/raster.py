@@ -411,6 +411,27 @@ def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr("qid", "round(value, 6) as value")
 
 
+_VS_OBSERVERS = [(1, 40, 40), (2, 130, 70), (3, 200, 180), (4, 64, 200)]
+
+
+def q_viewshed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wang et al. viewshed (alg/viewshed/viewshed_executor.cpp,
+    CellMode::Edge defaults) — one DP per observer, observers in
+    parallel (the cumulative-viewshed plan, alg/viewshed/cumulative.cpp).
+    Four observers over the synthetic DEM; per observer the visible
+    count and an exact Σpid fingerprint. Oracle: an INDEPENDENT
+    memoized-recursion implementation of the same spec (the engine
+    kernel is a line sweep with in-place observable-height updates)."""
+    from gdal_spark.viewshed_exact import viewshed_exact
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    obs = spark.createDataFrame(
+        [(i, x, y) for i, x, y in _VS_OBSERVERS],
+        "obs_id long, ox int, oy int")
+    return viewshed_exact(tiles, obs, DEM_PX)
+
+
 def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -cutline (apps/gdalwarp_lib.cpp:458): the affine
     nearest warp masked to a polygon cutline — dst pixels whose center
@@ -961,6 +982,7 @@ QUERIES = {
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_order_stats": q_warp_order_stats,
     "warp_lanczos_dem": q_warp_lanczos,
+    "raster_viewshed_exact": q_viewshed_exact,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
@@ -1231,6 +1253,12 @@ select *, 'calc' as op from (
         "gdal_spark.polygonize", fromlist=["sieve_checksum_oracle_sql"]
     ).sieve_checksum_oracle_sql(_PTS, RASTER_Z, min_pixels=2,
                                 connect8=True),
+    "raster_viewshed_exact": __import__(
+        "gdal_spark.viewshed_exact",
+        fromlist=["viewshed_exact_oracle_sql"]
+    ).viewshed_exact_oracle_sql(
+        DEM_PX, _VS_OBSERVERS,
+        lambda gx, gy: (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211),
     "tile_pyramid_z5_z2": " union all ".join(
         f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),

@@ -755,3 +755,32 @@ def test_polygonize_8connected_merges_diagonals(spark):
     s4 = a4.groupby("value")["n_pixels"].sum()
     s8 = a8.groupby("value")["n_pixels"].sum()
     assert s4.equals(s8)
+
+
+def test_exact_viewshed_implementations_agree():
+    """The line-sweep engine kernel and the memoized-recursion oracle
+    implement the same Wang/Edge spec through different structures:
+    they must agree cell-for-cell on random terrain, flat plains are
+    fully visible, and a wall shadows the cells behind it."""
+    import numpy as np
+
+    from gdal_spark.viewshed_exact import (wang_viewshed_memo,
+                                           wang_viewshed_np)
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        n = 40
+        dem = rng.randint(0, 80, (n, n)).astype(float)
+        ox, oy = rng.randint(3, n - 3, 2)
+        a = wang_viewshed_np(dem, ox, oy)
+        b = wang_viewshed_memo(dem, ox, oy)
+        assert np.array_equal(a, b)
+    flat = np.zeros((24, 24))
+    assert wang_viewshed_np(flat, 12, 12).all()
+    wall = np.zeros((24, 24))
+    wall[:, 16] = 40.0
+    v = wang_viewshed_np(wall, 8, 12)
+    assert v[12, 16] == 1 and v[12, 20] == 0
+    # observer height lifts the eye over the wall
+    v2 = wang_viewshed_np(wall, 8, 12, obs_z=200.0)
+    assert v2[12, 20] == 1
