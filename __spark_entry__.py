@@ -71,7 +71,7 @@ _PRIORITY = [
     "st_buffer_styles", "st_segmentize",
     "ogrsql_execute_distinct_like",
     "ogrsql_execute_division_typing",
-    "text_pii_scan", "text_stratified_sample",
+    "text_pii_scan", "text_stratified_sample", "crawl_host_stats",
     "warp_order_stats", "warp_lanczos_dem", "polygonize_components8",
     "raster_sieve8", "raster_viewshed_exact",
     # -- round-2 operators (green driver rows in r02; keep high so they

@@ -110,6 +110,49 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.stratified_sample_sql("documents", textops.SPARK))
 
 
+_HOST_STATS_SQL = """
+select split_part(substr(url, position('://' in url) + 3), '/', 1)
+         as host,
+       count(*) as n_pages,
+       count(distinct text) as n_texts,
+       count(distinct lang) as n_langs,
+       cast(sum(case when text like '% geo:%' then 1 else 0 end)
+            as bigint) as n_geotagged
+from {src}
+group by 1
+"""
+
+
+def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl profile (the per-site bookkeeping every crawl
+    pipeline keeps for host quotas / site-level dedup / robots
+    accounting): host parsed from the url with shared ANSI string
+    functions, per host the page count, distinct-text count (site-level
+    exact-dup signal), language spread and geotag rate. One shuffle
+    keyed by host with map-side partials — at 10^12 pages hosts are the
+    natural skew key, handled by AQE like every hot-key aggregation
+    here."""
+    from gdal_spark.pages import pages_from_documents
+
+    pages_from_documents(spark, sf_dir).createOrReplaceTempView("pages_v")
+    return spark.sql(_HOST_STATS_SQL.format(src="pages_v"))
+
+
+def _host_stats_oracle() -> str:
+    from gdal_spark.crs import stages_to_duckdb_sql
+    from gdal_spark.pages import geotag_text_sql, synth_stages
+
+    synth = stages_to_duckdb_sql(
+        "select doc_id, text, lang from documents",
+        synth_stages("doc_id") + [("gtext", geotag_text_sql("text"))],
+        ["doc_id", "lang", "gtext"],
+    )
+    src = (f"(select concat('https://site', doc_id % 100,"
+           f" '.example/p/', doc_id) as url, gtext as text, lang"
+           f" from ({synth}) g) p")
+    return _HOST_STATS_SQL.format(src=src)
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_crawl(spark, sf_dir), k=2, threshold=0.7)
 
@@ -468,6 +511,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_pii_scan": q_text_pii_scan,
     "text_stratified_sample": q_text_stratified_sample,
+    "crawl_host_stats": q_crawl_host_stats,
     "multimodal_inspect": q_multimodal_inspect,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
@@ -503,6 +547,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "text_pii_scan": textops.pii_scan_sql("documents", DUCKDB),
     "text_stratified_sample":
         textops.stratified_sample_sql("documents", DUCKDB),
+    "crawl_host_stats": _host_stats_oracle(),
     "multimodal_inspect": f"""
 select m.url, m.n_bytes, m.content_md5, m.format,
        d.width, d.height, d.n_frames, d.feat
