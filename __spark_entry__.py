@@ -68,7 +68,7 @@ _PRIORITY = [
     "warp_to_webmercator", "warp_to_lcc93",
     "contour_linestrings",
     "reproject_utm_south", "reproject_albers", "reproject_osgb36",
-    "st_buffer_styles", "st_segmentize",
+    "st_buffer_styles", "st_segmentize", "st_wrapdateline",
     "ogrsql_execute_distinct_like",
     "ogrsql_execute_division_typing",
     "text_pii_scan", "text_stratified_sample", "crawl_host_stats",

@@ -1378,3 +1378,215 @@ select b.case_id,
        round(b.f_base + agg.f_inter, 6) as fingerprint
 from b join agg on agg.case_id = b.case_id
 """
+
+
+# ---------------------------------------------------------------------------
+# WRAPDATELINE (ogr2ogr -wrapdateline / OGRGeometryFactory::
+# transformWithOptions, ogr/ogrgeometryfactory.cpp:4022): wrap points
+# into (-180, 180], shift geometries living wholly in [180, 360] or
+# [-360, -180] by ∓360, and SPLIT linestrings that jump the antimeridian
+# (SplitLineStringAtDateline :2683 — faithful transcription incl. the
+# swap/+360 normalization, the 180/-180 pass-through special cases and
+# the duplicate-vertex guard). Polygons need the GEOS rectangle-clip
+# branch in GDAL itself (:3070, #ifdef HAVE_GEOS) — like GDAL without
+# GEOS, polygon input raises.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_point_x(x: float) -> float:
+    if x > 180.0:
+        return float(np.fmod(x + 180.0, 360.0) - 180.0)
+    if x < -180.0:
+        return float(-(np.fmod(-x + 180.0, 360.0) - 180.0))
+    return float(x)
+
+
+def split_linestring_dateline(pts: np.ndarray, offset: float = 10.0,
+                              x_off: float = 0.0) -> list[np.ndarray]:
+    """SplitLineStringAtDateline transcription (2-D)."""
+    left = 180.0 - offset
+    right = -180.0 + offset
+    diffspace = 360.0 - offset
+    parts: list[list[tuple[float, float]]] = [[]]
+    n = len(pts)
+    i = 0
+    while i < n:
+        x = float(pts[i, 0]) + x_off
+        if i > 0 and abs(x - (float(pts[i - 1, 0]) + x_off)) > diffspace:
+            x1 = float(pts[i - 1, 0]) + x_off
+            y1 = float(pts[i - 1, 1])
+            x2 = float(pts[i, 0]) + x_off
+            y2 = float(pts[i, 1])
+            # pass-through special cases: an exact ±180 vertex between
+            # two same-side neighbors is kept verbatim
+            if (-180.0 < x1 < right and x2 == 180.0 and i + 1 < n
+                    and -180.0 < float(pts[i + 1, 0]) + x_off < right):
+                parts[-1].append((-180.0, float(pts[i, 1])))
+                i += 1
+                parts[-1].append((float(pts[i, 0]) + x_off,
+                                  float(pts[i, 1])))
+                i += 1
+                continue
+            if (left < x1 < 180.0 and x2 == -180.0 and i + 1 < n
+                    and left < float(pts[i + 1, 0]) + x_off < 180.0):
+                parts[-1].append((180.0, float(pts[i, 1])))
+                i += 1
+                parts[-1].append((float(pts[i, 0]) + x_off,
+                                  float(pts[i, 1])))
+                i += 1
+                continue
+            if x1 < right and x2 > left:
+                x1, x2 = x2, x1
+                y1, y2 = y2, y1
+            if x1 > left and x2 < right:
+                x2 += 360.0
+            if x1 <= 180.0 <= x2 and x1 < x2:
+                ratio = (180.0 - x1) / (x2 - x1)
+                y = ratio * y2 + (1.0 - ratio) * y1
+                newx = 180.0 if float(pts[i - 1, 0]) + x_off > left \
+                    else -180.0
+                if not parts[-1] or parts[-1][-1] != (newx, y):
+                    parts[-1].append((newx, y))
+                parts.append([(-newx, y)])
+            else:
+                parts.append([])
+        parts[-1].append((x, float(pts[i, 1])))
+        i += 1
+    return [np.asarray(p, dtype=np.float64) for p in parts if len(p)]
+
+
+def wrap_dateline_geom(geom: dict, offset: float = 10.0) -> dict:
+    """transformWithOptions WRAPDATELINE=YES dispatch (:4036-4092)."""
+    t = geom["type"]
+    if t == "Point":
+        x, y = geom["coords"]
+        return {"type": "Point", "coords": (_wrap_point_x(float(x)),
+                                            float(y))}
+    if t == "MultiPoint":
+        return {"type": "MultiPoint",
+                "coords": [(_wrap_point_x(float(x)), float(y))
+                           for x, y in geom["coords"]]}
+    if t not in ("LineString", "MultiLineString"):
+        raise NotImplementedError(
+            "WRAPDATELINE polygon cut needs the GEOS rectangle-clip "
+            "branch (ogrgeometryfactory.cpp:3070) — unsupported, like "
+            "GDAL built without GEOS")
+    lines = ([np.asarray(geom["coords"], dtype=np.float64)]
+             if t == "LineString"
+             else [np.asarray(c, dtype=np.float64)
+                   for c in geom["coords"]])
+    allx = np.concatenate([ln[:, 0] for ln in lines])
+    minx, maxx = float(allx.min()), float(allx.max())
+    if -360.0 <= minx and maxx <= -180.0:
+        shifted = [ln + [360.0, 0.0] for ln in lines]
+        return ({"type": "LineString", "coords": shifted[0]}
+                if t == "LineString"
+                else {"type": "MultiLineString", "coords": shifted})
+    if 180.0 <= minx and maxx <= 360.0:
+        shifted = [ln + [-360.0, 0.0] for ln in lines]
+        return ({"type": "LineString", "coords": shifted[0]}
+                if t == "LineString"
+                else {"type": "MultiLineString", "coords": shifted})
+    if not (0.0 < offset < 360.0):
+        offset = 10.0
+    out: list[np.ndarray] = []
+    for ln in lines:
+        # CutGeometryOnDateLineAndAddToMulti envelope + gap heuristics
+        env_min = float(ln[:, 0].min())
+        around_m180 = env_min < -180.0
+        x_off = 360.0 if around_m180 else 0.0
+        left = 180.0 - offset
+        right = -180.0 + offset
+        diffspace = 360.0 - offset
+        big = False
+        max_small = 0.0
+        for i in range(1, len(ln)):
+            xp = float(ln[i - 1, 0]) + x_off
+            x = float(ln[i, 0]) + x_off
+            d = abs(x - xp)
+            if d > diffspace and ((x > left and xp < right)
+                                  or (xp > left and x < right)):
+                big = True
+            elif d > max_small:
+                max_small = d
+        if big and max_small < offset:
+            out.extend(split_linestring_dateline(ln, offset, x_off))
+        else:
+            out.append(ln)
+    if t == "LineString" and len(out) == 1:
+        return {"type": "LineString", "coords": out[0]}
+    return {"type": "MultiLineString", "coords": out}
+
+
+def _st_wrapdateline(col: pd.Series, offset: pd.Series) -> pd.Series:
+    out = []
+    for b, o in zip(col, offset):
+        if b is None:
+            out.append(None)
+            continue
+        g = wrap_dateline_geom(W.loads(bytes(b)), float(o))
+        out.append(bytearray(W.dumps(g)))
+    return pd.Series(out, dtype="object")
+
+
+REGISTRY["st_wrapdateline"] = (_st_wrapdateline, "binary")
+
+WRAPDATELINE_CASES = [
+    # (case_id, geom dict, offset)
+    (1, {"type": "LineString",
+         "coords": [(-179.0, 3.0), (179.0, 5.0)]}, 10.0),
+    (2, {"type": "LineString",
+         "coords": [(182.0, 1.0), (185.0, 2.0)]}, 10.0),
+    (3, {"type": "LineString",
+         "coords": [(-185.0, 1.0), (-182.0, 2.0)]}, 10.0),
+    (4, {"type": "MultiPoint",
+         "coords": [(-179.0, 1.0), (179.0, 2.0), (-182.0, 3.0),
+                    (182.0, 4.0)]}, 10.0),
+    (5, {"type": "Point", "coords": (182.0, 4.0)}, 10.0),
+    (6, {"type": "LineString",
+         "coords": [(-10.0, 0.0), (10.0, 2.0)]}, 10.0),
+    (7, {"type": "LineString",
+         "coords": [(170.0, 0.0), (-170.0, 2.0)]}, 30.0),
+]
+
+
+def wrapdateline_cases(spark):
+    """Contract DataFrame: (case_id, gtype, n_geoms, npoints) through
+    the registered ST_ surface; exact coordinates pinned against the
+    reference's autotest goldens in tests/test_constructive.py."""
+    import pandas as pd  # noqa: F811
+
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    rows = [(cid, W.dumps(g), off) for cid, g, off in WRAPDATELINE_CASES]
+    pdf = pd.DataFrame(rows, columns=["case_id", "geom", "off"])
+    spark.createDataFrame(pdf).createOrReplaceTempView(
+        "wrapdateline_cases")
+    return spark.sql("""
+select case_id, st_geometrytype(w) as gtype,
+       st_numgeometries(w) as n_geoms,
+       st_npoints(w) as npoints
+from (select case_id, st_wrapdateline(geom, off) as w
+      from wrapdateline_cases) t
+""")
+
+
+def wrapdateline_oracle_sql() -> str:
+    """Hand-derived expectations from the reference rules (split at the
+    antimeridian interpolation, ±360 whole-geometry shifts, per-point
+    wraps; autotest/ogr/ogr_geom.py wrapdateline goldens anchor the
+    exact coordinates in unit tests)."""
+    rows = [
+        # (case_id, gtype, n_geoms, npoints)
+        (1, "MULTILINESTRING", 2, 4),   # split at y = 4
+        (2, "LINESTRING", 1, 2),        # -360 shift
+        (3, "LINESTRING", 1, 2),        # +360 shift
+        (4, "MULTIPOINT", 4, 4),        # per-point wrap
+        (5, "POINT", 1, 1),
+        (6, "LINESTRING", 1, 2),        # untouched, single-part unwrap
+        (7, "MULTILINESTRING", 2, 4),   # offset=30 makes the gap split
+    ]
+    vals = ", ".join(f"({c}, '{t}', {g}, {p})" for c, t, g, p in rows)
+    return (f"select * from (values {vals})"
+            f" v(case_id, gtype, n_geoms, npoints)")

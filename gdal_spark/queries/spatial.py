@@ -291,6 +291,20 @@ def q_st_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segmentize_cases(spark)
 
 
+def q_st_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRAPDATELINE (ogr2ogr -wrapdateline, OGRGeometryFactory::
+    transformWithOptions ogrgeometryfactory.cpp:4022): antimeridian
+    linestring splits with the reference's interpolation and gap
+    heuristics, ±360 whole-geometry shifts, per-point wraps. Exact
+    output coordinates are pinned against autotest/ogr/ogr_geom.py's
+    wrapdateline goldens in tests; the contract hashes the structural
+    outputs (type, part and point counts) per case."""
+    from gdal_spark.constructive import wrapdateline_cases
+
+    _ = sf_dir  # fixture op
+    return wrapdateline_cases(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -392,6 +406,7 @@ QUERIES = {
     "st_constructive": q_st_constructive,
     "st_buffer_styles": q_st_buffer_styles,
     "st_segmentize": q_st_segmentize,
+    "st_wrapdateline": q_st_wrapdateline,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -510,6 +525,9 @@ from documents
     "st_segmentize": __import__(
         "gdal_spark.constructive", fromlist=["segmentize_oracle_sql"]
     ).segmentize_oracle_sql(),
+    "st_wrapdateline": __import__(
+        "gdal_spark.constructive", fromlist=["wrapdateline_oracle_sql"]
+    ).wrapdateline_oracle_sql(),
     "st_predicates": __import__(
         "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
     ).predicates_oracle_sql(),

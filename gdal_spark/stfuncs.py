@@ -93,6 +93,10 @@ def _st_npoints(col: pd.Series) -> pd.Series:
             out.append(len(g["coords"]))
         elif g["type"] == "Polygon":
             out.append(sum(len(r) for r in g["coords"]))
+        elif g["type"] == "MultiPoint":
+            # one vertex per member point (a member is an (x, y) pair,
+            # not a ring — summing len() over it would count 2)
+            out.append(len(g["coords"]))
         else:
             out.append(sum(len(r) for part in g["coords"] for r in
                            (part if isinstance(part, list) else [part])))

@@ -338,3 +338,45 @@ def test_segmentize_reference_properties():
         # length invariant
         d0 = np.hypot(*(pts[1:] - pts[:-1]).T).sum()
         assert abs(d.sum() - d0) < 1e-9
+
+
+def test_wrapdateline_reference_goldens():
+    """Exact-coordinate parity with the reference's own test goldens
+    (autotest/ogr/ogr_geom.py::test_ogr_geomtransfomer_wrapdateline_*):
+    the no-CT linestring split and the multipoint wrap, plus the ±360
+    whole-geometry shifts and the offset-dependent gap rule."""
+    import numpy as np
+
+    from gdal_spark.constructive import wrap_dateline_geom
+
+    g = wrap_dateline_geom(
+        {"type": "LineString", "coords": [(-179.0, 0.0), (179.0, 0.0)]})
+    assert g["type"] == "MultiLineString"
+    assert [c.tolist() for c in g["coords"]] == [
+        [[-179.0, 0.0], [-180.0, 0.0]], [[180.0, 0.0], [179.0, 0.0]]]
+    g2 = wrap_dateline_geom(
+        {"type": "MultiPoint",
+         "coords": [(-179.0, 0.0), (179.0, 0.0), (-182.0, 0.0),
+                    (182.0, 0.0)]})
+    assert g2["coords"] == [(-179.0, 0.0), (179.0, 0.0), (178.0, 0.0),
+                            (-178.0, 0.0)]
+    # whole-geometry shifts
+    g3 = wrap_dateline_geom(
+        {"type": "LineString", "coords": [(182.0, 1.0), (185.0, 2.0)]})
+    assert g3["type"] == "LineString"
+    assert np.allclose(g3["coords"], [(-178.0, 1.0), (-175.0, 2.0)])
+    # a 340-degree jump is a long line at offset 10, a crossing at 30
+    line = {"type": "LineString",
+            "coords": [(170.0, 0.0), (-170.0, 2.0)]}
+    assert wrap_dateline_geom(line, 10.0)["type"] == "LineString"
+    g7 = wrap_dateline_geom(line, 30.0)
+    assert g7["type"] == "MultiLineString"
+    assert [c.tolist() for c in g7["coords"]] == [
+        [[170.0, 0.0], [180.0, 1.0]], [[-180.0, 1.0], [-170.0, 2.0]]]
+    # polygons need GEOS in the reference too
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        wrap_dateline_geom({"type": "Polygon", "coords": [
+            np.array([(179.0, 0.0), (181.0, 0.0), (181.0, 1.0),
+                      (179.0, 0.0)])]})
