@@ -69,6 +69,7 @@ _PRIORITY = [
     "contour_linestrings",
     "reproject_utm_south", "reproject_albers", "reproject_osgb36",
     "st_buffer_styles", "st_segmentize", "st_wrapdateline",
+    "ogr2ogr_explodecollections",
     "ogrsql_execute_distinct_like",
     "ogrsql_execute_division_typing",
     "text_pii_scan", "text_stratified_sample", "crawl_host_stats",

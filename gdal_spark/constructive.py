@@ -1590,3 +1590,85 @@ def wrapdateline_oracle_sql() -> str:
     vals = ", ".join(f"({c}, '{t}', {g}, {p})" for c, t, g, p in rows)
     return (f"select * from (values {vals})"
             f" v(case_id, gtype, n_geoms, npoints)")
+
+
+def explodecollections_cases(spark):
+    """ogr2ogr -wrapdateline -explodecollections chain
+    (apps/ogr2ogr_lib.cpp -explodecollections: one output feature per
+    collection member, single-part inputs pass through): the
+    WRAPDATELINE fixture outputs exploded via ST_GeometryN, per part
+    the type, vertex count and a measure fingerprint (length for
+    lines, x+2y for points)."""
+    import pandas as pd  # noqa: F811
+
+    from gdal_spark.stfuncs import register_st_functions
+
+    register_st_functions(spark)
+    rows = [(cid, W.dumps(g), off) for cid, g, off in WRAPDATELINE_CASES]
+    pdf = pd.DataFrame(rows, columns=["case_id", "geom", "off"])
+    spark.createDataFrame(pdf).createOrReplaceTempView(
+        "explode_cases")
+    # two typed branches (a CASE would evaluate the point accessors
+    # eagerly on linestring parts — pandas-UDF CASE is not lazy)
+    return spark.sql("""
+with parts as (
+  select case_id, i,
+         case when st_geometrytype(w) like 'MULTI%'
+              then st_geometryn(w, i) else w end as part
+  from (select case_id, st_wrapdateline(geom, off) as w
+        from explode_cases) t
+  lateral view explode(sequence(1, st_numgeometries(w))) e as i
+),
+typed as (
+  select case_id, i, part, st_geometrytype(part) as ptype,
+         st_npoints(part) as npoints
+  from parts
+)
+select case_id, i as part_idx, ptype, npoints,
+       round(st_x(part) + 2.0e0 * st_y(part), 6) as measure
+from typed where ptype = 'POINT'
+union all
+select case_id, i as part_idx, ptype, npoints,
+       round(st_length(part), 6) as measure
+from typed where ptype <> 'POINT'
+""")
+
+
+def explodecollections_oracle_sql() -> str:
+    """Expected parts derived from the WRAPDATELINE fixture by the
+    reference rules (independent arithmetic over the fixture coords)."""
+    import math
+
+    def wrapx(x):
+        if x > 180.0:
+            return math.fmod(x + 180.0, 360.0) - 180.0
+        if x < -180.0:
+            return -(math.fmod(-x + 180.0, 360.0) - 180.0)
+        return x
+
+    def seg(a, b):
+        return math.hypot(b[0] - a[0], b[1] - a[1])
+
+    rows = []
+
+    def add(cid, idx, ptype, npoints, measure):
+        rows.append(f"({cid}, {idx}, '{ptype}', {npoints},"
+                    f" {round(measure, 6)!r}e0)")
+
+    # case 1: split at y interpolated midway (dyadic ratio 1/2)
+    add(1, 1, "LINESTRING", 2, seg((-179, 3), (-180, 4)))
+    add(1, 2, "LINESTRING", 2, seg((180, 4), (179, 5)))
+    # cases 2/3: whole-geometry ±360 shifts, lengths invariant
+    add(2, 1, "LINESTRING", 2, seg((182, 1), (185, 2)))
+    add(3, 1, "LINESTRING", 2, seg((-185, 1), (-182, 2)))
+    # case 4: per-point wraps
+    for i, (x, y) in enumerate([(-179.0, 1.0), (179.0, 2.0),
+                                (-182.0, 3.0), (182.0, 4.0)], start=1):
+        add(4, i, "POINT", 1, wrapx(x) + 2.0 * y)
+    add(5, 1, "POINT", 1, wrapx(182.0) + 2.0 * 4.0)
+    add(6, 1, "LINESTRING", 2, seg((-10, 0), (10, 2)))
+    # case 7 (offset 30): split at y = 1 (midpoint of the 340° jump)
+    add(7, 1, "LINESTRING", 2, seg((170, 0), (180, 1)))
+    add(7, 2, "LINESTRING", 2, seg((-180, 1), (-170, 2)))
+    return (f"select * from (values {', '.join(rows)})"
+            f" v(case_id, part_idx, ptype, npoints, measure)")

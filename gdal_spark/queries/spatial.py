@@ -305,6 +305,17 @@ def q_st_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wrapdateline_cases(spark)
 
 
+def q_explodecollections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -explodecollections chained after -wrapdateline
+    (apps/ogr2ogr_lib.cpp): one output feature per collection member
+    via ST_GeometryN + a sequence lateral view (pure one-to-many
+    Catalyst explode — no shuffle), single-part inputs pass through."""
+    from gdal_spark.constructive import explodecollections_cases
+
+    _ = sf_dir  # fixture op
+    return explodecollections_cases(spark)
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot checkpoint + resume (north rule; `gdal raster tile
     --resume`, apps/gdalalg_raster_tile.cpp:154): the zonal-count job is
@@ -407,6 +418,7 @@ QUERIES = {
     "st_buffer_styles": q_st_buffer_styles,
     "st_segmentize": q_st_segmentize,
     "st_wrapdateline": q_st_wrapdateline,
+    "ogr2ogr_explodecollections": q_explodecollections,
     "ogr2ogr_pipeline": q_ogr2ogr_pipeline,
     "checkpoint_resume": q_checkpoint_resume,
     "clip_lines_cyrus_beck": q_clip_lines,
@@ -528,6 +540,10 @@ from documents
     "st_wrapdateline": __import__(
         "gdal_spark.constructive", fromlist=["wrapdateline_oracle_sql"]
     ).wrapdateline_oracle_sql(),
+    "ogr2ogr_explodecollections": __import__(
+        "gdal_spark.constructive",
+        fromlist=["explodecollections_oracle_sql"]
+    ).explodecollections_oracle_sql(),
     "st_predicates": __import__(
         "gdal_spark.predicates", fromlist=["predicates_oracle_sql"]
     ).predicates_oracle_sql(),

@@ -551,6 +551,27 @@ def _st_numgeometries(col: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="Int64")
 
 
+def _st_geometryn(col: pd.Series, ns: pd.Series) -> pd.Series:
+    """ST_GeometryN: 1-based member of a Multi geometry (NULL out of
+    range or for non-collections — the spatialite/OGR SQLite-dialect
+    convention, ogrsqlitesqlfunctions.cpp)."""
+    sub = {"MultiPoint": "Point", "MultiLineString": "LineString",
+           "MultiPolygon": "Polygon"}
+    out = []
+    for b, n in zip(col, ns):
+        if b is None or n is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        if g["type"] not in sub or not (1 <= int(n) <= len(g["coords"])):
+            out.append(None)
+            continue
+        member = {"type": sub[g["type"]],
+                  "coords": g["coords"][int(n) - 1]}
+        out.append(bytearray(W.dumps(member)))
+    return pd.Series(out, dtype="object")
+
+
 def _line_coords(g: dict):
     return np.asarray(g["coords"], dtype=np.float64) \
         if g["type"] == "LineString" else None
@@ -722,6 +743,7 @@ _REGISTRY = {
     "st_transform": (_st_transform, "binary"),
     "st_geometrytype": (_st_geometrytype, "string"),
     "st_numgeometries": (_st_numgeometries, "long"),
+    "st_geometryn": (_st_geometryn, "binary"),
     "st_startpoint": (_st_startpoint, "binary"),
     "st_endpoint": (_st_endpoint, "binary"),
     "st_pointn": (_st_pointn, "binary"),
