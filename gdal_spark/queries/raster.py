@@ -133,6 +133,21 @@ def q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(hillshade_aspect_sql("dem_gradient_hs"))
 
 
+def q_dem_hillshade_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -combined and -multidirectional
+    (apps/gdaldem_lib.cpp:1106/:1193 with the USGS OF 92-422 weights,
+    alt 45 / az 315 / z 1 / Horn): pure shared-SQL trig over the
+    halo-exchange integer numerators — same zero-Python plan shape as
+    the plain hillshade; formulas validated against a direct scalar
+    transcription of the reference kernels (tests/test_raster.py)."""
+    from gdal_spark.raster import hillshade_variants_sql
+
+    _ = sf_dir
+    g = halo_gradient(synth_dem_tiles(spark, DEM_PX), DEM_PX)
+    g.createOrReplaceTempView("dem_gradient_hsv")
+    return spark.sql(hillshade_variants_sql("dem_gradient_hsv"))
+
+
 def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem color-relief: ramp-interpolated RGB for window tile
     (1, 2) of the synthetic DEM."""
@@ -975,6 +990,7 @@ QUERIES = {
     "polygonize_components": q_polygonize,
     "polygonize_rings": q_polygonize_rings,
     "dem_metrics": q_dem_metrics,
+    "dem_hillshade_variants": q_dem_hillshade_variants,
     "warp_resample_dem": q_warp_resample,
     "warp_cutline": q_warp_cutline,
     "warp_reproject_dem": q_warp_reproject,
@@ -1176,6 +1192,9 @@ ORACLES = {
         "gdal_spark.polygonize", fromlist=["rings_oracle_sql"]
     ).rings_oracle_sql(_PTS, RASTER_Z),
     "dem_metrics": _dem_metrics_oracle(),
+    "dem_hillshade_variants": __import__(
+        "gdal_spark.raster", fromlist=["hillshade_variants_sql"]
+    ).hillshade_variants_sql(f"({_dem_slope_oracle()})"),
     "warp_resample_dem": _warp_resample_oracle(),
     "warp_cutline": _cutline_filter_sql(f"({_warp_oracle()}) w"),
     "warp_reproject_dem": __import__(

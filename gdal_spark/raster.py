@@ -2237,3 +2237,83 @@ from (select a.range as di, b.range as dj
       from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
 """
     return lanczos_dem_oracle_sql(queries_sql, raster_px)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem hillshade -combined and -multidirectional
+# (apps/gdaldem_lib.cpp GDALHillshadeCombinedAlg:1106 and
+# GDALHillshadeMultiDirectionalAlg:1193, USGS OF 92-422 weights).
+# Constants folded exactly as GDALCreateHillshade*Data does (z = 1,
+# alt = 45, az = 315, Horn z_factor 1/8); GDAL's SSE rsqrt
+# approximation is replaced by exact division (a deterministic
+# refinement — the non-SSE reference build divides exactly too).
+# ---------------------------------------------------------------------------
+
+_HSV_SIN_ALT = repr(math.sin(math.radians(45.0)))
+_HSV_K1 = repr(math.cos(math.radians(315.0))
+               * math.cos(math.radians(45.0)) / 8.0)
+_HSV_K2 = repr(math.sin(math.radians(315.0))
+               * math.cos(math.radians(45.0)) / 8.0)
+_HSV_INV_SQ_HALF_PI = repr(1.0 / ((math.pi / 2.0) ** 2))
+_HSV_S127 = repr(127.0 * math.sin(math.radians(45.0)))
+_HSV_CAZ127 = repr(127.0 * math.cos(math.radians(225.0))
+                   * math.cos(math.radians(45.0)) / 8.0)
+_HSV_CA127 = repr(127.0 * math.cos(math.radians(45.0)) / 8.0)
+_HSV_FLAT = repr(1.0 + 254.0 * math.sin(math.radians(45.0)))
+
+
+def hillshade_variants_sql(rel: str, cellsize: float = 30.0) -> str:
+    """One SQL text (Spark SQL ≡ DuckDB) computing the combined and
+    multidirectional hillshades over ``rel(gx, gy, num_x, num_y)`` of
+    integer Horn numerators (north-up raster: the GDAL kernels divide
+    num_y by the NEGATIVE ns resolution, hence hy = −num_y/cellsize).
+    Outputs round to integers so the hash compare survives last-ulp
+    libm differences."""
+    c = repr(float(cellsize))
+    return f"""
+with hv as (
+  select gx, gy,
+         cast(num_x as double) / {c}e0 as hx,
+         -cast(num_y as double) / {c}e0 as hy
+  from {rel}
+),
+hs as (
+  select gx, gy, hx, hy,
+         (hx * hx + hy * hy) / 64.0e0 as slope_sq,
+         hx * hx + hy * hy as ss
+  from hv
+),
+hc as (
+  select gx, gy, hx, hy, slope_sq, ss,
+         acos(greatest(-1.0e0, least(1.0e0,
+           ({_HSV_SIN_ALT}e0 - (hy * {_HSV_K1}e0 - hx * {_HSV_K2}e0))
+             / sqrt(1.0e0 + slope_sq)))) as acang
+  from hs
+),
+hm as (
+  select gx, gy, ss, slope_sq,
+         1.0e0 - acang * atan(sqrt(slope_sq))
+           * {_HSV_INV_SQ_HALF_PI}e0 as comb_raw,
+         greatest(0.0e0, {_HSV_S127}e0 + (hx - hy) * {_HSV_CAZ127}e0)
+           as v225,
+         greatest(0.0e0, {_HSV_S127}e0 - hx * {_HSV_CA127}e0) as v270,
+         greatest(0.0e0, {_HSV_S127}e0 + (hx + hy) * {_HSV_CAZ127}e0)
+           as v315,
+         greatest(0.0e0, {_HSV_S127}e0 - hy * {_HSV_CA127}e0) as v360,
+         0.5e0 * (hx * hx + hy * hy) - hx * hy as w225,
+         hx * hx as w270,
+         hy * hy as w360
+  from hc
+)
+select gx, gy,
+       cast(round(case when comb_raw <= 0.0e0 then 1.0e0
+                       else 1.0e0 + 254.0e0 * comb_raw end)
+            as bigint) as combined,
+       cast(round(case when ss = 0.0e0 then {_HSV_FLAT}e0
+                       else 1.0e0 + ((w225 * v225 + w270 * v270
+                                      + (ss - w225) * v315 + w360 * v360)
+                                     / ss)
+                            / sqrt(1.0e0 + slope_sq) end)
+            as bigint) as multidir
+from hm
+"""

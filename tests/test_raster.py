@@ -784,3 +784,62 @@ def test_exact_viewshed_implementations_agree():
     # observer height lifts the eye over the wall
     v2 = wang_viewshed_np(wall, 8, 12, obs_z=200.0)
     assert v2[12, 20] == 1
+
+
+def test_hillshade_variants_match_reference_transcription(spark):
+    """The shared-SQL combined/multidirectional hillshades agree with a
+    direct scalar transcription of GDALHillshadeCombinedAlg /
+    GDALHillshadeMultiDirectionalAlg (apps/gdaldem_lib.cpp:1106/:1193)
+    evaluated per 3x3 window over the synthetic DEM."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.queries.raster import DEM_PX, q_dem_hillshade_variants
+
+    got = q_dem_hillshade_variants(spark, "x").toPandas() \
+        .set_index(["gy", "gx"]).sort_index()
+    w = DEM_PX
+    gy, gx = np.mgrid[0:w, 0:w]
+    dem = ((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211).astype(float)
+    c = 30.0
+    alt = math.radians(45.0)
+    az = math.radians(315.0)
+    sin_alt, cos_alt = math.sin(alt), math.cos(alt)
+    inv_sq_half_pi = 1.0 / ((math.pi / 2.0) ** 2)
+    rng = np.random.RandomState(8)
+    for _ in range(60):
+        x0 = rng.randint(1, w - 1)
+        y0 = rng.randint(1, w - 1)
+        win = dem[y0 - 1:y0 + 2, x0 - 1:x0 + 2].ravel()
+        x = ((win[0] + 2 * win[3] + win[6])
+             - (win[2] + 2 * win[5] + win[8])) / c
+        y = ((win[6] + 2 * win[7] + win[8])
+             - (win[0] + 2 * win[1] + win[2])) / (-c)
+        zf = 1.0 / 8.0
+        slope = (x * x + y * y) * zf * zf
+        arg = (sin_alt - (y * math.cos(az) * cos_alt * zf
+                          - x * math.sin(az) * cos_alt * zf)) \
+            / math.sqrt(1 + slope)
+        cang = math.acos(max(-1.0, min(1.0, arg)))
+        cang = 1 - cang * math.atan(math.sqrt(slope)) * inv_sq_half_pi
+        comb = 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+        xx, yy = x * x, y * y
+        s = xx + yy
+        if s == 0:
+            multi = 1.0 + 254.0 * sin_alt
+        else:
+            s127 = 127.0 * sin_alt
+            caz = 127.0 * math.cos(math.radians(225.0)) * cos_alt * zf
+            ca = 127.0 * cos_alt * zf
+            v225 = max(0.0, s127 + (x - y) * caz)
+            v270 = max(0.0, s127 - x * ca)
+            v315 = max(0.0, s127 + (x + y) * caz)
+            v360 = max(0.0, s127 - y * ca)
+            w225 = 0.5 * s - x * y
+            multi = 1.0 + ((w225 * v225 + xx * v270
+                            + (s - w225) * v315 + yy * v360) / s) \
+                / math.sqrt(1 + zf * zf * s)
+        row = got.loc[(y0, x0)]
+        assert row["combined"] == round(comb), (x0, y0)
+        assert row["multidir"] == round(multi), (x0, y0)
