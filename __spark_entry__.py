@@ -73,7 +73,8 @@ _PRIORITY = [
     "ogrsql_execute_distinct_like",
     "ogrsql_execute_division_typing",
     "text_pii_scan", "text_stratified_sample", "crawl_host_stats",
-    "warp_order_stats", "warp_lanczos_dem", "polygonize_components8",
+    "warp_order_stats", "warp_lanczos_dem", "warp_average_nodata",
+    "polygonize_components8",
     "raster_sieve8", "raster_viewshed_exact", "dem_hillshade_variants",
     # -- round-2 operators (green driver rows in r02; keep high so they
     # stay within budget if re-checked)

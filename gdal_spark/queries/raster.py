@@ -387,6 +387,20 @@ from crossed where crossings % 2 = 1
 """
 
 
+def q_warp_average_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r average -srcnodata 42 (the GWKAverageOrMode nodata
+    mask): source pixels equal to the nodata value contribute nothing to
+    the mean; dst pixels whose every contributor is nodata vanish (the
+    sparse dstnodata representation). Same partial+final plan as
+    warp_average."""
+    from gdal_spark.raster import warp_average
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT, _AVG_DST_PX,
+                        src_nodata=42)
+
+
 def q_warp_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r min/max/med/q1/q3 (GWKAOM_Imin/Imax/Quant,
     alg/gdalwarpkernel.cpp:6595-6628): the order-statistic resamplers
@@ -997,6 +1011,7 @@ QUERIES = {
     "warp_to_webmercator": q_warp_to_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_order_stats": q_warp_order_stats,
+    "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
     "raster_viewshed_exact": q_viewshed_exact,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1216,6 +1231,10 @@ select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])
  .warp_lanczos_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) l
 """,
+    "warp_average_nodata": __import__(
+        "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
+    ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,
+                              src_nodata=42),
     "warp_order_stats": __import__(
         "gdal_spark.raster", fromlist=["warp_order_stats_oracle_sql"]
     ).warp_order_stats_oracle_sql(

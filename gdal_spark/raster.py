@@ -1561,10 +1561,15 @@ from (select a.range as di, b.range as dj
 
 def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                  dst_gt: list[float], dst_px: int,
-                 dtype: str = "int64") -> DataFrame:
+                 dtype: str = "int64",
+                 src_nodata: int | None = None) -> DataFrame:
     """Average-resampled warp onto a coarser grid (gdalwarp -r average,
     GWKAverageOrMode): each SRC pixel center is assigned to the dst
     pixel containing it; per dst pixel the mean of its source pixels.
+    ``src_nodata`` masks source pixels (gdalwarp -srcnodata,
+    GWKAverageOrMode's pabSuccess path): masked pixels contribute
+    nothing, and a dst pixel whose every contributor is nodata emits no
+    row (≡ dstnodata in the sparse representation).
 
     Execution is the canonical partial+final shape: a per-tile numpy
     kernel emits integer (dst, sum, count) partials — one pass over each
@@ -1588,6 +1593,8 @@ def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                 dj = np.floor((wy - dst_gt[3]) / dst_gt[5]).astype(np.int64)
                 keep = ((di >= 0) & (di < dst_px)
                         & (dj >= 0) & (dj < dst_px))
+                if src_nodata is not None:
+                    keep &= buf != src_nodata
                 if not keep.any():
                     continue
                 key = dj[keep] * dst_px + di[keep]
@@ -1889,13 +1896,16 @@ select di, dj, v as value, c as n_mode from r where rn = 1
 
 
 def warp_average_oracle_sql(dst_gt: list[float], src_gt: list[float],
-                            dst_px: int, raster_px: int) -> str:
+                            dst_px: int, raster_px: int,
+                            src_nodata: int | None = None) -> str:
     """Oracle: enumerate src pixels, closed-form DEM values, identical
-    dst assignment arithmetic and mean expression."""
+    dst assignment arithmetic and mean expression (optionally with the
+    -srcnodata mask)."""
     wx = f"({_lit(src_gt[0])} + (gx + 0.5) * {_lit(src_gt[1])})"
     wy = f"({_lit(src_gt[3])} + (gy + 0.5) * {_lit(src_gt[5])})"
     di = f"cast(floor(({wx} - {_lit(dst_gt[0])}) / {_lit(dst_gt[1])}) as bigint)"
     dj = f"cast(floor(({wy} - {_lit(dst_gt[3])}) / {_lit(dst_gt[5])}) as bigint)"
+    nd = "" if src_nodata is None else f" and v <> {int(src_nodata)}"
     return f"""
 with s as (
   select a.range as gx, b.range as gy
@@ -1907,7 +1917,7 @@ m as (
 select di, dj, cast(count(*) as bigint) as n_src,
        cast(sum(v) as double) / count(*) as value
 from m
-where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}
+where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}{nd}
 group by di, dj
 """
 
