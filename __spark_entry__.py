@@ -76,6 +76,7 @@ _PRIORITY = [
     "warp_order_stats", "warp_lanczos_dem", "warp_average_nodata",
     "polygonize_components8",
     "raster_sieve8", "raster_viewshed_exact", "dem_hillshade_variants",
+    "dem_slope_formats",
     # -- round-2 operators (green driver rows in r02; keep high so they
     # stay within budget if re-checked)
     "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",

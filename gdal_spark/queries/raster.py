@@ -148,6 +148,23 @@ def q_dem_hillshade_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(hillshade_variants_sql("dem_gradient_hsv"))
 
 
+def q_dem_slope_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope -p and -alg ZevenbergenThorne
+    (apps/gdaldem_lib.cpp:1293/:1311, Gradient ZT :777): degree and
+    percent slope from both gradient stencils, joined per pixel over two
+    halo-exchange passes; the trig is shared-SQL (zero Python beyond
+    the halo kernels)."""
+    from gdal_spark.raster import slope_formats_sql
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    gh = halo_gradient(tiles, DEM_PX)
+    gz = halo_gradient(tiles, DEM_PX, alg="zt").selectExpr(
+        "gx", "gy", "num_x as zt_x", "num_y as zt_y")
+    gh.join(gz, ["gx", "gy"]).createOrReplaceTempView("dem_slope_fmt")
+    return spark.sql(slope_formats_sql("dem_slope_fmt"))
+
+
 def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem color-relief: ramp-interpolated RGB for window tile
     (1, 2) of the synthetic DEM."""
@@ -997,6 +1014,16 @@ select gx, gy, {num_x} as num_x, {num_y} as num_y from g
 """
 
 
+def _dem_slope_zt_oracle() -> str:
+    """The Horn-numerator oracle rel extended with the Zevenbergen–
+    Thorne numerators (w3 − w5, w7 − w1)."""
+    e = _dem_elev
+    zt_x = f"(({e('gx-1', 'gy')}) - ({e('gx+1', 'gy')}))"
+    zt_y = f"(({e('gx', 'gy+1')}) - ({e('gx', 'gy-1')}))"
+    return (f"select gx, gy, num_x, num_y, {zt_x} as zt_x,"
+            f" {zt_y} as zt_y from ({_dem_slope_oracle()}) hz")
+
+
 QUERIES = {
     "rasterize_checksum_z5": q_rasterize_checksum,
     "raster_overview_methods": q_overview_methods,
@@ -1005,6 +1032,7 @@ QUERIES = {
     "polygonize_rings": q_polygonize_rings,
     "dem_metrics": q_dem_metrics,
     "dem_hillshade_variants": q_dem_hillshade_variants,
+    "dem_slope_formats": q_dem_slope_formats,
     "warp_resample_dem": q_warp_resample,
     "warp_cutline": q_warp_cutline,
     "warp_reproject_dem": q_warp_reproject,
@@ -1210,6 +1238,9 @@ ORACLES = {
     "dem_hillshade_variants": __import__(
         "gdal_spark.raster", fromlist=["hillshade_variants_sql"]
     ).hillshade_variants_sql(f"({_dem_slope_oracle()})"),
+    "dem_slope_formats": __import__(
+        "gdal_spark.raster", fromlist=["slope_formats_sql"]
+    ).slope_formats_sql(f"({_dem_slope_zt_oracle()})"),
     "warp_resample_dem": _warp_resample_oracle(),
     "warp_cutline": _cutline_filter_sql(f"({_warp_oracle()}) w"),
     "warp_reproject_dem": __import__(

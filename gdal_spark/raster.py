@@ -696,15 +696,18 @@ def sample_at_points(tiles: DataFrame, points: DataFrame, z: int,
 
 
 def halo_gradient(tiles: DataFrame, raster_px: int,
-                  dtype: str = "int64") -> DataFrame:
-    """3×3 Horn gradient over a tiled integer raster with 1-px halo
+                  dtype: str = "int64", alg: str = "horn") -> DataFrame:
+    """3×3 gradient over a tiled integer raster with 1-px halo
     exchange: every tile is shipped to the 9 assembly groups that need any
     of its pixels; each group builds a (tile_px+2)² window and evaluates
-    the integer Horn numerators (apps/gdaldem_lib.cpp:767-772):
+    the integer numerators. ``alg='horn'`` (apps/gdaldem_lib.cpp:767-772):
 
         num_x = (w0 + 2·w3 + w6) − (w2 + 2·w5 + w8)
         num_y = (w6 + 2·w7 + w8) − (w0 + 2·w1 + w2)
 
+    ``alg='zt'`` (Zevenbergen–Thorne, gdaldem -alg ZevenbergenThorne,
+    Gradient<…, ZEVENBERGEN_THORNE> :777-785): num_x = w3 − w5,
+    num_y = w7 − w1 (the /2 scale lives in the consumer, like Horn's /8).
     Raster-edge pixels are skipped (gdaldem default: no edge values unless
     -compute_edges). Output: one row per interior pixel.
     """
@@ -736,10 +739,14 @@ def halo_gradient(tiles: DataFrame, raster_px: int,
             bx = slice(xs.start - (1 + dx), xs.stop - (1 + dx))
             win[ys, xs] = buf[by, bx]
         w = win
-        num_x = ((w[:-2, :-2] + 2 * w[1:-1, :-2] + w[2:, :-2])
-                 - (w[:-2, 2:] + 2 * w[1:-1, 2:] + w[2:, 2:]))
-        num_y = ((w[2:, :-2] + 2 * w[2:, 1:-1] + w[2:, 2:])
-                 - (w[:-2, :-2] + 2 * w[:-2, 1:-1] + w[:-2, 2:]))
+        if alg == "zt":
+            num_x = w[1:-1, :-2] - w[1:-1, 2:]
+            num_y = w[2:, 1:-1] - w[:-2, 1:-1]
+        else:
+            num_x = ((w[:-2, :-2] + 2 * w[1:-1, :-2] + w[2:, :-2])
+                     - (w[:-2, 2:] + 2 * w[1:-1, 2:] + w[2:, 2:]))
+            num_y = ((w[2:, :-2] + 2 * w[2:, 1:-1] + w[2:, 2:])
+                     - (w[:-2, :-2] + 2 * w[:-2, 1:-1] + w[:-2, 2:]))
         gy, gx = np.mgrid[0:tile_px, 0:tile_px]
         gx = gx + htx * tile_px
         gy = gy + hty * tile_px
@@ -2326,4 +2333,30 @@ select gx, gy,
                             / sqrt(1.0e0 + slope_sq) end)
             as bigint) as multidir
 from hm
+"""
+
+
+def slope_formats_sql(rel: str, cellsize: float = 30.0) -> str:
+    """gdaldem slope in both formats and both gradient algorithms
+    (apps/gdaldem_lib.cpp GDALSlopeHornAlg:1293 /
+    GDALSlopeZevenbergenThorneAlg:1311; -p percent, -alg
+    ZevenbergenThorne): one SQL text over a relation
+    ``rel(gx, gy, num_x, num_y, zt_x, zt_y)`` of integer Horn and ZT
+    numerators. deg = atan(√key / k)·180/π, pct = 100·√key / k with
+    k = 8 (Horn) or 2 (ZT); round(…, 6) so the hash compare survives
+    last-ulp libm differences."""
+    c = repr(float(cellsize))
+    hk = f"(cast(num_x as double) * num_x + cast(num_y as double) * num_y)" \
+         f" / ({c}e0 * {c}e0)"
+    zk = f"(cast(zt_x as double) * zt_x + cast(zt_y as double) * zt_y)" \
+         f" / ({c}e0 * {c}e0)"
+    return f"""
+select gx, gy,
+       round(atan(sqrt({hk}) / 8.0e0) * {_DEG_PER_RAD}e0, 6)
+         as slope_horn_deg,
+       round(100.0e0 * sqrt({hk}) / 8.0e0, 6) as slope_horn_pct,
+       round(atan(sqrt({zk}) / 2.0e0) * {_DEG_PER_RAD}e0, 6)
+         as slope_zt_deg,
+       round(100.0e0 * sqrt({zk}) / 2.0e0, 6) as slope_zt_pct
+from {rel}
 """

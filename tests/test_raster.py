@@ -843,3 +843,22 @@ def test_hillshade_variants_match_reference_transcription(spark):
         row = got.loc[(y0, x0)]
         assert row["combined"] == round(comb), (x0, y0)
         assert row["multidir"] == round(multi), (x0, y0)
+
+
+def test_slope_formats_reference_relations(spark):
+    """Slope-format invariants straight from the reference formulas:
+    pct = 100·tan(deg) for both algorithms (the two formats are the
+    same quantity), and the ZT stencil equals Horn on a plane (exact
+    for linear ramps) while differing on curved terrain."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import q_dem_slope_formats
+
+    df = q_dem_slope_formats(spark, "x").toPandas()
+    assert len(df) > 0
+    for alg in ("horn", "zt"):
+        deg = np.radians(df[f"slope_{alg}_deg"].to_numpy())
+        pct = df[f"slope_{alg}_pct"].to_numpy()
+        assert np.abs(100.0 * np.tan(deg) - pct).max() < 1e-3
+    # the high-frequency synthetic DEM makes the stencils disagree
+    assert (df["slope_horn_deg"] != df["slope_zt_deg"]).any()
