@@ -478,6 +478,26 @@ def q_viewshed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewshed_exact(tiles, obs, DEM_PX)
 
 
+_VS_MD = 48  # -md max distance (px) for the bounded-window variant
+
+
+def q_viewshed_exact_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal viewshed -md (alg/viewshed/viewshed.cpp maxDistance): the
+    exact Wang DP bounded to each observer's max-distance window — the
+    output extent is the observer box clipped to the raster, so each
+    observer gathers O(md²) pixels via the window-tile equi-join
+    regardless of raster size. Oracle: the independent memoized
+    recursion over the same window."""
+    from gdal_spark.viewshed_exact import viewshed_exact
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    obs = spark.createDataFrame(
+        [(i, x, y) for i, x, y in _VS_OBSERVERS],
+        "obs_id long, ox int, oy int")
+    return viewshed_exact(tiles, obs, DEM_PX, max_distance_px=_VS_MD)
+
+
 def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -cutline (apps/gdalwarp_lib.cpp:458): the affine
     nearest warp masked to a polygon cutline — dst pixels whose center
@@ -1042,6 +1062,7 @@ QUERIES = {
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
     "raster_viewshed_exact": q_viewshed_exact,
+    "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
     "translate_ops": q_translate_ops,
     "raster_fillnodata": q_fillnodata,
@@ -1328,6 +1349,13 @@ select *, 'calc' as op from (
     ).viewshed_exact_oracle_sql(
         DEM_PX, _VS_OBSERVERS,
         lambda gx, gy: (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211),
+    "raster_viewshed_exact_md": __import__(
+        "gdal_spark.viewshed_exact",
+        fromlist=["viewshed_exact_oracle_sql"]
+    ).viewshed_exact_oracle_sql(
+        DEM_PX, _VS_OBSERVERS,
+        lambda gx, gy: (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211,
+        max_distance_px=_VS_MD),
     "tile_pyramid_z5_z2": " union all ".join(
         f"select * from ({checksum_oracle_sql(_PTS, z)}) p{z}"
         for z in (RASTER_Z, RASTER_Z - 1, RASTER_Z - 2, RASTER_Z - 3)),

@@ -2008,10 +2008,14 @@ def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
     spark = tiles.sparkSession
     np_dtype = np.dtype(dtype)
     t = TILE_PX
+    # partition the dst grid by size: ~8k pixel rows per task of unrolled
+    # projection arithmetic, floor 8 for parallelism on small grids, cap
+    # 2048 so huge grids don't explode the task count.
+    n_parts = max(8, min(2048, (dst_px * dst_px + 8191) // 8192))
     dx_e = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
     dy_e = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
     dst = (
-        spark.range(dst_px * dst_px, numPartitions=16)
+        spark.range(dst_px * dst_px, numPartitions=n_parts)
         .select((F.col("id") % dst_px).alias("di"),
                 (F.col("id") / dst_px).cast("long").alias("dj"))
         .withColumn("dwx", F.expr(dx_e))
@@ -2022,16 +2026,20 @@ def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
                                                 ok_col="inv_ok"))
     dst = apply_sql_stages(dst, epsg_fwd_stages(src_epsg, "lon", "lat",
                                                 "wx", "wy"))
-    # pushdown barrier: predicate pushdown would substitute the unrolled
-    # fixed-point stages into the filter condition level by level —
-    # exponential expression blowup (measured 69 s for a 160² LCC dst
-    # grid, 0.3 s with the barrier). A nondeterministic project field
-    # pins the filter above the staged projects (Catalyst only pushes
-    # through all-deterministic projections); the always-true clause
-    # keeps column pruning from stripping it.
-    dst = dst.withColumn("_pin", F.rand(42))
+    # pushdown barrier: predicate pushdown + CollapseProject would
+    # substitute the unrolled fixed-point stages into the filter
+    # condition level by level — exponential expression blowup (measured
+    # 69 s for a 160² LCC dst grid, 0.3 s with the barrier). A lazy
+    # localCheckpoint turns the staged-projection subplan into a
+    # LogicalRDD scan, which no optimizer rule rewrites through — a
+    # structural barrier rather than the previous F.rand(42)
+    # nondeterminism trick, which silently breaks if a future optimizer
+    # pushes through nondeterministic projects. The dst grid holds only
+    # (di, dj, coords) — O(dst_px²) small rows — so the checkpointed
+    # partitions are a fraction of the warp output itself.
+    dst = dst.localCheckpoint(eager=False)
     dst = (
-        dst.filter("inv_ok and ok and _pin <= 2.0").drop("_pin")
+        dst.filter("inv_ok and ok")
         .withColumn("sgx", F.expr(
             f"cast(floor((wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])})"
             f" as bigint)"))
@@ -2088,7 +2096,8 @@ from (select a.range as di, b.range as dj
         base, stages, ["di", "dj", "wx", "wy", "inv_ok", "ok"])
     # materialized: DuckDB's filter pushdown would otherwise substitute
     # the unrolled fixed-point stages into the ok-filter (the same
-    # exponential expression blowup the Spark side pins with _pin)
+    # exponential expression blowup the Spark side pins with its
+    # localCheckpoint barrier)
     return f"""
 with q as materialized ({proj}),
 s as (

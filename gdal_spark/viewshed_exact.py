@@ -19,11 +19,13 @@ defaults; no curvature adjustment, curvCoeff = 0):
 Scale stance: one viewshed's DP is inherently a sequential wavefront —
 GDAL itself runs it single-machine per observer, window-bounded by
 -md/maxDistance. The distributed axis is OBSERVERS: `viewshed_exact`
-gathers each observer's tile window with the chunk-gather equi-join and
-runs the DP per observer group in parallel (the cumulative-viewshed
-shape of alg/viewshed/cumulative.cpp — a grid of observers — is exactly
-this plan). The pure-Catalyst sampled-ray approximation in raster.py
-remains the single-raster scale path.
+gathers each observer's -md tile window via explode(window tile ids) →
+equi-join on (tx, ty) — never observers × all tiles — and runs the DP
+per observer group in parallel (the cumulative-viewshed shape of
+alg/viewshed/cumulative.cpp — a grid of observers — is exactly this
+plan). One observer group holds O(md²) pixels regardless of raster
+size. The pure-Catalyst sampled-ray approximation in raster.py remains
+the single-raster scale path.
 """
 
 from __future__ import annotations
@@ -197,35 +199,69 @@ def wang_viewshed_memo(dem: np.ndarray, ox: int, oy: int,
 
 
 def viewshed_exact(tiles: DataFrame, observers: DataFrame,
-                   raster_px: int, dtype: str = "int64") -> DataFrame:
+                   raster_px: int, dtype: str = "int64",
+                   max_distance_px: int | None = None) -> DataFrame:
     """Distributed exact viewshed: one Wang DP per OBSERVER, observers
     in parallel (the cumulative-viewshed plan, alg/viewshed/
-    cumulative.cpp). Each observer group gathers the full tile window
-    through one equi-join (cross join against the bounded tile table —
-    at scale, restrict to tiles within the max-distance window);
-    output: per observer the visible-cell count and an exact integer
-    fingerprint Σ pid over visible cells."""
+    cumulative.cpp). Each observer gathers ONLY the tiles of its
+    max-distance window (GDAL -md, alg/viewshed/viewshed.cpp options:
+    the output extent is the observer box clipped to the raster) via an
+    explode(window tile ids) → **equi-join on (tx, ty)** — never
+    observers × all tiles, so one observer group holds
+    O(window²) pixels, not the raster. ``max_distance_px=None`` means
+    an unbounded window (GDAL's default), which still plans as the same
+    equi-join. The Wang DP is window-exact: every cell's recursion only
+    touches cells strictly between it and the observer, so cells inside
+    the window have identical visibility to a full-raster run.
+
+    Output: per observer the visible-cell count inside the window and
+    an exact integer fingerprint Σ pid (global pixel ids) over visible
+    cells."""
     np_dtype = np.dtype(dtype)
     t = TILE_PX
     w = raster_px
-    chunks = (observers.crossJoin(tiles.select("tx", "ty", "data"))
-              .groupBy("obs_id", "ox", "oy")
+    md = int(max_distance_px) if max_distance_px is not None else w
+    obs = (observers
+           .withColumn("px0", F.greatest(F.lit(0), F.col("ox") - md))
+           .withColumn("px1", F.least(F.lit(w - 1), F.col("ox") + md))
+           .withColumn("py0", F.greatest(F.lit(0), F.col("oy") - md))
+           .withColumn("py1", F.least(F.lit(w - 1), F.col("oy") + md)))
+    obs_tiles = (obs
+                 .withColumn("tx", F.explode(F.sequence(
+                     (F.col("px0") / t).cast("int"),
+                     (F.col("px1") / t).cast("int"))))
+                 .withColumn("ty", F.explode(F.sequence(
+                     (F.col("py0") / t).cast("int"),
+                     (F.col("py1") / t).cast("int")))))
+    chunks = (obs_tiles
+              .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+              .groupBy("obs_id", "ox", "oy", "px0", "px1", "py0", "py1")
               .agg(F.collect_list(F.struct("tx", "ty", "data"))
                    .alias("tl")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for obs_id, ox, oy, tl in zip(pdf["obs_id"], pdf["ox"],
-                                          pdf["oy"], pdf["tl"]):
-                dem = np.zeros((w, w), dtype=np.float64)
+            for (obs_id, ox, oy, px0, px1, py0, py1, tl) in zip(
+                    pdf["obs_id"], pdf["ox"], pdf["oy"], pdf["px0"],
+                    pdf["px1"], pdf["py0"], pdf["py1"], pdf["tl"]):
+                px0, px1 = int(px0), int(px1)
+                py0, py1 = int(py0), int(py1)
+                twx0, twy0 = px0 // t, py0 // t
+                ntx = px1 // t - twx0 + 1
+                nty = py1 // t - twy0 + 1
+                buf = np.zeros((nty * t, ntx * t), dtype=np.float64)
                 for row in tl:
-                    buf = np.frombuffer(row["data"],
-                                        dtype=np_dtype).reshape(t, t)
-                    y0, x0 = int(row["ty"]) * t, int(row["tx"]) * t
-                    dem[y0:y0 + t, x0:x0 + t] = buf
-                vis = wang_viewshed_np(dem, int(ox), int(oy))
+                    b = np.frombuffer(row["data"],
+                                      dtype=np_dtype).reshape(t, t)
+                    y0 = (int(row["ty"]) - twy0) * t
+                    x0 = (int(row["tx"]) - twx0) * t
+                    buf[y0:y0 + t, x0:x0 + t] = b
+                dem = buf[py0 - twy0 * t:py1 + 1 - twy0 * t,
+                          px0 - twx0 * t:px1 + 1 - twx0 * t]
+                vis = wang_viewshed_np(dem, int(ox) - px0, int(oy) - py0)
                 ys, xs = np.nonzero(vis)
-                pid = ys.astype(np.int64) * w + xs.astype(np.int64)
+                pid = ((ys.astype(np.int64) + py0) * w
+                       + (xs.astype(np.int64) + px0))
                 yield pd.DataFrame({
                     "obs_id": [int(obs_id)],
                     "n_visible": [int(vis.sum())],
@@ -238,17 +274,23 @@ def viewshed_exact(tiles: DataFrame, observers: DataFrame,
 
 def viewshed_exact_oracle_sql(raster_px: int,
                               observers: list[tuple[int, int, int]],
-                              elev_np) -> str:
+                              elev_np,
+                              max_distance_px: int | None = None) -> str:
     """Oracle VALUES table from the independent memoized recursion over
-    the closed-form DEM (``elev_np(gx, gy) -> array``)."""
+    the closed-form DEM (``elev_np(gx, gy) -> array``), windowed to the
+    same -md observer box as the engine."""
     w = raster_px
+    md = int(max_distance_px) if max_distance_px is not None else w
     gy, gx = np.mgrid[0:w, 0:w]
     dem = np.asarray(elev_np(gx, gy), dtype=np.float64)
     rows = []
     for obs_id, ox, oy in observers:
-        vis = wang_viewshed_memo(dem, ox, oy)
+        px0, px1 = max(0, ox - md), min(w - 1, ox + md)
+        py0, py1 = max(0, oy - md), min(w - 1, oy + md)
+        win = dem[py0:py1 + 1, px0:px1 + 1]
+        vis = wang_viewshed_memo(win, ox - px0, oy - py0)
         ys, xs = np.nonzero(vis)
-        pid = ys.astype(np.int64) * w + xs.astype(np.int64)
+        pid = (ys.astype(np.int64) + py0) * w + (xs.astype(np.int64) + px0)
         rows.append(f"({obs_id}, {int(vis.sum())}, {int(pid.sum())})")
     return (f"select * from (values {', '.join(rows)})"
             f" v(obs_id, n_visible, fingerprint)")

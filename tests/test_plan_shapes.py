@@ -40,11 +40,6 @@ BOUNDED_PRODUCTS = {
     # warped pixels x the constant 6-row cutline edge table (the
     # constant-key equi-join folds to true); linear in pixels
     "warp_cutline",
-    # exact Wang viewshed: observers x the observer's tile window —
-    # linear in observers x window tiles (GDAL bounds the window by
-    # maxDistance); at scale the join key is the window tile id, and
-    # the DP itself runs once per observer, never all-pairs
-    "raster_viewshed_exact",
 }
 
 SF = "/root/testdata/sf0.001"
