@@ -14,19 +14,26 @@ implemented directly (public formulas):
   (Karney 2011, "Transverse Mercator with an accuracy of a few nanometers"),
   nanometer-accurate within UTM extents.
 - EPSG:2154 Lambert-93 (LCC 2SP), EPSG:3031/3032 Polar Stereographic,
-  EPSG:3577 Australian Albers (equal-area, GDA94≡WGS84 null transform).
-- EPSG:27700 OSGB36 / British National Grid — the one registered
-  NON-WGS84 datum: the published 7-parameter Helmert (OS Guide §6.6,
-  position-vector) through geocentric XYZ, then Krüger on Airy 1830.
+  EPSG:3577 Australian Albers (equal-area, GDA94≡WGS84 null transform),
+  EPSG:25832 ETRS89 / UTM 32N (parameterized Krüger on GRS80, null
+  ETRS89↔WGS84 transform EPSG:1149).
+- Non-WGS84 datums via geocentric Helmert: EPSG:27700 OSGB36 / British
+  National Grid (7-parameter, OS Guide §6.6) and EPSG:26718 NAD27 /
+  UTM 18N (EPSG:1173 geocentric translation, Clarke 1866).
+
+Dispatch is driven by the EPSG parameter table (``epsg_table()``): each
+code maps to an EPSG projection-method family plus its parameter
+object, so adding a code within a derived family is one table row.
 
 DATUM CONTRACT (read this before adding codes): every registered family
-except 27700 sits on WGS84 (or a datum with a published null transform
-to it); arbitrary-EPSG datum shifts are NOT supported — GDAL does any
-pair via PROJ's transformation database (ogr/ogrct.cpp:1705-1803).
-Adding a datum here requires its published Helmert parameters (a
-HelmertParams instance) plus a worked example; grid-based corrections
-(NTv2/OSTN15) are out of scope, so 27700 carries the documented ~3.5 m
-single-Helmert accuracy vs OSTN15.
+except 27700/26718 sits on WGS84 (or a datum with a published null
+transform to it); arbitrary-EPSG datum shifts are NOT supported — GDAL
+does any pair via PROJ's transformation database
+(ogr/ogrct.cpp:1705-1803). Adding a datum here requires its published
+Helmert parameters (a HelmertParams instance) plus a worked example;
+grid-based corrections (NTv2/OSTN15/NADCON) are out of scope, so 27700
+carries the documented ~3.5 m single-Helmert accuracy vs OSTN15 and
+26718 the ~5 m CONUS accuracy vs NADCON.
 
 Two execution paths, same formulas:
 
@@ -761,6 +768,26 @@ def aea_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
 # surface covers both directions (epsg_fwd_stages / epsg_inv_stages), so
 # a general code→code chain — e.g. gdalwarp -t_srs with any registered
 # destination — stays pure Catalyst and oracle-checkable.
+#
+# Dispatch is PARAMETER-DRIVEN: epsg_table() maps code → (method, params)
+# where `method` names an EPSG projection method family and `params` is
+# its parameter object — the shape of PROJ's EPSG parameter database,
+# scoped to the derived families. Adding a code in an existing family is
+# one table row (the EPSG parameters), not a new function. Methods:
+#   geographic  — identity lon/lat (4326)
+#   webmerc     — spherical Mercator (EPSG 1024/3856)
+#   lcc         — Lambert Conformal Conic 2SP (EPSG 9802), LccParams
+#   ps          — Polar Stereographic B south (EPSG 9829), PsParams
+#   aea         — Albers Equal Area 2SP (EPSG 9822), AeaParams
+#   tmerc_wgs84 — transverse Mercator on WGS84 (EPSG 9807),
+#                 (lon0_deg, false_northing); UTM 326xx/327xx resolve
+#                 here by zone-range rule
+#   tmerc       — transverse Mercator on an arbitrary ellipsoid with a
+#                 null WGS84 datum transform, TmercParams (e.g. ETRS89,
+#                 GDA94 — EPSG null transforms 1149/1150)
+#   datum_tmerc — 7/3-parameter Helmert datum shift + transverse
+#                 Mercator (EPSG 9606 + 9807),
+#                 (HelmertParams WGS84→datum, TmercParams)
 # ---------------------------------------------------------------------------
 
 
@@ -773,6 +800,35 @@ def _utm_epsg_params(code: int) -> tuple[float, float]:
     raise KeyError(code)
 
 
+def epsg_table() -> dict[int, tuple[str, object]]:
+    """The EPSG parameter table: code → (method, params). Built lazily
+    because the parameter objects are defined through the module; the
+    UTM WGS84 zone codes (326xx/327xx) resolve by range in
+    _epsg_entry rather than 120 explicit rows."""
+    return {
+        4326: ("geographic", None),
+        3857: ("webmerc", None),
+        2154: ("lcc", LCC_2154),
+        3031: ("ps", PS_3031),
+        3032: ("ps", PS_3032),
+        3577: ("aea", AEA_3577),
+        25832: ("tmerc", TMERC_25832),
+        27700: ("datum_tmerc", (HELMERT_WGS84_TO_OSGB36, TMERC_27700)),
+        26718: ("datum_tmerc", (HELMERT_WGS84_TO_NAD27, TMERC_26718)),
+    }
+
+
+def _epsg_entry(code: int) -> tuple[str, object]:
+    table = epsg_table()
+    if code in table:
+        return table[code]
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+        return "tmerc_wgs84", _utm_epsg_params(code)
+    raise KeyError(f"EPSG:{code} not in the parameter table — add its "
+                   f"EPSG parameters to crs.epsg_table() (GDAL does any "
+                   f"pair via PROJ, ogr/ogrct.cpp:1705-1803)")
+
+
 def epsg_fwd_stages(code: int, lon: str, lat: str,
                     out_x: str = "x", out_y: str = "y",
                     ok_col: str = "ok") -> list[tuple[str, str]]:
@@ -780,28 +836,24 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
     (out_x, out_y) plus the per-point failure flag (``ok_col`` — pass a
     distinct name when composing several projections over one row so a
     later stage list does not overwrite an earlier flag)."""
-    if code == 4326:
+    method, p = _epsg_entry(code)
+    if method == "geographic":
         st = [("ok", f"(isnan({lon}) = false and isnan({lat}) = false)"),
               (out_x, lon), (out_y, lat)]
         return st if ok_col == "ok" else st + [(ok_col, "ok")]
-    if code == 3857:
+    if method == "webmerc":
         st = webmercator_sql_stages(lon, lat)
         ren = {"x_3857": out_x, "y_3857": out_y}
-    elif code == 2154:
-        st = lcc_sql_stages(lon, lat)
-        ren = {"easting": out_x, "northing": out_y}
-    elif code in (3031, 3032):
-        st = ps_sql_stages(lon, lat, PS_3031 if code == 3031 else PS_3032)
-        ren = {"easting": out_x, "northing": out_y}
-    elif code == 3577:
-        st = aea_sql_stages(lon, lat, AEA_3577)
-        ren = {"easting": out_x, "northing": out_y}
-    elif code == 27700:
-        st = osgb36_sql_stages(lon, lat)
-        ren = {"easting": out_x, "northing": out_y}
     else:
-        lon0, fn = _utm_epsg_params(code)
-        st = tmerc_sql_stages(lon, lat, lon0, fn=fn)
+        st = {
+            "lcc": lambda: lcc_sql_stages(lon, lat, p),
+            "ps": lambda: ps_sql_stages(lon, lat, p),
+            "aea": lambda: aea_sql_stages(lon, lat, p),
+            "tmerc_wgs84": lambda: tmerc_sql_stages(lon, lat, p[0],
+                                                    fn=p[1]),
+            "tmerc": lambda: tmerc_sql_stages_p(lon, lat, p),
+            "datum_tmerc": lambda: datum_tmerc_sql_stages(lon, lat, *p),
+        }[method]()
         ren = {"easting": out_x, "northing": out_y}
     out = [(ren.get(name, name), expr) for name, expr in st]
     # the stage expressions reference the flag as ``ok`` internally, so a
@@ -813,44 +865,41 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
 
 def epsg_fwd_np(code: int):
     """numpy forward kernel for 4326 → code: (lon, lat) → (x, y, ok)."""
-    if code == 4326:
-        return lambda lon, lat: (np.asarray(lon, dtype=np.float64),
-                                 np.asarray(lat, dtype=np.float64),
-                                 np.isfinite(lon) & np.isfinite(lat))
-    if code == 3857:
-        return webmercator_fwd_np
-    if code == 2154:
-        return lcc_fwd_np
-    if code in (3031, 3032):
-        p = PS_3031 if code == 3031 else PS_3032
-        return lambda lon, lat: ps_fwd_np(lon, lat, p)
-    if code == 3577:
-        return lambda lon, lat: aea_fwd_np(lon, lat, AEA_3577)
-    if code == 27700:
-        return osgb36_fwd_np
-    lon0, fn = _utm_epsg_params(code)
-    return lambda lon, lat: tmerc_fwd_np(lon, lat, lon0, fn=fn)
+    method, p = _epsg_entry(code)
+    return {
+        "geographic": lambda: lambda lon, lat: (
+            np.asarray(lon, dtype=np.float64),
+            np.asarray(lat, dtype=np.float64),
+            np.isfinite(lon) & np.isfinite(lat)),
+        "webmerc": lambda: webmercator_fwd_np,
+        "lcc": lambda: lambda lon, lat: lcc_fwd_np(lon, lat, p),
+        "ps": lambda: lambda lon, lat: ps_fwd_np(lon, lat, p),
+        "aea": lambda: lambda lon, lat: aea_fwd_np(lon, lat, p),
+        "tmerc_wgs84": lambda: lambda lon, lat: tmerc_fwd_np(
+            lon, lat, p[0], fn=p[1]),
+        "tmerc": lambda: lambda lon, lat: tmerc_fwd_np_p(lon, lat, p),
+        "datum_tmerc": lambda: lambda lon, lat: datum_tmerc_fwd_np(
+            lon, lat, *p),
+    }[method]()
 
 
 def epsg_inv_np(code: int):
     """numpy inverse kernel for code → 4326: (x, y) → (lon, lat, ok)."""
-    if code == 4326:
-        return lambda x, y: (np.asarray(x, dtype=np.float64),
-                             np.asarray(y, dtype=np.float64),
-                             np.isfinite(x) & np.isfinite(y))
-    if code == 3857:
-        return webmercator_inv_np
-    if code == 2154:
-        return lcc_inv_np
-    if code in (3031, 3032):
-        p = PS_3031 if code == 3031 else PS_3032
-        return lambda x, y: ps_inv_np(x, y, p)
-    if code == 3577:
-        return lambda x, y: aea_inv_np(x, y, AEA_3577)
-    if code == 27700:
-        return osgb36_inv_np
-    lon0, fn = _utm_epsg_params(code)
-    return lambda x, y: tmerc_inv_np(x, y, lon0, fn=fn)
+    method, p = _epsg_entry(code)
+    return {
+        "geographic": lambda: lambda x, y: (
+            np.asarray(x, dtype=np.float64),
+            np.asarray(y, dtype=np.float64),
+            np.isfinite(x) & np.isfinite(y)),
+        "webmerc": lambda: webmercator_inv_np,
+        "lcc": lambda: lambda x, y: lcc_inv_np(x, y, p),
+        "ps": lambda: lambda x, y: ps_inv_np(x, y, p),
+        "aea": lambda: lambda x, y: aea_inv_np(x, y, p),
+        "tmerc_wgs84": lambda: lambda x, y: tmerc_inv_np(
+            x, y, p[0], fn=p[1]),
+        "tmerc": lambda: lambda x, y: tmerc_inv_np_p(x, y, p),
+        "datum_tmerc": lambda: lambda x, y: datum_tmerc_inv_np(x, y, *p),
+    }[method]()
 
 
 def epsg_inv_stages(code: int, x: str, y: str,
@@ -860,23 +909,24 @@ def epsg_inv_stages(code: int, x: str, y: str,
     the dst-CRS⁻¹ leg of a general cross-CRS warp. Same alias rule as
     epsg_fwd_stages: the flag is computed as ``ok`` and aliased to
     ``ok_col`` so several stage lists can compose over one row."""
-    if code == 4326:
-        st = [("ok", f"(isnan({x}) = false and isnan({y}) = false)"),
-              (out_lon, x), (out_lat, y)]
-    elif code == 3857:
-        st = webmercator_inv_sql_stages(x, y, out_lon, out_lat)
-    elif code == 2154:
-        st = lcc_inv_sql_stages(x, y, out_lon, out_lat, LCC_2154)
-    elif code in (3031, 3032):
-        st = ps_inv_sql_stages(x, y, out_lon, out_lat,
-                               PS_3031 if code == 3031 else PS_3032)
-    elif code == 3577:
-        st = aea_inv_sql_stages(x, y, out_lon, out_lat, AEA_3577)
-    elif code == 27700:
-        st = osgb36_inv_sql_stages(x, y, out_lon, out_lat)
-    else:
-        lon0, fn = _utm_epsg_params(code)
-        st = tmerc_inv_sql_stages(x, y, out_lon, out_lat, lon0, fn=fn)
+    method, p = _epsg_entry(code)
+    st = {
+        "geographic": lambda: [
+            ("ok", f"(isnan({x}) = false and isnan({y}) = false)"),
+            (out_lon, x), (out_lat, y)],
+        "webmerc": lambda: webmercator_inv_sql_stages(x, y, out_lon,
+                                                      out_lat),
+        "lcc": lambda: lcc_inv_sql_stages(x, y, out_lon, out_lat, p),
+        "ps": lambda: ps_inv_sql_stages(x, y, out_lon, out_lat, p),
+        "aea": lambda: aea_inv_sql_stages(x, y, out_lon, out_lat, p),
+        "tmerc_wgs84": lambda: tmerc_inv_sql_stages(x, y, out_lon,
+                                                    out_lat, p[0],
+                                                    fn=p[1]),
+        "tmerc": lambda: tmerc_inv_sql_stages_p(x, y, out_lon, out_lat,
+                                                p),
+        "datum_tmerc": lambda: datum_tmerc_inv_sql_stages(
+            x, y, out_lon, out_lat, *p),
+    }[method]()
     if ok_col != "ok":
         st = st + [(ok_col, "ok")]
     return st
@@ -1078,6 +1128,27 @@ TMERC_27700 = TmercParams(AIRY_A, AIRY_F, lon0_deg=-2.0,
                           k0=0.9996012717, fe=400000.0, fn=-100000.0,
                           lat0_deg=49.0)
 
+# Clarke 1866 (the NAD27 ellipsoid, defined by a and b)
+CLARKE1866_A, CLARKE1866_B = 6378206.4, 6356583.8
+CLARKE1866_F = (CLARKE1866_A - CLARKE1866_B) / CLARKE1866_A
+# EPSG:1173 "NAD27 to WGS 84 (3)" (CONUS): geocentric translation
+# tx=-8, ty=160, tz=176 m, no rotation/scale. Our convention stores the
+# WGS84→datum direction, and a pure translation reverses exactly by
+# negation, so this is the exact published transform, ~5 m CONUS
+# accuracy (grid-based NADCON is out of scope like OSTN15).
+HELMERT_WGS84_TO_NAD27 = HelmertParams(
+    8.0, -160.0, -176.0, 0.0, 0.0, 0.0, 0.0,
+    src_a=WGS84_A, src_f=WGS84_F, dst_a=CLARKE1866_A, dst_f=CLARKE1866_F)
+# EPSG:26718 NAD27 / UTM zone 18N: standard UTM on Clarke 1866
+TMERC_26718 = TmercParams(CLARKE1866_A, CLARKE1866_F, lon0_deg=-75.0,
+                          k0=UTM_K0, fe=UTM_FE, fn=0.0)
+# EPSG:25832 ETRS89 / UTM zone 32N: standard UTM on GRS80.
+# ETRS89↔WGS84 is the published null transform (EPSG:1149), so no
+# datum-shift step applies — but the ellipsoid is GRS80, not WGS84,
+# hence the parameterized Krüger rather than the WGS84 fast path.
+TMERC_25832 = TmercParams(GRS80_A, GRS80_F, lon0_deg=9.0,
+                          k0=UTM_K0, fe=UTM_FE, fn=0.0)
+
 
 def _geo_to_xyz_np(lon, lat, a: float, e2: float):
     phi = np.radians(np.asarray(lat, dtype=np.float64))
@@ -1119,28 +1190,41 @@ def datum_shift_np(lon, lat, h: HelmertParams, inverse: bool = False):
     return _xyz_to_geo_np(X2, Y2, Z2, h.dst_a, h.dst_e2)
 
 
-def osgb36_fwd_np(lon, lat):
-    """EPSG:4326 → EPSG:27700: Helmert datum shift then Airy Krüger."""
+def datum_tmerc_fwd_np(lon, lat, h: HelmertParams, tm: TmercParams):
+    """4326 → datum-shifted transverse Mercator: WGS84 geodetic →
+    Helmert (to the projection datum) → Krüger forward on the datum
+    ellipsoid. The generic non-WGS84-datum forward kernel."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     ok0 = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
     lo, la = datum_shift_np(np.where(ok0, lon, 0.0),
-                            np.where(ok0, lat, 0.0),
-                            HELMERT_WGS84_TO_OSGB36)
-    E, N, ok = tmerc_fwd_np_p(lo, la, TMERC_27700)
+                            np.where(ok0, lat, 0.0), h)
+    E, N, ok = tmerc_fwd_np_p(lo, la, tm)
     E = np.where(ok0, E, np.nan)
     N = np.where(ok0, N, np.nan)
     return E, N, ok0 & ok
 
 
+def datum_tmerc_inv_np(E, N, h: HelmertParams, tm: TmercParams):
+    """Datum-shifted transverse Mercator → 4326: Krüger inverse on the
+    datum ellipsoid then inverse Helmert (exact matrix)."""
+    lo, la, ok = tmerc_inv_np_p(E, N, tm)
+    lon, lat = datum_shift_np(lo, la, h, inverse=True)
+    ok = ok & np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def osgb36_fwd_np(lon, lat):
+    """EPSG:4326 → EPSG:27700: Helmert datum shift then Airy Krüger."""
+    return datum_tmerc_fwd_np(lon, lat, HELMERT_WGS84_TO_OSGB36,
+                              TMERC_27700)
+
+
 def osgb36_inv_np(E, N):
     """EPSG:27700 → EPSG:4326: Airy Krüger inverse then inverse
     Helmert (exact matrix)."""
-    lo, la, ok = tmerc_inv_np_p(E, N, TMERC_27700)
-    lon, lat = datum_shift_np(lo, la, HELMERT_WGS84_TO_OSGB36,
-                              inverse=True)
-    ok = ok & np.isfinite(lon) & np.isfinite(lat)
-    return lon, lat, ok
+    return datum_tmerc_inv_np(E, N, HELMERT_WGS84_TO_OSGB36,
+                              TMERC_27700)
 
 
 def _geo_to_xyz_stages(lon: str, lat: str, a: float, e2: float,
@@ -1293,12 +1377,13 @@ def tmerc_inv_sql_stages_p(x: str, y: str, out_lon: str, out_lat: str,
     return stages
 
 
-def osgb36_sql_stages(lon: str, lat: str) -> list[tuple[str, str]]:
-    """4326 → 27700 staged SQL: WGS84 geodetic→XYZ → Helmert →
-    XYZ→geodetic (Airy, fixed-point unrolled) → Airy Krüger forward.
-    Identical text both engines — the datum-shifted chain stays
-    oracle-checkable like every other family."""
-    h = HELMERT_WGS84_TO_OSGB36
+def datum_tmerc_sql_stages(lon: str, lat: str, h: HelmertParams,
+                           tm: TmercParams) -> list[tuple[str, str]]:
+    """4326 → datum-shifted TM staged SQL: WGS84 geodetic→XYZ → Helmert
+    → XYZ→geodetic (datum ellipsoid, fixed-point unrolled) → Krüger
+    forward on the datum ellipsoid. Identical text both engines — the
+    datum-shifted chain stays oracle-checkable like every other
+    family."""
     st = [("ok0", f"(isnan({lon}) = false and isnan({lat}) = false"
                   f" and abs({lat}) <= 90.0)"),
           ("_slon", f"case when ok0 then {lon} else 0.0 end"),
@@ -1308,17 +1393,18 @@ def osgb36_sql_stages(lon: str, lat: str) -> list[tuple[str, str]]:
     st += _helmert_stages("_hx", "_hy", "_hz", h, "_hx2", "_hy2", "_hz2")
     st += _xyz_to_geo_stages("_hx2", "_hy2", "_hz2", h.dst_a, h.dst_e2,
                              "_olon", "_olat")
-    st += tmerc_sql_stages_p("_olon", "_olat", TMERC_27700)
+    st += tmerc_sql_stages_p("_olon", "_olat", tm)
     st += [("ok", "(ok0 and ok)")]
     return st
 
 
-def osgb36_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
-                          out_lat: str = "lat") -> list[tuple[str, str]]:
-    """27700 → 4326 staged SQL: Airy Krüger inverse → Airy geodetic→XYZ
-    → exact inverse Helmert → XYZ→geodetic (WGS84, unrolled)."""
-    h = HELMERT_WGS84_TO_OSGB36
-    st = tmerc_inv_sql_stages_p(x, y, "_ilon", "_ilat", TMERC_27700)
+def datum_tmerc_inv_sql_stages(x: str, y: str, out_lon: str,
+                               out_lat: str, h: HelmertParams,
+                               tm: TmercParams) -> list[tuple[str, str]]:
+    """Datum-shifted TM → 4326 staged SQL: Krüger inverse on the datum
+    ellipsoid → geodetic→XYZ → exact inverse Helmert → XYZ→geodetic
+    (WGS84, unrolled)."""
+    st = tmerc_inv_sql_stages_p(x, y, "_ilon", "_ilat", tm)
     st += _geo_to_xyz_stages("_ilon", "_ilat", h.dst_a, h.dst_e2,
                              "_hx", "_hy", "_hz")
     st += _helmert_stages("_hx", "_hy", "_hz", h, "_hx2", "_hy2", "_hz2",
@@ -1328,3 +1414,19 @@ def osgb36_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
     st += [("ok", f"(isnan({out_lon}) = false"
                   f" and isnan({out_lat}) = false)")]
     return st
+
+
+def osgb36_sql_stages(lon: str, lat: str) -> list[tuple[str, str]]:
+    """4326 → 27700 staged SQL (datum_tmerc_sql_stages with the OSGB36
+    Helmert + Airy national-grid parameters)."""
+    return datum_tmerc_sql_stages(lon, lat, HELMERT_WGS84_TO_OSGB36,
+                                  TMERC_27700)
+
+
+def osgb36_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                          out_lat: str = "lat") -> list[tuple[str, str]]:
+    """27700 → 4326 staged SQL (datum_tmerc_inv_sql_stages with the
+    OSGB36 parameters)."""
+    return datum_tmerc_inv_sql_stages(x, y, out_lon, out_lat,
+                                      HELMERT_WGS84_TO_OSGB36,
+                                      TMERC_27700)

@@ -143,6 +143,48 @@ def q_reproject_osgb36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_etrs89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:25832 (ETRS89 / UTM zone 32N): first family
+    resolved from the EPSG parameter table (crs.epsg_table) rather
+    than a per-code function — parameterized Krüger on GRS80 with the
+    published null ETRS89↔WGS84 datum transform (EPSG:1149). Same ±6°
+    zone-neighborhood envelope as the WGS84 UTM rows."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir).filter(
+        "lon >= 3.0 and lon <= 15.0")
+    out = apply_sql_stages(pts, epsg_fwd_stages(25832, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
+def q_reproject_nad27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:26718 (NAD27 / UTM zone 18N): the second true
+    datum-shift family (after OSGB36) — the published EPSG:1173
+    geocentric translation NAD27↔WGS84 (tx=-8, ty=160, tz=176 m,
+    reversed exactly) through XYZ, then Krüger on Clarke 1866
+    (validated against Snyder 1987 §8's worked UTM example,
+    tests/test_geodesy.py). Points restricted to the zone's ±6°
+    neighborhood around 75°W."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir).filter(
+        "lon >= -81.0 and lon <= -69.0")
+    out = apply_sql_stages(pts, epsg_fwd_stages(26718, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN: every 13th doc queries the geotagged point set."""
     # cache the NARROW projection (id, lon, lat ≈ 24 B/row — bounded even
@@ -169,6 +211,8 @@ QUERIES = {
     "reproject_utm_south": q_reproject_utm_south,
     "reproject_albers": q_reproject_albers,
     "reproject_osgb36": q_reproject_osgb36,
+    "reproject_etrs89": q_reproject_etrs89,
+    "reproject_nad27": q_reproject_nad27,
     "knn": q_knn,
 }
 
@@ -251,6 +295,18 @@ def _osgb36_oracle() -> str:
             f" round(northing, 3) as northing, ok from ({inner}) q")
 
 
+def _epsg_pts_oracle(code: int, where: str) -> str:
+    from gdal_spark.crs import epsg_fwd_stages
+
+    inner = stages_to_duckdb_sql(
+        f"select doc_id, lon, lat from ({_PTS}) p where {where}",
+        epsg_fwd_stages(code, "lon", "lat", "easting", "northing"),
+        ["doc_id", "easting", "northing", "ok"],
+    )
+    return (f"select doc_id, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, ok from ({inner}) q")
+
+
 def _knn_oracle() -> str:
     dist = haversine_sql("q.lon", "q.lat", "p.lon", "p.lat")
     return f"""
@@ -274,5 +330,9 @@ ORACLES = {
     "reproject_utm_south": _utm_south_oracle(),
     "reproject_albers": _albers_oracle(),
     "reproject_osgb36": _osgb36_oracle(),
+    "reproject_etrs89": _epsg_pts_oracle(
+        25832, "lon >= 3.0 and lon <= 15.0"),
+    "reproject_nad27": _epsg_pts_oracle(
+        26718, "lon >= -81.0 and lon <= -69.0"),
     "knn": _knn_oracle(),
 }

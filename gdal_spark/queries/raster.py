@@ -920,6 +920,25 @@ def q_warp_to_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
                             src_epsg=4326, dst_epsg=2154)
 
 
+_ETRS_DST_GT = [-150000.0, 2400.0, 0.0, 5450000.0, 0.0, -3600.0]
+_ETRS_DST_PX = 160
+
+
+def q_warp_to_etrs89utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:25832 (ETRS89 / UTM 32N) of the
+    degree-gridded DEM — first warp into a parameterized-Krüger family
+    from the EPSG parameter table (GRS80 ellipsoid, null ETRS89↔WGS84
+    datum transform EPSG:1149): UTM32 inverse (Newton-on-τ unrolled in
+    SQL) as the destination leg, identity forward leg."""
+    from gdal_spark.raster import warp_nearest_crs
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest_crs(tiles, _DEG_SRC_GT, DEM_PX,
+                            _ETRS_DST_GT, _ETRS_DST_PX,
+                            src_epsg=4326, dst_epsg=25832)
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r bilinear + -r cubic (GWKBilinear / GWKCubic kernels,
     alg/gdalwarpkernel.cpp): DEM resampled onto the shifted
@@ -1058,6 +1077,7 @@ QUERIES = {
     "warp_reproject_dem": q_warp_reproject,
     "warp_to_webmercator": q_warp_to_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
+    "warp_to_etrs89utm": q_warp_to_etrs89utm,
     "warp_order_stats": q_warp_order_stats,
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
@@ -1278,6 +1298,11 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _LCC_DST_GT,
                                   _LCC_DST_PX, src_epsg=4326,
                                   dst_epsg=2154),
+    "warp_to_etrs89utm": __import__(
+        "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
+    ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _ETRS_DST_GT,
+                                  _ETRS_DST_PX, src_epsg=4326,
+                                  dst_epsg=25832),
     "warp_lanczos_dem": f"""
 select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])

@@ -302,6 +302,8 @@ def test_inverse_sql_stages_match_numpy_all_families(ddb):
         3577: (rng.uniform(112, 154, 50), rng.uniform(-44, -9, 50)),
         32631: (rng.uniform(-1, 7, 50), rng.uniform(1, 80, 50)),
         32731: (rng.uniform(-1, 7, 50), rng.uniform(-80, -1, 50)),
+        25832: (rng.uniform(5, 13, 50), rng.uniform(35, 70, 50)),
+        26718: (rng.uniform(-79, -71, 50), rng.uniform(25, 50, 50)),
     }
     for code, (lon, lat) in domains.items():
         x, y, _ = epsg_fwd_np(code)(lon, lat)
@@ -441,3 +443,67 @@ def test_osgb36_sql_stages_match_numpy(ddb):
     lo, la, _ = osgb36_inv_np(E, N)
     assert np.abs(out2["lon"] - lo).max() < 1e-12
     assert np.abs(out2["lat"] - la).max() < 1e-12
+
+
+def test_nad27_snyder_worked_example():
+    """Clarke 1866 transverse Mercator vs Snyder 1987 §8's published
+    UTM example (p. 269-270): φ=40°30'N, λ=73°30'W, zone 18 →
+    E=627106.5, N=4484124.4 (table rounded to 0.1 m)."""
+    from gdal_spark.crs import TMERC_26718, tmerc_fwd_np_p
+
+    E, N, ok = tmerc_fwd_np_p([-73.5], [40.5], TMERC_26718)
+    assert ok[0]
+    assert abs(E[0] - 627106.5) < 0.1
+    assert abs(N[0] - 4484124.4) < 0.1
+
+
+def test_nad27_datum_shift_and_roundtrip():
+    """4326→26718 applies the EPSG:1173 geocentric translation (so it
+    differs from a no-shift Clarke 1866 projection by tens of meters),
+    and the full chain round-trips to sub-mm."""
+    import numpy as np
+
+    from gdal_spark.crs import (TMERC_26718, epsg_fwd_np, epsg_inv_np,
+                                tmerc_fwd_np_p)
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-79, -71, 60)
+    lat = rng.uniform(25, 50, 60)
+    E, N, ok = epsg_fwd_np(26718)(lon, lat)
+    assert ok.all()
+    E0, N0, _ = tmerc_fwd_np_p(lon, lat, TMERC_26718)
+    shift = np.hypot(E - E0, N - N0)
+    assert shift.min() > 5.0 and shift.max() < 300.0
+    lo, la, ok2 = epsg_inv_np(26718)(E, N)
+    assert ok2.all()
+    assert np.abs(lo - lon).max() < 1e-8
+    assert np.abs(la - lat).max() < 1e-8
+
+
+def test_etrs89_utm_grs80_vs_wgs84_family():
+    """EPSG:25832 (GRS80) agrees with the WGS84 Krüger fast path to
+    sub-mm (the ellipsoids differ by 0.1 mm in b) but is resolved from
+    the parameter table as a distinct family; zone origin is exact."""
+    import numpy as np
+
+    from gdal_spark.crs import epsg_fwd_np, tmerc_fwd_np
+
+    E, N, ok = epsg_fwd_np(25832)(np.array([9.0]), np.array([0.0]))
+    assert ok[0] and abs(E[0] - 500000.0) < 1e-6 and abs(N[0]) < 1e-6
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(6, 12, 40)
+    lat = rng.uniform(-80, 80, 40)
+    E1, N1, _ = epsg_fwd_np(25832)(lon, lat)
+    E2, N2, _ = tmerc_fwd_np(lon, lat, 9.0)
+    assert np.abs(E1 - E2).max() < 1e-3
+    assert np.abs(N1 - N2).max() < 1e-3
+
+
+def test_epsg_table_unknown_code_message():
+    """An unregistered code names the parameter table in its error."""
+    import pytest
+
+    from gdal_spark.crs import epsg_fwd_stages
+
+    with pytest.raises(KeyError, match="parameter table"):
+        epsg_fwd_stages(2056, "lon", "lat")
