@@ -339,7 +339,18 @@ def q_execute_sql_division_typing(spark: SparkSession,
     return execute_sql(
         spark,
         "SELECT l_orderkey, l_linenumber, l_orderkey / l_linenumber, "
-        "l_orderkey / 7, 100 / 8, l_quantity / 2, 2.5 "
+        "l_orderkey / 7, 100 / 8, l_quantity / 2, 2.5, "
+        # chained + mixed-precedence int arithmetic: swq types every
+        # node, left-assoc — ((a/b)/c), ((a/b)*c)/d, a/(b+c)
+        "l_orderkey / l_linenumber / 2, "
+        "l_orderkey / l_linenumber * l_partkey / 3, "
+        "l_orderkey / (l_linenumber + 1), "
+        "100 / 8 / 2, "
+        # any float operand anywhere promotes the whole chain
+        "l_orderkey / l_linenumber / 2.0, "
+        "l_quantity / l_linenumber / 2, "
+        "-l_orderkey / l_linenumber, "
+        "CAST(l_quantity AS INTEGER) / l_linenumber "
         "FROM lineitem WHERE l_orderkey < 200 "
         "ORDER BY l_orderkey, l_linenumber",
         {"lineitem": _t(spark, sf_dir, "lineitem")})
@@ -520,7 +531,17 @@ select l_orderkey, l_linenumber,
        l_orderkey // 7 as field_4,
        100 // 8 as field_5,
        l_quantity / 2 as field_6,
-       2.5e0 as field_7
+       2.5e0 as field_7,
+       l_orderkey // l_linenumber // 2 as field_8,
+       l_orderkey // l_linenumber * l_partkey // 3 as field_9,
+       l_orderkey // (l_linenumber + 1) as field_10,
+       100 // 8 // 2 as field_11,
+       (l_orderkey // l_linenumber) / 2.0 as field_12,
+       l_quantity / l_linenumber / 2 as field_13,
+       -- swq int division truncates toward zero (C++ '/'); duckdb //
+       -- floors, so negative cases spell the trunc form explicitly
+       cast(trunc((- l_orderkey) / l_linenumber) as bigint) as field_14,
+       cast(trunc(l_quantity) as bigint) // l_linenumber as field_15
 from lineitem where l_orderkey < 200
 order by l_orderkey, l_linenumber
 """,

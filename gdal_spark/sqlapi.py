@@ -88,11 +88,10 @@ def _rewrite_code(out: str) -> str:
     # line comment in Spark SQL — split the minuses
     out = out.replace("--", "- -")
     # OGR integer / integer is integer division (swq type promotion,
-    # rfc28_17: 5/2 = 2). Without expression typing only the
-    # literal/literal case is decidable from the text; rewrite it to
-    # Spark's `div`. 5.0/2, 5/2.0 etc. keep float semantics on both.
-    out = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])",
-                 r"(\1 div \2)", out)
+    # rfc28_17: 5/2 = 2) — typed by the expression-tree rewriter
+    # (_int_div_rewrite, which handles literal, column and chained
+    # operands uniformly; a pair regex here would pre-group `a/7/3`
+    # as a/(7 div 3) and break left associativity).
     # OGR floating literals are SWQ_FLOAT (double); Spark parses bare
     # decimal literals as DECIMAL(p,s) — pin them to double with an e0
     # exponent (ogr_sql_49: '1/1.' is double 1.0, not Decimal)
@@ -143,28 +142,203 @@ def _sanitize_like_escape(m: re.Match) -> str:
             else f"LIKE '{new}'")
 
 
-_DIV_PAIR = re.compile(
-    r"(?<![\w.'])((?:\w+\.)?\w+)\s*/\s*((?:\w+\.)?\w+)(?![\w.('])")
+# ---------------------------------------------------------------------------
+# swq arithmetic expression typing (ogr/swq_op_general.cpp
+# SWQGeneralChecker + evaluator :637-718): every arithmetic node is
+# SWQ_INTEGER iff BOTH operands are integer-typed, so `a/b/c` over int
+# columns is chained integer division and `a/b*c/d` groups left-assoc
+# as ((a/b)*c)/d before typing. A single-level pair regex cannot
+# express that (and mis-groups mixed chains), so the rewrite is a
+# tokenizer + precedence parser over the already-string-stripped SQL
+# fragment: int/int divisions become Spark `div`, everything else is
+# re-emitted verbatim (token-normalized whitespace). Unknown constructs
+# (function calls, subqueries, non-arithmetic tokens) type as non-int,
+# which conservatively keeps float semantics.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKEN = re.compile(
+    r"""`[^`]*`
+      | \d+\.\d*(?:[eE][+-]?\d+)?   # 1.5, 1.5e0
+      | \.\d+(?:[eE][+-]?\d+)?      # .5
+      | \d+[eE][+-]?\d+             # 1e0
+      | \d+
+      | [A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*
+      | <=|>=|<>|!=|\|\|
+      | \S
+    """, re.X)
+
+_INT_CAST_TYPES = {"integer", "int", "bigint", "smallint", "tinyint"}
+_INT = "int"
+_OTHER = "other"  # float / string / unknown — anything that blocks `div`
+
+
+class _ArithTyper:
+    """Pratt-style permissive parser: parses arithmetic islands inside
+    an arbitrary SQL token stream, types them bottom-up with swq's
+    promotion rule, and re-emits every token it cannot parse."""
+
+    def __init__(self, toks: list[str], int_names: set[str]):
+        self.toks = toks
+        self.i = 0
+        self.int_names = int_names
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _ident_type(self, tok: str) -> str:
+        return _INT if tok.strip("`").lower() in self.int_names else _OTHER
+
+    def _consume_parens(self, parts: list[str]) -> tuple[str, bool]:
+        """Opaquely consume to the matching ')' (subquery, IN-list,
+        boolean group, or an unbalanced fragment from string-literal
+        splitting); inner arithmetic was already rewritten by the
+        recursive parse that preceded the bailout. Returns (text,
+        closed) — when the fragment ends before the ')' (the literal
+        split the expression), the caller must NOT synthesize one."""
+        depth = 1
+        while self.peek() is not None:
+            t = self.peek()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    self.take()
+                    return " ".join(parts), True
+            parts.append(self.take())
+        return " ".join(parts), False
+
+    def primary(self) -> tuple[str, str] | None:
+        t = self.peek()
+        if t is None:
+            return None
+        if t == "(":
+            self.take()
+            if (self.peek() or "").lower() == "select":
+                body, closed = self._consume_parens([])
+                return "(" + body + (")" if closed else ""), _OTHER
+            inner = self.expr()
+            if inner is not None and self.peek() == ")":
+                self.take()
+                return "(" + inner[0] + ")", inner[1]
+            # not a pure arithmetic group — finish it opaquely, but keep
+            # any rewrites the inner parse already produced
+            parts = [inner[0]] if inner is not None else []
+            body, closed = self._consume_parens(parts)
+            return "(" + body + (")" if closed else ""), _OTHER
+        if re.fullmatch(r"\d+", t):
+            self.take()
+            return t, _INT
+        if re.fullmatch(r"[\d.].*", t):  # any other numeric literal
+            self.take()
+            return t, _OTHER
+        if re.fullmatch(r"`[^`]*`|[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*",
+                        t):
+            self.take()
+            if self.peek() == "(":
+                self.take()
+                return self._call(t)
+            return t, self._ident_type(t)
+        return None
+
+    def _call(self, fname: str) -> tuple[str, str]:
+        """Function call: parse each argument as an expression (so
+        divisions inside args are typed and rewritten), join on commas;
+        CAST(... AS int-type) types integer, other calls type other."""
+        parts: list[str] = []
+        while self.peek() is not None and self.peek() != ")":
+            a = self.expr()
+            if a is not None:
+                parts.append(a[0])
+            elif self.peek() != ")":
+                parts.append(self.take())
+        closed = self.peek() == ")"
+        if closed:
+            self.take()
+        text = fname + "(" + " ".join(parts) + (")" if closed else "")
+        if not closed:
+            # fragment cut by a string literal — re-emit only what
+            # exists; typing is unknowable
+            return text, _OTHER
+        if fname.lower() == "cast":
+            tail = [p.lower() for p in parts[-2:]]
+            is_int = any(w.rstrip(")") in _INT_CAST_TYPES
+                         for p in tail for w in p.split())
+            return text, _INT if is_int else _OTHER
+        return text, _OTHER
+
+    def unary(self) -> tuple[str, str] | None:
+        signs = []
+        while self.peek() in ("-", "+"):
+            signs.append(self.take())
+        p = self.primary()
+        if p is None:
+            return (" ".join(signs), _OTHER) if signs else None
+        return ("".join(s + " " for s in signs) + p[0], p[1])
+
+    def muldiv(self) -> tuple[str, str] | None:
+        left = self.unary()
+        if left is None:
+            return None
+        while True:
+            op = self.peek()
+            is_div_kw = op is not None and op.lower() == "div"
+            if op not in ("*", "/", "%") and not is_div_kw:
+                return left
+            self.take()
+            right = self.unary()
+            if right is None:
+                return left[0] + " " + op, _OTHER
+            both_int = left[1] == _INT and right[1] == _INT
+            if op == "/" and both_int:
+                left = (f"({left[0]} div {right[0]})", _INT)
+            elif is_div_kw:
+                # produced by the literal/literal pre-rewrite — integral
+                left = (f"{left[0]} div {right[0]}", _INT)
+            else:
+                left = (f"{left[0]} {op} {right[0]}",
+                        _INT if both_int else _OTHER)
+
+    def expr(self) -> tuple[str, str] | None:
+        left = self.muldiv()
+        if left is None:
+            return None
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            right = self.muldiv()
+            if right is None:
+                return left[0] + " " + op, _OTHER
+            left = (f"{left[0]} {op} {right[0]}",
+                    _INT if left[1] == _INT and right[1] == _INT
+                    else _OTHER)
+        return left
 
 
 def _int_div_rewrite(text: str, int_names: set[str]) -> str:
     """Schema-aware OGR integer-division typing (swq type promotion,
-    rfc28_17): ``a / b`` where BOTH operands are integer-typed columns
-    or integer literals divides integrally. Literal/literal is already
-    handled schema-free in _rewrite_code; this covers column operands
-    using the layers' Spark dtypes. Single-level only (a/b/c chains
-    would need full expression typing, as swq does)."""
-
-    def is_int(tok: str) -> bool:
-        return tok.isdigit() or tok.lower() in int_names
-
-    def repl(m: re.Match) -> str:
-        a, b = m.group(1), m.group(2)
-        if is_int(a) and is_int(b):
-            return f"({a} div {b})"
-        return m.group(0)
-
-    return _DIV_PAIR.sub(repl, text)
+    rfc28_17 / ogr_sql_test.py::test_ogr_sql_49): full expression-tree
+    typing, so int÷int divides integrally at every level of a chain
+    (``a/b/c``, ``a/b*c/d`` group left-assoc exactly as swq parses
+    them) and any float operand anywhere promotes that node to float.
+    ``int_names`` holds int-typed column names (qualified always; bare
+    only when the type is consistent across every registered scope)."""
+    lead = text[:len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    toks = _SQL_TOKEN.findall(text)
+    p = _ArithTyper(toks, int_names)
+    out: list[str] = []
+    while p.peek() is not None:
+        e = p.expr()
+        if e is not None:
+            out.append(e[0])
+        else:
+            out.append(p.take())
+    return lead + " ".join(out) + trail
 
 
 def _rewrite_expressions(sql: str) -> str:
@@ -630,6 +804,8 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     # FIELD_N numbering and for schema-aware integer-division typing
     star_widths: dict[str, int] = {}
     int_names: set[str] = set()
+    _bare_int: set[str] = set()
+    _bare_other: set[str] = set()
 
     def _register_scope(lname: str, alias: str | None) -> None:
         cols = spark.table(lname).columns
@@ -639,7 +815,9 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
             if dt in ("int", "bigint", "smallint", "tinyint"):
                 for nm in {lname, alias or lname}:
                     int_names.add(f"{nm}.{c}".lower())
-                int_names.add(c.lower())
+                _bare_int.add(c.lower())
+            else:
+                _bare_other.add(c.lower())
 
     _register_scope(table, g["talias"])
     for kw, body in clauses[1:]:
@@ -649,6 +827,10 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
                 jt = jm.group("jtable").strip("'\"`")
                 if jt in layers:
                     _register_scope(jt, jm.group("jalias"))
+    # a bare (unqualified) name types int only when it is int-typed in
+    # EVERY registered scope that has it — a name int in one joined
+    # layer but float in another must not trigger integer division
+    int_names |= _bare_int - _bare_other
 
     def _typed(text: str) -> str:
         return _outside_strings(
@@ -682,16 +864,18 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
                     f" (partition by {key} order by {order}) as _rn"
                     f" from {jtable}) _d{n_dedup} where _rn = 1)"
                 )
-            parts.append(f"{kw} {jview} {jalias} on {cond}")
+            parts.append(f"{kw} {jview} {jalias} on {_typed(cond)}")
         else:
             tail[kw] = body
     if "where" in tail:
         parts.append(f"where {_typed(tail['where'])}")
     if "group by" in tail:
-        parts.append(f"group by {tail['group by']}")
+        parts.append(f"group by {_typed(tail['group by'])}")
     if "having" in tail:
         parts.append(f"having {_typed(tail['having'])}")
     order_by = tail.get("order by")
+    if order_by is not None:
+        order_by = _typed(order_by)
     cols = g["cols"]
     if g["distinct"] and not order_by and "," not in cols \
             and "(" not in cols:

@@ -693,3 +693,39 @@ def test_empty_string_compare_ogr_sql_42(spark, poly):
     """ogr_sql_test.py::test_ogr_sql_42 — comparing to ''."""
     assert run(spark, "SELECT * FROM poly WHERE prfedea <> ''",
                poly).count() == poly.count()
+
+
+def test_chained_integer_division_typing(spark, poly):
+    """swq types every arithmetic node (swq_op_general.cpp checker):
+    a/b/c over ints chains integer division left-assoc; a/b*c/d groups
+    ((a/b)*c)/d — NOT (a/b)*(c/d); one float anywhere promotes the
+    chain; int division inside function args is typed too."""
+    r = run(spark,
+            "SELECT eas_id, eas_id / 7 / 3, eas_id / 7 * 5 / 3, "
+            "eas_id / (7 + 3), eas_id / 7 / 2.0, "
+            "ABS(eas_id / 7) FROM poly ORDER BY eas_id", poly).collect()
+    for row in r:
+        e = row[0]
+        assert row[1] == (e // 7) // 3
+        assert row[2] == ((e // 7) * 5) // 3, (e, row[2])
+        assert row[3] == e // 10
+        assert abs(row[4] - (e // 7) / 2.0) < 1e-12
+        assert row[5] == e // 7
+
+
+def test_ambiguous_bare_int_name_not_rewritten(spark, poly):
+    """A bare column name that is int-typed in one joined layer but
+    float-typed in another must NOT trigger integer division (the type
+    is scope-ambiguous); the qualified names keep their exact types."""
+    import pandas as pd
+
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [7, 9]}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [7.0, 9.0]}))
+    out = execute_sql(
+        spark,
+        "SELECT a.k, a.v / 2, b.v / 2 FROM a "
+        "JOIN b ON a.k = b.k ORDER BY a.k",
+        {"a": a, "b": b}).collect()
+    assert out[0][1] == 3 and isinstance(out[0][1], int)  # int div
+    assert abs(out[0][2] - 3.5) < 1e-12  # float stays float
