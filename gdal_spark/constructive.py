@@ -1477,6 +1477,15 @@ def wrap_dateline_geom(geom: dict, offset: float = 10.0) -> dict:
                    for c in geom["coords"]])
     allx = np.concatenate([ln[:, 0] for ln in lines])
     minx, maxx = float(allx.min()), float(allx.max())
+    if minx < -180.0 < maxx:
+        # envelope straddling -180: GDAL routes this to the GEOS
+        # rectangle-clip branch (ogrgeometryfactory.cpp:2999) and
+        # errors without GEOS — mirror that, like the polygon path,
+        # instead of silently approximating with the x_off heuristic
+        raise NotImplementedError(
+            "WRAPDATELINE linestring straddling -180 needs the GEOS "
+            "rectangle-clip branch (ogrgeometryfactory.cpp:2999) — "
+            "unsupported, like GDAL built without GEOS")
     if -360.0 <= minx and maxx <= -180.0:
         shifted = [ln + [360.0, 0.0] for ln in lines]
         return ({"type": "LineString", "coords": shifted[0]}

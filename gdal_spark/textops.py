@@ -475,8 +475,15 @@ SAMPLE_RATES_PERMIL = {"en": 800, "de": 500, "fr": 500, "es": 300}
 SAMPLE_DEFAULT_PERMIL = 100
 # Knuth multiplicative hash on doc_id: deterministic, seed-stable across
 # engines and retries — resumable sampling needs the decision to be a
-# pure function of the row key, never of rand()
-SAMPLE_HASH = "((doc_id * 2654435761) % 1000)"
+# pure function of the row key, never of rand(). The id is pre-folded
+# with % 2^31-1 so the multiply stays under 2^63 for ANY int64 doc_id:
+# an unfolded doc_id * 2654435761 overflows int64 past doc_id ≈ 3.5e9,
+# where Spark (non-ANSI) wraps to a negative whose % is negative (keep
+# always true) while DuckDB raises overflow — both engines must stay
+# defined, and agree, at 10^12-row scale. abs() keeps the slot
+# non-negative for negative ids (max |fold| = 2^31-2, so the product
+# peaks at ~5.7e18 < 2^63-1; abs never sees int64-min).
+SAMPLE_HASH = "((abs(doc_id % 2147483647) * 2654435761) % 1000)"
 
 
 def stratified_sample_sql(doc_view: str, engine: str) -> str:

@@ -358,3 +358,23 @@ def test_stratified_sample_deterministic_and_rated(spark):
         assert abs(rate - target) < 0.25, (stratum, rate, target)
         assert (g["n_stratum"] == len(g)).all()
         assert (g["n_kept"] == g["keep"].sum()).all()
+
+
+def test_sample_hash_defined_at_int64_scale(spark):
+    """SAMPLE_HASH must stay overflow-free and engine-identical for ANY
+    int64 doc_id (ADVICE r3: the unfolded doc_id * 2654435761 wrapped
+    negative in Spark past ~3.5e9 — keep always true — while DuckDB
+    raised overflow). Probe the extremes on both engines."""
+    import duckdb
+
+    from gdal_spark import textops as T
+
+    ids = [0, 1, 3_499_999_999, 2**31 - 1, 2**32, 10**12,
+           2**62, 2**63 - 1, -1, -(2**62)]
+    vals = ", ".join(f"({i})" for i in ids)
+    q = (f"select doc_id, {T.SAMPLE_HASH} as slot"
+         f" from (values {vals}) as v(doc_id) order by doc_id")
+    s = [(r["doc_id"], r["slot"]) for r in spark.sql(q).collect()]
+    d = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
+    assert s == d
+    assert all(0 <= slot < 1000 for _, slot in s)
