@@ -56,65 +56,69 @@ def _modules():
 # queries fixed this round (ANSI + output-representation), and new operators.
 # Previously-green queries keep their r01 rows and register afterward.
 _PRIORITY = [
-    # -- round 3: the 7 queries never driver-checked in r01/r02 (all green
-    # under scripts/verify_contract.py, the strict driver mirror) go first
-    # so CORRECTNESS_r03 closes the loop to fully driver-backed coverage.
-    "sql_asof_join", "text_boilerplate", "text_repetition",
-    "multimodal_frame_sample", "contour_cells", "raster_histogram",
-    "streaming_dedup_urls",
-    # -- round 3: new operators (general dst-CRS warp, contour WKB,
-    # OGR SQL divergence fixes, new CRS families, buffer options)
-    # registered here as they land.
-    "warp_to_webmercator", "warp_to_lcc93",
-    "contour_linestrings",
-    "reproject_utm_south", "reproject_albers", "reproject_osgb36",
-    "st_buffer_styles", "st_segmentize", "st_wrapdateline",
-    "ogr2ogr_explodecollections",
-    "ogrsql_execute_distinct_like",
-    "ogrsql_execute_division_typing",
-    "text_pii_scan", "text_stratified_sample", "crawl_host_stats",
-    "warp_order_stats", "warp_lanczos_dem", "warp_average_nodata",
-    "polygonize_components8",
-    "raster_sieve8", "raster_viewshed_exact", "dem_hillshade_variants",
-    "dem_slope_formats",
-    # -- round-2 operators (green driver rows in r02; keep high so they
-    # stay within budget if re-checked)
-    "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
-    "warp_cutline", "reproject_lcc93",
-    "layer_algebra_intersection_nonconvex", "layer_algebra_union_features",
-    "polygonize_rings", "ogrsql_execute_join_chain",
-    "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
-    # -- round-1 hard errors, fixed (ANSI semantics)
-    "streaming_zonal_window", "sql_scalar_expr",
-    # -- round-1 hash-fails, fixed (output representation)
-    "zonal_stats", "layer_algebra_identity_update", "sql_summary_record",
-    "sql_groupby_agg", "sql_join_groups", "sql_orderby_limit_offset",
-    "sql_window_funcs",
-    # -- round-1 no-oracle, now fully oracle-checked
-    "ann_lsh_topk", "ann_ivf_topk",
-    # -- round-1 never-checked: textpipe tail (meta+decode merged)
-    "text_fingerprint", "text_rare_terms", "multimodal_inspect",
-    "multimodal_resize",
-    # -- round-1 never-checked: §2.10 raster. Sibling kernels that share
-    # a verified plan shape are exposed as merged entries (method/op
-    # column unions, or one-pass suites like grid_kernels), so EVERY
-    # kernel family fits inside the driver's ~50-check budget.
+    # ---- round 4 freshness rotation (VERDICT r3 next-steps #7): after
+    # r03 every registered query has a green latest driver row, so the
+    # top of the list is now (a) queries never driver-checked (new this
+    # round), (b) queries whose behavior or oracle changed this round,
+    # (c) the OLDEST r1-vintage rows, rotated in so no row ages past
+    # ~2 rounds. The remaining r1/r2-vintage rows rotate in next round.
+    # -- (a) new round-4 operators, never driver-checked
+    "multimodal_decode_real",
+    "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
+    "raster_viewshed_exact_md",
+    # -- (b) behavior changed this round: chained int-division typing
+    # (expression-tree rewriter), overflow-safe SAMPLE_HASH (both
+    # engines' results changed in tandem), wrapdateline -180 guard
+    "ogrsql_execute_division_typing", "text_stratified_sample",
+    "st_wrapdateline",
+    # -- (c) oldest r1-vintage rows (latest green row is CORRECTNESS_r01)
+    "extract_geotags", "cell_assign", "tile_counts_z8", "pip_join",
+    "clip", "erase", "zonal_count", "pip_join_cellprejoin",
+    "layer_algebra_overlay", "st_functions", "ogr2ogr_pipeline",
+    "checkpoint_resume", "clip_lines_cyrus_beck", "dataset_info",
+    "sql_sessionize", "ogrsql_execute_select", "ogrsql_execute_summary",
+    "sql_count_distinct", "sql_distinct_list", "sql_first_match_join",
+    "sql_semi_anti_join", "sql_topk", "sql_union_all", "sql_like_ilike",
+    "sql_hstore", "sql_json_field", "sql_datetime",
+    "reproject_webmercator", "reproject_utm31", "knn",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "ann_topk_cosine",
+    "text_langid", "text_quality", "text_token_counts",
+    "ann_lsh_topk", "ann_ivf_topk", "text_fingerprint", "text_rare_terms",
+    # ---- (~50-query driver budget reaches about here) ----
+    # r1-vintage remainder, to rotate in round 5
+    "multimodal_inspect", "multimodal_resize",
     "rasterize_checksum_z5", "raster_overview_methods",
     "raster_sample_interp", "polygonize_components", "dem_metrics",
     "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
     "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
     "grid_kernels", "grid_linear_delaunay", "contour_lines",
-    "contour_polygons",
-    "raster_calc_reclassify",
-    "raster_stats", "raster_sieve",
-    "tile_pyramid_z5_z2",
-    "embed_neardup_cosine",  # re-routed through LSH candidates this round
-    "text_decontaminate",  # new: eval-split n-gram containment guard
-    "streaming_stateful_totals",  # new streaming op
-    "st_constructive",  # new constructive-geometry surface
-    "dedup_cluster_canonical",  # new: components + canonical selection
-    # ---- (~50-query driver budget reaches about here; the formerly
-    # never-checked tail now registers at the very top of this list.)
+    "contour_polygons", "raster_calc_reclassify",
+    "raster_stats", "raster_sieve", "tile_pyramid_z5_z2",
+    "embed_neardup_cosine", "text_decontaminate",
+    "streaming_stateful_totals", "st_constructive",
+    "dedup_cluster_canonical",
+    # r2/r3-vintage rows (freshest; register last among the prioritized)
+    "sql_asof_join", "text_boilerplate", "text_repetition",
+    "multimodal_frame_sample", "contour_cells", "raster_histogram",
+    "streaming_dedup_urls",
+    "warp_to_webmercator", "warp_to_lcc93", "contour_linestrings",
+    "reproject_utm_south", "reproject_albers", "reproject_osgb36",
+    "st_buffer_styles", "st_segmentize",
+    "ogr2ogr_explodecollections", "ogrsql_execute_distinct_like",
+    "text_pii_scan", "crawl_host_stats",
+    "warp_order_stats", "warp_lanczos_dem", "warp_average_nodata",
+    "polygonize_components8", "raster_sieve8", "raster_viewshed_exact",
+    "dem_hillshade_variants", "dem_slope_formats",
+    "st_predicates", "rasterize_polygons_checksum", "warp_reproject_dem",
+    "warp_cutline", "reproject_lcc93",
+    "layer_algebra_intersection_nonconvex", "layer_algebra_union_features",
+    "polygonize_rings", "ogrsql_execute_join_chain",
+    "ogrsql_execute_groupby", "ogrsql_execute_in_subquery",
+    "streaming_zonal_window", "sql_scalar_expr",
+    "zonal_stats", "layer_algebra_identity_update", "sql_summary_record",
+    "sql_groupby_agg", "sql_join_groups", "sql_orderby_limit_offset",
+    "sql_window_funcs",
 ]
 
 
