@@ -63,7 +63,7 @@ _PRIORITY = [
     # (c) the OLDEST r1-vintage rows, rotated in so no row ages past
     # ~2 rounds. The remaining r1/r2-vintage rows rotate in next round.
     # -- (a) new round-4 operators, never driver-checked
-    "multimodal_decode_real",
+    "multimodal_decode_real", "warp_approx_webmercator",
     "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
     "raster_viewshed_exact_md",
     # -- (b) behavior changed this round: chained int-division typing

@@ -56,6 +56,9 @@ HEADLINE = [
     "grid_linear_delaunay",
     "ann_lsh_topk",
     "dedup_cluster_canonical",
+    # round-4 operators
+    "warp_approx_webmercator",
+    "multimodal_decode_real",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

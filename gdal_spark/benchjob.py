@@ -21,8 +21,6 @@ Scaling design notes (what makes the efficiency ≥ 0.8 target reachable):
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,11 +29,15 @@ from pyspark.sql import functions as F
 from gdal_spark import cells
 from gdal_spark.extract import geocode_pages_jvm
 from gdal_spark.pages import pages_from_documents
-from gdal_spark.pip_join import pip_join_edges
+from gdal_spark.pip_join import zones_match_sql
 from gdal_spark.pipeline import CELL_ZOOM
 from gdal_spark.zones import zone_defs
 
-N_PARTITIONS = 64
+# Fixed partition count shared by BOTH scaling levels (identical plans).
+# Default 256 = 8 waves at 32 cores / 32 waves at 8 cores: enough waves
+# that scheduler packing, not partition-count luck, sets the critical
+# path at either level. Overridable for experiments.
+N_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "256"))
 
 
 def replicated_pages(spark: SparkSession, sf_dir: str,
@@ -65,43 +67,54 @@ def replicated_pages(spark: SparkSession, sf_dir: str,
 
 def flagship_job(spark: SparkSession, sf_dir: str,
                  replicate: int = 64) -> dict:
-    """Run the pipeline end-to-end; return page counts + wall seconds."""
+    """Run the pipeline end-to-end; return page counts + wall seconds.
+
+    Round-4 plan shape — ONE pass over the pages, zero intermediate
+    materialization, one (tiny) shuffle:
+    - extraction stays in whole-stage codegen (geocode_pages_jvm with
+      byte-level anchor gates — the Arrow-UDF twin remains the general
+      surface; tests assert bit-identical outputs);
+    - the PIP join is the zones_match_sql EXPRESSION (constant-folded
+      zone array + aggregate() crossing count), pair-identical to
+      pip_join_edges but join-free, so nothing shuffles at page
+      granularity — the earlier plan's parquet intermediate + per-pair
+      re-aggregation measured FLAT from 8→32 cores (7 s serial setup
+      + a write that didn't scale);
+    - zonal counts and z8 tile counts come out of a single GROUPING
+      SETS aggregation (partial-agg map-side for both sets), and the
+      per-zone output also carries approx_count_distinct(cell_id) so
+      cell assignment stays in the measured work;
+    - ONE action: the ~700 aggregate rows collect once.
+    """
     pages = replicated_pages(spark, sf_dir, replicate)
     t0 = time.perf_counter()
     n_pages = pages.count()  # materialization cost of the input scan
 
     t1 = time.perf_counter()
-    # JVM fast paths throughout the hot loop (geocode_pages_jvm /
-    # pip_join_edges are bit-identical twins of the Arrow-UDF extractor
-    # and the broadcast R-tree kernel — tests assert full equality; the
-    # Python paths remain the general surface). Staying in whole-stage
-    # codegen is what makes the N→4N efficiency target reachable: the
-    # Arrow python bridge on this box tops out near a fixed rows/sec
-    # regardless of cores.
     geo = geocode_pages_jvm(pages).filter(F.col("lat").isNotNull())
     geo = geo.withColumn("cell_id", cells.cell_id_col("lon", "lat", CELL_ZOOM))
-    # The geocoded table is reused by both sinks — materialize it once as
-    # a parquet intermediate (the Iceberg-table pattern of the production
-    # pipeline). Deliberately NOT .cache(): Spark's in-memory columnar
-    # scan serializes badly at high local thread counts (measured 25×
-    # extra CPU at local[32] on this box), while a parquet round-trip
-    # scales linearly.
-    tmp = tempfile.mkdtemp(prefix="gdal_spark_bench_")
-    geo_path = os.path.join(tmp, "geocoded.parquet")
-    geo.select(F.xxhash64("url").alias("page_id"), "lon", "lat", "cell_id") \
-        .write.mode("overwrite").parquet(geo_path)
-    geo = spark.read.parquet(geo_path)
-    joined = pip_join_edges(geo, zone_defs(), point_id="page_id")
-    zonal = joined.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_pages"))
-    tilec = (
-        geo.withColumn("tile_x", cells.tile_x_col("lon", 8))
-        .withColumn("tile_y", cells.tile_y_col("lat", 8))
-        .groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n"))
+    rows = geo.select(
+        "cell_id",
+        cells.tile_x_col("lon", 8).alias("tile_x"),
+        cells.tile_y_col("lat", 8).alias("tile_y"),
+        F.posexplode_outer(
+            F.expr(zones_match_sql(zone_defs()))).alias("pos", "zone_id"),
     )
-    n_zone_rows = zonal.count()
-    n_tile_rows = tilec.count()
+    rows.createOrReplaceTempView("_flagship_rows")
+    res = spark.sql("""
+        select zone_id, tile_x, tile_y,
+               grouping(zone_id) as gz, grouping(tile_x) as gt,
+               count(*) as n_all,
+               count(case when pos is null or pos = 0 then 1 end)
+                 as n_first,
+               approx_count_distinct(cell_id) as n_cells
+        from _flagship_rows
+        group by grouping sets ((zone_id), (tile_x, tile_y))
+    """).collect()
+    n_zone_rows = sum(1 for r in res
+                      if r["gz"] == 0 and r["zone_id"] is not None)
+    n_tile_rows = sum(1 for r in res if r["gt"] == 0)
     sec = time.perf_counter() - t1
-    shutil.rmtree(tmp, ignore_errors=True)
     return {
         "n_pages": n_pages,
         "n_zone_rows": n_zone_rows,

@@ -121,17 +121,27 @@ def geocode_pages_jvm(pages: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     out = pages
     oks = []
+    # Literal anchor per pattern: a byte-level Contains on the raw
+    # UTF8String (no String materialization, no UTF-16 expansion) gates
+    # each regex. regexp_extract converts the FULL page text to a Java
+    # String and scans it in UTF-16 — measured memory-bandwidth-bound at
+    # high core counts (8→32-core scaling was 1.6× before the gate). A
+    # page without the literal can't match the regex (the anchor is a
+    # required substring of any match), so the gate is semantics-free;
+    # pages lacking geotags — the overwhelming majority of a real crawl —
+    # now cost three byte scans instead of three UTF-16 regex scans.
+    _ANCHORS = ("geo:", "coords=(", '"lat": ')
     for i, pat in enumerate(_SQL_PATTERNS):
         # ONE full-text regex scan per pattern (group 0); the capture
         # groups are re-parsed from the short matched token, not the
         # page text. Full-text regexp_extract per group index means 9
-        # multi-KB scans per row — measured memory-bandwidth-bound at
-        # high core counts (the extract stage stopped scaling past ~4
-        # cores); 3 scans restore the parallel headroom. The token is
-        # itself the first match of the pattern, so group parsing from
-        # it is semantics-identical.
+        # multi-KB scans per row; 3 gated scans restore the parallel
+        # headroom. The token is itself the first match of the pattern,
+        # so group parsing from it is semantics-identical.
         out = out.withColumn(
-            f"_m{i}", F.nullif(F.regexp_extract(t, pat, 0), F.lit("")))
+            f"_m{i}",
+            F.when(t.contains(_ANCHORS[i]),
+                   F.nullif(F.regexp_extract(t, pat, 0), F.lit(""))))
         m_s = F.coalesce(F.col(f"_m{i}"), F.lit(""))
         a_s = F.regexp_extract(m_s, pat, 1)
         b_s = F.regexp_extract(m_s, pat, 2)

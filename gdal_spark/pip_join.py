@@ -246,3 +246,67 @@ def pip_join_edges(points: DataFrame, defs: list[dict], lon: str = "lon",
         .filter("_c % 2 = 1")
     )
     return crossed.select(point_id, F.col("zone_id").alias(zone_col))
+
+
+def zones_match_sql(defs: list[dict], lon: str = "lon",
+                    lat: str = "lat") -> str:
+    """Fully map-side PIP as ONE Catalyst expression: the zone table
+    (bbox + edge list per zone) is inlined as a constant-folded array
+    literal, candidate zones are `filter`ed by bbox, and the even-odd
+    crossing count runs as `aggregate` over each candidate's edge array
+    — the same staged bbox→exact semantics as pip_join_edges
+    (ogrlayer.cpp Intersects prefilter + even-odd ray cast,
+    gdal_alg GDALPolygonContains) with IDENTICAL crossing arithmetic,
+    but zero joins and zero shuffle: where pip_join_edges explodes each
+    candidate into per-edge rows and re-aggregates them by (point,
+    zone) — a shuffle proportional to points×edges — this evaluates in
+    the scan projection. Returns an array<bigint> of containing
+    zone_ids (possibly empty), to posexplode_outer downstream."""
+    from gdal_spark import geom as G
+
+    def f(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    zs = []
+    for z in defs:
+        minx, miny, maxx, maxy = G.rings_bbox(z["rings"])
+        es = []
+        for ring in z["rings"]:
+            for i in range(len(ring) - 1):
+                es.append(
+                    f"named_struct('x0',{f(ring[i, 0])},"
+                    f"'y0',{f(ring[i, 1])},'x1',{f(ring[i + 1, 0])},"
+                    f"'y1',{f(ring[i + 1, 1])})")
+        zs.append(
+            f"named_struct('zone_id', cast({int(z['zone_id'])} as bigint),"
+            f" 'minx',{f(minx)},'miny',{f(miny)},"
+            f" 'maxx',{f(maxx)},'maxy',{f(maxy)},"
+            f" 'edges', array({', '.join(es)}))")
+    arr = f"array({', '.join(zs)})"
+    # crossing test: textually the same arithmetic as pip_join_edges'
+    # Column expression (tests assert pair-set equality)
+    crossing = (f"case when ((e.y0 > {lat}) != (e.y1 > {lat}))"
+                f" and ({lon} < (e.x1 - e.x0) * ({lat} - e.y0)"
+                f" / (e.y1 - e.y0) + e.x0) then 1 else 0 end")
+    return (
+        f"transform(filter({arr},"
+        f" z -> {lon} >= z.minx and {lon} <= z.maxx"
+        f" and {lat} >= z.miny and {lat} <= z.maxy"
+        f" and aggregate(z.edges, 0, (acc, e) -> acc + {crossing})"
+        f" % 2 = 1), z -> z.zone_id)"
+    )
+
+
+def pip_join_expr(points: DataFrame, defs: list[dict], lon: str = "lon",
+                  lat: str = "lat", point_id: str = "doc_id",
+                  zone_col: str = "zone_id") -> DataFrame:
+    """(point_id, zone_id) containment pairs via the zones_match_sql
+    expression — output-identical to pip_join_edges, join-free plan."""
+    import pyspark.sql.functions as F
+
+    return (
+        points.select(point_id,
+                      F.expr(zones_match_sql(defs, lon, lat)).alias("_zs"))
+        .select(point_id, F.explode("_zs").alias(zone_col))
+    )

@@ -920,6 +920,52 @@ def q_warp_to_lcc93(spark: SparkSession, sf_dir: str) -> DataFrame:
                             src_epsg=4326, dst_epsg=2154)
 
 
+# gdalwarp -et tolerances for the approximating-transformer query: the
+# GDAL default (0.125 src px — every lattice cell accepts, the pure
+# memcpy-bound path) plus a tight threshold INSIDE the fixture's
+# midpoint-error band (1.75e-4..1.99e-4 src px on this grid), so the
+# same query also exercises the subdivide-to-exact fallback — roughly
+# half the cells reject and re-transform per-pixel.
+_APPROX_ET_DEFAULT = 0.125
+_APPROX_ET_TIGHT = 1.87e-4
+
+
+def q_warp_approx_webmercator(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs EPSG:3857 -et <tol> via the approximating
+    transformer (GDALApproxTransformer, alg/gdaltransformer.cpp:3503):
+    only the control lattice + rejected cells pay the unrolled
+    projection trig; accepted cells bilerp the corner mappings. Two
+    tolerances unioned (see _APPROX_ET_*) so both the accept and the
+    exact-fallback branch are driver-checked in one entry."""
+    from gdal_spark.raster import warp_nearest_crs_approx
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    outs = []
+    for tol in (_APPROX_ET_DEFAULT, _APPROX_ET_TIGHT):
+        outs.append(
+            warp_nearest_crs_approx(
+                tiles, _CRS_SRC_GT, DEM_PX, _WEBM_DST_GT, _WEBM_DST_PX,
+                src_epsg=2154, dst_epsg=3857, tol_px=tol)
+            .selectExpr(f"cast({tol!r} as double) as et",
+                        "di", "dj", "value"))
+    return outs[0].unionByName(outs[1])
+
+
+def _warp_approx_webmercator_oracle() -> str:
+    from gdal_spark.raster import warp_nearest_crs_approx_oracle_sql
+
+    parts = []
+    for tol in (_APPROX_ET_DEFAULT, _APPROX_ET_TIGHT):
+        inner = warp_nearest_crs_approx_oracle_sql(
+            _CRS_SRC_GT, DEM_PX, _WEBM_DST_GT, _WEBM_DST_PX,
+            2154, 3857, tol_px=tol)
+        parts.append(f"select cast({tol!r} as double) as et,"
+                     f" di, dj, value from ({inner}) w{len(parts)}")
+    return " union all ".join(parts)
+
+
 _ETRS_DST_GT = [-150000.0, 2400.0, 0.0, 5450000.0, 0.0, -3600.0]
 _ETRS_DST_PX = 160
 
@@ -1076,6 +1122,7 @@ QUERIES = {
     "warp_cutline": q_warp_cutline,
     "warp_reproject_dem": q_warp_reproject,
     "warp_to_webmercator": q_warp_to_webmercator,
+    "warp_approx_webmercator": q_warp_approx_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_to_etrs89utm": q_warp_to_etrs89utm,
     "warp_order_stats": q_warp_order_stats,
@@ -1293,6 +1340,7 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_CRS_SRC_GT, DEM_PX, _WEBM_DST_GT,
                                   _WEBM_DST_PX, src_epsg=2154,
                                   dst_epsg=3857),
+    "warp_approx_webmercator": _warp_approx_webmercator_oracle(),
     "warp_to_lcc93": __import__(
         "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _LCC_DST_GT,

@@ -1942,6 +1942,39 @@ group by di, dj
 """
 
 
+def _nearest_gather(dst: "DataFrame", tiles: "DataFrame",
+                    np_dtype: np.dtype) -> "DataFrame":
+    """Shared nearest-warp tail: dst rows (di, dj, sgx, sgy, tx, ty) →
+    per-tile chunk gather. Dst pixels group per source tile BEFORE the
+    payload join, so each tile buffer crosses the shuffle and the Arrow
+    bridge exactly once (GDALWarpOperation's chunk queue,
+    alg/gdalwarpoperation.cpp:1099 — a chunk, not a pixel, is the unit
+    of work) instead of being replicated per dst pixel."""
+    t = TILE_PX
+    chunks = (
+        dst.groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("di", "dj", "sgx", "sgy")).alias("px"))
+        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
+                                       pdf["tx"], pdf["ty"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
+                p = pd.DataFrame(list(px))
+                ly = p["sgy"].to_numpy(np.int64) - int(ty) * t
+                lx = p["sgx"].to_numpy(np.int64) - int(tx) * t
+                yield pd.DataFrame({
+                    "di": p["di"].astype("int64"),
+                    "dj": p["dj"].astype("int64"),
+                    "value": buf[ly, lx].astype(np.int64),
+                })
+
+    return chunks.mapInPandas(gather, "di long, dj long, value long")
+
+
+
 def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
                  dst_gt: list[float], dst_px: int,
                  dtype: str = "int64") -> DataFrame:
@@ -1972,27 +2005,7 @@ def warp_nearest(tiles: DataFrame, src_gt: list[float], raster_px: int,
     # the Arrow bridge exactly once (GDALWarpOperation's chunk queue,
     # alg/gdalwarpoperation.cpp:1099 — a chunk, not a pixel, is the unit
     # of work) instead of being replicated per dst pixel.
-    chunks = (
-        dst.groupBy("tx", "ty")
-        .agg(F.collect_list(F.struct("di", "dj", "sgx", "sgy")).alias("px"))
-        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
-    )
-
-    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
-                                       pdf["tx"], pdf["ty"]):
-                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
-                p = pd.DataFrame(list(px))
-                ly = p["sgy"].to_numpy(np.int64) - int(ty) * t
-                lx = p["sgx"].to_numpy(np.int64) - int(tx) * t
-                yield pd.DataFrame({
-                    "di": p["di"].astype("int64"),
-                    "dj": p["dj"].astype("int64"),
-                    "value": buf[ly, lx].astype(np.int64),
-                })
-
-    return chunks.mapInPandas(gather, "di long, dj long, value long")
+    return _nearest_gather(dst, tiles, np_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -2065,27 +2078,7 @@ def warp_nearest_crs(tiles: DataFrame, src_gt: list[float], raster_px: int,
         .withColumn("tx", F.expr(f"sgx div {t}"))
         .withColumn("ty", F.expr(f"sgy div {t}"))
     )
-    chunks = (
-        dst.groupBy("tx", "ty")
-        .agg(F.collect_list(F.struct("di", "dj", "sgx", "sgy")).alias("px"))
-        .join(tiles.select("tx", "ty", "data"), ["tx", "ty"])
-    )
-
-    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for raw, px, tx, ty in zip(pdf["data"], pdf["px"],
-                                       pdf["tx"], pdf["ty"]):
-                buf = np.frombuffer(raw, dtype=np_dtype).reshape(t, t)
-                p = pd.DataFrame(list(px))
-                ly = p["sgy"].to_numpy(np.int64) - int(ty) * t
-                lx = p["sgx"].to_numpy(np.int64) - int(tx) * t
-                yield pd.DataFrame({
-                    "di": p["di"].astype("int64"),
-                    "dj": p["dj"].astype("int64"),
-                    "value": buf[ly, lx].astype(np.int64),
-                })
-
-    return chunks.mapInPandas(gather, "di long, dj long, value long")
+    return _nearest_gather(dst, tiles, np_dtype)
 
 
 def warp_nearest_crs_oracle_sql(src_gt: list[float], raster_px: int,
@@ -2121,6 +2114,260 @@ s as (
          cast(floor((wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])}) as bigint)
            as gy
   from q where inv_ok and ok
+)
+select di, dj, {DEM_ELEV_SQL} as value
+from s
+where gx >= 0 and gx < {raster_px} and gy >= 0 and gy < {raster_px}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximating transformer (GDALApproxTransformer,
+# alg/gdaltransformer.cpp:3503 GDALApproxTransform; gdalwarp -et, default
+# tolerance 0.125 src px — apps/gdalwarp_lib.cpp dfErrorThreshold): GDAL
+# transforms scanline endpoints+midpoint exactly and linearly
+# interpolates the rest when the midpoint error is within tolerance,
+# subdividing otherwise. The Spark-first re-expression is a 2D control
+# lattice: only (dst_px/block+1)² lattice corners + (dst_px/block)² cell
+# midpoints go through the full unrolled inverse+forward projection
+# chain (the trig-bound leg); each cell whose midpoint bilinear-
+# interpolation error is within tolerance evaluates its block² pixels as
+# a 4-tap bilerp of the corner mappings (pure multiply-add Catalyst —
+# memcpy-bound, not trig-bound); cells exceeding tolerance fall back to
+# exact per-pixel transforms, like GDAL's subdivision bottoming out.
+# Pixels are generated by EXPLODING the cells frame, so the pixel volume
+# never shuffles — the only shuffled frames are the control lattice
+# (1/block² of the pixels) and the standard per-tile chunk gather.
+# ---------------------------------------------------------------------------
+
+
+def _bilerp_sql(c00: str, c10: str, c01: str, c11: str,
+                u: str, v: str) -> str:
+    """4-corner bilinear interpolation, one shared text so Spark and the
+    DuckDB oracle evaluate the identical IEEE expression tree."""
+    return (f"((1.0e0 - {u}) * (1.0e0 - {v}) * {c00}"
+            f" + ({u}) * (1.0e0 - {v}) * {c10}"
+            f" + (1.0e0 - {u}) * ({v}) * {c01}"
+            f" + ({u}) * ({v}) * {c11})")
+
+
+def _approx_ok_sql(tol_px: float) -> str:
+    """Cell acceptance: all 4 corners + midpoint transformed OK and the
+    midpoint's bilerp estimate within tol (GDAL's back-to-back error
+    check, gdaltransformer.cpp GDALApproxTransformInternal)."""
+    mx = _bilerp_sql("c00x", "c10x", "c01x", "c11x", "0.5e0", "0.5e0")
+    my = _bilerp_sql("c00y", "c10y", "c01y", "c11y", "0.5e0", "0.5e0")
+    return (f"(ok00 and ok10 and ok01 and ok11 and mok"
+            f" and abs({mx} - msx) <= {_lit(tol_px)}"
+            f" and abs({my} - msy) <= {_lit(tol_px)})")
+
+
+def _approx_uv_sql(block: int) -> tuple[str, str]:
+    u = f"((di + 0.5e0 - ci * {block}) / {_lit(float(block))})"
+    v = f"((dj + 0.5e0 - cj * {block}) / {_lit(float(block))})"
+    return u, v
+
+
+def warp_nearest_crs_approx(tiles: DataFrame, src_gt: list[float],
+                            raster_px: int, dst_gt: list[float],
+                            dst_px: int, src_epsg: int,
+                            dst_epsg: int = 4326, dtype: str = "int64",
+                            tol_px: float = 0.125,
+                            block: int = 16) -> DataFrame:
+    """Cross-CRS nearest warp through the approximating transformer (see
+    block comment above). ``tol_px`` is gdalwarp -et in SOURCE pixels;
+    ``block`` the lattice cell edge in dst pixels (GDAL's scanline
+    subdivision granularity analogue)."""
+    from gdal_spark.crs import (apply_sql_stages, epsg_fwd_stages,
+                                epsg_inv_stages)
+
+    spark = tiles.sparkSession
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+    ncell = (dst_px + block - 1) // block
+    n_nodes = (ncell + 1) * (ncell + 1)
+    n_mids = ncell * ncell
+    stages = (epsg_inv_stages(dst_epsg, "dwx", "dwy", "lon", "lat",
+                              ok_col="inv_ok")
+              + epsg_fwd_stages(src_epsg, "lon", "lat", "wx", "wy"))
+    half = _lit(block / 2.0)
+    # one staged-projection pass over nodes ∪ midpoints — the ONLY rows
+    # that pay the unrolled trig chain besides the fallback pixels
+    ctl = (
+        spark.range(n_nodes + n_mids,
+                    numPartitions=max(8, min(2048,
+                                             (n_nodes + n_mids) // 8192
+                                             + 1)))
+        .selectExpr(
+            f"case when id < {n_nodes} then 0 else 1 end as kind",
+            f"case when id < {n_nodes} then id % {ncell + 1}"
+            f" else (id - {n_nodes}) % {ncell} end as ki",
+            f"case when id < {n_nodes} then id div {ncell + 1}"
+            f" else (id - {n_nodes}) div {ncell} end as kj")
+        .selectExpr(
+            "kind", "ki", "kj",
+            f"{_lit(dst_gt[0])} + (ki * {block} + kind * {half})"
+            f" * {_lit(dst_gt[1])} as dwx",
+            f"{_lit(dst_gt[3])} + (kj * {block} + kind * {half})"
+            f" * {_lit(dst_gt[5])} as dwy")
+    )
+    ctl = apply_sql_stages(ctl, stages).selectExpr(
+        "kind", "ki", "kj",
+        f"(wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])} as sxf",
+        f"(wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])} as syf",
+        "inv_ok and ok as cok")
+    # structural pushdown barrier — same unrolled-stage blowup the exact
+    # path pins (see warp_nearest_crs); the lattice is tiny
+    ctl = ctl.localCheckpoint(eager=False)
+    nodes = ctl.filter("kind = 0")
+    mids = ctl.filter("kind = 1").selectExpr(
+        "ki as ci", "kj as cj", "sxf as msx", "syf as msy", "cok as mok")
+
+    def corner(i_off: int, j_off: int, tag: str) -> DataFrame:
+        return nodes.selectExpr(
+            f"ki - {i_off} as ci", f"kj - {j_off} as cj",
+            f"sxf as c{tag}x", f"syf as c{tag}y", f"cok as ok{tag}")
+
+    cells = (
+        mids.join(corner(0, 0, "00"), ["ci", "cj"])
+        .join(corner(1, 0, "10"), ["ci", "cj"])
+        .join(corner(0, 1, "01"), ["ci", "cj"])
+        .join(corner(1, 1, "11"), ["ci", "cj"])
+        .withColumn("approx_ok", F.expr(_approx_ok_sql(tol_px)))
+    )
+    px = (
+        cells.selectExpr(
+            "ci", "cj", "approx_ok",
+            "c00x", "c10x", "c01x", "c11x",
+            "c00y", "c10y", "c01y", "c11y",
+            f"explode(sequence(0, {block * block - 1})) as o")
+        .selectExpr("*", f"ci * {block} + o % {block} as di",
+                    f"cj * {block} + o div {block} as dj")
+        .filter(f"di < {dst_px} and dj < {dst_px}")
+    )
+    u, v = _approx_uv_sql(block)
+    apx = px.filter("approx_ok").selectExpr(
+        "di", "dj",
+        f"{_bilerp_sql('c00x', 'c10x', 'c01x', 'c11x', u, v)} as sxf",
+        f"{_bilerp_sql('c00y', 'c10y', 'c01y', 'c11y', u, v)} as syf")
+    ex = px.filter("not approx_ok").selectExpr(
+        "di", "dj",
+        f"{_lit(dst_gt[0])} + (di + 0.5e0) * {_lit(dst_gt[1])} as dwx",
+        f"{_lit(dst_gt[3])} + (dj + 0.5e0) * {_lit(dst_gt[5])} as dwy")
+    ex = apply_sql_stages(ex, stages)
+    ex = ex.localCheckpoint(eager=False)
+    ex = ex.filter("inv_ok and ok").selectExpr(
+        "di", "dj",
+        f"(wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])} as sxf",
+        f"(wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])} as syf")
+    dst = (
+        apx.unionByName(ex)
+        .selectExpr("di", "dj",
+                    "cast(floor(sxf) as bigint) as sgx",
+                    "cast(floor(syf) as bigint) as sgy")
+        .filter(f"sgx >= 0 and sgx < {raster_px}"
+                f" and sgy >= 0 and sgy < {raster_px}")
+        .withColumn("tx", F.expr(f"sgx div {t}"))
+        .withColumn("ty", F.expr(f"sgy div {t}"))
+    )
+    return _nearest_gather(dst, tiles, np_dtype)
+
+
+def warp_nearest_crs_approx_oracle_sql(src_gt: list[float],
+                                       raster_px: int,
+                                       dst_gt: list[float], dst_px: int,
+                                       src_epsg: int,
+                                       dst_epsg: int = 4326,
+                                       tol_px: float = 0.125,
+                                       block: int = 16) -> str:
+    """Oracle: the identical lattice/bilerp/fallback arithmetic in
+    DuckDB (shared expression text for every float op), closed-form DEM
+    values."""
+    from gdal_spark.crs import (epsg_fwd_stages, epsg_inv_stages,
+                                stages_to_duckdb_sql)
+
+    ncell = (dst_px + block - 1) // block
+    n_nodes = (ncell + 1) * (ncell + 1)
+    stages = (epsg_inv_stages(dst_epsg, "dwx", "dwy", "lon", "lat",
+                              ok_col="inv_ok")
+              + epsg_fwd_stages(src_epsg, "lon", "lat", "wx", "wy"))
+    half = _lit(block / 2.0)
+    ctl_base = f"""
+select kind, ki, kj,
+       {_lit(dst_gt[0])} + (ki * {block} + kind * {half})
+         * {_lit(dst_gt[1])} as dwx,
+       {_lit(dst_gt[3])} + (kj * {block} + kind * {half})
+         * {_lit(dst_gt[5])} as dwy
+from (select case when g.range < {n_nodes} then 0 else 1 end as kind,
+             case when g.range < {n_nodes} then g.range % {ncell + 1}
+                  else (g.range - {n_nodes}) % {ncell} end as ki,
+             case when g.range < {n_nodes} then g.range // {ncell + 1}
+                  else (g.range - {n_nodes}) // {ncell} end as kj
+      from range(0, {n_nodes + ncell * ncell}) g) b
+"""
+    ctl_proj = stages_to_duckdb_sql(
+        ctl_base, stages, ["kind", "ki", "kj", "wx", "wy",
+                           "inv_ok", "ok"])
+    u, v = _approx_uv_sql(block)
+    ex_base = f"""
+select di, dj,
+       {_lit(dst_gt[0])} + (di + 0.5e0) * {_lit(dst_gt[1])} as dwx,
+       {_lit(dst_gt[3])} + (dj + 0.5e0) * {_lit(dst_gt[5])} as dwy
+from px where not approx_ok
+"""
+    ex_proj = stages_to_duckdb_sql(
+        ex_base, stages, ["di", "dj", "wx", "wy", "inv_ok", "ok"])
+    return f"""
+with ctl0 as materialized ({ctl_proj}),
+ctl as (
+  select kind, ki, kj,
+         (wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])} as sxf,
+         (wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])} as syf,
+         inv_ok and ok as cok
+  from ctl0
+),
+cells as (
+  select m.ci, m.cj, m.msx, m.msy, m.mok,
+         c00.sxf as c00x, c00.syf as c00y, c00.cok as ok00,
+         c10.sxf as c10x, c10.syf as c10y, c10.cok as ok10,
+         c01.sxf as c01x, c01.syf as c01y, c01.cok as ok01,
+         c11.sxf as c11x, c11.syf as c11y, c11.cok as ok11
+  from (select ki as ci, kj as cj, sxf as msx, syf as msy, cok as mok
+        from ctl where kind = 1) m
+  join (select * from ctl where kind = 0) c00
+    on c00.ki = m.ci and c00.kj = m.cj
+  join (select * from ctl where kind = 0) c10
+    on c10.ki = m.ci + 1 and c10.kj = m.cj
+  join (select * from ctl where kind = 0) c01
+    on c01.ki = m.ci and c01.kj = m.cj + 1
+  join (select * from ctl where kind = 0) c11
+    on c11.ki = m.ci + 1 and c11.kj = m.cj + 1
+),
+cellsf as (select *, {_approx_ok_sql(tol_px)} as approx_ok from cells),
+px as materialized (
+  select * from (
+    select c.*, c.ci * {block} + o.range % {block} as di,
+           c.cj * {block} + o.range // {block} as dj
+    from cellsf c cross join range(0, {block * block}) o
+  ) q where di < {dst_px} and dj < {dst_px}
+),
+apx as (
+  select di, dj,
+         {_bilerp_sql('c00x', 'c10x', 'c01x', 'c11x', u, v)} as sxf,
+         {_bilerp_sql('c00y', 'c10y', 'c01y', 'c11y', u, v)} as syf
+  from px where approx_ok
+),
+expx0 as materialized ({ex_proj}),
+expx as (
+  select di, dj,
+         (wx - {_lit(src_gt[0])}) / {_lit(src_gt[1])} as sxf,
+         (wy - {_lit(src_gt[3])}) / {_lit(src_gt[5])} as syf
+  from expx0 where inv_ok and ok
+),
+s as (
+  select di, dj, cast(floor(sxf) as bigint) as gx,
+         cast(floor(syf) as bigint) as gy
+  from (select * from apx union all select * from expx) un
 )
 select di, dj, {DEM_ELEV_SQL} as value
 from s

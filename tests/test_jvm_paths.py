@@ -67,3 +67,42 @@ def test_jvm_pip_equals_rtree(spark):
     n_inside = b["doc_id"].nunique()
     assert n_inside == pip_join(
         pts, build_zone_index_from_defs(defs), how="semi").count()
+
+
+def test_pip_expr_equals_edges_and_rtree(spark):
+    """zones_match_sql (the join-free constant-folded PIP expression the
+    flagship bench runs) must produce the identical (doc_id, zone_id)
+    pair set as pip_join_edges and the R-tree kernel."""
+    from gdal_spark.pip_join import pip_join_expr
+
+    pts = points_from_documents(spark, SF)
+    defs = zone_defs()
+    a = pip_join_edges(pts, defs).toPandas() \
+        .sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+    b = pip_join_expr(pts, defs).toPandas() \
+        .sort_values(["doc_id", "zone_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_flagship_job_outputs(spark):
+    """The single-pass grouping-sets flagship returns the same zone/tile
+    row counts as the operators it fuses (pip_join_edges zones + z8 tile
+    groups), at small replicate."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark import cells
+    from gdal_spark.benchjob import flagship_job, replicated_pages
+    from gdal_spark.extract import geocode_pages_jvm
+
+    res = flagship_job(spark, SF, replicate=4)
+    pages = replicated_pages(spark, SF, 4)
+    assert res["n_pages"] == pages.count()
+    geo = geocode_pages_jvm(pages).filter(F.col("lat").isNotNull())
+    expect_tiles = (
+        geo.select(cells.tile_x_col("lon", 8).alias("tx"),
+                   cells.tile_y_col("lat", 8).alias("ty"))
+        .distinct().count())
+    assert res["n_tile_rows"] == expect_tiles
+    joined = pip_join_edges(
+        geo.withColumn("doc_id", F.xxhash64("url")), zone_defs())
+    assert res["n_zone_rows"] == joined.select("zone_id").distinct().count()

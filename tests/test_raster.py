@@ -862,3 +862,80 @@ def test_slope_formats_reference_relations(spark):
         assert np.abs(100.0 * np.tan(deg) - pct).max() < 1e-3
     # the high-frequency synthetic DEM makes the stencils disagree
     assert (df["slope_horn_deg"] != df["slope_zt_deg"]).any()
+
+
+class TestWarpApprox:
+    """GDALApproxTransformer analogue (warp_nearest_crs_approx)."""
+
+    def _fixture(self, spark):
+        from gdal_spark.queries.raster import (DEM_PX, _CRS_SRC_GT,
+                                               _WEBM_DST_GT, _WEBM_DST_PX,
+                                               synth_dem_tiles)
+
+        return (synth_dem_tiles(spark, DEM_PX), _CRS_SRC_GT, DEM_PX,
+                _WEBM_DST_GT, _WEBM_DST_PX)
+
+    def test_tiny_tolerance_falls_back_to_exact_everywhere(self, spark):
+        """tol below the lattice error floor rejects EVERY cell → the
+        exact-fallback branch must reproduce warp_nearest_crs exactly."""
+        from gdal_spark.raster import (warp_nearest_crs,
+                                       warp_nearest_crs_approx)
+
+        tiles, sgt, px, dgt, dpx = self._fixture(spark)
+        a = warp_nearest_crs_approx(tiles, sgt, px, dgt, dpx,
+                                    src_epsg=2154, dst_epsg=3857,
+                                    tol_px=1e-7).toPandas() \
+            .sort_values(["di", "dj"]).reset_index(drop=True)
+        e = warp_nearest_crs(tiles, sgt, px, dgt, dpx, src_epsg=2154,
+                             dst_epsg=3857).toPandas() \
+            .sort_values(["di", "dj"]).reset_index(drop=True)
+        assert a.equals(e)
+
+    def test_default_tolerance_divergence_bounded(self, spark):
+        """At GDAL's default -et 0.125 every cell approximates; the
+        result may differ from exact only where sub-tolerance mapping
+        error flips a floor() at a pixel boundary — tiny fraction, same
+        row set."""
+        import pandas as pd
+
+        from gdal_spark.raster import (warp_nearest_crs,
+                                       warp_nearest_crs_approx)
+
+        tiles, sgt, px, dgt, dpx = self._fixture(spark)
+        a = warp_nearest_crs_approx(tiles, sgt, px, dgt, dpx,
+                                    src_epsg=2154,
+                                    dst_epsg=3857).toPandas()
+        e = warp_nearest_crs(tiles, sgt, px, dgt, dpx, src_epsg=2154,
+                             dst_epsg=3857).toPandas()
+        assert len(a) == len(e)
+        m = a.merge(e, on=["di", "dj"], suffixes=("_a", "_e"))
+        assert len(m) == len(a)  # identical pixel coverage
+        frac = (m["value_a"] != m["value_e"]).mean()
+        assert frac < 0.01, frac  # measured 84/19509 ≈ 0.4%
+
+    def test_mixed_tolerance_matches_oracle(self, spark):
+        """A tolerance inside the fixture's midpoint-error band splits
+        cells between accept and exact-fallback; both engines share the
+        branch decision so the oracle match is exact."""
+        import duckdb
+
+        from gdal_spark.queries.raster import _APPROX_ET_TIGHT
+        from gdal_spark.raster import (warp_nearest_crs_approx,
+                                       warp_nearest_crs_approx_oracle_sql)
+
+        tiles, sgt, px, dgt, dpx = self._fixture(spark)
+        a = warp_nearest_crs_approx(tiles, sgt, px, dgt, dpx,
+                                    src_epsg=2154, dst_epsg=3857,
+                                    tol_px=_APPROX_ET_TIGHT).toPandas() \
+            .sort_values(["di", "dj"]).reset_index(drop=True)
+        sql = warp_nearest_crs_approx_oracle_sql(
+            sgt, px, dgt, dpx, 2154, 3857, tol_px=_APPROX_ET_TIGHT)
+        o = duckdb.connect().execute(sql).df() \
+            .sort_values(["di", "dj"]).reset_index(drop=True)
+        # assert the mix is genuine: some cells accepted, some rejected
+        probe = (sql.split("px as materialized")[0]
+                 + "m as (select count(*) filter (approx_ok) a, count(*) n"
+                   " from cellsf) select * from m")
+        na, n = duckdb.connect().execute(probe).fetchall()[0]
+        assert 0 < na < n, (na, n)
+        assert a.astype("int64").equals(o.astype("int64"))
