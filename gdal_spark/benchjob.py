@@ -4,18 +4,24 @@ One job, run at two parallelism levels (local[8] vs local[32] — the
 sandbox stand-in for N vs 4N executor clusters, per BASELINE.md): pages
 are deterministically replicated ``replicate``× (unique urls, same text
 corpus) so the measured work is large enough to amortize fixed startup,
-then the full north-star pipeline runs: geotag extraction (Arrow UDF) →
-cell assignment (Catalyst) → broadcast R-tree PIP join → zonal counts +
-z8 tile-assignment counts.
+then the full north-star pipeline runs: gated JVM geotag extraction →
+cell assignment (Catalyst) → PIP zone match (join-free constant-folded
+expression) → zonal counts + z8 tile-assignment counts in one GROUPING
+SETS aggregation.
 
 Scaling design notes (what makes the efficiency ≥ 0.8 target reachable):
-- the input is repartitioned to a fixed partition count ≥ 2× the larger
-  core count, so both runs execute identical plans and the scheduler can
-  fill all cores;
-- the extraction UDF dominates (embarrassingly parallel, zero shuffle);
-- the only shuffles are the two final aggregations, both partial-agg
-  combined map-side, so the shuffle volume is per-zone/per-tile counts —
-  a few hundred rows — independent of page count.
+- the input is generated at a fixed partition count ≥ 8× the larger
+  core count, so both runs execute identical plans with enough waves
+  for scheduler packing;
+- ONE pass over the pages, one action, no intermediate
+  materialization: extraction + PIP + both aggregations fuse into a
+  single mapper stage (zero shuffle at page granularity);
+- the only shuffle is the grouping-sets exchange, partial-agg combined
+  map-side — per-zone/per-tile counts, a few hundred rows,
+  independent of page count;
+- the extraction regexes are gated by byte-level Contains anchors, so
+  the per-page memory traffic (the scaling ceiling on a shared bus)
+  is one byte scan for non-matching patterns, not a UTF-16 expansion.
 """
 
 from __future__ import annotations

@@ -145,8 +145,12 @@ def main() -> None:
             hi = run_level(n_high, sf_dir, replicate)
         pairs.append((lo, hi,
                       hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])))
+    # Headline = the MEDIAN pair (ADVICE r3: quoting the best pair hid a
+    # same-methodology 0.68 outlier in the appendix). Best and worst are
+    # named explicitly in the md; every pair is in the raw JSON.
     pairs.sort(key=lambda p: p[2])
-    low, high, eff = pairs[-1]
+    low, high, eff = pairs[len(pairs) // 2]
+    best_eff, worst_eff = pairs[-1][2], pairs[0][2]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = datetime.now(timezone.utc).isoformat(timespec="seconds")
@@ -165,11 +169,12 @@ def main() -> None:
 
 Generated {ts} by scripts/scaling_bench.py.
 
-Workload: flagship spatial pipeline (geotag extraction Arrow UDF → cell
-assignment → broadcast R-tree PIP join → zonal counts + z8 tile counts)
-on `{sf_dir}` pages replicated ×{replicate}
-({low["n_pages"]:,} pages), identical input and plan at both levels;
-fixed 64 input/shuffle partitions. Two local parallelism levels stand in
+Workload: flagship spatial pipeline (gated JVM geotag extraction → cell
+assignment → join-free constant-folded PIP expression → zonal + z8 tile
+counts in one GROUPING SETS pass, single action, no intermediate
+materialization — gdal_spark/benchjob.py) on `{sf_dir}` pages
+replicated ×{replicate} ({low["n_pages"]:,} pages), identical input and
+plan at both levels. Two local parallelism levels stand in
 for N vs 4N executor clusters (sandbox rule, BASELINE.md). The two
 levels run as {repeats} {mode_word} fresh-JVM (N, 4N) pairs — sandbox
 host throughput and memory bandwidth drift up to 2x on minute scales
@@ -178,9 +183,10 @@ the raw CPU probe below swings 0.5..1.3), so only same-moment runs are
 comparable, and a contended draw measures the shared host's bandwidth
 ceiling rather than the job (a real 4N-executor cluster does not share
 one memory bus). {mode_note} The table
-shows the best (least-contended) pair; the raw JSON lists every pair
-plus a same-minute raw-CPU scaling probe (`cpu_probe_effs` — what the
-host itself delivered, independent of Spark).
+shows the MEDIAN pair; best and worst pairs are stated below and the
+raw JSON lists every pair plus a same-minute raw-CPU scaling probe
+(`cpu_probe_effs` — what the host itself delivered, independent of
+Spark).
 
 | level | cores | pipeline sec | pages/sec |
 |---|---|---|---|
@@ -188,7 +194,8 @@ host itself delivered, independent of Spark).
 | 4N | {high["cpus"]} | {high["pipeline_sec"]} | {high["pages_per_sec"]:,} |
 
 **Scaling efficiency = throughput(4N) / (4 x throughput(N)) =
-{eff:.3f}** (target >= 0.8).
+{eff:.3f}** (MEDIAN of {repeats} pairs; best {best_eff:.3f}, worst
+{worst_eff:.3f}; target >= 0.8).
 
 Raw results:
 
