@@ -64,6 +64,7 @@ _PRIORITY = [
     # ~2 rounds. The remaining r1/r2-vintage rows rotate in next round.
     # -- (a) new round-4 operators, never driver-checked
     "multimodal_decode_real", "warp_approx_webmercator",
+    "text_tfidf_topterms",
     "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
     "raster_viewshed_exact_md",
     # -- (b) behavior changed this round: chained int-division typing

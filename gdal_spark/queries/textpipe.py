@@ -424,6 +424,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                              step=FRAME_STEP)
 
 
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document, TF-IDF ordering expressed with
+    integer keys only (tf desc, df asc, term asc — the idf direction
+    without ln(), so no cross-engine float drift). Engine and oracle
+    run the same dual-dialect SQL (textops.tfidf_topterms_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.tfidf_topterms_sql("documents",
+                                                textops.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -557,6 +567,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "text_tfidf_topterms": q_text_tfidf_topterms,
 }
 
 ORACLES = {
@@ -599,4 +610,6 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_resize": _multimodal_resize_oracle(),
     "multimodal_frame_sample": _multimodal_frames_oracle(),
     "multimodal_decode_real": _multimodal_decode_real_oracle(),
+    "text_tfidf_topterms":
+        textops.tfidf_topterms_sql("documents", DUCKDB),
 }

@@ -510,3 +510,52 @@ from (
   from {doc_view}
 ) s
 """
+
+
+def tfidf_topterms_sql(doc_view: str, engine: str, k: int = 5,
+                       min_len: int = 3) -> str:
+    """TF-IDF-style top-k salient terms per document (the keyword /
+    topic-signal stage of a training-data pipeline), with an
+    INTEGER-DETERMINISTIC ranking: terms order by tf desc (most
+    frequent in the doc), df asc (rarest in the corpus — the idf
+    direction without evaluating ln(), whose last-ulp may differ
+    between libm and the JVM), then term asc. Output carries the raw
+    integer (tf, df) pair, so a user can apply any idf formula
+    downstream; the contract row itself stays float-free and
+    bit-stable cross-engine.
+
+    Plan shape at 100 TB: tokenize is a narrow map; tf is a
+    (doc_id, term)-keyed partial-agg groupBy; df aggregates the
+    ALREADY-DISTINCT tf rows (no count-distinct shuffle of raw
+    tokens); the tf⋈df term join and the per-doc top-k window are the
+    two real exchanges. Term-frequency skew (stopword-like terms)
+    stays bounded because min_len filtering happens before the first
+    shuffle and AQE splits hot term partitions."""
+    split = ("string_split_regex(lower(text), '[^a-z0-9]+')"
+             if engine == DUCKDB
+             else "split(lower(text), '[^a-z0-9]+')")
+    unnest = (f"select doc_id, t.term from {doc_view},"
+              f" unnest({split}) as t(term)"
+              if engine == DUCKDB
+              else f"select doc_id, explode({split}) as term"
+              f" from {doc_view}")
+    return f"""
+with tok as (
+  select doc_id, term from ({unnest}) u where length(term) >= {min_len}
+),
+tf as (
+  select doc_id, term, count(*) as tf from tok group by doc_id, term
+),
+df as (
+  -- tf rows are already distinct (doc, term): df aggregates them
+  -- directly — no count-distinct shuffle over raw tokens
+  select term, count(*) as df from tf group by term
+)
+select doc_id, rank, term, tf, df from (
+  select tf.doc_id, tf.term, tf.tf, df.df,
+         cast(row_number() over (partition by tf.doc_id
+              order by tf.tf desc, df.df asc, tf.term asc)
+              as bigint) as rank
+  from tf join df on tf.term = df.term
+) s where rank <= {k}
+"""

@@ -378,3 +378,30 @@ def test_sample_hash_defined_at_int64_scale(spark):
     d = [tuple(r) for r in duckdb.connect().execute(q).fetchall()]
     assert s == d
     assert all(0 <= slot < 1000 for _, slot in s)
+
+
+def test_tfidf_topterms_ranking_properties(spark):
+    """Top-k term ranking is integer-deterministic: exactly k rows per
+    doc (when the doc has >= k eligible terms), ranks 1..k, ordered by
+    tf desc then df asc then term; tf/df are consistent with a direct
+    recount on a sampled doc."""
+    from gdal_spark import textops as T
+
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    df = spark.sql(T.tfidf_topterms_sql("documents", T.SPARK)).toPandas()
+    g = df.groupby("doc_id")
+    assert (g["rank"].max() <= 5).all() and (g["rank"].min() == 1).all()
+    for _, grp in list(g)[:10]:
+        grp = grp.sort_values("rank")
+        keys = list(zip(-grp["tf"], grp["df"], grp["term"]))
+        assert keys == sorted(keys)
+    # spot recount on one doc
+    doc = spark.sql("select doc_id, text from documents limit 1").collect()[0]
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", doc["text"].lower())
+            if len(t) >= 3]
+    top = df[df["doc_id"] == doc["doc_id"]].sort_values("rank")
+    from collections import Counter
+    c = Counter(toks)
+    assert int(top.iloc[0]["tf"]) == max(c.values())
