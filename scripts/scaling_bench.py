@@ -97,6 +97,31 @@ def _burn(n: int) -> int:
     return s
 
 
+def bw_probe() -> float:
+    """Same-minute deliverable memory bandwidth (GB/s aggregate, 4
+    streaming workers): this VM measured 48↔205 GB/s minute-to-minute
+    in round 4 — recorded per pair so a throttled draw is identifiable
+    in the raw JSON."""
+    import multiprocessing as mp
+    import time
+
+    import numpy as np
+
+    def stream(secs: float) -> float:
+        a = np.zeros(32_000_000, dtype=np.uint8)
+        b = np.zeros_like(a)
+        n, end = 0, time.time() + secs
+        while time.time() < end:
+            np.copyto(b, a)
+            n += 1
+        return n * 64.0  # MB moved (read+write)
+
+    t0 = time.time()
+    with mp.Pool(4) as pool:
+        mb = sum(pool.map(stream, [2.0] * 4))
+    return round(mb / (time.time() - t0) / 1024.0, 1)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,8 +157,10 @@ def main() -> None:
 
     pairs = []
     probes = []
+    bw_probes = []
     for _ in range(repeats):
         probes.append(round(cpu_probe(n_low, n_high), 3))
+        bw_probes.append(bw_probe())
         if concurrent and n_low + n_high <= n_host:
             p_lo = start_level(n_low, sf_dir, replicate,
                                cpu_list=f"0-{n_low - 1}")
@@ -202,6 +229,7 @@ Raw results:
 ```json
 {json.dumps({"low": low, "high": high, "efficiency": round(eff, 4),
              "cpu_probe_effs": probes,
+             "bw_probe_gbps": bw_probes,
              "all_pairs": [
                  {"low_pps": p[0]["pages_per_sec"],
                   "high_pps": p[1]["pages_per_sec"],
