@@ -97,6 +97,22 @@ def _burn(n: int) -> int:
     return s
 
 
+def _stream(secs: float) -> float:
+    """One bandwidth-probe worker: copy a 32 MB buffer for ``secs``;
+    returns MB moved (read+write). Module-level for multiprocessing."""
+    import time
+
+    import numpy as np
+
+    a = np.zeros(32_000_000, dtype=np.uint8)
+    b = np.zeros_like(a)
+    n, end = 0, time.time() + secs
+    while time.time() < end:
+        np.copyto(b, a)
+        n += 1
+    return n * 64.0
+
+
 def bw_probe() -> float:
     """Same-minute deliverable memory bandwidth (GB/s aggregate, 4
     streaming workers): this VM measured 48↔205 GB/s minute-to-minute
@@ -105,20 +121,9 @@ def bw_probe() -> float:
     import multiprocessing as mp
     import time
 
-    import numpy as np
-
-    def stream(secs: float) -> float:
-        a = np.zeros(32_000_000, dtype=np.uint8)
-        b = np.zeros_like(a)
-        n, end = 0, time.time() + secs
-        while time.time() < end:
-            np.copyto(b, a)
-            n += 1
-        return n * 64.0  # MB moved (read+write)
-
     t0 = time.time()
     with mp.Pool(4) as pool:
-        mb = sum(pool.map(stream, [2.0] * 4))
+        mb = sum(pool.map(_stream, [2.0] * 4))
     return round(mb / (time.time() - t0) / 1024.0, 1)
 
 
