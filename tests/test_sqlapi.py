@@ -729,3 +729,117 @@ def test_ambiguous_bare_int_name_not_rewritten(spark, poly):
         {"a": a, "b": b}).collect()
     assert out[0][1] == 3 and isinstance(out[0][1], int)  # int div
     assert abs(out[0][2] - 3.5) < 1e-12  # float stays float
+
+
+# ---------------------------------------------------------------------------
+# Round-4 ports from autotest/ogr/ogr_sql_test.py (cases not yet covered)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_where_orderby_ogr_sql_3(spark, poly):
+    """ogr_sql_3 / ogr_sql_3_desc: DISTINCT + WHERE + ORDER BY [DESC]."""
+    up = [r[0] for r in run(
+        spark, "select distinct eas_id from poly where eas_id < 170 "
+               "order by eas_id", poly).collect()]
+    assert up == sorted(up) and all(v < 170 for v in up) and len(up) > 1
+    dn = [r[0] for r in run(
+        spark, "select distinct eas_id from poly where eas_id < 170 "
+               "order by eas_id desc", poly).collect()]
+    assert dn == up[::-1]
+
+
+def test_distinct_on_empty_ogr_sql_12(spark, poly):
+    """ogr_sql_12: DISTINCT over an empty selection returns 0 rows."""
+    assert run(spark, "select distinct eas_id from poly "
+                      "where eas_id < 0", poly).count() == 0
+
+
+def test_fid_in_where_ogr_sql_15(spark, poly):
+    """ogr_sql_15: filtering by the FID special field."""
+    rows = run(spark, "select fid, eas_id, prfedea from poly where fid = 7",
+               poly).collect()
+    assert len(rows) == 1 and rows[0][0] == 7
+
+
+def test_aggregate_over_empty_ogr_sql_31(spark, poly):
+    """ogr_sql_31/32 (#4022): MIN over an empty WHERE still yields ONE
+    summary record with a NULL value."""
+    rows = run(spark, "select min(eas_id) from poly where area = 0",
+               poly).collect()
+    assert len(rows) == 1 and rows[0][0] is None
+
+
+def test_max_geom_area_ogr_sql_38(spark, poly):
+    """ogr_sql_38: aggregate over the OGR_GEOM_AREA special field."""
+    rows = run(spark, "SELECT MAX(OGR_GEOM_AREA) FROM poly", poly).collect()
+    direct = max(r[0] for r in poly.select("area").collect())
+    assert len(rows) == 1 and abs(rows[0][0] - direct) < 1e-9
+
+
+def test_order_by_fid_desc_ogr_sql_40(spark, poly):
+    """ogr_sql_40: ORDER BY FID DESC — the int special field sorts."""
+    rows = run(spark, "SELECT FID, eas_id FROM poly ORDER BY FID DESC",
+               poly).collect()
+    fids = [r[0] for r in rows]
+    assert fids == sorted(fids, reverse=True) and fids[0] == poly.count() - 1
+
+
+def test_order_by_ogr_geometry_ogr_sql_41(spark, poly):
+    """ogr_sql_41: ORDER BY the OGR_GEOMETRY string special field (the
+    geometry type name) is accepted and stable."""
+    rows = run(spark, "SELECT FID, OGR_GEOMETRY FROM poly "
+                      "ORDER BY OGR_GEOMETRY, FID", poly,
+               geom_cols={"poly": "geom"}).collect()
+    assert rows[0][0] == 0 and all(r[1] == rows[0][1] for r in rows)
+
+
+def test_null_sorting_ogr_sql_47(spark):
+    """ogr_sql_47 (#6155): NULLs order first ascending (OGR compares the
+    unset field as less-than any set value)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"text_value": ["b", None, "a", None, "c"],
+         "zid": [0, 1, 2, 3, 4]}))
+    rows = execute_sql(
+        spark, "SELECT text_value FROM sort_test ORDER BY text_value",
+        {"sort_test": df}, fid_order={"sort_test": "zid"}).collect()
+    vals = [r[0] for r in rows]
+    assert vals[:2] == [None, None] and vals[2:] == ["a", "b", "c"]
+
+
+def test_sort_1000_elements_ogr_sql_48(spark):
+    """ogr_sql_48: ORDER BY over 1000 rows returns the exact sequence."""
+    import pandas as pd
+
+    vals = [(i + 1) if i % 2 == 0 else (1001 - i) for i in range(1000)]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"int_field": vals, "zid": list(range(1000))}))
+    rows = execute_sql(
+        spark, "SELECT int_field FROM test ORDER BY int_field",
+        {"test": df}, fid_order={"test": "zid"}).collect()
+    assert [r[0] for r in rows] == list(range(1, 1001))
+
+
+def test_strict_quoting_ogr_sql(spark):
+    """strict_quoting_non_aggregate/aggregate: single quotes are string
+    LITERALS, double quotes are identifiers — including an aliased
+    double-quoted output name and aggregates over quoted columns."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 3], "frm": ["not_from", "from"], "zid": [0, 1]}))
+    rows = execute_sql(
+        spark,
+        "select id, 'id', \"id\" as id2, id as \"id3\", frm "
+        "from test where frm = 'from'",
+        {"test": df}, fid_order={"test": "zid"}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[0] == 3 and r[1] == "id" and r[2] == 3 and r[3] == 3 \
+        and r[4] == "from"
+    agg = execute_sql(
+        spark,
+        'select max("id"), max(id), count("id"), count(id) from test',
+        {"test": df}, fid_order={"test": "zid"}).collect()[0]
+    assert list(agg) == [3, 3, 2, 2]
