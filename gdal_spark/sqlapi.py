@@ -319,6 +319,45 @@ class _ArithTyper:
         return left
 
 
+_STR_PLUS_OPERAND = (
+    r"CONCAT\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)"
+    r"|'(?:[^']|'')*'"
+    r"|`[^`]*`"
+    r"|[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*"
+)
+_STR_PLUS = re.compile(
+    rf"(?<![\w$.'])({_STR_PLUS_OPERAND})\s*\+\s*({_STR_PLUS_OPERAND})")
+
+
+def _str_plus_rewrite(text: str, str_names: set[str]) -> str:
+    """OGR's '+' concatenates when either operand is a string
+    (swq_op_general.cpp SWQGeneralChecker: SWQ_ADD with a string arg
+    evaluates as concatenation — rfc28_3 `'x'+PRFEDEA`); Spark's +
+    would instead try numeric casts. Rewrite ``a + b`` → CONCAT(a, b)
+    when either simple operand (string literal, identifier typing
+    string, or an already-rewritten CONCAT(...)) is a string;
+    left-assoc chains fold via the fixpoint loop. Parenthesized or
+    function-call operands are out of scope for this text pass — they
+    stay numeric, as swq types them unless they evaluate to string."""
+
+    def is_str(tok: str) -> bool:
+        return (tok.startswith("'")
+                or tok.upper().startswith("CONCAT(")
+                or tok.strip("`").lower() in str_names)
+
+    def repl(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if is_str(a) or is_str(b):
+            return f"CONCAT({a}, {b})"
+        return m.group(0)
+
+    while True:
+        new = _STR_PLUS.sub(repl, text)
+        if new == text:
+            return new
+        text = new
+
+
 def _int_div_rewrite(text: str, int_names: set[str]) -> str:
     """Schema-aware OGR integer-division typing (swq type promotion,
     rfc28_17 / ogr_sql_test.py::test_ogr_sql_49): full expression-tree
@@ -804,6 +843,7 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     # FIELD_N numbering and for schema-aware integer-division typing
     star_widths: dict[str, int] = {}
     int_names: set[str] = set()
+    str_names: set[str] = set()
     _bare_int: set[str] = set()
     _bare_other: set[str] = set()
 
@@ -818,6 +858,10 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
                 _bare_int.add(c.lower())
             else:
                 _bare_other.add(c.lower())
+            if dt == "string":
+                str_names.add(c.lower())
+                for nm in {lname, alias or lname}:
+                    str_names.add(f"{nm}.{c}".lower())
 
     _register_scope(table, g["talias"])
     for kw, body in clauses[1:]:
@@ -833,6 +877,7 @@ def _execute_one(spark: SparkSession, sql: str, layers: dict,
     int_names |= _bare_int - _bare_other
 
     def _typed(text: str) -> str:
+        text = _str_plus_rewrite(text, str_names)
         return _outside_strings(
             text, lambda seg: _int_div_rewrite(seg, int_names))
 

@@ -843,3 +843,53 @@ def test_strict_quoting_ogr_sql(spark):
         'select max("id"), max(id), count("id"), count(id) from test',
         {"test": df}, fid_order={"test": "zid"}).collect()[0]
     assert list(agg) == [3, 3, 2, 2]
+
+
+def test_string_plus_concat_rfc28_3(spark, poly):
+    """rfc28_2/3: '+' concatenates when either operand is a string
+    (CONCAT equivalence), including chains; numeric '+' unaffected
+    (rfc28_1 arithmetic filter)."""
+    target = run(spark, "SELECT prfedea FROM poly ORDER BY FID",
+                 poly).collect()[0][0]
+    n = run(spark, f"SELECT eas_id FROM poly WHERE 'x'+PRFEDEA = 'x{target}'",
+            poly).count()
+    assert n == 1
+    n2 = run(spark,
+             f"SELECT eas_id FROM poly WHERE 'x'+PRFEDEA+'y' = 'x{target}y'",
+             poly).count()
+    assert n2 == 1
+    # numeric + stays arithmetic
+    n3 = run(spark, "SELECT eas_id FROM poly WHERE 160+7 > eas_id",
+             poly).count()
+    assert n3 == run(spark, "SELECT eas_id FROM poly WHERE eas_id < 167",
+                     poly).count()
+
+
+def test_modulo_and_quoted_field_rfc28_4_6(spark, poly):
+    """rfc28_4: '%' modulo; rfc28_6: double-quoted field name."""
+    mod = [r[0] for r in run(
+        spark, "SELECT eas_id FROM poly WHERE EAS_ID % 5 = 1",
+        poly).collect()]
+    assert mod and all(v % 5 == 1 for v in mod)
+    assert run(spark, 'SELECT eas_id FROM poly WHERE "EAS_ID" = 166',
+               poly).count() == 1
+
+
+def test_substr_negative_offset_rfc28_26(spark, poly):
+    """rfc28_26: SUBSTR with a negative offset takes from the end."""
+    rows = run(spark, "SELECT SUBSTR(PRFEDEA, -2) FROM poly ORDER BY FID",
+               poly).collect()
+    full = run(spark, "SELECT PRFEDEA FROM poly ORDER BY FID",
+               poly).collect()
+    assert all(r[0] == f[0][-2:] for r, f in zip(rows, full))
+
+
+def test_between_equivalences_rfc28_21_22(spark, poly):
+    """rfc28_21/22: BETWEEN ≡ >= AND <=; NOT BETWEEN ≡ NOT(...)."""
+    a = run(spark, "select eas_id from poly where eas_id between 165 "
+                   "and 169", poly).count()
+    b = run(spark, "select eas_id from poly where eas_id >= 165 and "
+                   "eas_id <= 169", poly).count()
+    c = run(spark, "select eas_id from poly where eas_id not between "
+                   "165 and 169", poly).count()
+    assert a == b and c == poly.count() - a
