@@ -893,3 +893,163 @@ def test_between_equivalences_rfc28_21_22(spark, poly):
     c = run(spark, "select eas_id from poly where eas_id not between "
                    "165 and 169", poly).count()
     assert a == b and c == poly.count() - a
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 3 of autotest/ogr/ogr_sql_rfc28.py ports
+# ---------------------------------------------------------------------------
+
+
+def test_rfc28_28_arithmetic_matrix(spark, poly):
+    """rfc28_28: arithmetic operator evaluation across int/float/bigint
+    operand mixes (the swq_op_general.cpp checker matrix). Expected
+    values are Python eval, as in the reference test; OGR's integer
+    division (6/3 -> 2) and Python's true division (2.0) agree
+    numerically on every divisible fixture pair, and our translator's
+    expression-tree typing reproduces OGR's int-vs-float result types
+    (asserted via the division cases in ogrsql_execute_division_typing)."""
+    formulas = []
+    for op in ["+", "-", "*", "/", "%"]:
+        formulas.append(("6" + op + "3"))
+        formulas.append(("5.1" + op + "3.2"))
+        formulas.append(("5" + op + "3.2"))
+        formulas.append(("5.1" + op + "3"))
+        formulas.append(("3000000000000" + op + "3"))
+        if op != "/":
+            formulas.append(("3" + op + "3000000000000"))
+        formulas.append(("3000000000000" + op + "3.0"))
+        if op != "/":
+            formulas.append(("3.0" + op + "3000000000000"))
+    sel = ", ".join(f"{f} AS c{i}" for i, f in enumerate(formulas))
+    row = run(spark, f"SELECT {sel} FROM poly WHERE FID = 0",
+              poly).collect()[0]
+    for i, f in enumerate(formulas):
+        expected = eval(f)  # noqa: S307 - fixture arithmetic
+        got = row[i]
+        assert got == pytest.approx(expected), (f, got, expected)
+
+
+def test_rfc28_28_comparisons(spark, poly):
+    cases = [("3 < 6", True), ("3 <= 3", True), ("3 > 6", False),
+             ("3 >= 6", False), ("3 = 3", True), ("3 <> 6", True),
+             ("3.0 < 6.0", True), ("3.0 = 3.0", True)]
+    sel = ", ".join(f"{f} AS c{i}" for i, (f, _) in enumerate(cases))
+    row = run(spark, f"SELECT {sel} FROM poly WHERE FID = 0",
+              poly).collect()[0]
+    for i, (f, expected) in enumerate(cases):
+        assert bool(row[i]) == expected, f
+
+
+def test_rfc28_29_null_int_arithmetic(spark, poly):
+    """rfc28_29: int/float arithmetic with a NULL operand is NULL."""
+    n = run(spark,
+            "SELECT eas_id FROM poly WHERE "
+            "(eas_id + CAST(NULL AS integer)) IS NOT NULL "
+            "OR eas_id = 170 + CAST(NULL AS integer) "
+            "OR (eas_id + CAST(NULL AS float)) IS NOT NULL "
+            "OR eas_id = 170.0 + CAST(NULL AS float)", poly).count()
+    assert n == 0
+
+
+def test_rfc28_30_null_string_concat(spark, poly):
+    """rfc28_30: CONCAT with a NULL operand is NULL."""
+    n = run(spark,
+            "SELECT prfedea FROM poly WHERE prfedea <> 'foo' "
+            "AND CONCAT(prfedea, CAST(NULL AS character(32))) "
+            "IS NOT NULL", poly).count()
+    assert n == 0
+
+
+def test_rfc28_26_substr_negative_offset(spark, poly):
+    """rfc28_26: SUBSTR with negative offset counts from the end."""
+    rows = run(spark,
+               "SELECT SUBSTR(prfedea, -2) AS s FROM poly "
+               "WHERE eas_id IN (168, 179) ORDER BY eas_id",
+               poly).collect()
+    expect = [r[0][-2:] for r in run(
+        spark, "SELECT prfedea FROM poly WHERE eas_id IN (168, 179) "
+               "ORDER BY eas_id", poly).collect()]
+    assert [r["s"] for r in rows] == expect
+
+
+def test_rfc28_many_or_many_and(spark, poly):
+    """rfc28_many_or / many_and: 1024-term OR / AND chains must parse
+    and evaluate (GDAL grew a non-recursive evaluator for these;
+    Spark's parser + Catalyst balanced-And/Or handle them natively)."""
+    # eas_id values are 158..179, so negative targets match nothing
+    ors = " OR ".join(f"eas_id = {-(i + 1)}" for i in range(1024))
+    assert run(spark, f"SELECT eas_id FROM poly WHERE 1 = 1 AND ({ors})",
+               poly).count() == 0
+    ors2 = " OR ".join(f"eas_id = {i - 100}" for i in range(1024))
+    # eas_id values 158..179 fall inside [-100, 923]
+    assert run(spark, f"SELECT eas_id FROM poly WHERE 1 = 1 AND ({ors2})",
+               poly).count() == poly.count()
+    ands = " AND ".join("eas_id = -1" for _ in range(1024))
+    assert run(spark, f"SELECT eas_id FROM poly WHERE 1 = 1 AND ({ands})",
+               poly).count() == 0
+    ands2 = " AND ".join("eas_id >= 0" for _ in range(1024))
+    assert run(spark, f"SELECT eas_id FROM poly WHERE 1 = 1 AND ({ands2})",
+               poly).count() == poly.count()
+
+
+def test_rfc28_nested_or_groupings(spark, poly):
+    """rfc28_nested_or (gdal#3919): parenthesized OR groupings evaluate
+    identically regardless of association."""
+    match, other = 158, 9999
+    shapes = [
+        f"(eas_id = {other} OR eas_id = {other}) OR "
+        f"(eas_id = {other} OR eas_id = {other} OR eas_id = {match})",
+        f"(eas_id = {other} OR eas_id = {other} OR eas_id = {match}) OR "
+        f"(eas_id = {other} OR eas_id = {other})",
+        f"eas_id = {other} OR eas_id = {other} OR eas_id = {match}",
+        f"eas_id = {other} OR (eas_id = {other} OR eas_id = {match})",
+        f"(eas_id = {other} OR eas_id = {other}) OR eas_id = {match}",
+    ]
+    for cond in shapes:
+        assert run(spark, f"SELECT eas_id FROM poly WHERE {cond}",
+                   poly).count() == 1, cond
+
+
+def test_ogr_sql_count_and_null(spark):
+    """ogr_sql_test.py::test_ogr_sql_count_and_null: COUNT(col) skips
+    NULLs, COUNT(DISTINCT col) counts distinct non-NULL, COUNT(*)
+    counts rows; AVG/STDDEV_POP over an all-NULL selection are NULL;
+    DISTINCT over a column whose first value is NULL returns the NULL
+    group plus the values (gdal#4509 crash case)."""
+    lyr = spark.createDataFrame(
+        [(1, None, "456", None), (1, None, "456", None),
+         (None, 2.3, None, "foo"), (None, 2.3, None, None)],
+        "intfield int, floatfield double, strfield string, "
+        "strfield_first_null string")
+    for fld in ("intfield", "floatfield", "strfield"):
+        r = execute_sql(
+            spark,
+            f"SELECT COUNT({fld}), COUNT(DISTINCT {fld}), COUNT(*) "
+            "FROM layer", {"layer": lyr}).collect()[0]
+        assert (r[0], r[1], r[2]) == (2, 1, 4), fld
+    r = execute_sql(
+        spark, "SELECT AVG(intfield), STDDEV_POP(intfield) "
+               "FROM layer WHERE intfield IS NULL",
+        {"layer": lyr}).collect()[0]
+    assert r[0] is None and r[1] is None
+    vals = [r[0] for r in execute_sql(
+        spark, "SELECT DISTINCT strfield_first_null FROM layer",
+        {"layer": lyr}).collect()]
+    assert vals == [None, "foo"]
+
+
+def test_ogr_sql_min_max_string_field(spark):
+    """ogr_sql_test.py::test_ogr_sql_min_max_string_field: MIN/MAX of a
+    string field compare lexicographically; over an all-NULL (or
+    empty) layer they are NULL."""
+    empty = spark.createDataFrame([(None,)], "str_field string")
+    r = execute_sql(
+        spark, "SELECT MIN(str_field), MAX(str_field) FROM layer",
+        {"layer": empty}).collect()[0]
+    assert r[0] is None and r[1] is None
+    lyr = spark.createDataFrame([("z",), ("b",), ("ab",)],
+                                "str_field string")
+    r = execute_sql(
+        spark, "SELECT MIN(str_field), MAX(str_field) FROM layer",
+        {"layer": lyr}).collect()[0]
+    assert (r[0], r[1]) == ("ab", "z")
