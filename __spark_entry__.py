@@ -67,6 +67,7 @@ _PRIORITY = [
     "text_tfidf_topterms",
     "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
     "raster_viewshed_exact_md",
+    "reproject_laea_europe", "reproject_ps_north",
     # -- (b) behavior changed this round: chained int-division typing
     # (expression-tree rewriter), overflow-safe SAMPLE_HASH (both
     # engines' results changed in tandem), wrapdateline -180 guard

@@ -398,36 +398,62 @@ def lcc_sql_stages(lon: str, lat: str,
 # ---------------------------------------------------------------------------
 
 class PsParams:
-    """Precomputed variant-B constants for one south-pole PS definition:
-    ρ = k_rho · t with k_rho = a·mF/tF (EPSG Guidance Note 7-2)."""
+    """Precomputed constants for one polar stereographic definition:
+    ρ = k_rho · t (EPSG Guidance Note 7-2 §3.4.1).
 
-    def __init__(self, phi_f_deg: float, lon0_deg: float,
+    Both poles share one formula set through the south-equivalent
+    latitude ψ = sgn·φ (sgn = +1 south aspect, −1 north): the north
+    t(φ) equals the south t(−φ), E is aspect-independent, and N flips
+    the cos term's sign. k_rho comes from either a standard parallel
+    (variant B, ``phi_f_deg``) or a scale at the pole (variant A,
+    ``k0`` — e.g. UPS k0 = 0.994), via the closed form
+    k_rho = 2·a·k0 / sqrt((1+e)^(1+e) · (1−e)^(1−e))."""
+
+    def __init__(self, phi_f_deg: float | None, lon0_deg: float,
                  fe: float, fn: float,
-                 a: float = WGS84_A, e: float = WGS84_E):
+                 a: float = WGS84_A, e: float = WGS84_E,
+                 south: bool = True, k0: float | None = None):
         self.lon0_deg = lon0_deg
         self.fe = fe
         self.fn = fn
         self.e = e
-        pf = math.radians(phi_f_deg)
-        t_f = (math.tan(math.pi / 4.0 + pf / 2.0)
-               / ((1.0 + e * math.sin(pf))
-                  / (1.0 - e * math.sin(pf))) ** (e / 2.0))
-        m_f = math.cos(pf) / math.sqrt(1.0 - e * e * math.sin(pf) ** 2)
-        self.k_rho = a * m_f / t_f
+        self.sgn = 1.0 if south else -1.0
+        if k0 is not None:
+            self.k_rho = (2.0 * a * k0
+                          / math.sqrt((1.0 + e) ** (1.0 + e)
+                                      * (1.0 - e) ** (1.0 - e)))
+        else:
+            pf = math.radians(phi_f_deg) * self.sgn  # south-equivalent
+            t_f = (math.tan(math.pi / 4.0 + pf / 2.0)
+                   / ((1.0 + e * math.sin(pf))
+                      / (1.0 - e * math.sin(pf))) ** (e / 2.0))
+            m_f = math.cos(pf) / math.sqrt(
+                1.0 - e * e * math.sin(pf) ** 2)
+            self.k_rho = a * m_f / t_f
 
 
 PS_3031 = PsParams(phi_f_deg=-71.0, lon0_deg=0.0, fe=0.0, fn=0.0)
 PS_3032 = PsParams(phi_f_deg=-71.0, lon0_deg=70.0,
                    fe=6000000.0, fn=6000000.0)
+# EPSG:3413 WGS 84 / NSIDC Sea Ice Polar Stereographic North
+PS_3413 = PsParams(phi_f_deg=70.0, lon0_deg=-45.0, fe=0.0, fn=0.0,
+                   south=False)
+# EPSG:32661/32761 Universal Polar Stereographic (variant A, k0=0.994)
+PS_32661 = PsParams(phi_f_deg=None, lon0_deg=0.0,
+                    fe=2000000.0, fn=2000000.0, south=False, k0=0.994)
+PS_32761 = PsParams(phi_f_deg=None, lon0_deg=0.0,
+                    fe=2000000.0, fn=2000000.0, south=True, k0=0.994)
 
 
 def ps_fwd_np(lon, lat, p: PsParams = PS_3031):
-    """Polar Stereographic (south) forward: (easting, northing, ok)."""
+    """Polar Stereographic forward: (easting, northing, ok). Both
+    aspects via the south-equivalent latitude ψ = sgn·φ (see PsParams);
+    the opposite pole (ψ = +90°, where t → ∞) is rejected per point."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    ok = (np.isfinite(lon) & np.isfinite(lat) & (lat < 90.0)
-          & (lat >= -90.0))
-    phi = np.radians(np.where(ok, lat, 0.0))
+    ok = (np.isfinite(lon) & np.isfinite(lat)
+          & (p.sgn * lat < 90.0) & (p.sgn * lat >= -90.0))
+    phi = p.sgn * np.radians(np.where(ok, lat, 0.0))
     s = np.sin(phi)
     t = (np.tan(np.pi / 4.0 + phi / 2.0)
          / np.exp((p.e / 2.0)
@@ -435,16 +461,17 @@ def ps_fwd_np(lon, lat, p: PsParams = PS_3031):
     rho = p.k_rho * t
     th = np.radians(lon) - math.radians(p.lon0_deg)
     easting = np.where(ok, p.fe + rho * np.sin(th), np.nan)
-    northing = np.where(ok, p.fn + rho * np.cos(th), np.nan)
+    northing = np.where(ok, p.fn + p.sgn * rho * np.cos(th), np.nan)
     return easting, northing, ok
 
 
 def ps_inv_np(E, N, p: PsParams = PS_3031, iters: int = 8):
-    """Polar Stereographic (south) inverse (fixed-point on φ)."""
+    """Polar Stereographic inverse (fixed-point on the south-equivalent
+    ψ, then φ = sgn·ψ)."""
     E = np.asarray(E, dtype=np.float64)
     N = np.asarray(N, dtype=np.float64)
     x = E - p.fe
-    y = N - p.fn
+    y = p.sgn * (N - p.fn)
     t = np.sqrt(x * x + y * y) / p.k_rho
     phi = 2.0 * np.arctan(t) - np.pi / 2.0
     for _ in range(iters):
@@ -454,20 +481,21 @@ def ps_inv_np(E, N, p: PsParams = PS_3031, iters: int = 8):
             - np.pi / 2.0
     lon = np.degrees(np.arctan2(x, y) + math.radians(p.lon0_deg))
     lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
-    lat = np.degrees(phi)
+    lat = p.sgn * np.degrees(phi)
     ok = np.isfinite(lon) & np.isfinite(lat)
     return lon, lat, ok
 
 
 def ps_sql_stages(lon: str, lat: str,
                   p: PsParams = PS_3031) -> list[tuple[str, str]]:
-    """Stages computing easting, northing, ok — PS variant B (south),
-    shared text."""
+    """Stages computing easting, northing, ok — PS both aspects via the
+    south-equivalent latitude (see PsParams), shared text."""
     e = _fmt(p.e)
+    g = _fmt(p.sgn)
     return [
         ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
-               f" and {lat} < 90.0 and {lat} >= -90.0)"),
-        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+               f" and {g} * {lat} < 90.0 and {g} * {lat} >= -90.0)"),
+        ("_phi", f"{g} * radians(case when ok then {lat} else 0.0 end)"),
         ("_s", "sin(_phi)"),
         ("_t", f"tan(pi() / 4.0 + _phi / 2.0)"
                f" / exp(({e} / 2.0) * ln((1.0 + {e} * _s)"
@@ -476,8 +504,8 @@ def ps_sql_stages(lon: str, lat: str,
         ("_th", f"radians({lon}) - radians({_fmt(p.lon0_deg)})"),
         ("easting", f"case when ok then {_fmt(p.fe)} + _rho * sin(_th)"
                     f" else cast('nan' as double) end"),
-        ("northing", f"case when ok then {_fmt(p.fn)} + _rho * cos(_th)"
-                     f" else cast('nan' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.fn)} + {g} * _rho"
+                     f" * cos(_th) else cast('nan' as double) end"),
     ]
 
 
@@ -524,6 +552,10 @@ class AeaParams:
 
 AEA_3577 = AeaParams(phi1_deg=-18.0, phi2_deg=-36.0, phi0_deg=0.0,
                      lon0_deg=132.0, fe=0.0, fn=0.0)
+# EPSG:5070 NAD83 / Conus Albers (GRS80; NAD83↔WGS84 is the published
+# null transform EPSG:1188, ~1-2 m plate-drift accuracy like GDA94)
+AEA_5070 = AeaParams(phi1_deg=29.5, phi2_deg=45.5, phi0_deg=23.0,
+                     lon0_deg=-96.0, fe=0.0, fn=0.0)
 
 
 def aea_fwd_np(lon, lat, p: AeaParams = AEA_3577):
@@ -598,6 +630,193 @@ def aea_sql_stages(lon: str, lat: str,
 
 
 # ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area, oblique aspect (EPSG method 9820) —
+# e.g. EPSG:3035 (ETRS89-extended / LAEA Europe, the standard EU
+# statistical grid; ETRS89↔WGS84 is the published null transform
+# EPSG:1149, so no datum-shift step applies). Formulas: EPSG Guidance
+# Note 7-2 §3.5.2 / Snyder 1987 §24 (ellipsoidal oblique). Constants
+# (qp, β0, Rq, D) precomputed in Python, emitted as shared double
+# literals; the inverse latitude uses Snyder eq. 3-16 fixed-point.
+# ---------------------------------------------------------------------------
+
+
+class LaeaParams:
+    """Precomputed oblique-aspect LAEA constants for one definition."""
+
+    def __init__(self, phi0_deg: float, lon0_deg: float,
+                 fe: float, fn: float,
+                 a: float = GRS80_A, e: float = GRS80_E):
+        self.lon0_deg = lon0_deg
+        self.fe = fe
+        self.fn = fn
+        self.a = a
+        self.e = e
+        e2 = e * e
+
+        def q(phi):
+            s = math.sin(phi)
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+
+        p0 = math.radians(phi0_deg)
+        self.qp = q(math.pi / 2.0)
+        self.beta0 = math.asin(q(p0) / self.qp)
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        m0 = math.cos(p0) / math.sqrt(1.0 - e2 * math.sin(p0) ** 2)
+        self.d = a * m0 / (self.rq * math.cos(self.beta0))
+
+
+LAEA_3035 = LaeaParams(phi0_deg=52.0, lon0_deg=10.0,
+                       fe=4321000.0, fn=3210000.0)
+
+
+def laea_fwd_np(lon, lat, p: LaeaParams = LAEA_3035):
+    """LAEA oblique forward. Returns (easting, northing, ok); the
+    antipodal point of the projection centre (where B diverges) is
+    rejected per point."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = (np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0))
+    e2 = p.e * p.e
+    phi = np.radians(np.where(ok, lat, 0.0))
+    s = np.sin(phi)
+    q = (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                      - (1.0 / (2.0 * p.e))
+                      * np.log((1.0 - p.e * s) / (1.0 + p.e * s)))
+    beta = np.arcsin(np.clip(q / p.qp, -1.0, 1.0))
+    dlam = np.radians(lon) - math.radians(p.lon0_deg)
+    dlam = np.arctan2(np.sin(dlam), np.cos(dlam))
+    sb0, cb0 = math.sin(p.beta0), math.cos(p.beta0)
+    denom = 1.0 + sb0 * np.sin(beta) + cb0 * np.cos(beta) * np.cos(dlam)
+    ok = ok & (denom > 1e-12)
+    b = p.rq * np.sqrt(2.0 / np.where(ok, denom, 1.0))
+    E = p.fe + b * p.d * np.cos(beta) * np.sin(dlam)
+    N = p.fn + (b / p.d) * (cb0 * np.sin(beta)
+                            - sb0 * np.cos(beta) * np.cos(dlam))
+    return np.where(ok, E, np.nan), np.where(ok, N, np.nan), ok
+
+
+def laea_inv_np(E, N, p: LaeaParams = LAEA_3035, iters: int = 8):
+    """LAEA oblique inverse (Snyder 24-26..24-29 + 3-16 fixed-point)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    e2 = p.e * p.e
+    x = E - p.fe
+    y = N - p.fn
+    rho = np.sqrt((x / p.d) ** 2 + (p.d * y) ** 2)
+    at_centre = rho < 1e-9
+    arg = np.clip(rho / (2.0 * p.rq), -1.0, 1.0)
+    ce = 2.0 * np.arcsin(arg)
+    sb0, cb0 = math.sin(p.beta0), math.cos(p.beta0)
+    rho_safe = np.where(at_centre, 1.0, rho)
+    sin_bp = (np.cos(ce) * sb0
+              + p.d * y * np.sin(ce) * cb0 / rho_safe)
+    sin_bp = np.where(at_centre, sb0, np.clip(sin_bp, -1.0, 1.0))
+    lam = np.arctan2(x * np.sin(ce),
+                     p.d * rho_safe * cb0 * np.cos(ce)
+                     - p.d * p.d * y * sb0 * np.sin(ce))
+    lam = np.where(at_centre, 0.0, lam)
+    q = p.qp * sin_bp
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = phi + ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+            q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * p.e))
+            * np.log((1.0 - p.e * s) / (1.0 + p.e * s)))
+    lon = np.degrees(lam) + p.lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    lat = np.degrees(phi)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    return lon, lat, ok
+
+
+def laea_sql_stages(lon: str, lat: str,
+                    p: LaeaParams = LAEA_3035) -> list[tuple[str, str]]:
+    """Stages computing easting, northing, ok — LAEA oblique, shared
+    text (Catalyst + DuckDB)."""
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    sb0, cb0 = _fmt(math.sin(p.beta0)), _fmt(math.cos(p.beta0))
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_s", "sin(_phi)"),
+        ("_q", f"(1.0 - {e2}) * (_s / (1.0 - {e2} * _s * _s)"
+               f" - (1.0 / (2.0 * {e}))"
+               f" * ln((1.0 - {e} * _s) / (1.0 + {e} * _s)))"),
+        ("_beta", f"asin(greatest(-1.0, least(1.0, _q / {_fmt(p.qp)})))"),
+        ("_dl0", f"radians({lon}) - radians({_fmt(p.lon0_deg)})"),
+        ("_dl", "atan2(sin(_dl0), cos(_dl0))"),
+        ("_den", f"1.0 + {sb0} * sin(_beta)"
+                 f" + {cb0} * cos(_beta) * cos(_dl)"),
+        ("ok", "(ok and _den > 1e-12)"),
+        ("_b", f"{_fmt(p.rq)} * sqrt(2.0 / case when ok then _den"
+               f" else 1.0 end)"),
+        ("easting", f"case when ok then {_fmt(p.fe)} + _b * {_fmt(p.d)}"
+                    f" * cos(_beta) * sin(_dl)"
+                    f" else cast('nan' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.fn)}"
+                     f" + (_b / {_fmt(p.d)}) * ({cb0} * sin(_beta)"
+                     f" - {sb0} * cos(_beta) * cos(_dl))"
+                     f" else cast('nan' as double) end"),
+    ]
+
+
+def laea_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                        out_lat: str = "lat",
+                        p: LaeaParams = LAEA_3035
+                        ) -> list[tuple[str, str]]:
+    """LAEA oblique inverse, Snyder 3-16 fixed-point unrolled (mirrors
+    laea_inv_np). Defined below INV_ITERS; declared here to keep the
+    family's four surfaces adjacent."""
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    d = _fmt(p.d)
+    sb0, cb0 = _fmt(math.sin(p.beta0)), _fmt(math.cos(p.beta0))
+    stages: list[tuple[str, str]] = [
+        ("_ix", f"({x} - {_fmt(p.fe)})"),
+        ("_iy", f"({y} - {_fmt(p.fn)})"),
+        ("_irho", f"sqrt((_ix / {d}) * (_ix / {d})"
+                  f" + ({d} * _iy) * ({d} * _iy))"),
+        ("_ictr", "(_irho < 1e-9)"),
+        ("_irhos", "case when _ictr then 1.0 else _irho end"),
+        # literal products precomputed: DuckDB types long decimal
+        # literals as DECIMAL(18) and 2.0 * Rq overflows its width
+        ("_ice", f"2.0 * asin(greatest(-1.0, least(1.0,"
+                 f" _irho / {_fmt(2.0 * p.rq)})))"),
+        ("_isbp", f"case when _ictr then {sb0} else"
+                  f" greatest(-1.0, least(1.0, cos(_ice) * {sb0}"
+                  f" + {d} * _iy * sin(_ice) * {cb0} / _irhos)) end"),
+        ("_ilam", f"case when _ictr then 0.0 else"
+                  f" atan2(_ix * sin(_ice), {d} * _irhos * {cb0}"
+                  f" * cos(_ice) - {_fmt(p.d * p.d)} * _iy * {sb0}"
+                  f" * sin(_ice)) end"),
+        ("_iq", f"{_fmt(p.qp)} * _isbp"),
+        ("_iphi", "asin(greatest(-1.0, least(1.0, _iq / 2.0)))"),
+    ]
+    for _ in range(8):  # INV_ITERS (defined just below this section)
+        stages.append(("_is", "sin(_iphi)"))
+        stages.append((
+            "_iphi",
+            f"_iphi + ((1.0 - {e2} * _is * _is)"
+            f" * (1.0 - {e2} * _is * _is) / (2.0 * cos(_iphi)))"
+            f" * (_iq / (1.0 - {e2}) - _is / (1.0 - {e2} * _is * _is)"
+            f" + (1.0 / (2.0 * {e}))"
+            f" * ln((1.0 - {e} * _is) / (1.0 + {e} * _is)))"))
+    stages.append(("_lonu", f"degrees(_ilam) + {_fmt(p.lon0_deg)}"))
+    stages.append((out_lon,
+                   "(_lonu + 180.0) - 360.0"
+                   " * floor((_lonu + 180.0) / 360.0) - 180.0"))
+    stages.append((out_lat, "degrees(_iphi)"))
+    stages.append(("ok", f"(isnan({out_lon}) = false"
+                         f" and isnan({out_lat}) = false)"))
+    return stages
+
+
+# ---------------------------------------------------------------------------
 # Inverse staged-SQL pipelines (projected x/y → lon/lat), the dst-CRS⁻¹
 # leg of a general `gdalwarp -t_srs` chain (alg/gdaltransformer.cpp:342:
 # dst pixel → dst CRS⁻¹ → geographic → src CRS → src pixel). Fixed-point
@@ -652,12 +871,12 @@ def lcc_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
 def ps_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
                       out_lat: str = "lat",
                       p: PsParams = PS_3031) -> list[tuple[str, str]]:
-    """Polar Stereographic (south) inverse, fixed-point on φ unrolled
-    INV_ITERS times (mirrors ps_inv_np)."""
+    """Polar Stereographic inverse, fixed-point on the south-equivalent
+    ψ unrolled INV_ITERS times (mirrors ps_inv_np)."""
     e = _fmt(p.e)
     stages: list[tuple[str, str]] = [
         ("_ix", f"({x} - {_fmt(p.fe)})"),
-        ("_iy", f"({y} - {_fmt(p.fn)})"),
+        ("_iy", f"{_fmt(p.sgn)} * ({y} - {_fmt(p.fn)})"),
         ("_it", f"sqrt(_ix * _ix + _iy * _iy) / {_fmt(p.k_rho)}"),
         ("_iphi", "2.0 * atan(_it) - pi() / 2.0"),
     ]
@@ -669,7 +888,7 @@ def ps_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
     stages.append(("_lonu", f"degrees(atan2(_ix, _iy)"
                             f" + radians({_fmt(p.lon0_deg)}))"))
     stages.append((out_lon, "_lonu - 360.0 * floor((_lonu + 180.0) / 360.0)"))
-    stages.append((out_lat, "degrees(_iphi)"))
+    stages.append((out_lat, f"{_fmt(p.sgn)} * degrees(_iphi)"))
     stages.append(("ok", f"(isnan({out_lon}) = false"
                          f" and isnan({out_lat}) = false)"))
     return stages
@@ -812,7 +1031,13 @@ def epsg_table() -> dict[int, tuple[str, object]]:
         3031: ("ps", PS_3031),
         3032: ("ps", PS_3032),
         3577: ("aea", AEA_3577),
+        5070: ("aea", AEA_5070),
+        3035: ("laea", LAEA_3035),
+        3413: ("ps", PS_3413),
+        32661: ("ps", PS_32661),
+        32761: ("ps", PS_32761),
         25832: ("tmerc", TMERC_25832),
+        2193: ("tmerc", TMERC_2193),
         27700: ("datum_tmerc", (HELMERT_WGS84_TO_OSGB36, TMERC_27700)),
         26718: ("datum_tmerc", (HELMERT_WGS84_TO_NAD27, TMERC_26718)),
     }
@@ -824,6 +1049,14 @@ def _epsg_entry(code: int) -> tuple[str, object]:
         return table[code]
     if 32601 <= code <= 32660 or 32701 <= code <= 32760:
         return "tmerc_wgs84", _utm_epsg_params(code)
+    if 26901 <= code <= 26923:  # NAD83 / UTM zone 1N..23N
+        return "tmerc", _grs80_utm_params(code - 26900, fn=0.0)
+    if 25828 <= code <= 25838:  # ETRS89 / UTM zone 28N..38N
+        return "tmerc", _grs80_utm_params(code - 25800, fn=0.0)
+    if 28348 <= code <= 28358:  # GDA94 / MGA zone 48..58
+        return "tmerc", _grs80_utm_params(code - 28300, fn=10000000.0)
+    if 7846 <= code <= 7859:  # GDA2020 / MGA zone 46..59
+        return "tmerc", _grs80_utm_params(code - 7800, fn=10000000.0)
     raise KeyError(f"EPSG:{code} not in the parameter table — add its "
                    f"EPSG parameters to crs.epsg_table() (GDAL does any "
                    f"pair via PROJ, ogr/ogrct.cpp:1705-1803)")
@@ -849,6 +1082,7 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
             "lcc": lambda: lcc_sql_stages(lon, lat, p),
             "ps": lambda: ps_sql_stages(lon, lat, p),
             "aea": lambda: aea_sql_stages(lon, lat, p),
+            "laea": lambda: laea_sql_stages(lon, lat, p),
             "tmerc_wgs84": lambda: tmerc_sql_stages(lon, lat, p[0],
                                                     fn=p[1]),
             "tmerc": lambda: tmerc_sql_stages_p(lon, lat, p),
@@ -875,6 +1109,7 @@ def epsg_fwd_np(code: int):
         "lcc": lambda: lambda lon, lat: lcc_fwd_np(lon, lat, p),
         "ps": lambda: lambda lon, lat: ps_fwd_np(lon, lat, p),
         "aea": lambda: lambda lon, lat: aea_fwd_np(lon, lat, p),
+        "laea": lambda: lambda lon, lat: laea_fwd_np(lon, lat, p),
         "tmerc_wgs84": lambda: lambda lon, lat: tmerc_fwd_np(
             lon, lat, p[0], fn=p[1]),
         "tmerc": lambda: lambda lon, lat: tmerc_fwd_np_p(lon, lat, p),
@@ -895,6 +1130,7 @@ def epsg_inv_np(code: int):
         "lcc": lambda: lambda x, y: lcc_inv_np(x, y, p),
         "ps": lambda: lambda x, y: ps_inv_np(x, y, p),
         "aea": lambda: lambda x, y: aea_inv_np(x, y, p),
+        "laea": lambda: lambda x, y: laea_inv_np(x, y, p),
         "tmerc_wgs84": lambda: lambda x, y: tmerc_inv_np(
             x, y, p[0], fn=p[1]),
         "tmerc": lambda: lambda x, y: tmerc_inv_np_p(x, y, p),
@@ -919,6 +1155,7 @@ def epsg_inv_stages(code: int, x: str, y: str,
         "lcc": lambda: lcc_inv_sql_stages(x, y, out_lon, out_lat, p),
         "ps": lambda: ps_inv_sql_stages(x, y, out_lon, out_lat, p),
         "aea": lambda: aea_inv_sql_stages(x, y, out_lon, out_lat, p),
+        "laea": lambda: laea_inv_sql_stages(x, y, out_lon, out_lat, p),
         "tmerc_wgs84": lambda: tmerc_inv_sql_stages(x, y, out_lon,
                                                     out_lat, p[0],
                                                     fn=p[1]),
@@ -1148,6 +1385,19 @@ TMERC_26718 = TmercParams(CLARKE1866_A, CLARKE1866_F, lon0_deg=-75.0,
 # hence the parameterized Krüger rather than the WGS84 fast path.
 TMERC_25832 = TmercParams(GRS80_A, GRS80_F, lon0_deg=9.0,
                           k0=UTM_K0, fe=UTM_FE, fn=0.0)
+# EPSG:2193 NZGD2000 / New Zealand Transverse Mercator 2000 (GRS80;
+# NZGD2000↔WGS84 is the published null transform EPSG:1565)
+TMERC_2193 = TmercParams(GRS80_A, GRS80_F, lon0_deg=173.0,
+                         k0=0.9996, fe=1600000.0, fn=10000000.0)
+
+
+def _grs80_utm_params(zone: int, fn: float) -> TmercParams:
+    """Standard UTM grid on GRS80 — the shared shape of NAD83 (269xx),
+    ETRS89 (258xx), GDA94 MGA (283xx) and GDA2020 MGA (78xx) zones;
+    each datum's transformation to WGS84 is a published null transform
+    (EPSG:1188 / 1149 / 1150 / 8450 respectively)."""
+    return TmercParams(GRS80_A, GRS80_F, lon0_deg=6.0 * zone - 183.0,
+                       k0=UTM_K0, fe=UTM_FE, fn=fn)
 
 
 def _geo_to_xyz_np(lon, lat, a: float, e2: float):

@@ -204,6 +204,47 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("dist_m", 6).alias("dist_m"))
 
 
+def q_reproject_laea_europe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:3035 (ETRS89-extended / LAEA Europe): Lambert
+    Azimuthal Equal Area oblique aspect (EPSG method 9820), the
+    standard EU statistical grid — the first azimuthal equal-area
+    family in the registry (ETRS89↔WGS84 null transform EPSG:1149).
+    The per-point ok flag rejects only the antipode of the projection
+    centre, so all geotagged points project; equal-area validated by
+    the Jacobian invariant in tests/test_geodesy.py."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(3035, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
+def q_reproject_ps_north(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:3413 (WGS84 / NSIDC Sea Ice Polar Stereographic
+    North): the north-aspect polar stereographic (EPSG method 9829
+    variant B, standard parallel 70°N, λ0 = −45°), resolved through the
+    same south-equivalent-latitude formula set as 3031/3032 (exact
+    mirror symmetry asserted in tests/test_geodesy.py). Northern
+    points only (the south pole is the aspect's singular point)."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir).filter("lat > 0.0")
+    out = apply_sql_stages(pts, epsg_fwd_stages(3413, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 QUERIES = {
     "reproject_webmercator": q_reproject_webmercator,
     "reproject_utm31": q_reproject_utm31,
@@ -213,6 +254,8 @@ QUERIES = {
     "reproject_osgb36": q_reproject_osgb36,
     "reproject_etrs89": q_reproject_etrs89,
     "reproject_nad27": q_reproject_nad27,
+    "reproject_laea_europe": q_reproject_laea_europe,
+    "reproject_ps_north": q_reproject_ps_north,
     "knn": q_knn,
 }
 
@@ -334,5 +377,7 @@ ORACLES = {
         25832, "lon >= 3.0 and lon <= 15.0"),
     "reproject_nad27": _epsg_pts_oracle(
         26718, "lon >= -81.0 and lon <= -69.0"),
+    "reproject_laea_europe": _epsg_pts_oracle(3035, "1 = 1"),
+    "reproject_ps_north": _epsg_pts_oracle(3413, "lat > 0.0"),
     "knn": _knn_oracle(),
 }

@@ -304,6 +304,17 @@ def test_inverse_sql_stages_match_numpy_all_families(ddb):
         32731: (rng.uniform(-1, 7, 50), rng.uniform(-80, -1, 50)),
         25832: (rng.uniform(5, 13, 50), rng.uniform(35, 70, 50)),
         26718: (rng.uniform(-79, -71, 50), rng.uniform(25, 50, 50)),
+        # round-4 breadth: LAEA Europe, CONUS Albers, NZTM2000,
+        # NSIDC north PS, UPS N/S, NAD83 UTM 18N, GDA94 + GDA2020 MGA 55
+        3035: (rng.uniform(-10, 35, 50), rng.uniform(34, 71, 50)),
+        5070: (rng.uniform(-125, -66, 50), rng.uniform(24, 50, 50)),
+        2193: (rng.uniform(166, 179, 50), rng.uniform(-47.5, -34, 50)),
+        3413: (rng.uniform(-179, 179, 50), rng.uniform(55, 89.5, 50)),
+        32661: (rng.uniform(-179, 179, 50), rng.uniform(60, 89.9, 50)),
+        32761: (rng.uniform(-179, 179, 50), rng.uniform(-89.9, -60, 50)),
+        26918: (rng.uniform(-79, -71, 50), rng.uniform(25, 50, 50)),
+        28355: (rng.uniform(144, 150, 50), rng.uniform(-44, -10, 50)),
+        7855: (rng.uniform(144, 150, 50), rng.uniform(-44, -10, 50)),
     }
     for code, (lon, lat) in domains.items():
         x, y, _ = epsg_fwd_np(code)(lon, lat)
@@ -507,3 +518,119 @@ def test_epsg_table_unknown_code_message():
 
     with pytest.raises(KeyError, match="parameter table"):
         epsg_fwd_stages(2056, "lon", "lat")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 CRS breadth: LAEA 3035, CONUS Albers 5070, NZTM 2193, north
+# polar stereographic (3413 variant B / UPS 32661-32761 variant A), and
+# the GRS80 UTM grid ranges (NAD83 269xx, ETRS89 258xx, MGA 283xx/78xx).
+# ---------------------------------------------------------------------------
+
+
+def test_new_codes_definition_anchors():
+    """Projection centre → (FE, FN) exactly, per the EPSG definitions —
+    an exact structural anchor that catches any constant error in qp,
+    β0, Rq, D, ρ0, or k_rho."""
+    from gdal_spark.crs import epsg_fwd_np
+
+    for code, (lon, lat), (fe, fn) in [
+        (3035, (10.0, 52.0), (4321000.0, 3210000.0)),
+        (5070, (-96.0, 23.0), (0.0, 0.0)),
+        (2193, (173.0, 0.0), (1600000.0, 10000000.0)),
+        (32661, (0.0, 90.0), (2000000.0, 2000000.0)),
+        (32761, (0.0, -90.0), (2000000.0, 2000000.0)),
+        (26918, (-75.0, 0.0), (500000.0, 0.0)),
+        (28355, (147.0, 0.0), (500000.0, 10000000.0)),
+    ]:
+        x, y, ok = epsg_fwd_np(code)([lon], [lat])
+        assert ok[0], code
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6, code
+
+
+def test_ps_north_south_symmetry():
+    """The north-aspect PS equals the mirrored south aspect: same
+    easting, negated northing offset — validating the sgn factoring in
+    PsParams/ps_fwd_np against the already-verified south formulas."""
+    from gdal_spark.crs import PS_3413, PsParams, ps_fwd_np, ps_inv_np
+
+    south_twin = PsParams(phi_f_deg=-70.0, lon0_deg=-45.0, fe=0.0, fn=0.0)
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-179, 179, 100)
+    lat = rng.uniform(55, 89, 100)
+    xn, yn, okn = ps_fwd_np(lon, lat, PS_3413)
+    xs, ys, oks = ps_fwd_np(lon, -lat, south_twin)
+    assert okn.all() and oks.all()
+    assert np.abs(xn - xs).max() < 1e-6
+    assert np.abs(yn + ys).max() < 1e-6
+    lo, la, ok = ps_inv_np(xn, yn, PS_3413)
+    assert ok.all()
+    assert np.abs(lo - lon).max() < 1e-8
+    assert np.abs(la - lat).max() < 1e-8
+
+
+def test_ups_variant_a_scale_at_pole():
+    """UPS (variant A) must deliver scale k0 = 0.994 at the pole: a
+    point 1° from the pole maps to ρ ≈ k0 · (meridian distance) within
+    the ~0.004% distortion of 1°."""
+    from gdal_spark.crs import epsg_fwd_np
+
+    x, y, ok = epsg_fwd_np(32661)([0.0], [89.0])
+    rho = float(np.hypot(x[0] - 2000000.0, y[0] - 2000000.0))
+    # meridian arc length of 1° at the pole on WGS84 ≈ 111 693.9 m
+    assert ok[0]
+    assert abs(rho / 111693.9 - 0.994) < 2e-4
+
+
+def test_laea_equal_area_jacobian():
+    """LAEA must preserve area: the numeric Jacobian of the forward map
+    equals cos(φ)·M·N·(π/180)² everywhere on the ellipsoid (relative
+    error < 1e-6 at fixture precision)."""
+    from gdal_spark.crs import epsg_fwd_np
+
+    lon = np.array([0.0, 10.0, 25.0, -8.0, 30.0])
+    lat = np.array([40.0, 52.0, 65.0, 36.0, 70.0])
+    h = 1e-6
+    fwd = epsg_fwd_np(3035)
+    x0, y0, _ = fwd(lon, lat)
+    x1, y1, _ = fwd(lon + h, lat)
+    x2, y2, _ = fwd(lon, lat + h)
+    jac = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / (h * h)
+    a, e2 = 6378137.0, 0.006694380022903416
+    s2 = np.sin(np.radians(lat)) ** 2
+    m = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+    n = a / np.sqrt(1 - e2 * s2)
+    expected = (np.pi / 180.0) ** 2 * np.cos(np.radians(lat)) * m * n
+    assert np.abs(jac / expected - 1).max() < 1e-4
+
+
+def test_new_codes_fwd_sql_matches_numpy(ddb):
+    """The forward staged SQL of every round-4 code agrees with the
+    numpy kernel under DuckDB to 1e-6 m (same shared-text contract as
+    the inverse all-families test)."""
+    from gdal_spark.crs import (epsg_fwd_np, epsg_fwd_stages,
+                                stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(17)
+    domains = {
+        3035: (rng.uniform(-10, 35, 40), rng.uniform(34, 71, 40)),
+        5070: (rng.uniform(-125, -66, 40), rng.uniform(24, 50, 40)),
+        2193: (rng.uniform(166, 179, 40), rng.uniform(-47.5, -34, 40)),
+        3413: (rng.uniform(-179, 179, 40), rng.uniform(55, 89.5, 40)),
+        32661: (rng.uniform(-179, 179, 40), rng.uniform(60, 89.9, 40)),
+        32761: (rng.uniform(-179, 179, 40), rng.uniform(-89.9, -60, 40)),
+        26918: (rng.uniform(-79, -71, 40), rng.uniform(25, 50, 40)),
+        28355: (rng.uniform(144, 150, 40), rng.uniform(-44, -10, 40)),
+        7855: (rng.uniform(144, 150, 40), rng.uniform(-44, -10, 40)),
+    }
+    for code, (lon, lat) in domains.items():
+        x_np, y_np, ok_np = epsg_fwd_np(code)(lon, lat)
+        assert ok_np.all(), code
+        ddb.register("fwd_pts_r4", pd.DataFrame({"lon": lon, "lat": lat}))
+        sql = stages_to_duckdb_sql(
+            "select lon, lat from fwd_pts_r4",
+            epsg_fwd_stages(code, "lon", "lat", "e", "n"),
+            ["e", "n", "ok"])
+        out = ddb.execute(sql).df()
+        assert out["ok"].all(), code
+        assert np.abs(out["e"] - x_np).max() < 1e-6, code
+        assert np.abs(out["n"] - y_np).max() < 1e-6, code
