@@ -71,8 +71,32 @@ def replicated_pages(spark: SparkSession, sf_dir: str,
     )
 
 
+def _run_pipeline(spark: SparkSession, pages: DataFrame) -> list:
+    """Build + execute the flagship pipeline; return the aggregate rows."""
+    geo = geocode_pages_jvm(pages).filter(F.col("lat").isNotNull())
+    geo = geo.withColumn("cell_id", cells.cell_id_col("lon", "lat", CELL_ZOOM))
+    rows = geo.select(
+        "cell_id",
+        cells.tile_x_col("lon", 8).alias("tile_x"),
+        cells.tile_y_col("lat", 8).alias("tile_y"),
+        F.posexplode_outer(
+            F.expr(zones_match_sql(zone_defs()))).alias("pos", "zone_id"),
+    )
+    rows.createOrReplaceTempView("_flagship_rows")
+    return spark.sql("""
+        select zone_id, tile_x, tile_y,
+               grouping(zone_id) as gz, grouping(tile_x) as gt,
+               count(*) as n_all,
+               count(case when pos is null or pos = 0 then 1 end)
+                 as n_first,
+               approx_count_distinct(cell_id) as n_cells
+        from _flagship_rows
+        group by grouping sets ((zone_id), (tile_x, tile_y))
+    """).collect()
+
+
 def flagship_job(spark: SparkSession, sf_dir: str,
-                 replicate: int = 64) -> dict:
+                 replicate: int = 64, warmup: bool = True) -> dict:
     """Run the pipeline end-to-end; return page counts + wall seconds.
 
     Round-4 plan shape — ONE pass over the pages, zero intermediate
@@ -92,31 +116,23 @@ def flagship_job(spark: SparkSession, sf_dir: str,
       cell assignment stays in the measured work;
     - ONE action: the ~700 aggregate rows collect once.
     """
+    if warmup:
+        # Untimed warmup on ~1/64 of the workload in the SAME JVM: the
+        # whole-stage-codegen methods for the extract cascade + PIP
+        # expression are large, and their C2 compilation otherwise lands
+        # inside the timed section — a multi-second, run-to-run-variable
+        # cost that at 32 cores is a visible fraction of the steady-state
+        # wall time (standard JVM bench methodology: measure steady
+        # state, not warmup).
+        _run_pipeline(spark, replicated_pages(
+            spark, sf_dir, max(1, replicate // 64)))
+
     pages = replicated_pages(spark, sf_dir, replicate)
     t0 = time.perf_counter()
     n_pages = pages.count()  # materialization cost of the input scan
 
     t1 = time.perf_counter()
-    geo = geocode_pages_jvm(pages).filter(F.col("lat").isNotNull())
-    geo = geo.withColumn("cell_id", cells.cell_id_col("lon", "lat", CELL_ZOOM))
-    rows = geo.select(
-        "cell_id",
-        cells.tile_x_col("lon", 8).alias("tile_x"),
-        cells.tile_y_col("lat", 8).alias("tile_y"),
-        F.posexplode_outer(
-            F.expr(zones_match_sql(zone_defs()))).alias("pos", "zone_id"),
-    )
-    rows.createOrReplaceTempView("_flagship_rows")
-    res = spark.sql("""
-        select zone_id, tile_x, tile_y,
-               grouping(zone_id) as gz, grouping(tile_x) as gt,
-               count(*) as n_all,
-               count(case when pos is null or pos = 0 then 1 end)
-                 as n_first,
-               approx_count_distinct(cell_id) as n_cells
-        from _flagship_rows
-        group by grouping sets ((zone_id), (tile_x, tile_y))
-    """).collect()
+    res = _run_pipeline(spark, pages)
     n_zone_rows = sum(1 for r in res
                       if r["gz"] == 0 and r["zone_id"] is not None)
     n_tile_rows = sum(1 for r in res if r["gt"] == 0)
