@@ -721,6 +721,22 @@ def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_polygons(spark, zone_defs())
 
 
+def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING burn of the zone boundary rings — the reference's
+    integer Bresenham line burner (GDALdllImageLine,
+    alg/llrasterize.cpp:252-380) with its skip-endpoint-unless-last-
+    segment rule, MERGE_ALG=REPLACE/ADD, per-tile GDAL checksums.
+    Spark-first: the error loop's closed form runs as a pure
+    sequence/explode Catalyst expression (no per-row Python), verified
+    burn-for-burn against a transcription of the reference loop in
+    tests/test_rasterize_line.py."""
+    from gdal_spark.rasterize_line import rasterize_lines
+    from gdal_spark.zones import zone_defs
+
+    _ = sf_dir  # layer fixture op
+    return rasterize_lines(spark, zone_defs())
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -1148,6 +1164,7 @@ QUERIES = {
     "raster_sieve": q_sieve,
     "raster_sieve8": q_sieve8,
     "rasterize_polygons_checksum": q_rasterize_polygons,
+    "rasterize_lines_checksum": q_rasterize_lines,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
 
@@ -1435,5 +1452,9 @@ select *, 'calc' as op from (
     "rasterize_polygons_checksum": __import__(
         "gdal_spark.rasterize_poly", fromlist=["rasterize_oracle_sql"]
     ).rasterize_oracle_sql(__import__(
+        "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
+    "rasterize_lines_checksum": __import__(
+        "gdal_spark.rasterize_line", fromlist=["rasterize_lines_oracle_sql"]
+    ).rasterize_lines_oracle_sql(__import__(
         "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
 }
