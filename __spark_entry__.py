@@ -68,7 +68,7 @@ _PRIORITY = [
     "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
     "raster_viewshed_exact_md",
     "reproject_laea_europe", "reproject_ps_north",
-    "rasterize_lines_checksum",
+    "rasterize_lines_checksum", "warp_cubicspline_dem",
     # -- (b) behavior changed this round: chained int-division typing
     # (expression-tree rewriter), overflow-safe SAMPLE_HASH (both
     # engines' results changed in tandem), wrapdateline -180 guard

@@ -457,6 +457,19 @@ def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr("qid", "round(value, 6) as value")
 
 
+def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
+    smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
+    interpolating — B3(0)=2/3) on the shifted scaled grid; same
+    chunk-gather plan as cubic, different weight polynomial."""
+    from gdal_spark.raster import warp_cubicspline
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    out = warp_cubicspline(tiles, _SRC_GT, DEM_PX, _DST_GT, _DST_PX)
+    return out.selectExpr("qid", "round(value, 6) as value")
+
+
 _VS_OBSERVERS = [(1, 40, 40), (2, 130, 70), (3, 200, 180), (4, 64, 200)]
 
 
@@ -1144,6 +1157,7 @@ QUERIES = {
     "warp_order_stats": q_warp_order_stats,
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
+    "warp_cubicspline_dem": q_warp_cubicspline,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1372,6 +1386,11 @@ ORACLES = {
 select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])
  .warp_lanczos_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) l
+""",
+    "warp_cubicspline_dem": f"""
+select qid, round(value, 6) as value from (
+{__import__("gdal_spark.raster", fromlist=["warp_cubicspline_oracle_sql"])
+ .warp_cubicspline_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) s
 """,
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]

@@ -530,11 +530,34 @@ def _cubic_weights_sql(f: str) -> list[str]:
     ]
 
 
-def _cubic_sum_sql(v: "list[list[str]]", fx: str, fy: str) -> str:
-    """Separable 4×4 cubic sum: horizontal pass then vertical, term
-    order pinned. ``v[ky][kx]`` are the 16 tap-value expressions."""
-    wx = _cubic_weights_sql(fx)
-    wy = _cubic_weights_sql(fy)
+def _bspline_weights_sql(f: str) -> list[str]:
+    """Cubic B-spline (B3) weights — the GDAL GRA_CubicSpline kernel
+    (GWKBSpline, alg/gdalwarpkernel.cpp): taps at distances 1+f, f,
+    1−f, 2−f through B3(t) = (4 − 6t² + 3|t|³)/6 for |t| ≤ 1 and
+    (2 − |t|)³/6 for 1 < |t| ≤ 2. Partition of unity (Σw = 1), so no
+    normalization step; smoothing, not interpolating (B3(0) = 2/3)."""
+    g = f"(1.0e0 - {f})"
+    return [
+        f"({g} * {g} * {g} / 6.0e0)",
+        f"((4.0e0 - 6.0e0 * {f} * {f} + 3.0e0 * {f} * {f} * {f})"
+        f" / 6.0e0)",
+        f"((4.0e0 - 6.0e0 * {g} * {g} + 3.0e0 * {g} * {g} * {g})"
+        f" / 6.0e0)",
+        f"({f} * {f} * {f} / 6.0e0)",
+    ]
+
+
+_TAP_WEIGHTS = {"cubic": _cubic_weights_sql, "bspline": _bspline_weights_sql}
+
+
+def _cubic_sum_sql(v: "list[list[str]]", fx: str, fy: str,
+                   kernel: str = "cubic") -> str:
+    """Separable 4×4 tap sum: horizontal pass then vertical, term
+    order pinned. ``v[ky][kx]`` are the 16 tap-value expressions;
+    ``kernel`` picks the weight polynomial (cubic | bspline)."""
+    wfn = _TAP_WEIGHTS[kernel]
+    wx = wfn(fx)
+    wy = wfn(fy)
     rows = [
         "(" + " + ".join(f"{v[ky][kx]} * {wx[kx]}" for kx in range(4)) + ")"
         for ky in range(4)
@@ -543,7 +566,8 @@ def _cubic_sum_sql(v: "list[list[str]]", fx: str, fy: str) -> str:
 
 
 def sample_cubic(tiles: DataFrame, queries: DataFrame,
-                 raster_px: int, dtype: str = "int64") -> DataFrame:
+                 raster_px: int, dtype: str = "int64",
+                 kernel: str = "cubic") -> DataFrame:
     """Cubic InterpolateAtPoint (GRIORA_Cubic 4×4 convolution,
     alg/gdal_interpolateatpoint.cpp): 16-tap gather through the per-tile
     chunk path; weights and the separable sum are Catalyst arithmetic
@@ -598,12 +622,14 @@ def sample_cubic(tiles: DataFrame, queries: DataFrame,
         "qid", "qx - 0.5e0 - cast(floor(qx - 0.5e0) as bigint) as fx",
         "qy - 0.5e0 - cast(floor(qy - 0.5e0) as bigint) as fy"), "qid")
     v = [[f"v{ky}{kx}" for kx in range(4)] for ky in range(4)]
-    return wsum.selectExpr("qid", _cubic_sum_sql(v, "fx", "fy") + " as value")
+    return wsum.selectExpr(
+        "qid", _cubic_sum_sql(v, "fx", "fy", kernel) + " as value")
 
 
-def cubic_dem_oracle_sql(queries_sql: str, raster_px: int) -> str:
+def cubic_dem_oracle_sql(queries_sql: str, raster_px: int,
+                         kernel: str = "cubic") -> str:
     """Oracle: closed-form DEM at the 16 taps, identical weight/sum
-    expression text."""
+    expression text (``kernel``: cubic | bspline)."""
     def elev(x: str, y: str) -> str:
         return ("(" + DEM_ELEV_SQL.replace("gx", f"({x})")
                 .replace("gy", f"({y})") + ")")
@@ -624,7 +650,7 @@ n as (
     and cast(floor(qy - 0.5e0) as bigint) - 1 >= 0
     and cast(floor(qy - 0.5e0) as bigint) + 2 < {raster_px}
 )
-select qid, {_cubic_sum_sql(v, "fx", "fy")} as value
+select qid, {_cubic_sum_sql(v, "fx", "fy", kernel)} as value
 from n
 """
 
@@ -1577,6 +1603,38 @@ from (select a.range as di, b.range as dj
       from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
 """
     return cubic_dem_oracle_sql(queries_sql, raster_px)
+
+
+def warp_cubicspline(tiles: DataFrame, src_gt: list[float],
+                     raster_px: int, dst_gt: list[float], dst_px: int,
+                     dtype: str = "int64") -> DataFrame:
+    """Cubic B-spline warp (gdalwarp -r cubicspline, GWKBSpline kernel
+    alg/gdalwarpkernel.cpp): same 4x4 chunk-gather plan as warp_cubic,
+    smoothing B3 weight polynomial instead of Catmull-Rom."""
+    spark = tiles.sparkSession
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries = (
+        spark.range(dst_px * dst_px,
+                    numPartitions=dst_grid_parts(dst_px))
+        .selectExpr(f"id % {dst_px} as di",
+                    f"cast(id / {dst_px} as bigint) as dj")
+        .selectExpr(f"dj * {dst_px} + di as qid",
+                    f"{qx_e} as qx", f"{qy_e} as qy")
+    )
+    return sample_cubic(tiles, queries, raster_px, dtype,
+                        kernel="bspline")
+
+
+def warp_cubicspline_oracle_sql(dst_gt: list[float], src_gt: list[float],
+                                dst_px: int, raster_px: int) -> str:
+    """Oracle: identical dst->src arithmetic, B-spline weight text."""
+    qx_e, qy_e = warp_fractional_sql(dst_gt, src_gt)
+    queries_sql = f"""
+select dj * {dst_px} + di as qid, {qx_e} as qx, {qy_e} as qy
+from (select a.range as di, b.range as dj
+      from range(0, {dst_px}) a cross join range(0, {dst_px}) b) g
+"""
+    return cubic_dem_oracle_sql(queries_sql, raster_px, kernel="bspline")
 
 
 def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,

@@ -939,3 +939,29 @@ class TestWarpApprox:
         na, n = duckdb.connect().execute(probe).fetchall()[0]
         assert 0 < na < n, (na, n)
         assert a.astype("int64").equals(o.astype("int64"))
+
+
+def test_bspline_weights_partition_of_unity_and_smoothing(spark):
+    """GWKBSpline kernel invariants: Σw = 1 at any fraction (so a
+    constant field warps to itself), B3(0) = 2/3 (smoothing, not
+    interpolating), and weights match the closed-form B3 basis."""
+    import numpy as np
+
+    from gdal_spark.raster import _bspline_weights_sql
+
+    def b3(t):
+        t = abs(t)
+        if t <= 1:
+            return (4 - 6 * t * t + 3 * t ** 3) / 6
+        if t <= 2:
+            return (2 - t) ** 3 / 6
+        return 0.0
+
+    for f in [0.0, 0.1, 0.25, 0.5, 0.75, 0.9]:
+        exprs = _bspline_weights_sql(repr(float(f)))
+        got = [spark.sql(f"select {e} as w").collect()[0]["w"]
+               for e in exprs]
+        want = [b3(1 + f), b3(f), b3(1 - f), b3(2 - f)]
+        assert np.allclose(got, want, atol=1e-15), f
+        assert abs(sum(got) - 1.0) < 1e-12, f
+    assert abs(b3(0.0) - 2.0 / 3.0) < 1e-15
