@@ -750,6 +750,21 @@ def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines(spark, zone_defs())
 
 
+def q_rasterize_lines_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -at over LINESTRINGs — the reference's all-touched
+    line walker (GDALdllImageLineAllTouched, alg/llrasterize.cpp:382)
+    replaced by its per-column closed form (rows floor(y_in)..
+    floor(y_out) over the half-open column span), verbatim special
+    cases for near-vertical/horizontal segments. REPLACE merge.
+    Verified cell-for-cell against a transcription of the reference
+    walker on 300 random polylines (tests/test_rasterize_line.py)."""
+    from gdal_spark.rasterize_line import rasterize_lines_at
+    from gdal_spark.zones import zone_defs
+
+    _ = sf_dir  # layer fixture op
+    return rasterize_lines_at(spark, zone_defs())
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -1179,6 +1194,7 @@ QUERIES = {
     "raster_sieve8": q_sieve8,
     "rasterize_polygons_checksum": q_rasterize_polygons,
     "rasterize_lines_checksum": q_rasterize_lines,
+    "rasterize_lines_at_checksum": q_rasterize_lines_at,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
 
@@ -1475,5 +1491,10 @@ select *, 'calc' as op from (
     "rasterize_lines_checksum": __import__(
         "gdal_spark.rasterize_line", fromlist=["rasterize_lines_oracle_sql"]
     ).rasterize_lines_oracle_sql(__import__(
+        "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
+    "rasterize_lines_at_checksum": __import__(
+        "gdal_spark.rasterize_line",
+        fromlist=["rasterize_lines_at_oracle_sql"]
+    ).rasterize_lines_at_oracle_sql(__import__(
         "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
 }

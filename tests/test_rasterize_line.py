@@ -188,3 +188,184 @@ def test_spark_pixels_match_reference_loop(spark):
     for z in defs:
         want = sorted(_gdal_dll_image_line(merc[z["zone_id"]]))
         assert got[z["zone_id"]] == want, z["zone_id"]
+
+
+# ---------------------------------------------------------------------------
+# ALL_TOUCHED variant (GDALdllImageLineAllTouched, llrasterize.cpp:382)
+# ---------------------------------------------------------------------------
+
+
+def _gdal_at_line(parts, n=1 << 30):
+    """Literal transcription of the reference's all-touched walker
+    (vertical/horizontal special cases + float-stepping general case),
+    bIntersectOnly=False, bAvoidBurningSamePoints=False. Returns the
+    set of (iX, iY) cells."""
+    eps = 1e-4
+    out = set()
+    for part in parts:
+        for j in range(1, len(part)):
+            x, y = part[j - 1]
+            xe, ye = part[j]
+            if (y < 0 and ye < 0) or (y > n and ye > n) \
+                    or (x < 0 and xe < 0) or (x > n and xe > n):
+                continue
+            if x > xe:
+                x, xe = xe, x
+                y, ye = ye, y
+            if abs(x - xe) < 0.01:
+                if ye < y:
+                    y, ye = ye, y
+                ix = math.floor(xe)
+                iy = math.floor(y)
+                iy_end = math.floor(ye - eps)
+                if ix < 0 or ix >= n:
+                    continue
+                iy = max(iy, 0)
+                iy_end = min(iy_end, n - 1)
+                for r in range(iy, iy_end + 1):
+                    out.add((ix, r))
+                continue
+            if abs(y - ye) < 0.01:
+                ix = math.floor(x)
+                iy = math.floor(y)
+                ix_end = math.floor(xe - eps)
+                if iy < 0 or iy >= n:
+                    continue
+                ix = max(ix, 0)
+                ix_end = min(ix_end, n - 1)
+                for c in range(ix, ix_end + 1):
+                    out.add((c, iy))
+                continue
+            slope = (ye - y) / (xe - x)
+            if xe > n:
+                ye -= (xe - n) * slope
+                xe = float(n)
+            if x < 0.0:
+                y += (0.0 - x) * slope
+                x = 0.0
+            if ye > y:
+                if y < 0.0:
+                    x += (0.0 - y) / slope
+                    y = 0.0
+                if ye >= n:
+                    xe += (ye - n) / slope
+                    xe = min(xe, float(n))
+            else:
+                if y >= n:
+                    x += (n - y) / slope
+                    y = float(n)
+                if ye < 0.0:
+                    xe -= (ye - 0) / slope
+            while 0.0 <= x < xe:
+                ix = math.floor(x)
+                iy = math.floor(y)
+                if 0 <= iy < n:
+                    out.add((ix, iy))
+                step_x = math.floor(x + 1.0) - x
+                step_y = step_x * slope
+                if math.floor(y + step_y) == iy:
+                    x += step_x
+                    y += step_y
+                elif slope < 0:
+                    step_y = min(iy - y, -1e-9)
+                    x += step_y / slope
+                    y += step_y
+                else:
+                    step_y = max((iy + 1) - y, 1e-9)
+                    x += step_y / slope
+                    y += step_y
+    return out
+
+
+def _closed_form_at(parts, n=1 << 30):
+    """The engine's per-column closed form, same inputs/outputs."""
+    out = set()
+    for part in parts:
+        for j in range(1, len(part)):
+            ax, ay = part[j - 1]
+            bx, by = part[j]
+            if (ay < 0 and by < 0) or (ay > n and by > n) \
+                    or (ax < 0 and bx < 0) or (ax > n and bx > n):
+                continue
+            if ax > bx:
+                ax, bx = bx, ax
+                ay, by = by, ay
+            if abs(ax - bx) < 0.01:
+                ix = math.floor(bx)
+                if ix < 0 or ix >= n:
+                    continue
+                lo = max(math.floor(min(ay, by)), 0)
+                hi = min(math.floor(max(ay, by) - 1e-4), n - 1)
+                out.update((ix, r) for r in range(lo, hi + 1))
+                continue
+            if abs(ay - by) < 0.01:
+                iy = math.floor(ay)
+                if iy < 0 or iy >= n:
+                    continue
+                lo = max(math.floor(ax), 0)
+                hi = min(math.floor(bx - 1e-4), n - 1)
+                out.update((c, iy) for c in range(lo, hi + 1))
+                continue
+            k0 = max(math.floor(max(ax, 0.0)), 0)
+            k1 = min(math.ceil(min(bx, float(n))) - 1, n - 1)
+            for k in range(k0, k1 + 1):
+                x_in = max(ax, float(k))
+                x_out = min(bx, float(k + 1))
+                if not x_in < x_out:
+                    continue
+                y_in = ay + (x_in - ax) * (by - ay) / (bx - ax)
+                y_out = ay + (x_out - ax) * (by - ay) / (bx - ax)
+                lo = max(min(math.floor(y_in), math.floor(y_out)), 0)
+                hi = min(max(math.floor(y_in), math.floor(y_out)), n - 1)
+                out.update((k, r) for r in range(lo, hi + 1))
+    return out
+
+
+def test_at_closed_form_matches_reference_walker():
+    rng = np.random.RandomState(31)
+    for trial in range(300):
+        nv = rng.randint(2, 6)
+        part = [(float(x), float(y))
+                for x, y in rng.uniform(-30, 30, size=(nv, 2))]
+        got = _closed_form_at([part])
+        want = _gdal_at_line([part])
+        assert got == want, (trial, part)
+
+
+def test_at_special_cases():
+    # near-vertical and near-horizontal take the reference's special
+    # paths (|d| < 0.01 threshold + the 1e-4 end shortening)
+    for part in ([(5.003, 1.2), (5.008, 9.7)],
+                 [(1.2, 5.003), (9.7, 5.008)],
+                 [(3.0001, 2.5), (3.0002, 2.6)],
+                 [(0.5, 0.5), (0.5, 0.5)]):
+        assert _closed_form_at([part]) == _gdal_at_line([part]), part
+
+
+def test_at_superset_of_bresenham():
+    """All-touched must cover every cell the plain Bresenham burns is
+    NOT generally true (Bresenham can cut corners), but AT must cover
+    the segment's endpoint cells and be at least as large for
+    axis-aligned lines."""
+    seg = [(0.2, 0.7), (17.9, 0.71)]
+    at = _closed_form_at([seg])
+    br = set(_gdal_dll_image_line([seg]))
+    assert br <= at
+
+
+def test_at_spark_matches_duckdb_oracle(spark, ddb):
+    from gdal_spark.rasterize_line import (rasterize_lines_at,
+                                           rasterize_lines_at_oracle_sql)
+    from gdal_spark.zones import zone_defs
+
+    got = (rasterize_lines_at(spark, zone_defs()).toPandas()
+           .sort_values(["tx", "ty"]).reset_index(drop=True))
+    want = (ddb.execute(rasterize_lines_at_oracle_sql(zone_defs())).df()
+            .sort_values(["tx", "ty"]).reset_index(drop=True))
+    cols = ["z", "tx", "ty", "cs_touched", "n_touched"]
+    assert got[cols].astype("int64").equals(want[cols].astype("int64"))
+    assert len(got) > 10
+    # AT touches at least as many pixels as the plain Bresenham burn
+    from gdal_spark.rasterize_line import rasterize_lines
+    plain = rasterize_lines(spark, zone_defs()).toPandas()
+    assert got["n_touched"].sum() >= plain["n_burned"].sum()
