@@ -635,6 +635,72 @@ def _prepare_layer(df: DataFrame, name: str, fid_order: str | None,
     return df
 
 
+# ---------------------------------------------------------------------------
+# ALTER TABLE DDL (GDALDataset::ExecuteSQL routes these before the swq
+# parser: gcore/gdaldataset.cpp ProcessSQLAlterTableAddColumn /
+# RenameColumn / AlterColumn / DropColumn; autotest ogr_sql_test.py
+# test_ogr_sql_33). The COLUMN keyword is optional; identifiers may be
+# double-quoted; NUMERIC(w,p) -> real, CHARACTER(n) -> string,
+# INTEGER[(n)] -> int, FLOAT -> real, DATE/TIME/TIMESTAMP pass through.
+# ---------------------------------------------------------------------------
+
+_ALTER_RE = re.compile(
+    r'^\s*ALTER\s+TABLE\s+(?P<layer>"[^"]+"|\w+)\s+'
+    r"(?P<verb>ADD|RENAME|ALTER|DROP)\s+(?:COLUMN\s+)?(?P<rest>.*)$",
+    re.I | re.S)
+
+_DDL_TYPES = {
+    "NUMERIC": "double", "FLOAT": "double", "REAL": "double",
+    "CHARACTER": "string", "VARCHAR": "string", "STRING": "string",
+    "INTEGER": "int", "BIGINT": "bigint", "SMALLINT": "int",
+    "DATE": "date", "TIME": "string", "TIMESTAMP": "timestamp",
+    "BOOLEAN": "boolean",
+}
+
+
+def _unq(tok: str) -> str:
+    tok = tok.strip()
+    return tok[1:-1] if tok.startswith('"') and tok.endswith('"') else tok
+
+
+def _ddl_spark_type(typ: str) -> str:
+    m = re.match(r"\s*(\w+)\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$", typ)
+    if not m or m.group(1).upper() not in _DDL_TYPES:
+        raise ValueError(f"unsupported ALTER TABLE type: {typ!r}")
+    return _DDL_TYPES[m.group(1).upper()]
+
+
+def execute_ddl(sql: str, layers: dict[str, DataFrame]) -> None:
+    """Apply an ALTER TABLE statement to the layer registry in place
+    (mirrors GDAL: ExecuteSQL returns no result layer for DDL)."""
+    m = _ALTER_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise ValueError(f"unsupported DDL: {sql!r}")
+    layer = _unq(m.group("layer"))
+    if layer not in layers:
+        raise KeyError(f"no such layer: {layer}")
+    df = layers[layer]
+    verb = m.group("verb").upper()
+    rest = m.group("rest").strip()
+    if verb == "ADD":
+        mm = re.match(r'("[^"]+"|\w+)\s+(.+)$', rest)
+        name, typ = _unq(mm.group(1)), mm.group(2)
+        layers[layer] = df.withColumn(
+            name, F.lit(None).cast(_ddl_spark_type(typ)))
+    elif verb == "RENAME":
+        mm = re.match(r'("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$',
+                      rest, re.I)
+        layers[layer] = df.withColumnRenamed(_unq(mm.group(1)),
+                                             _unq(mm.group(2)))
+    elif verb == "ALTER":
+        mm = re.match(r'("[^"]+"|\w+)\s+TYPE\s+(.+)$', rest, re.I)
+        name = _unq(mm.group(1))
+        layers[layer] = df.withColumn(
+            name, F.col(name).cast(_ddl_spark_type(mm.group(2))))
+    elif verb == "DROP":
+        layers[layer] = df.drop(_unq(rest))
+
+
 def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
                 fid_order: dict[str, str] | None = None,
                 area_cols: dict[str, str] | None = None,
@@ -649,6 +715,9 @@ def execute_sql(spark: SparkSession, sql: str, layers: dict[str, DataFrame],
     OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA special fields derive;
     style_cols[layer] backs OGR_STYLE.
     """
+    if _ALTER_RE.match(sql.strip()):
+        execute_ddl(sql, layers)
+        return None
     fid_order = fid_order or {}
     area_cols = area_cols or {}
     geom_cols = geom_cols or {}

@@ -1053,3 +1053,82 @@ def test_ogr_sql_min_max_string_field(spark):
         spark, "SELECT MIN(str_field), MAX(str_field) FROM layer",
         {"layer": lyr}).collect()[0]
     assert (r[0], r[1]) == ("ab", "z")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 4: ogr_sql_test.py 8/20-23/32 ports + ALTER TABLE (33)
+# ---------------------------------------------------------------------------
+
+
+def test_ogr_sql_8_in_list(spark, poly):
+    """ogr_sql_8/9: IN list filter (with and without quoted table)."""
+    for table in ("poly", '"poly"'):
+        rows = run(spark, f"select * from {table} where eas_id in (158,165)",
+                   poly).collect()
+        assert sorted(r["eas_id"] for r in rows) == [158, 165]
+
+
+def test_ogr_sql_20_21_22_star_expansion(spark, poly):
+    """ogr_sql_20/21/22: repeated * expansion and qualified-star
+    naming — 'SELECT *, fid, *, poly.*' yields the layer fields, then
+    fid, then the fields again (plain names), then once more under
+    qualified names (gdaldataset star-expansion naming)."""
+    out = run(spark, "SELECT * from poly", poly)
+    assert out.count() == poly.count()
+
+    out = run(spark, "SELECT *, fid from poly", poly)
+    assert out.columns[-1].lower() == "fid"
+    assert out.count() == poly.count()
+
+    out = run(spark, "SELECT eas_id, fid, eas_id, poly.eas_id from poly",
+              poly)
+    assert len(out.columns) == 4
+    row = out.orderBy(out.columns[1]).collect()[0]
+    assert row[0] == row[2] == row[3]
+
+
+def test_ogr_sql_23_distinct_with_geometry(spark, poly):
+    assert run(spark, "SELECT DISTINCT prfedea from poly",
+               poly).count() == poly.count()
+
+
+def test_ogr_sql_32_min_over_empty_is_null_row(spark, poly):
+    rows = run(spark, "select min(eas_id) from poly where area = 0",
+               poly).collect()
+    assert len(rows) == 1 and rows[0][0] is None
+
+
+def test_ogr_sql_33_alter_table(spark, poly):
+    """ogr_sql_33: ALTER TABLE ADD/RENAME/ALTER TYPE/DROP, with and
+    without the COLUMN keyword, quoted identifiers included
+    (gcore/gdaldataset.cpp ProcessSQLAlterTable*)."""
+    layers = {"my_layer": poly.select("zone_id")}
+    for extra in ("COLUMN ", ""):
+        r = execute_sql(spark,
+                        f"ALTER TABLE my_layer ADD {extra}myfield "
+                        f"NUMERIC(20, 8)", layers)
+        assert r is None
+        assert dict(layers["my_layer"].dtypes)["myfield"] == "double"
+
+        execute_sql(spark, f'ALTER TABLE my_layer RENAME {extra}myfield '
+                           f'TO "myfield 2"', layers)
+        cols = layers["my_layer"].columns
+        assert "myfield" not in cols and "myfield 2" in cols
+
+        execute_sql(spark, f'ALTER TABLE my_layer ALTER {extra}"myfield 2" '
+                           f'TYPE CHARACTER', layers)
+        assert dict(layers["my_layer"].dtypes)["myfield 2"] == "string"
+
+        execute_sql(spark, f'ALTER TABLE my_layer ALTER {extra}"myfield 2" '
+                           f'TYPE CHARACTER(15)', layers)
+        assert dict(layers["my_layer"].dtypes)["myfield 2"] == "string"
+
+        execute_sql(spark, f'ALTER TABLE my_layer DROP {extra}"myfield 2"',
+                    layers)
+        assert "myfield 2" not in layers["my_layer"].columns
+
+    # the mutated layer still SELECTs
+    execute_sql(spark, "ALTER TABLE my_layer ADD flag INTEGER", layers)
+    out = execute_sql(spark, "SELECT * FROM my_layer", layers,
+                      fid_order={"my_layer": "zone_id"})
+    assert "flag" in out.columns and out.count() == poly.count()
