@@ -765,6 +765,112 @@ def q_rasterize_lines_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_lines_at(spark, zone_defs())
 
 
+# ---------------------------------------------------------------------------
+# rgb2pct / pct2rgb: median-cut quantization (gdal_spark.mediancut)
+# ---------------------------------------------------------------------------
+
+_PCT_N = 32          # palette size under test (rgb2pct -n)
+_PCT_SIDE = 256      # synthetic RGB image side
+_PCT_T = 64          # checksum tile size
+
+# deterministic integer-only RGB synth, same values both engines
+_PCT_R = "(gx * 7 + gy * 3) % 256"
+_PCT_G = "((gx * gx) DIV 16 + gy * 5) % 256"
+_PCT_B = "(gx + (gy * gy) DIV 8) % 256"
+
+
+def _pct_synth_numpy():
+    import numpy as np
+
+    gx, gy = np.meshgrid(np.arange(_PCT_SIDE), np.arange(_PCT_SIDE))
+    r = (gx * 7 + gy * 3) % 256
+    g = ((gx * gx) // 16 + gy * 5) % 256
+    b = (gx + (gy * gy) // 8) % 256
+    return gx.ravel(), gy.ravel(), r.ravel(), g.ravel(), b.ravel()
+
+
+def _pct_oracle_palette():
+    """Independent palette for the oracle: numpy histogram + the
+    driver-side box fold (no Spark involved) — if the distributed
+    histogram path disagrees, the checksums mismatch."""
+    from collections import Counter
+
+    from gdal_spark.mediancut import (SHIFT, median_cut_boxes,
+                                      palette_from_boxes)
+
+    _, _, r, g, b = _pct_synth_numpy()
+    cnt = Counter(zip((r >> SHIFT).tolist(), (g >> SHIFT).tolist(),
+                      (b >> SHIFT).tolist()))
+    rows = [(k[0], k[1], k[2], v) for k, v in cnt.items()]
+    return palette_from_boxes(median_cut_boxes(rows, _PCT_N))
+
+
+def q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rgb2pct: GDALComputeMedianCutPCT (5-bit 32^3 histogram -> box
+    splits at the marginal median -> box-midpoint palette) + the
+    nearest-color assignment of GDALDitherRGB2PCT (error diffusion is
+    a serial scanline recurrence, documented not distributed). The
+    histogram shuffle is bounded by the color cube (<= 32,768 rows),
+    the box fold is bounded driver work, the assignment is per-pixel
+    Catalyst arithmetic over the broadcast palette literal. Per-tile
+    index checksums + distinct-index counts."""
+    from gdal_spark.mediancut import compute_median_cut_pct, pct_assign
+    from gdal_spark.raster import CHECKSUM_PRIMES
+
+    _ = sf_dir  # deterministic synthetic RGB fixture
+    pixels = (spark.range(_PCT_SIDE * _PCT_SIDE)
+              .selectExpr(f"id % {_PCT_SIDE} as gx",
+                          f"id DIV {_PCT_SIDE} as gy")
+              .selectExpr("gx", "gy", f"{_PCT_R} as r", f"{_PCT_G} as g",
+                          f"{_PCT_B} as b"))
+    palette = compute_median_cut_pct(pixels, _PCT_N)
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    prime = (f"element_at(array({primes}), cast(((gy % {_PCT_T})"
+             f" * {_PCT_T} + (gx % {_PCT_T})) % 11 + 1 as int))")
+    return (pct_assign(pixels, palette)
+            .selectExpr(f"gx DIV {_PCT_T} as tx",
+                        f"gy DIV {_PCT_T} as ty", "gx", "gy", "idx")
+            .groupBy("tx", "ty")
+            .agg(F.expr(f"cast(sum(idx % {prime}) % 65536 as bigint)")
+                 .alias("cs_idx"),
+                 F.expr("cast(count(distinct idx) as bigint)")
+                 .alias("n_idx"))
+            .selectExpr("cast(tx as bigint) as tx",
+                        "cast(ty as bigint) as ty", "cs_idx", "n_idx"))
+
+
+def _rgb2pct_oracle() -> str:
+    from gdal_spark.mediancut import nearest_index_sql
+    from gdal_spark.raster import CHECKSUM_PRIMES
+
+    pal = _pct_oracle_palette()
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    prime = (f"([{primes}])[cast(((gy % {_PCT_T}) * {_PCT_T}"
+             f" + (gx % {_PCT_T})) % 11 + 1 as int)]")
+    r = _PCT_R.replace("DIV", "//")
+    g = _PCT_G.replace("DIV", "//")
+    b = _PCT_B.replace("DIV", "//")
+    idx = nearest_index_sql(pal, "r", "g", "b", dialect="duckdb")
+    return f"""
+with px as (
+  select cast(id % {_PCT_SIDE} as int) as gx,
+         cast(id // {_PCT_SIDE} as int) as gy
+  from (select range as id from range(0, {_PCT_SIDE * _PCT_SIDE})) t
+),
+rgb as (
+  select gx, gy, {r} as r, {g} as g, {b} as b from px
+),
+assigned as (
+  select gx, gy, {idx} as idx from rgb
+)
+select cast(gx // {_PCT_T} as bigint) as tx,
+       cast(gy // {_PCT_T} as bigint) as ty,
+       cast(sum(idx % {prime}) % 65536 as bigint) as cs_idx,
+       cast(count(distinct idx) as bigint) as n_idx
+from assigned group by tx, ty
+"""
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -1195,6 +1301,7 @@ QUERIES = {
     "rasterize_polygons_checksum": q_rasterize_polygons,
     "rasterize_lines_checksum": q_rasterize_lines,
     "rasterize_lines_at_checksum": q_rasterize_lines_at,
+    "rgb2pct_checksum": q_rgb2pct,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
 
@@ -1497,4 +1604,5 @@ select *, 'calc' as op from (
         fromlist=["rasterize_lines_at_oracle_sql"]
     ).rasterize_lines_at_oracle_sql(__import__(
         "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
+    "rgb2pct_checksum": _rgb2pct_oracle(),
 }
