@@ -395,7 +395,58 @@ from g where has_geo
 
 _PTS = points_oracle_sql("documents")
 
+def q_lineref_pickets(spark, sf_dir):
+    """ogrlineref picket creation (apps/ogrlineref.cpp:733-775 +
+    OGRSimpleCurve::Value, ogr/ogrlinestring.cpp:2098): points every
+    25 km of planar length along each zone boundary ring in WebMercator
+    meters. Window cumsum per line -> sequence explode -> first-
+    containing-segment match -> linear interpolation; every exchange is
+    keyed by line id."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.lineref import lineref_pickets
+    from gdal_spark.rasterize_poly import _MX, _MY, _zone_rows
+
+    _ = sf_dir  # layer fixture op
+    rings = spark.createDataFrame(
+        _zone_rows(zone_defs()),
+        "zone_id int, eas_id int, ring_idx int,"
+        " lons array<double>, lats array<double>")
+    lines = rings.selectExpr(
+        "cast(zone_id * 10 + ring_idx as bigint) as line_id",
+        f"transform(lons, v -> {_MX.format(v='v')}) as xs",
+        f"transform(lats, v -> {_MY.format(v='v')}) as ys")
+    out = lineref_pickets(lines, 25000.0)
+    return out.select("line_id",
+                      F.round("m", 3).alias("m"),
+                      F.round("x", 3).alias("x"),
+                      F.round("y", 3).alias("y"))
+
+
+def _lineref_oracle():
+    from gdal_spark.lineref import lineref_pickets_oracle_sql
+    from gdal_spark.rasterize_poly import _MX, _MY, _zone_rows
+    from gdal_spark.crs import _fmt
+
+    rows = []
+    for zone_id, eas_id, ri, lons, lats in _zone_rows(zone_defs()):
+        ll = ", ".join(_fmt(v) for v in lons)
+        la = ", ".join(_fmt(v) for v in lats)
+        rows.append(f"({zone_id * 10 + ri}, [{ll}], [{la}])")
+    mx = _MX.format(v="v")
+    my = _MY.format(v="v")
+    lines_sql = (
+        f"select cast(line_id as bigint) as line_id,"
+        f" list_transform(lons, v -> {mx}) as xs,"
+        f" list_transform(lats, v -> {my}) as ys"
+        f" from (values {', '.join(rows)}) as lr(line_id, lons, lats)")
+    inner = lineref_pickets_oracle_sql(lines_sql, 25000.0)
+    return (f"select line_id, round(m, 3) as m, round(x, 3) as x,"
+            f" round(y, 3) as y from ({inner}) q")
+
+
 QUERIES = {
+    "lineref_pickets": q_lineref_pickets,
     "extract_geotags": q_extract_geotags,
     "cell_assign": q_cell_assign,
     "tile_counts_z8": q_tile_counts_z8,
@@ -475,6 +526,7 @@ def _identity_update_oracle() -> str:
     return identity_update_sql(defs, method, _D)
 
 ORACLES = {
+    "lineref_pickets": _lineref_oracle(),
     "extract_geotags": _extract_oracle(),
     "cell_assign": (
         f"select doc_id, {cell_id_sql('lon', 'lat', 12)} as cell_id"
