@@ -445,8 +445,72 @@ def _lineref_oracle():
             f" round(y, 3) as y from ({inner}) q")
 
 
+def q_lineref_position(spark, sf_dir):
+    """ogrlineref get_pos (apps/ogrlineref.cpp:983 GetPosition): each
+    geotagged point projects onto ITS zone's outer boundary ring —
+    measure along the ring + distance to the boundary, in WebMercator
+    meters. The point→segments match is an equi-join on the zone's
+    line id (never all-pairs); nearest segment by squared distance,
+    first segment on ties (the reference's sequential scan order)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.lineref import lineref_project
+    from gdal_spark.rasterize_poly import _MX, _MY, _zone_rows
+
+    pts = points_from_documents(spark, sf_dir)
+    joined = pip_join(pts, build_zone_index_from_defs(zone_defs()),
+                      how="inner")
+    points = joined.selectExpr(
+        "doc_id as pid",
+        f"{_MX.format(v='lon')} as px",
+        f"{_MY.format(v='lat')} as py",
+        "cast(zone_id * 10 as bigint) as line_id")
+    rings = spark.createDataFrame(
+        _zone_rows(zone_defs()),
+        "zone_id int, eas_id int, ring_idx int,"
+        " lons array<double>, lats array<double>").filter("ring_idx = 0")
+    lines = rings.selectExpr(
+        "cast(zone_id * 10 as bigint) as line_id",
+        f"transform(lons, v -> {_MX.format(v='v')}) as xs",
+        f"transform(lats, v -> {_MY.format(v='v')}) as ys")
+    out = lineref_project(points, lines)
+    return out.select(F.col("pid").alias("doc_id"), "line_id",
+                      F.round("m", 3).alias("m"),
+                      F.round("dist", 3).alias("dist"))
+
+
+def _lineref_position_oracle():
+    from gdal_spark.crs import _fmt
+    from gdal_spark.lineref import lineref_project_oracle_sql
+    from gdal_spark.rasterize_poly import _MX, _MY, _zone_rows
+
+    rows = []
+    for zone_id, eas_id, ri, lons, lats in _zone_rows(zone_defs()):
+        if ri != 0:
+            continue
+        ll = ", ".join(_fmt(v) for v in lons)
+        la = ", ".join(_fmt(v) for v in lats)
+        rows.append(f"({zone_id * 10}, [{ll}], [{la}])")
+    mx = _MX.format(v="v")
+    my = _MY.format(v="v")
+    lines_sql = (
+        f"select cast(line_id as bigint) as line_id,"
+        f" list_transform(lons, v -> {mx}) as xs,"
+        f" list_transform(lats, v -> {my}) as ys"
+        f" from (values {', '.join(rows)}) as lr(line_id, lons, lats)")
+    points_sql = (
+        f"select j.doc_id as pid, {_MX.format(v='p.lon')} as px,"
+        f" {_MY.format(v='p.lat')} as py,"
+        f" cast(j.zone_id * 10 as bigint) as line_id"
+        f" from ({pip_oracle_sql(_PTS)}) j join ({_PTS}) p using (doc_id)")
+    inner = lineref_project_oracle_sql(points_sql, lines_sql)
+    return (f"select pid as doc_id, line_id, round(m, 3) as m,"
+            f" round(dist, 3) as dist from ({inner}) q")
+
+
 QUERIES = {
     "lineref_pickets": q_lineref_pickets,
+    "lineref_position": q_lineref_position,
     "extract_geotags": q_extract_geotags,
     "cell_assign": q_cell_assign,
     "tile_counts_z8": q_tile_counts_z8,
@@ -527,6 +591,7 @@ def _identity_update_oracle() -> str:
 
 ORACLES = {
     "lineref_pickets": _lineref_oracle(),
+    "lineref_position": _lineref_position_oracle(),
     "extract_geotags": _extract_oracle(),
     "cell_assign": (
         f"select doc_id, {cell_id_sql('lon', 'lat', 12)} as cell_id"

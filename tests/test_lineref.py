@@ -53,3 +53,42 @@ def test_picket_on_vertex_takes_first_segment(spark):
     got = {r["m"]: (r["x"], r["y"])
            for r in lineref_pickets(lines, 4.0).collect()}
     assert got == {0.0: (0.0, 0.0), 4.0: (4.0, 0.0), 8.0: (8.0, 0.0)}
+
+
+def test_project_reference_parity(spark):
+    """lineref_project vs a literal segment-scan reference (clamped
+    projection, first-min segment)."""
+    import numpy as np
+
+    from gdal_spark.lineref import lineref_project
+
+    xs = [0.0, 10.0, 10.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 10.0, 10.0, 0.0]
+    rng = np.random.RandomState(9)
+    pts = rng.uniform(-3, 13, size=(30, 2))
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line_id": [5], "xs": [xs], "ys": [ys]}))
+    points = spark.createDataFrame(
+        pd.DataFrame({"pid": range(30), "px": pts[:, 0], "py": pts[:, 1],
+                      "line_id": [5] * 30}))
+    got = {r["pid"]: (r["m"], r["dist"])
+           for r in lineref_project(points, lines).collect()}
+
+    for pid, (px, py) in enumerate(pts):
+        best = None
+        cum = 0.0
+        for i in range(len(xs) - 1):
+            ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
+            seg = math.hypot(bx - ax, by - ay)
+            if seg <= 0:
+                continue
+            t = max(0.0, min(1.0, ((px - ax) * (bx - ax)
+                                   + (py - ay) * (by - ay)) / (seg * seg)))
+            qx, qy = ax + t * (bx - ax), ay + t * (by - ay)
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, cum + t * seg)
+            cum += seg
+        m, dist = got[pid]
+        assert abs(m - best[1]) < 1e-9 and \
+            abs(dist - math.sqrt(best[0])) < 1e-9, pid
