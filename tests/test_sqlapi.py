@@ -1213,3 +1213,31 @@ def test_ogr_sql_on_null_matrix(spark):
         n = execute_sql(spark, f"select * from layer where {where}",
                         layers, fid_order={"layer": "ord"}).count()
         assert n == expect, (where, n, expect)
+
+
+def test_like_ilike_utf8(spark):
+    """autotest test_ogr_sql_like_utf8 / ilike_utf8: LIKE is case- and
+    accent-sensitive, `_` matches one UTF-8 character; ILIKE folds case
+    Unicode-aware (é ↔ É) but never folds accents (é ≠ e ≠ ê). The
+    reference's truncated-UTF8 byte cases are unrepresentable in JVM
+    strings and omitted."""
+    layer = spark.createDataFrame([(0,)], "ord int")
+    cases = [
+        ("'é' LIKE 'É'", 0), ("'É' LIKE 'é'", 0), ("'É' LIKE 'É'", 1),
+        ("'é' LIKE 'e'", 0), ("'é' LIKE 'ê'", 0), ("'é' LIKE ''", 0),
+        ("'é' LIKE '_'", 1),
+        ("'éven' LIKE '_ven'", 1), ("'éven' LIKE '%ven'", 1),
+        ("'' LIKE '_'", 0),
+        ("'éven' LIKE '_xen'", 0), ("'éven' LIKE '%xen'", 0),
+        ("'é' ILIKE 'é'", 1), ("'é' ILIKE 'É'", 1), ("'É' ILIKE 'é'", 1),
+        ("'É' ILIKE 'É'", 1), ("'é' ILIKE 'e'", 0), ("'é' ILIKE 'ê'", 0),
+        ("'é' ILIKE ''", 0), ("'é' ILIKE '_'", 1),
+        ("'éven' ILIKE '_ven'", 1), ("'éven' ILIKE '%ven'", 1),
+        ("'' ILIKE '_'", 0),
+        ("'éven' ILIKE '_xen'", 0), ("'éven' ILIKE '%xen'", 0),
+    ]
+    for where, expect in cases:
+        n = execute_sql(spark, f"select * from layer where {where}",
+                        {"layer": layer},
+                        fid_order={"layer": "ord"}).count()
+        assert n == expect, (where, n, expect)
