@@ -70,7 +70,7 @@ _PRIORITY = [
     "reproject_laea_europe", "reproject_ps_north",
     "rasterize_lines_checksum", "warp_cubicspline_dem",
     "rasterize_lines_at_checksum", "rgb2pct_checksum",
-    "lineref_pickets", "lineref_position",
+    "lineref_pickets", "lineref_position", "warp_sum_dem",
     # -- (b) behavior changed this round: chained int-division typing
     # (expression-tree rewriter), overflow-safe SAMPLE_HASH (both
     # engines' results changed in tandem), wrapdateline -180 guard

@@ -241,6 +241,19 @@ def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT, _AVG_DST_PX)
 
 
+def q_warp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -r sum (GDAL >= 3.1, mass-preserving downsample): same
+    per-tile integer partials + keyed reduction as -r average, final
+    expression keeps the sum instead of dividing — total DEM mass is
+    conserved across the resolution change."""
+    from gdal_spark.raster import warp_average
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_average(tiles, _SRC_GT, DEM_PX, _AVG_DST_GT, _AVG_DST_PX,
+                        stat="sum")
+
+
 def q_sample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cubic InterpolateAtPoint over the synthetic DEM (GRIORA_Cubic
     4×4 convolution, a = -0.5)."""
@@ -1302,6 +1315,7 @@ QUERIES = {
     "rasterize_lines_checksum": q_rasterize_lines,
     "rasterize_lines_at_checksum": q_rasterize_lines_at,
     "rgb2pct_checksum": q_rgb2pct,
+    "warp_sum_dem": q_warp_sum,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
 
@@ -1605,4 +1619,8 @@ select *, 'calc' as op from (
     ).rasterize_lines_at_oracle_sql(__import__(
         "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
     "rgb2pct_checksum": _rgb2pct_oracle(),
+    "warp_sum_dem": __import__(
+        "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
+    ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX,
+                              DEM_PX, stat="sum"),
 }

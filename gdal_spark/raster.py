@@ -1640,7 +1640,8 @@ from (select a.range as di, b.range as dj
 def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                  dst_gt: list[float], dst_px: int,
                  dtype: str = "int64",
-                 src_nodata: int | None = None) -> DataFrame:
+                 src_nodata: int | None = None,
+                 stat: str = "mean") -> DataFrame:
     """Average-resampled warp onto a coarser grid (gdalwarp -r average,
     GWKAverageOrMode): each SRC pixel center is assigned to the dst
     pixel containing it; per dst pixel the mean of its source pixels.
@@ -1685,11 +1686,16 @@ def warp_average(tiles: DataFrame, src_gt: list[float], raster_px: int,
                     "s": sums, "c": cnts,
                 })
 
+    # stat: "mean" = gdalwarp -r average; "sum" = gdalwarp -r sum
+    # (GDAL >= 3.1, GWKSumPreserving's center-assignment simplification
+    # shared with the average path — coverage weights are 1 per
+    # contributing pixel in this tiling model, documented)
+    final = ("cast(s as double) / c as value" if stat == "mean"
+             else "cast(s as double) as value")
     p = tiles.mapInPandas(partials, "di long, dj long, s long, c long")
     return (p.groupBy("di", "dj")
             .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
-            .selectExpr("di", "dj", "c as n_src",
-                        "cast(s as double) / c as value"))
+            .selectExpr("di", "dj", "c as n_src", final))
 
 
 def warp_rms(tiles: DataFrame, src_gt: list[float], raster_px: int,
@@ -1975,7 +1981,8 @@ select di, dj, v as value, c as n_mode from r where rn = 1
 
 def warp_average_oracle_sql(dst_gt: list[float], src_gt: list[float],
                             dst_px: int, raster_px: int,
-                            src_nodata: int | None = None) -> str:
+                            src_nodata: int | None = None,
+                            stat: str = "mean") -> str:
     """Oracle: enumerate src pixels, closed-form DEM values, identical
     dst assignment arithmetic and mean expression (optionally with the
     -srcnodata mask)."""
@@ -1993,7 +2000,8 @@ m as (
   select {di} as di, {dj} as dj, {DEM_ELEV_SQL} as v from s
 )
 select di, dj, cast(count(*) as bigint) as n_src,
-       cast(sum(v) as double) / count(*) as value
+       {"cast(sum(v) as double) / count(*)" if stat == "mean"
+        else "cast(sum(v) as double)"} as value
 from m
 where di >= 0 and di < {dst_px} and dj >= 0 and dj < {dst_px}{nd}
 group by di, dj
