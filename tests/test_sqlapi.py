@@ -1241,3 +1241,29 @@ def test_like_ilike_utf8(spark):
                         {"layer": layer},
                         fid_order={"layer": "ord"}).count()
         assert n == expect, (where, n, expect)
+
+
+def test_rfc28_union_all_three_branch_and(spark, poly):
+    """rfc28 (gdal#3395): multi-AND WHERE on both branches of a UNION
+    ALL must not confuse the statement splitter."""
+    n = run(spark, "select * from poly where 1=1 and 1=1 and 1=0 "
+                   "union all select * from poly where 1=1 and 1=1 and 1=0",
+            poly).count()
+    assert n == 0
+    n = run(spark, "select * from poly where 1=1 and 1=1 and 1=1 "
+                   "union all select * from poly where 1=1 and 1=1 and 1=1",
+            poly).count()
+    assert n == 2 * poly.count()
+
+
+def test_rfc28_39_count_on_empty(spark, poly):
+    rows = run(spark, "SELECT COUNT(*) from poly where 0 = 1",
+               poly).collect()
+    assert len(rows) == 1 and rows[0][0] == 0
+
+
+def test_rfc28_35_multiple_distinct_rejected(spark, poly):
+    """rfc28_35: 'SELECT DISTINCT a, DISTINCT b' is a parse error."""
+    with pytest.raises(Exception):
+        run(spark, "select distinct eas_id, distinct prfedea from poly",
+            poly).collect()
