@@ -56,54 +56,31 @@ def _modules():
 # queries fixed this round (ANSI + output-representation), and new operators.
 # Previously-green queries keep their r01 rows and register afterward.
 _PRIORITY = [
-    # ---- round 4 freshness rotation (VERDICT r3 next-steps #7): after
-    # r03 every registered query has a green latest driver row, so the
-    # top of the list is now (a) queries never driver-checked (new this
-    # round), (b) queries whose behavior or oracle changed this round,
-    # (c) the OLDEST r1-vintage rows, rotated in so no row ages past
-    # ~2 rounds. The remaining r1/r2-vintage rows rotate in next round.
-    # -- (a) new round-4 operators, never driver-checked
-    "multimodal_decode_real", "warp_approx_webmercator",
-    "text_tfidf_topterms",
-    "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
-    "raster_viewshed_exact_md",
-    "reproject_laea_europe", "reproject_ps_north",
-    "rasterize_lines_checksum", "warp_cubicspline_dem",
-    "rasterize_lines_at_checksum", "rgb2pct_checksum",
-    "lineref_pickets", "lineref_position", "warp_sum_dem",
-    # -- (b) behavior changed this round: chained int-division typing
-    # (expression-tree rewriter), overflow-safe SAMPLE_HASH (both
-    # engines' results changed in tandem), wrapdateline -180 guard
-    "ogrsql_execute_division_typing", "text_stratified_sample",
-    "st_wrapdateline",
-    # -- (c) oldest r1-vintage rows (latest green row is CORRECTNESS_r01)
-    "extract_geotags", "cell_assign", "tile_counts_z8", "pip_join",
-    "clip", "erase", "zonal_count", "pip_join_cellprejoin",
-    "layer_algebra_overlay", "st_functions", "ogr2ogr_pipeline",
-    "checkpoint_resume", "clip_lines_cyrus_beck", "dataset_info",
-    "sql_sessionize", "ogrsql_execute_select", "ogrsql_execute_summary",
-    "sql_count_distinct", "sql_distinct_list", "sql_first_match_join",
-    "sql_semi_anti_join", "sql_topk", "sql_union_all", "sql_like_ilike",
-    "sql_hstore", "sql_json_field", "sql_datetime",
-    "reproject_webmercator", "reproject_utm31", "knn",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "ann_topk_cosine",
-    "text_langid", "text_quality", "text_token_counts",
-    "ann_lsh_topk", "ann_ivf_topk", "text_fingerprint", "text_rare_terms",
+    # ---- round 5 freshness rotation (VERDICT r4 next-steps #1): every
+    # registered query has a green latest driver row, so the budget goes
+    # to (a) queries new this round (never driver-checked), then (b) ALL
+    # 37 stale rows — the 7 r1-vintage and 30 r2-vintage rows whose
+    # latest green row predates round 3. (a)+(b) = ~45, inside the ~50
+    # budget; r3/r4-vintage rows register afterward.
+    # -- (a) new round-5 operators, never driver-checked
+    # (names are appended here as each operator lands this round)
+    # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
+    "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "text_langid", "text_quality", "text_token_counts",
+    # ... then the 30 r2-vintage rows (latest green row is r02)
+    "ann_ivf_topk", "ann_lsh_topk", "contour_lines", "contour_polygons",
+    "dedup_cluster_canonical", "dem_metrics", "embed_neardup_cosine",
+    "grid_kernels", "grid_linear_delaunay", "multimodal_inspect",
+    "multimodal_resize", "polygonize_components",
+    "raster_calc_reclassify", "raster_fillnodata",
+    "raster_overview_methods", "raster_pansharpen_brovey",
+    "raster_sample_interp", "raster_sieve", "raster_stats",
+    "raster_viewshed", "rasterize_checksum_z5", "st_constructive",
+    "streaming_stateful_totals", "text_decontaminate",
+    "text_fingerprint", "text_rare_terms", "tile_pyramid_z5_z2",
+    "translate_ops", "warp_bilinear_dem", "warp_resample_dem",
     # ---- (~50-query driver budget reaches about here) ----
-    # r1-vintage remainder, to rotate in round 5
-    "multimodal_inspect", "multimodal_resize",
-    "rasterize_checksum_z5", "raster_overview_methods",
-    "raster_sample_interp", "polygonize_components", "dem_metrics",
-    "warp_resample_dem", "warp_bilinear_dem", "translate_ops",
-    "raster_fillnodata", "raster_viewshed", "raster_pansharpen_brovey",
-    "grid_kernels", "grid_linear_delaunay", "contour_lines",
-    "contour_polygons", "raster_calc_reclassify",
-    "raster_stats", "raster_sieve", "tile_pyramid_z5_z2",
-    "embed_neardup_cosine", "text_decontaminate",
-    "streaming_stateful_totals", "st_constructive",
-    "dedup_cluster_canonical",
-    # r2/r3-vintage rows (freshest; register last among the prioritized)
+    # r3-vintage rows (oldest of the fresh; next in line)
     "sql_asof_join", "text_boilerplate", "text_repetition",
     "multimodal_frame_sample", "contour_cells", "raster_histogram",
     "streaming_dedup_urls",
@@ -124,6 +101,27 @@ _PRIORITY = [
     "zonal_stats", "layer_algebra_identity_update", "sql_summary_record",
     "sql_groupby_agg", "sql_join_groups", "sql_orderby_limit_offset",
     "sql_window_funcs",
+    # r4-vintage rows (freshest; register last among the prioritized)
+    "multimodal_decode_real", "warp_approx_webmercator",
+    "text_tfidf_topterms",
+    "reproject_etrs89", "reproject_nad27", "warp_to_etrs89utm",
+    "raster_viewshed_exact_md",
+    "reproject_laea_europe", "reproject_ps_north",
+    "rasterize_lines_checksum", "warp_cubicspline_dem",
+    "rasterize_lines_at_checksum", "rgb2pct_checksum",
+    "lineref_pickets", "lineref_position", "warp_sum_dem",
+    "ogrsql_execute_division_typing", "text_stratified_sample",
+    "st_wrapdateline",
+    "extract_geotags", "cell_assign", "tile_counts_z8", "pip_join",
+    "clip", "erase", "zonal_count", "pip_join_cellprejoin",
+    "layer_algebra_overlay", "st_functions", "ogr2ogr_pipeline",
+    "checkpoint_resume", "clip_lines_cyrus_beck", "dataset_info",
+    "sql_sessionize", "ogrsql_execute_select", "ogrsql_execute_summary",
+    "sql_count_distinct", "sql_distinct_list", "sql_first_match_join",
+    "sql_semi_anti_join", "sql_topk", "sql_union_all", "sql_like_ilike",
+    "sql_hstore", "sql_json_field", "sql_datetime",
+    "reproject_webmercator", "reproject_utm31", "knn",
+    "dedup_exact",
 ]
 
 

@@ -147,7 +147,12 @@ def main() -> None:
     from gdal_spark.session import get_spark
 
     spark = get_spark("gdal_spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 32))
+                      shuffle_partitions=max(cpus, 32),
+                      extra_conf={
+                          # keep stdout clean of \r progress fragments so
+                          # the final JSON line parses (BENCH_r04 did not)
+                          "spark.ui.showConsoleProgress": "false",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footer caches with a trivial action so the
@@ -196,8 +201,17 @@ def main() -> None:
         "fixture_queries": fres["timings"],
         "fixture_spread": fres["spread"],
     }
-    print(json.dumps(out))
+    # Stop Spark BEFORE printing so no JVM shutdown noise follows the
+    # result, then emit the compact JSON as the very last line of output
+    # — the driver tail-captures stdout and BENCH_r04 recorded
+    # "parsed": null because log lines after/around the JSON pushed its
+    # head out of the capture window (VERDICT r4 wrong-#2 / next-#2).
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # leading newline: if anything left an unterminated \r line on
+    # stdout, the JSON still starts at column 0 of its own line
+    print("\n" + json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
