@@ -17,11 +17,12 @@ swig/python/gdal-utils rgb2pct.py:
   division, the reference's midpoint rule);
 - assignment = nearest palette entry by squared RGB distance, FIRST
   minimal index on ties (gdaldither.cpp FindNearestColor's strict-<
-  scan). The reference's default Floyd-Steinberg error diffusion is a
-  serial per-scanline recurrence and is NOT distributed here; the
-  no-diffusion nearest mapping is the distributable assignment
-  (documented divergence — gdal_translate -expand / pct2rgb round-trip
-  semantics are unaffected).
+  scan) — the no-diffusion mapping (gdal_translate -expand / pct2rgb
+  round-trip semantics). The reference's DEFAULT Floyd-Steinberg
+  error-diffusion assignment lives in gdal_spark.dither: serial within
+  one image, parallel across images (per-image applyInPandas kernel),
+  exact gdaldither.cpp arithmetic including the 5-bit cube lookup and
+  C-truncation nError/6.
 
 Scale shape: the histogram is a groupBy over AT MOST 32^3 = 32,768
 keys (map-side combined — the shuffle is bounded by the color cube,

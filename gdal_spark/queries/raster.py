@@ -884,6 +884,132 @@ from assigned group by tx, ty
 """
 
 
+# --- rgb2pct -dither: Floyd-Steinberg error diffusion (gdal_spark.dither)
+
+_DIT_IMG = 64   # per-image side: the 256x256 synth splits into 16 images
+_DIT_N = 4      # images per axis
+
+
+def _dither_oracle_rows() -> list[tuple[int, int, int]]:
+    """Independent scalar transcription of GDALDitherRGB2PCT
+    (alg/gdaldither.cpp:327-565) — pure Python, no numpy, no shared
+    code with gdal_spark.dither — producing the pinned expected
+    (img_id, cs_idx, n_idx) rows the oracle serves as a VALUES table
+    (the transcription-parity pattern of tests/test_rasterize_line.py).
+    Nearest color is computed on the fly per 5-bit cell representative
+    (L1, strict-< first-min), memoized per cell exactly like the
+    reference's precomputed pabyColorMap."""
+    from gdal_spark.raster import CHECKSUM_PRIMES
+
+    pal = _pct_oracle_palette()
+    cmap: dict[int, int] = {}
+
+    def nearest(r: int, g: int, b: int) -> int:
+        cell = (r >> 3) + ((g >> 3) << 5) + ((b >> 3) << 10)
+        if cell in cmap:
+            return cmap[cell]
+        rr = ((r >> 3) * 255) // 31
+        gg = ((g >> 3) * 255) // 31
+        bb = ((b >> 3) * 255) // 31
+        best, besti = 768, 0
+        for i, (pr, pg, pb) in enumerate(pal):
+            d = abs(rr - pr) + abs(gg - pg) + abs(bb - pb)
+            if d < best:
+                best, besti = d, i
+        cmap[cell] = besti
+        return besti
+
+    def clamp(v: int) -> int:
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    def trunc6(e: int) -> int:
+        return -((-e) // 6) if e < 0 else e // 6
+
+    primes = [int(p) for p in CHECKSUM_PRIMES]
+    rows = []
+    for iy in range(_DIT_N):
+        for ix in range(_DIT_N):
+            img = iy * _DIT_N + ix
+            cs, seen = 0, set()
+            err = [[0, 0, 0] for _ in range(_DIT_IMG + 2)]
+            for ly in range(_DIT_IMG):
+                gy = iy * _DIT_IMG + ly
+                line = []
+                for lx in range(_DIT_IMG):
+                    gx = ix * _DIT_IMG + lx
+                    r = (gx * 7 + gy * 3) % 256
+                    g = ((gx * gx) // 16 + gy * 5) % 256
+                    b = (gx + (gy * gy) // 8) % 256
+                    line.append((clamp(r + err[lx + 1][0]),
+                                 clamp(g + err[lx + 1][1]),
+                                 clamp(b + err[lx + 1][2])))
+                err = [[0, 0, 0] for _ in range(_DIT_IMG + 2)]
+                last = [0, 0, 0]
+                for lx in range(_DIT_IMG):
+                    v = [clamp(line[lx][c] + last[c]) for c in range(3)]
+                    idx = nearest(v[0], v[1], v[2])
+                    cs = (cs + idx % primes[(ly * _DIT_IMG + lx) % 11]) \
+                        % 65536
+                    seen.add(idx)
+                    for c in range(3):
+                        e = v[c] - pal[idx][c]
+                        s = trunc6(e)
+                        err[lx][c] += s
+                        err[lx + 2][c] = s
+                        err[lx + 1][c] += e - 5 * s
+                        last[c] = 2 * s
+            rows.append((img, cs, len(seen)))
+    return rows
+
+
+def q_rgb2pct_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rgb2pct with the reference's DEFAULT assignment path: Floyd-
+    Steinberg error diffusion (GDALDitherRGB2PCT, alg/gdaldither.cpp)
+    over a 16-image corpus (the 256x256 synth split 4x4) — serial
+    within an image, parallel across images via a per-image
+    applyInPandas kernel (gdal_spark.dither). Closes the divergence
+    documented in gdal_spark.mediancut. Per-image index checksum +
+    distinct-index count; oracle = pinned rows from an independent
+    scalar transcription of the reference loop."""
+    from gdal_spark.dither import dither_rgb2pct
+    from gdal_spark.raster import CHECKSUM_PRIMES
+
+    _ = sf_dir  # deterministic synthetic RGB fixture
+    palette = _pct_oracle_palette()
+    pixels = (spark.range(_PCT_SIDE * _PCT_SIDE, numPartitions=16)
+              .selectExpr(f"id % {_PCT_SIDE} as gx",
+                          f"id DIV {_PCT_SIDE} as gy")
+              .selectExpr("gx", "gy", f"{_PCT_R} as r", f"{_PCT_G} as g",
+                          f"{_PCT_B} as b")
+              .selectExpr(
+                  f"cast((gy DIV {_DIT_IMG}) * {_DIT_N}"
+                  f" + gx DIV {_DIT_IMG} as int) as img_id",
+                  f"cast(gy % {_DIT_IMG} as int) as y",
+                  f"cast(gx % {_DIT_IMG} as int) as x",
+                  "cast(r as int) as r", "cast(g as int) as g",
+                  "cast(b as int) as b"))
+    idx = dither_rgb2pct(pixels, palette)
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    prime = (f"element_at(array({primes}),"
+             f" cast((y * {_DIT_IMG} + x) % 11 + 1 as int))")
+    return (idx.groupBy("img_id")
+            .agg(F.expr(f"cast(sum(idx % {prime}) % 65536 as bigint)")
+                 .alias("cs_idx"),
+                 F.expr("cast(count(distinct idx) as bigint)")
+                 .alias("n_idx"))
+            .selectExpr("cast(img_id as bigint) as img_id",
+                        "cs_idx", "n_idx"))
+
+
+def _rgb2pct_dither_oracle() -> str:
+    vals = ", ".join(f"({i}, {cs}, {n})"
+                     for i, cs, n in _dither_oracle_rows())
+    return (f"select cast(img_id as bigint) as img_id,"
+            f" cast(cs_idx as bigint) as cs_idx,"
+            f" cast(n_idx as bigint) as n_idx"
+            f" from (values {vals}) as t(img_id, cs_idx, n_idx)")
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares iso-cell classification (alg/contour.cpp) at
     threshold CONTOUR_T over the synthetic DEM."""
@@ -1315,6 +1441,7 @@ QUERIES = {
     "rasterize_lines_checksum": q_rasterize_lines,
     "rasterize_lines_at_checksum": q_rasterize_lines_at,
     "rgb2pct_checksum": q_rgb2pct,
+    "rgb2pct_dither_checksum": q_rgb2pct_dither,
     "warp_sum_dem": q_warp_sum,
     "tile_pyramid_z5_z2": q_tile_pyramid,
 }
@@ -1619,6 +1746,7 @@ select *, 'calc' as op from (
     ).rasterize_lines_at_oracle_sql(__import__(
         "gdal_spark.zones", fromlist=["zone_defs"]).zone_defs()),
     "rgb2pct_checksum": _rgb2pct_oracle(),
+    "rgb2pct_dither_checksum": _rgb2pct_dither_oracle(),
     "warp_sum_dem": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX,
