@@ -64,7 +64,7 @@ _PRIORITY = [
     # budget; r3/r4-vintage rows register afterward.
     # -- (a) new round-5 operators, never driver-checked
     # (names are appended here as each operator lands this round)
-    "rgb2pct_dither_checksum",
+    "rgb2pct_dither_checksum", "reproject_osgb36_grid",
     # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
     "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "text_langid", "text_quality", "text_token_counts",

@@ -30,10 +30,15 @@ except 27700/26718 sits on WGS84 (or a datum with a published null
 transform to it); arbitrary-EPSG datum shifts are NOT supported — GDAL
 does any pair via PROJ's transformation database
 (ogr/ogrct.cpp:1705-1803). Adding a datum here requires its published
-Helmert parameters (a HelmertParams instance) plus a worked example;
-grid-based corrections (NTv2/OSTN15/NADCON) are out of scope, so 27700
+Helmert parameters (a HelmertParams instance) plus a worked example.
+Grid-based corrections (NTv2/OSTN15/NADCON) have a structural seam in
+gdal_spark.gridshift (broadcast cell-table join + bilinear, grid-exact
+on its fixture — the flag-gated alternative 27700 path used by the
+reproject_osgb36_grid query); this DEFAULT Helmert 27700 chain still
 carries the documented ~3.5 m single-Helmert accuracy vs OSTN15 and
-26718 the ~5 m CONUS accuracy vs NADCON.
+26718 the ~5 m CONUS accuracy vs NADCON until real grid files are
+loaded into that seam (a parquet load away — the fixture differs from
+OSTN15 only in where the table rows come from).
 
 Two execution paths, same formulas:
 

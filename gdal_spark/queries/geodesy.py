@@ -245,6 +245,28 @@ def q_reproject_ps_north(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_osgb36_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:27700 through the NTv2-style GRID datum path
+    (gdal_spark.gridshift — broadcast cell join + bilinear shift +
+    Airy Krüger; ogr/ogrct.cpp:1705-1803's PROJ-grid seam). The point
+    fixture straddles the grid footprint so in-grid rows produce
+    coordinates and out-of-grid rows fail with ok=false, exactly like
+    PROJ outside a grid's extent."""
+    from gdal_spark.gridshift import osgb36_grid_fwd
+
+    _ = sf_dir  # deterministic grid + point fixture
+    pts = spark.range(60).selectExpr(
+        "cast(id as bigint) as pid",
+        "-12.0 + cast(id % 10 as double) * 1.8 as lon",
+        "48.0 + cast(id DIV 10 as double) * 2.3 as lat")
+    out = osgb36_grid_fwd(spark, pts)
+    return out.select(
+        "pid",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "in_grid", "ok")
+
+
 QUERIES = {
     "reproject_webmercator": q_reproject_webmercator,
     "reproject_utm31": q_reproject_utm31,
@@ -256,8 +278,22 @@ QUERIES = {
     "reproject_nad27": q_reproject_nad27,
     "reproject_laea_europe": q_reproject_laea_europe,
     "reproject_ps_north": q_reproject_ps_north,
+    "reproject_osgb36_grid": q_reproject_osgb36_grid,
     "knn": q_knn,
 }
+
+
+def _osgb36_grid_oracle() -> str:
+    from gdal_spark.gridshift import osgb36_grid_duckdb_sql
+
+    pts = ("select cast(id as bigint) as pid,"
+           " -12.0 + cast(id % 10 as double) * 1.8 as lon,"
+           " 48.0 + cast(id // 10 as double) * 2.3 as lat"
+           " from (select range as id from range(0, 60)) t")
+    inner = osgb36_grid_duckdb_sql(pts, keep=["pid"])
+    return (f"select pid, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, in_grid, ok"
+            f" from ({inner}) z")
 
 
 def _lcc_oracle() -> str:
@@ -379,5 +415,6 @@ ORACLES = {
         26718, "lon >= -81.0 and lon <= -69.0"),
     "reproject_laea_europe": _epsg_pts_oracle(3035, "1 = 1"),
     "reproject_ps_north": _epsg_pts_oracle(3413, "lat > 0.0"),
+    "reproject_osgb36_grid": _osgb36_grid_oracle(),
     "knn": _knn_oracle(),
 }
