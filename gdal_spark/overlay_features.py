@@ -525,3 +525,275 @@ select * from pair
 union all select * from left_in
 union all select * from left_m
 """
+
+
+# ---------------------------------------------------------------------------
+# Layer-algebra OPTION surface (ogrlayer.cpp:3290-3330 option parsing):
+# KEEP_LOWER_DIMENSION_GEOMETRIES, PROMOTE_TO_MULTI, INPUT_PREFIX /
+# METHOD_PREFIX (set_result_schema, ogrlayer.cpp:3077). Feature sets and
+# expected outputs ported from autotest/ogr/ogr_layer_algebra.py
+# (test_algebra_intersection_1/2, test_algebra_intersection_multipoint,
+# test_algebra_KEEP_LOWER_DIMENSION_GEOMETRIES).
+# ---------------------------------------------------------------------------
+
+
+def result_field_names(in_fields: list[str], m_fields: list[str],
+                       input_prefix: str | None = None,
+                       method_prefix: str | None = None
+                       ) -> tuple[list[str], list[str]]:
+    """set_result_schema's naming rule (ogrlayer.cpp:3077): an explicit
+    prefix always applies; with no prefixes, only names present in BOTH
+    layers get the implicit input_/method_ prefix."""
+    if input_prefix is None and method_prefix is None:
+        both = set(in_fields) & set(m_fields)
+        return ([f"input_{n}" if n in both else n for n in in_fields],
+                [f"method_{n}" if n in both else n for n in m_fields])
+    ip = input_prefix or ""
+    mp = method_prefix or ""
+    return [f"{ip}{n}" for n in in_fields], [f"{mp}{n}" for n in m_fields]
+
+
+def _seg_intersection_pieces(a0, a1, b0, b1):
+    """Exact segment x segment intersection: [] | [(0, (x, y))] |
+    [(1, ((x0,y0),(x1,y1)))] — proper crossings, endpoint touches, and
+    collinear overlaps (GEOS LineString::Intersection piecewise)."""
+    ax, ay = a1[0] - a0[0], a1[1] - a0[1]
+    bx, by = b1[0] - b0[0], b1[1] - b0[1]
+    denom = ax * by - ay * bx
+    cx, cy = b0[0] - a0[0], b0[1] - a0[1]
+    if denom == 0.0:
+        # parallel: collinear iff b0 lies on line(a)
+        if cx * ay - cy * ax != 0.0:
+            return []
+        # project onto the dominant axis of a
+        use_x = abs(ax) >= abs(ay)
+        pa = sorted([(a0[0] if use_x else a0[1], a0),
+                     (a1[0] if use_x else a1[1], a1)])
+        pb = sorted([(b0[0] if use_x else b0[1], b0),
+                     (b1[0] if use_x else b1[1], b1)])
+        lo = max(pa[0][0], pb[0][0])
+        hi = min(pa[1][0], pb[1][0])
+        if lo > hi:
+            return []
+        t0 = (lo - pa[0][0]) / (pa[1][0] - pa[0][0]) if pa[1][0] != pa[0][0] else 0.0
+        t1 = (hi - pa[0][0]) / (pa[1][0] - pa[0][0]) if pa[1][0] != pa[0][0] else 0.0
+        p0 = (pa[0][1][0] + t0 * (pa[1][1][0] - pa[0][1][0]),
+              pa[0][1][1] + t0 * (pa[1][1][1] - pa[0][1][1]))
+        p1 = (pa[0][1][0] + t1 * (pa[1][1][0] - pa[0][1][0]),
+              pa[0][1][1] + t1 * (pa[1][1][1] - pa[0][1][1]))
+        if p0 == p1:
+            return [(0, p0)]
+        return [(1, (p0, p1))]
+    t = (cx * by - cy * bx) / denom
+    u = (cx * ay - cy * ax) / denom
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return [(0, (a0[0] + t * ax, a0[1] + t * ay))]
+    return []
+
+
+def _geom_dim(gtype: str) -> int:
+    return {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1,
+            "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}[gtype]
+
+
+def _pair_intersection(gt_a: str, coords_a, gt_b: str, coords_b):
+    """Intersection pieces of one candidate pair. Returns
+    (z_dim, gtype, pieces) or None when empty — pieces are coordinate
+    tuples of the MAX-dimension components (GEOS collection dimension =
+    max component dimension, which is what getDimension() reports)."""
+    da, db = _geom_dim(gt_a), _geom_dim(gt_b)
+    pts: list = []
+    segs: list = []
+    rings: list = []
+    if da == 2 and db == 2:
+        sub = np.asarray(coords_a, dtype=np.float64)
+        clip = np.asarray(coords_b, dtype=np.float64)
+        out = clip_convex_np(sub, clip)
+        if len(out) == 0:
+            return None
+        area = abs(G.ring_area(out)) if len(out) >= 4 else 0.0
+        if area > 0.0:
+            rings.append(out.tolist())
+        else:
+            uniq = sorted({(float(p[0]), float(p[1])) for p in out})
+            if len(uniq) >= 2:
+                segs.append((uniq[0], uniq[-1]))
+            elif uniq:
+                pts.append(uniq[0])
+    elif da == 1 and db == 1:
+        for i in range(len(coords_a) - 1):
+            for j in range(len(coords_b) - 1):
+                for d, piece in _seg_intersection_pieces(
+                        tuple(coords_a[i]), tuple(coords_a[i + 1]),
+                        tuple(coords_b[j]), tuple(coords_b[j + 1])):
+                    (segs if d == 1 else pts).append(piece)
+    else:
+        # polygon x line: Cyrus-Beck style parametric clip of each
+        # segment against the convex ring
+        ring = np.asarray(coords_a if da == 2 else coords_b,
+                          dtype=np.float64)
+        line = coords_b if da == 2 else coords_a
+        if G.ring_area(ring) < 0:
+            ring = ring[::-1]
+        for i in range(len(line) - 1):
+            p0 = np.asarray(line[i], dtype=np.float64)
+            d = np.asarray(line[i + 1], dtype=np.float64) - p0
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for k in range(len(ring) - 1):
+                e = ring[k + 1] - ring[k]
+                n = np.array([-e[1], e[0]])  # inward for CCW
+                den = float(n @ d)
+                num = float(n @ (ring[k] - p0))
+                if den == 0.0:
+                    # parallel to this edge: reject iff p0 lies on the
+                    # outside half-plane, i.e. n . (p0 - ring[k]) < 0
+                    if num > 0.0:
+                        ok = False
+                        break
+                elif den > 0.0:
+                    t0 = max(t0, num / den)
+                else:
+                    t1 = min(t1, num / den)
+            if ok and t0 <= t1:
+                q0 = tuple(p0 + t0 * d)
+                q1 = tuple(p0 + t1 * d)
+                if q0 == q1:
+                    pts.append(q0)
+                else:
+                    segs.append((q0, q1))
+    if rings:
+        return (2, "POLYGON" if len(rings) == 1 else "MULTIPOLYGON", rings)
+    if segs:
+        uniq_s = sorted(set(segs))
+        return (1, "LINESTRING" if len(uniq_s) == 1 else "MULTILINESTRING",
+                uniq_s)
+    if pts:
+        uniq_p = sorted(set(pts))
+        return (0, "POINT" if len(uniq_p) == 1 else "MULTIPOINT", uniq_p)
+    return None
+
+
+def _dump_pieces(z_dim: int, gtype: str, pieces, promote: bool):
+    """WKB for the pair result, honoring PROMOTE_TO_MULTI
+    (ogrlayer.cpp promote_to_multi: POLYGON->MULTIPOLYGON,
+    LINESTRING->MULTILINESTRING, POINT->MULTIPOINT)."""
+    if z_dim == 2:
+        parts = [W.dumps_polygon([r]) for r in pieces]
+        single = gtype == "POLYGON"
+        if single and not promote:
+            return "POLYGON", parts[0]
+        return "MULTIPOLYGON", W.dumps_multi("MultiPolygon", parts)
+    if z_dim == 1:
+        parts = [W.dumps_linestring(list(s)) for s in pieces]
+        if gtype == "LINESTRING" and not promote:
+            return "LINESTRING", parts[0]
+        return "MULTILINESTRING", W.dumps_multi("MultiLineString", parts)
+    parts = [W.dumps_point(p[0], p[1]) for p in pieces]
+    if gtype == "POINT" and not promote:
+        return "POINT", parts[0]
+    return "MULTIPOINT", W.dumps_multi("MultiPoint", parts)
+
+
+def intersection_features_options(
+        spark: SparkSession, feats_in: list[dict], feats_m: list[dict],
+        options: dict | None = None) -> DataFrame:
+    """OGRLayer::Intersection with the option surface
+    (ogrlayer.cpp:3345): one result feature per intersecting (input,
+    method) pair, fields mapped through set_result_schema's prefix
+    rule, KEEP_LOWER_DIMENSION_GEOMETRIES filtering (drop when the
+    pair's dims are equal and the result dim is lower, :3540-3545) and
+    PROMOTE_TO_MULTI geometry wrapping.
+
+    Features: {"fid": int, "gtype": str, "coords": [[x, y], ...],
+    "fields": {...}}. Candidates come from a bbox cell equi-prejoin
+    (the ogrlayer.cpp:2253 staged filter); the exact per-pair kernel
+    runs grouped in pandas — same shape as intersection_features, so
+    the option semantics add no new shuffle."""
+    opts = {k.upper(): str(v).upper() for k, v in (options or {}).items()}
+    keep_lower = opts.get("KEEP_LOWER_DIMENSION_GEOMETRIES", "YES") == "YES"
+    promote = opts.get("PROMOTE_TO_MULTI", "NO") == "YES"
+    in_names = sorted({k for f in feats_in for k in f["fields"]})
+    m_names = sorted({k for f in feats_m for k in f["fields"]})
+    out_in, out_m = result_field_names(
+        in_names, m_names,
+        (options or {}).get("INPUT_PREFIX"),
+        (options or {}).get("METHOD_PREFIX"))
+
+    def rows(feats, fid_col):
+        return [(f["fid"], f["gtype"],
+                 [[float(x), float(y)] for x, y in f["coords"]])
+                for f in feats]
+
+    a = spark.createDataFrame(
+        rows(feats_in, "in_fid"),
+        "in_fid int, gt_a string, coords_a array<array<double>>")
+    b = spark.createDataFrame(
+        rows(feats_m, "m_fid"),
+        "m_fid int, gt_b string, coords_b array<array<double>>")
+
+    def bbox(df: DataFrame, coords: str, p: str) -> DataFrame:
+        return (df
+                .withColumn(f"{p}minx", F.expr(
+                    f"array_min(transform({coords}, q -> q[0]))"))
+                .withColumn(f"{p}maxx", F.expr(
+                    f"array_max(transform({coords}, q -> q[0]))"))
+                .withColumn(f"{p}miny", F.expr(
+                    f"array_min(transform({coords}, q -> q[1]))"))
+                .withColumn(f"{p}maxy", F.expr(
+                    f"array_max(transform({coords}, q -> q[1]))")))
+
+    cand = (
+        _with_cover_cells(bbox(a, "coords_a", "a"), "a").join(
+            _with_cover_cells(bbox(b, "coords_b", "b"), "b"), "cell")
+        .filter(F.expr("aminx <= bmaxx and bminx <= amaxx"
+                       " and aminy <= bmaxy and bminy <= amaxy"))
+        .dropDuplicates(["in_fid", "m_fid"])
+        .select("in_fid", "gt_a", "coords_a", "m_fid", "gt_b", "coords_b")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"in_fid": [], "m_fid": [], "gtype": [], "z_dim": [],
+               "n_pieces": [], "geom": []}
+        for _, r in pdf.iterrows():
+            res = _pair_intersection(r["gt_a"], list(r["coords_a"]),
+                                     r["gt_b"], list(r["coords_b"]))
+            if res is None:
+                continue
+            z_dim, gtype, pieces = res
+            x_dim = _geom_dim(r["gt_a"])
+            y_dim = _geom_dim(r["gt_b"])
+            # ogrlayer.cpp:3540: skip when dims equal and result lower
+            if not keep_lower and x_dim == y_dim and z_dim < x_dim:
+                continue
+            gname, blob = _dump_pieces(z_dim, gtype, pieces, promote)
+            out["in_fid"].append(int(r["in_fid"]))
+            out["m_fid"].append(int(r["m_fid"]))
+            out["gtype"].append(gname)
+            out["z_dim"].append(z_dim)
+            out["n_pieces"].append(len(pieces))
+            out["geom"].append(bytearray(blob))
+        return pd.DataFrame(out)
+
+    pieces = cand.groupBy("in_fid").applyInPandas(
+        kernel, "in_fid int, m_fid int, gtype string, z_dim int,"
+                " n_pieces int, geom binary")
+
+    # attribute mapping through the prefix rule (broadcast attr tables)
+    def attr_df(feats, names, out_names, key):
+        data = [tuple([f["fid"]] + [f["fields"].get(n) for n in names])
+                for f in feats]
+        cols = ", ".join(f"`{c}` string" for c in out_names)
+        sep = ", " if cols else ""
+        return spark.createDataFrame(
+            [tuple([d[0]] + [None if v is None else str(v)
+                             for v in d[1:]]) for d in data],
+            f"{key} int{sep}{cols}")
+
+    out = (pieces
+           .join(F.broadcast(attr_df(feats_in, in_names, out_in, "in_fid")),
+                 "in_fid")
+           .join(F.broadcast(attr_df(feats_m, m_names, out_m, "m_fid")),
+                 "m_fid"))
+    return out.select("in_fid", "m_fid", *out_in, *out_m,
+                      "gtype", "z_dim", "n_pieces", "geom")

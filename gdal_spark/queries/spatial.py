@@ -508,6 +508,111 @@ def _lineref_position_oracle():
             f" round(dist, 3) as dist from ({inner}) q")
 
 
+# --- layer-algebra option surface (ogrlayer.cpp:3290-3330 options;
+# fixtures + expected outputs ported from autotest/ogr/ogr_layer_algebra.py)
+
+_LA_A = [
+    {"fid": 1, "gtype": "POLYGON", "fields": {"A": 1},
+     "coords": [[1, 2], [1, 3], [3, 3], [3, 2], [1, 2]]},
+    {"fid": 2, "gtype": "POLYGON", "fields": {"A": 2},
+     "coords": [[5, 2], [5, 3], [7, 3], [7, 2], [5, 2]]},
+]
+_LA_B = [
+    {"fid": 1, "gtype": "POLYGON", "fields": {"B": "first"},
+     "coords": [[2, 1], [2, 4], [6, 4], [6, 1], [2, 1]]},
+]
+# test_algebra_KEEP_LOWER_DIMENSION_GEOMETRIES layers (corner-touching
+# rectangles + collinear endpoint-touching lines)
+_LA_T1 = [
+    {"fid": 1, "gtype": "POLYGON", "fields": {},
+     "coords": [[140, 360], [140, 480], [220, 480], [220, 360],
+                [140, 360]]},
+    {"fid": 2, "gtype": "LINESTRING", "fields": {},
+     "coords": [[0, 0], [1, 0]]},
+]
+_LA_T2 = [
+    {"fid": 1, "gtype": "POLYGON", "fields": {},
+     "coords": [[220, 260], [220, 360], [300, 360], [300, 260],
+                [220, 260]]},
+    {"fid": 2, "gtype": "LINESTRING", "fields": {},
+     "coords": [[1, 0], [2, 0]]},
+]
+# test_algebra_intersection_multipoint layers (crossing lines)
+_LA_X1 = [{"fid": 1, "gtype": "LINESTRING", "fields": {},
+           "coords": [[0, 0], [1, 1]]}]
+_LA_X2 = [{"fid": 1, "gtype": "LINESTRING", "fields": {},
+           "coords": [[0, 1], [1, 0]]}]
+
+
+def q_layer_algebra_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRLayer::Intersection option surface
+    (KEEP_LOWER_DIMENSION_GEOMETRIES / PROMOTE_TO_MULTI,
+    ogrlayer.cpp:3367-3403, 3540-3552): four option sets over the
+    ported autotest fixtures. The oracle pins the reference's own
+    expected outputs (autotest/ogr/ogr_layer_algebra.py
+    test_algebra_intersection_1/2, _multipoint,
+    test_algebra_KEEP_LOWER_DIMENSION_GEOMETRIES)."""
+    from gdal_spark.overlay_features import intersection_features_options
+
+    _ = sf_dir  # ported autotest layer fixtures
+
+    def run(optset: str, fa, fb, options):
+        df = intersection_features_options(spark, fa, fb, options)
+        a_attr = "cast(A as string)" if any(
+            f["fields"] for f in fa) else "cast(null as string)"
+        b_attr = "cast(B as string)" if any(
+            f["fields"] for f in fb) else "cast(null as string)"
+        return df.selectExpr(
+            f"'{optset}' as optset",
+            "cast(in_fid as int) as in_fid",
+            "cast(m_fid as int) as m_fid", "gtype",
+            "cast(z_dim as int) as z_dim",
+            "cast(n_pieces as int) as n_pieces",
+            f"{a_attr} as a_attr", f"{b_attr} as b_attr")
+
+    out = run("default", _LA_A, _LA_B, None)
+    out = out.unionByName(run(
+        "promote", _LA_A, _LA_B, {"PROMOTE_TO_MULTI": "YES"}))
+    out = out.unionByName(run(
+        "keep_yes", _LA_T1, _LA_T2,
+        {"KEEP_LOWER_DIMENSION_GEOMETRIES": "YES"}))
+    out = out.unionByName(run(
+        "keep_no", _LA_T1, _LA_T2,
+        {"KEEP_LOWER_DIMENSION_GEOMETRIES": "NO"}))
+    out = out.unionByName(run(
+        "promote_pt", _LA_X1, _LA_X2, {"PROMOTE_TO_MULTI": "YES"}))
+    return out
+
+
+def _layer_algebra_options_oracle() -> str:
+    # the reference's pinned expectations, row for row:
+    # - Intersection(A, B) -> two POLYGON features carrying (A, B)
+    # - PROMOTE_TO_MULTI -> the same two as MULTIPOLYGON
+    # - KEEP=YES on the touching layers -> two POINT features
+    #   (poly-corner touch + collinear line endpoint touch)
+    # - KEEP=NO -> zero features (equal input dims, lower result dim)
+    # - crossing lines + PROMOTE -> MULTIPOINT ((0.5 0.5))
+    rows = [
+        "('default', 1, 1, 'POLYGON', 2, 1, '1', 'first')",
+        "('default', 2, 1, 'POLYGON', 2, 1, '2', 'first')",
+        "('promote', 1, 1, 'MULTIPOLYGON', 2, 1, '1', 'first')",
+        "('promote', 2, 1, 'MULTIPOLYGON', 2, 1, '2', 'first')",
+        "('keep_yes', 1, 1, 'POINT', 0, 1, NULL, NULL)",
+        "('keep_yes', 2, 2, 'POINT', 0, 1, NULL, NULL)",
+        "('promote_pt', 1, 1, 'MULTIPOINT', 0, 1, NULL, NULL)",
+    ]
+    return (
+        "select optset, cast(in_fid as int) as in_fid,"
+        " cast(m_fid as int) as m_fid, gtype,"
+        " cast(z_dim as int) as z_dim,"
+        " cast(n_pieces as int) as n_pieces,"
+        " cast(a_attr as string) as a_attr,"
+        " cast(b_attr as string) as b_attr"
+        f" from (values {', '.join(rows)})"
+        " as t(optset, in_fid, m_fid, gtype, z_dim, n_pieces,"
+        " a_attr, b_attr)")
+
+
 QUERIES = {
     "lineref_pickets": q_lineref_pickets,
     "lineref_position": q_lineref_position,
@@ -524,6 +629,7 @@ QUERIES = {
     "streaming_stateful_totals": q_streaming_stateful,
     "streaming_dedup_urls": q_streaming_dedup,
     "layer_algebra_overlay": q_layer_overlay,
+    "layer_algebra_options": q_layer_algebra_options,
     "layer_algebra_identity_update": q_layer_identity_update,
     "layer_algebra_intersection_nonconvex": q_layer_intersection_nonconvex,
     "layer_algebra_union_features": q_layer_union_features,
@@ -636,6 +742,7 @@ select concat('https://site', doc_id % 100, '.example/p/', doc_id) as url,
 from documents
 """,
     "layer_algebra_overlay": _overlay_oracle(),
+    "layer_algebra_options": _layer_algebra_options_oracle(),
     "layer_algebra_identity_update": _identity_update_oracle(),
     "layer_algebra_intersection_nonconvex": _nonconvex_oracle(),
     "layer_algebra_union_features": __import__(

@@ -308,3 +308,102 @@ def test_sym_difference_features(spark):
     total_b = sum(G.polygon_area(z["rings"]) for z in defs_b)
     got = sum(multi_area(r["geom"]) for r in rows)
     assert got == pytest.approx(total_a + total_b - 2 * inter, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# option surface (ogrlayer.cpp:3290-3330): KEEP_LOWER_DIMENSION_GEOMETRIES,
+# PROMOTE_TO_MULTI, INPUT_PREFIX/METHOD_PREFIX — autotest cases ported from
+# autotest/ogr/ogr_layer_algebra.py
+# ---------------------------------------------------------------------------
+
+
+def test_result_field_names_prefix_rule():
+    """set_result_schema (ogrlayer.cpp:3077): explicit prefixes always
+    apply; otherwise only COLLIDING names get input_/method_."""
+    from gdal_spark.overlay_features import result_field_names
+
+    # autotest intersection_1 schema: A, input_same_in_both_layers,
+    # B, method_same_in_both_layers
+    got_in, got_m = result_field_names(
+        ["A", "same_in_both_layers"], ["B", "same_in_both_layers"])
+    assert got_in == ["A", "input_same_in_both_layers"]
+    assert got_m == ["B", "method_same_in_both_layers"]
+    got_in, got_m = result_field_names(
+        ["A"], ["B"], input_prefix="in_", method_prefix="m_")
+    assert got_in == ["in_A"] and got_m == ["m_B"]
+    # one explicit prefix disables the implicit-collision rule entirely
+    got_in, got_m = result_field_names(
+        ["x"], ["x"], input_prefix="i_")
+    assert got_in == ["i_x"] and got_m == ["x"]
+
+
+def test_intersection_options_prefixed_columns(spark):
+    """INPUT_PREFIX/METHOD_PREFIX become result column names."""
+    from gdal_spark.overlay_features import intersection_features_options
+
+    fa = [{"fid": 1, "gtype": "POLYGON", "fields": {"A": 1},
+           "coords": [[1, 2], [1, 3], [3, 3], [3, 2], [1, 2]]}]
+    fb = [{"fid": 1, "gtype": "POLYGON", "fields": {"B": "first"},
+           "coords": [[2, 1], [2, 4], [6, 4], [6, 1], [2, 1]]}]
+    df = intersection_features_options(
+        spark, fa, fb, {"INPUT_PREFIX": "in_", "METHOD_PREFIX": "m_"})
+    assert "in_A" in df.columns and "m_B" in df.columns
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["in_A"] == "1" and rows[0]["m_B"] == "first"
+    assert rows[0]["gtype"] == "POLYGON"
+
+
+def test_intersection_options_keep_lower_dim_autotest(spark):
+    """The exact autotest KEEP_LOWER_DIMENSION_GEOMETRIES expectation:
+    YES -> 2 features (both points), NO -> 0."""
+    from gdal_spark.overlay_features import intersection_features_options
+    from gdal_spark.queries.spatial import _LA_T1, _LA_T2
+
+    yes = intersection_features_options(
+        spark, _LA_T1, _LA_T2,
+        {"KEEP_LOWER_DIMENSION_GEOMETRIES": "YES"}).collect()
+    no = intersection_features_options(
+        spark, _LA_T1, _LA_T2,
+        {"KEEP_LOWER_DIMENSION_GEOMETRIES": "NO"}).collect()
+    assert len(yes) == 2 and all(r["gtype"] == "POINT" for r in yes)
+    assert len(no) == 0
+
+
+def test_intersection_options_promote_wkb_roundtrip(spark):
+    """PROMOTE_TO_MULTI wraps the WKB as Multi*: decode and check the
+    type code + the multipoint coordinate from the autotest case."""
+    import struct
+
+    from gdal_spark.overlay_features import intersection_features_options
+    from gdal_spark.queries.spatial import _LA_X1, _LA_X2
+
+    rows = intersection_features_options(
+        spark, _LA_X1, _LA_X2, {"PROMOTE_TO_MULTI": "YES"}).collect()
+    assert len(rows) == 1
+    blob = bytes(rows[0]["geom"])
+    # little-endian WKB: byte order, geom type 4 = MultiPoint
+    assert blob[0] == 1
+    assert struct.unpack("<I", blob[1:5])[0] == 4
+    n = struct.unpack("<I", blob[5:9])[0]
+    assert n == 1
+    # member point: header (1 + 4) then x, y
+    x, y = struct.unpack("<dd", blob[14:30])
+    assert (x, y) == (0.5, 0.5)
+
+
+def test_intersection_options_mixed_dim_pair_not_dropped(spark):
+    """KEEP=NO only drops when the INPUT dims are EQUAL and the result
+    is lower (ogrlayer.cpp:3540): a polygon x line pair yielding a
+    line must survive KEEP=NO (dims 2 vs 1 are not equal)."""
+    from gdal_spark.overlay_features import intersection_features_options
+
+    fa = [{"fid": 1, "gtype": "POLYGON", "fields": {},
+           "coords": [[1, 2], [1, 3], [3, 3], [3, 2], [1, 2]]}]
+    fb = [{"fid": 1, "gtype": "LINESTRING", "fields": {},
+           "coords": [[0, 2.5], [4, 2.5]]}]
+    rows = intersection_features_options(
+        spark, fa, fb,
+        {"KEEP_LOWER_DIMENSION_GEOMETRIES": "NO"}).collect()
+    assert len(rows) == 1
+    assert rows[0]["gtype"] == "LINESTRING" and rows[0]["z_dim"] == 1
