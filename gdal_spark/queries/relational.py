@@ -356,6 +356,63 @@ def q_execute_sql_division_typing(spark: SparkSession,
         {"lineitem": _t(spark, sf_dir, "lineitem")})
 
 
+def _poly_values_sql() -> str:
+    """The zones fixture as a DuckDB VALUES table (fid = iteration
+    order = zone_id; repr(area) round-trips the exact double)."""
+    from gdal_spark.zones import zones_rows
+
+    vals = ", ".join(
+        f"({r[0]}, {r[1]}, cast({r[2]!r} as double), '{r[3]}')"
+        for r in zones_rows())
+    return (f"(values {vals})"
+            f" as poly(fid, eas_id, ogr_geom_area, prfedea)")
+
+
+def q_execute_sql_orderby_special(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ORDER BY on special fields (autotest ogr_sql_test.py
+    test_ogr_sql_39/40: ORDER BY the float OGR_GEOM_AREA and the int
+    FID): the LIMIT makes the sort observable under the driver's
+    order-insensitive hash. OGR_GEOM_AREA derives from the layer's
+    area column (ogr_gensql.cpp special-field path)."""
+    from gdal_spark.sqlapi import execute_sql
+    from gdal_spark.zones import zones_df
+
+    _ = sf_dir  # poly.shp-shaped layer fixture
+    return execute_sql(
+        spark,
+        "SELECT FID, eas_id, OGR_GEOM_AREA FROM poly "
+        "ORDER BY OGR_GEOM_AREA DESC LIMIT 5",
+        {"poly": zones_df(spark)},
+        fid_order={"poly": "zone_id"}, area_cols={"poly": "area"})
+
+
+def q_execute_sql_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rfc28 arithmetic/quoting cases at the statement
+    level (autotest ogr_sql_rfc28.py rfc28_1/3/4/6/16): literal
+    arithmetic in WHERE (160+7 > eas_id), OGR '+' string concatenation
+    in WHERE, the '%' operator, double-quoted field names, and '3--1'
+    parsing as subtraction of a negative."""
+    from gdal_spark.sqlapi import execute_sql
+    from gdal_spark.zones import zones_df
+
+    _ = sf_dir  # poly.shp-shaped layer fixture
+    return execute_sql(
+        spark,
+        "SELECT '1' AS cid, prfedea AS val FROM poly "
+        "WHERE 160+7 > eas_id "
+        "UNION ALL SELECT '2' AS cid, prfedea AS val FROM poly "
+        "WHERE 'x'+prfedea = 'x35043407' "
+        "UNION ALL SELECT '3' AS cid, prfedea AS val FROM poly "
+        "WHERE eas_id % 5 = 1 "
+        "UNION ALL SELECT '4' AS cid, prfedea AS val FROM poly "
+        "WHERE \"eas_id\" = 166 "
+        "UNION ALL SELECT '5' AS cid, CAST(3--1 AS CHARACTER(10)) AS val "
+        "FROM poly WHERE eas_id = 158",
+        {"poly": zones_df(spark)},
+        fid_order={"poly": "zone_id"}, area_cols={"poly": "area"})
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (engine extension — absent from OGR SQL, SURVEY §2.3
     'Theta/range/as-of joins'): every purchase event joined to the most
@@ -441,6 +498,8 @@ QUERIES = {
     "ogrsql_execute_in_subquery": q_execute_sql_in_subquery,
     "ogrsql_execute_distinct_like": q_execute_sql_distinct_like,
     "ogrsql_execute_division_typing": q_execute_sql_division_typing,
+    "ogrsql_execute_orderby_special": q_execute_sql_orderby_special,
+    "ogrsql_execute_arith": q_execute_sql_arith,
     "sql_summary_record": q_summary_record,
     "sql_groupby_agg": q_groupby_agg,
     "sql_count_distinct": q_count_distinct,
@@ -544,6 +603,23 @@ select l_orderkey, l_linenumber,
        cast(trunc(l_quantity) as bigint) // l_linenumber as field_15
 from lineitem where l_orderkey < 200
 order by l_orderkey, l_linenumber
+""",
+    "ogrsql_execute_orderby_special": f"""
+select cast(fid as bigint) as fid, cast(eas_id as bigint) as eas_id,
+       ogr_geom_area
+from {_poly_values_sql()}
+order by ogr_geom_area desc limit 5
+""",
+    "ogrsql_execute_arith": f"""
+with poly as (select * from {_poly_values_sql()})
+select '1' as cid, prfedea as val from poly where 160+7 > eas_id
+union all select '2' as cid, prfedea as val from poly
+  where 'x' || prfedea = 'x35043407'
+union all select '3' as cid, prfedea as val from poly
+  where eas_id % 5 = 1
+union all select '4' as cid, prfedea as val from poly where eas_id = 166
+union all select '5' as cid, cast(3 - -1 as varchar) as val from poly
+  where eas_id = 158
 """,
     "sql_summary_record": """
 select min(l_quantity) as min_l_quantity, max(l_quantity) as max_l_quantity,

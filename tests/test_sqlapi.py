@@ -1267,3 +1267,30 @@ def test_rfc28_35_multiple_distinct_rejected(spark, poly):
     with pytest.raises(Exception):
         run(spark, "select distinct eas_id, distinct prfedea from poly",
             poly).collect()
+
+
+def test_max_of_geom_area_special_field(spark, poly):
+    # autotest ogr_sql_test.py::test_ogr_sql_38: MAX(OGR_GEOM_AREA)
+    # in summary mode (#4633)
+    r = run(spark, "SELECT MAX(OGR_GEOM_AREA) FROM poly", poly).collect()
+    assert len(r) == 1
+    from gdal_spark.zones import zones_rows
+    assert r[0][0] == max(z[2] for z in zones_rows())
+
+
+def test_order_by_geom_area_asc_first_row(spark, poly):
+    # autotest test_ogr_sql_39: ORDER BY the float special field ASC —
+    # the first feature is the smallest-area zone
+    rows = run(spark, "SELECT eas_id, OGR_GEOM_AREA FROM poly "
+                      "ORDER BY OGR_GEOM_AREA LIMIT 1", poly).collect()
+    from gdal_spark.zones import zones_rows
+    smallest = min(zones_rows(), key=lambda z: z[2])
+    assert rows[0][0] == smallest[1]
+
+
+def test_order_by_fid_desc(spark, poly):
+    # autotest test_ogr_sql_40: ORDER BY FID DESC — first row carries
+    # the highest FID
+    rows = run(spark, "SELECT FID, eas_id FROM poly "
+                      "ORDER BY FID DESC LIMIT 1", poly).collect()
+    assert rows[0][0] == poly.count() - 1
