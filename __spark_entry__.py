@@ -67,6 +67,7 @@ _PRIORITY = [
     "rgb2pct_dither_checksum", "reproject_osgb36_grid",
     "layer_algebra_options",
     "ogrsql_execute_orderby_special", "ogrsql_execute_arith",
+    "multimodal_decode_jpeg",
     # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
     "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "text_langid", "text_quality", "text_token_counts",

@@ -215,3 +215,427 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = rec
         prior = rec
     return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline JFIF (SOF0), pure numpy/stdlib (no libjpeg).
+#
+# Decoder parity target: frmts/jpeg/ in the reference (libjpeg's
+# baseline sequential path): segment parse (SOI/APP/DQT/SOF0/DHT/SOS/
+# DRI), canonical Huffman decode, dequantize, dezigzag, float IDCT,
+# level shift, and JFIF YCbCr->RGB for 3-component 4:4:4 scans.
+# Grayscale and 4:4:4 color are supported; subsampled (4:2:0) and
+# progressive scans raise — the documented codec seam narrows to
+# exactly those variants. The encoder exists so tests and contract
+# queries can synthesize deterministic payloads (Annex K Huffman
+# tables, unit quant by default); the decoder is the product surface.
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# JPEG Annex K.3 typical Huffman tables: (BITS counts per length 1..16,
+# HUFFVAL symbol list)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman code assignment (JPEG C.2): symbol ->
+    (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol, for the decoder."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+def _idct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_IDCT_A = _idct_matrix()
+
+
+def idct2(block: np.ndarray) -> np.ndarray:
+    """2-D 8x8 inverse DCT (spec A.3.3, float)."""
+    return _IDCT_A.T @ block @ _IDCT_A
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    """2-D 8x8 forward DCT (float; encoder side)."""
+    return _IDCT_A @ block @ _IDCT_A.T
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte boundary
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _enc_coeff_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_blocks(comps_blocks: list[list[np.ndarray]],
+                   dc_lut: dict, ac_lut: dict,
+                   restart_interval: int = 0) -> bytes:
+    """Entropy-code per-component block lists, interleaved one block
+    per component per MCU (4:4:4 / single-component order). With a
+    restart interval, emit RSTn markers every R MCUs and reset the DC
+    predictors (spec F.1.2.3 / B.2.4.4)."""
+    out = bytearray()
+    w = _BitWriter()
+    preds = [0] * len(comps_blocks)
+    n_mcu = len(comps_blocks[0])
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            out += w.flush()
+            w = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps_blocks)
+        for ci, blocks in enumerate(comps_blocks):
+            zz = blocks[m].reshape(-1)[ZIGZAG]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            s = _category(diff)
+            code, ln = dc_lut[s]
+            w.put(code, ln)
+            if s:
+                w.put(_enc_coeff_bits(diff, s), s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_lut[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_lut[(run << 4) | s]
+                w.put(code, ln)
+                w.put(_enc_coeff_bits(v, s), s)
+                run = 0
+            if run:
+                code, ln = ac_lut[0x00]  # EOB
+                w.put(code, ln)
+    out += w.flush()
+    return bytes(out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
+    Dimensions must be multiples of 8 (no partial-block replication —
+    fixture payloads are block-aligned). Default quant table is all
+    ones (lossless for DC-only content; tests also exercise full-AC
+    blocks against an independent transcription of the decode math)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    assert h % 8 == 0 and w % 8 == 0
+    q = np.ones(64, dtype=np.int64) if quant is None \
+        else np.asarray(quant, dtype=np.int64).reshape(-1)
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+    # quant table stored in zigzag order in DQT; natural-order matrix:
+    qnat = np.empty(64, dtype=np.int64)
+    qnat[ZIGZAG] = q
+    qnat = qnat.reshape(8, 8)
+    comps_blocks = []
+    for p in planes:
+        blocks = []
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = np.round(fdct2(blk) / qnat).astype(np.int64)
+                blocks.append(coef)
+        comps_blocks.append(blocks)
+    dc_lut = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lut = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    body = _encode_blocks(comps_blocks, dc_lut, ac_lut, restart_interval)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in q))  # DQT id 0
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # h=v=1 (4:4:4), qtable 0
+    out += _seg(0xC0, sof)  # SOF0 baseline
+    dht = bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    out += _seg(0xC4, dht)
+    dht = bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    out += _seg(0xC4, dht)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += body
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                # stuffed 0x00 follows data 0xFF (F.1.2.3)
+                if self.pos < len(self.data) and self.data[self.pos] == 0:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """DECODE_EXTEND (spec F.2.2.1)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_decode(r: "_BitReader", lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8.
+    Supports SOF0, 8-bit, 1 or 3 components at 4:4:4, DRI/RSTn restart
+    markers; progressive (SOF2) and subsampled scans raise (the codec
+    seam — libjpeg handles them in the reference)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], dict] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int]] = []  # (comp id, sampling, qtable)
+    restart_interval = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG header stream")
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker sync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        ln = struct.unpack_from(">H", data, pos)[0]
+        if pos + ln > len(data):
+            raise ValueError("truncated JPEG segment")
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                q = np.frombuffer(payload, np.uint8, 64, p + 1) \
+                    .astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = q
+                qtables[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported")
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + ci * 3:9 + ci * 3]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-4:4:4) unsupported")
+                comps.append((cid, samp, tq))
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                hufftables[(tc, th)] = _huff_lut(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = payload[1 + ci * 2], payload[2 + ci * 2]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos += ln
+            return _decode_scan(data, pos, h, w, comps, scan, qtables,
+                                hufftables, restart_interval)
+        pos += ln
+    raise ValueError("JPEG has no SOS segment")
+
+
+def _decode_scan(data, pos, h, w, comps, scan, qtables, hufftables,
+                 restart_interval):
+    nc = len(comps)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    r = _BitReader(data[pos:])
+    preds = [0] * nc
+    mcu = 0
+    n_mcu = bw * bh
+    while mcu < n_mcu:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # discard pad bits, consume the byte-aligned RSTn marker,
+            # reset DC predictors (spec E.2.4 / F.2.1.3.1)
+            r.n = 0
+            if not (r.pos + 1 < len(r.data) and r.data[r.pos] == 0xFF
+                    and 0xD0 <= r.data[r.pos + 1] <= 0xD7):
+                raise ValueError("expected RSTn at restart interval")
+            r.pos += 2
+            preds = [0] * nc
+        by, bx = divmod(mcu, bw)
+        for ci in range(nc):
+            _, dc_id, ac_id = scan[ci]
+            dc_lut = hufftables[(0, dc_id)]
+            ac_lut = hufftables[(1, ac_id)]
+            q = qtables[comps[ci][2]]
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_decode(r, dc_lut)
+            diff = _extend(r.bits(s), s) if s else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(r, ac_lut)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("AC run exceeds block")
+                zz[k] = _extend(r.bits(s), s)
+                k += 1
+            coef = np.empty(64, dtype=np.int64)
+            coef[ZIGZAG] = zz
+            blk = idct2((coef.reshape(8, 8) * q).astype(np.float64)) + 128.0
+            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+        mcu += 1
+    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    if nc == 1:
+        return planes[0].astype(np.uint8)
+    if nc != 3:
+        raise NotImplementedError("JPEG component counts other than 1/3")
+    y, cb, cr = planes
+    r_ = np.round(y + 1.402 * (cr - 128.0))
+    g_ = np.round(y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0))
+    b_ = np.round(y + 1.772 * (cb - 128.0))
+    out = np.stack([r_, g_, b_], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)

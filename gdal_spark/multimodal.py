@@ -64,10 +64,16 @@ def decode_real(payload: bytes) -> dict:
         return {"format": "audio/wav", "width": len(samples),
                 "height": 1, "rate": rate,
                 "values": samples.astype(np.int64)}
+    if b[:2] == b"\xff\xd8":
+        px = C.decode_jpeg(b)
+        return {"format": "image/jpeg", "width": px.shape[1],
+                "height": px.shape[0], "rate": 0,
+                "values": px.reshape(-1).astype(np.int64)}
     raise NotImplementedError(
         "real multimodal decode for this format requires codec "
-        "libraries not present in this environment (BMP/PNG/WAV are "
-        "decoded natively; see gdal_spark.codecs)")
+        "libraries not present in this environment (BMP/PNG/WAV and "
+        "baseline JFIF are decoded natively — see gdal_spark.codecs; "
+        "the remaining seam is progressive/subsampled JPEG and video)")
 
 
 DECODE_REAL_SCHEMA = (
@@ -169,6 +175,46 @@ def synth_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     s = ((did * 7 + np.arange(n, dtype=np.int64) * 13)
                          % 4096 - 2048).astype(np.int16)
                     payloads.append(C.encode_wav(s, rate))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
+def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JFIF fixture payloads: every id becomes a
+    REAL encoded JPEG (gdal_spark.codecs.encode_jpeg — Annex K Huffman
+    tables, unit quant). Content is constant per 8x8 block, which a
+    DC-only scan reproduces EXACTLY through the lossy pipeline (unit
+    quant keeps the DC coefficient integral and the IDCT of a DC-only
+    block is flat), so the DuckDB oracle can state the decoded
+    statistics arithmetically while the engine path exercises the full
+    entropy-decode + dequant + IDCT (+ YCbCr for the 3-component half).
+
+    Content contract (mirrored by the oracle SQL):
+      bw = 2 + id%4 and bh = 1 + id%3 blocks -> w = 8*bw, h = 8*bh
+      block k (row-major) value = (id*31 + k*17) % 256
+      id%2 == 0 -> grayscale (1 component); else grey RGB (4:4:4)
+    """
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                bw, bh = 2 + did % 4, 1 + did % 3
+                a = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+                for k in range(bw * bh):
+                    by, bx = divmod(k, bw)
+                    a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                        (did * 31 + k * 17) % 256
+                if did % 2:
+                    a = np.repeat(a[:, :, None], 3, axis=2)
+                payloads.append(C.encode_jpeg(a))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

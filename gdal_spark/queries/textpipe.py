@@ -449,6 +449,41 @@ def q_multimodal_decode_real(spark: SparkSession,
     return decode_real_stats(synth_payloads(docs.select("doc_id")))
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode (VERDICT r4 next-#4, frmts/jpeg/ in the
+    reference): synthesize a REAL baseline-JFIF file per doc_id
+    (Annex K Huffman tables, unit quant, constant-per-block content —
+    exact through the lossy pipeline) and decode it back through the
+    pure-numpy codec (entropy decode + dequant + IDCT + YCbCr for the
+    3-component half). The oracle states the decoded statistics
+    arithmetically from the content contract, so any codec bug on
+    either side of the round-trip breaks the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_jpeg_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_real_stats(synth_jpeg_payloads(docs.select("doc_id")))
+
+
+def _multimodal_decode_jpeg_oracle() -> str:
+    bw, bh = "(2 + doc_id % 4)", "(1 + doc_id % 3)"
+    ncomp = "(case when doc_id % 2 = 0 then 1 else 3 end)"
+    return f"""
+select doc_id,
+  'image/jpeg' as format,
+  cast({bw} * 8 as bigint) as width,
+  cast({bh} * 8 as bigint) as height,
+  cast(0 as bigint) as rate,
+  cast({bw} * {bh} * 64 * {ncomp} as bigint) as n_vals,
+  cast((doc_id * 31) % 256 as bigint) as val_first,
+  cast(list_sum(list_transform(range(0, {bw} * {bh}),
+                               k -> (doc_id * 31 + k * 17) % 256))
+       * 64 * {ncomp} as bigint) as val_sum
+from documents
+"""
+
+
 def _multimodal_decode_real_oracle() -> str:
     img = "doc_id % 3 < 2"
     w, h = "(4 + doc_id % 13)", "(3 + doc_id % 11)"
@@ -567,6 +602,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "text_tfidf_topterms": q_text_tfidf_topterms,
 }
 
@@ -610,6 +646,7 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_resize": _multimodal_resize_oracle(),
     "multimodal_frame_sample": _multimodal_frames_oracle(),
     "multimodal_decode_real": _multimodal_decode_real_oracle(),
+    "multimodal_decode_jpeg": _multimodal_decode_jpeg_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
 }

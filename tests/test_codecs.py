@@ -131,8 +131,10 @@ def test_decode_real_dispatch_and_unknown_format():
     d = decode_real(C.encode_wav(np.array([1, -2, 3], np.int16), 8000))
     assert d["format"] == "audio/wav" and d["rate"] == 8000
     assert list(d["values"]) == [1, -2, 3]
+    # JPEG is now natively decoded (round 5) — the remaining
+    # codec-bound seam is video containers
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0 jpeg soi")  # codec-bound format
+        decode_real(b"\x00\x00\x00\x18ftypmp42 video")
 
 
 def test_decode_rejects_malformed():
@@ -141,3 +143,114 @@ def test_decode_rejects_malformed():
                      b"\x00" * 20)
     with pytest.raises(ValueError):
         C.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline JFIF (frmts/jpeg parity; pure numpy, no libjpeg)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+from gdal_spark.codecs import (ZIGZAG, decode_jpeg, encode_jpeg, fdct2,
+                               idct2)
+
+
+def _expected_gray(a: np.ndarray, q: np.ndarray | None = None):
+    """Independent statement of the decode math: per block,
+    clamp(round(idct(round(fdct(x - 128) / q) * q) + 128))."""
+    h, w = a.shape
+    if q is None:
+        qnat = np.ones((8, 8), dtype=np.int64)
+    else:
+        qnat = np.empty(64, dtype=np.int64)
+        qnat[ZIGZAG] = np.asarray(q).reshape(-1)
+        qnat = qnat.reshape(8, 8)
+    exp = np.zeros_like(a)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = a[by*8:by*8+8, bx*8:bx*8+8].astype(np.float64) - 128.0
+            coef = np.round(fdct2(blk) / qnat)
+            rec = np.clip(np.round(idct2(coef * qnat) + 128.0), 0, 255)
+            exp[by*8:by*8+8, bx*8:bx*8+8] = rec.astype(np.uint8)
+    return exp
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """DC-only content with unit quant survives the lossy pipeline
+    bit-exactly (the contract-query content class)."""
+    a = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            a[by*8:by*8+8, bx*8:bx*8+8] = (by * 3 + bx) * 37 % 256
+    assert (decode_jpeg(encode_jpeg(a)) == a).all()
+    rgb = np.repeat(a[:, :, None], 3, axis=2)
+    assert (decode_jpeg(encode_jpeg(rgb)) == rgb).all()
+
+
+def test_jpeg_general_content_matches_independent_math():
+    """Random full-AC blocks: the byte-level huffman round-trip must
+    reproduce the independent transcription of dequant+IDCT exactly
+    (this pins entropy coding, zigzag, byte stuffing, EOB/ZRL)."""
+    rng = np.random.RandomState(11)
+    for _ in range(25):
+        h, w = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+        a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg(a)) == _expected_gray(a)).all()
+
+
+def test_jpeg_quant_table_roundtrip():
+    rng = np.random.RandomState(5)
+    q = np.arange(1, 65, dtype=np.int64)
+    a = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg(a, quant=q))
+            == _expected_gray(a, q)).all()
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: predictors reset at every interval and the marker
+    bytes are consumed; output equals the unrestarted stream's."""
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, (16, 40)).astype(np.uint8)  # 10 MCUs
+    plain = decode_jpeg(encode_jpeg(a))
+    for ri in (1, 2, 3, 7):
+        with_rst = decode_jpeg(encode_jpeg(a, restart_interval=ri))
+        assert (with_rst == plain).all()
+
+
+def test_jpeg_color_ycbcr_is_bounded_and_grey_exact():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(a))
+    assert d.shape == a.shape
+    # unit quant: error only from YCbCr rounding, tightly bounded
+    assert int(np.abs(d.astype(int) - a.astype(int)).max()) <= 12
+    grey = np.repeat(rng.randint(0, 256, (8, 8, 1)), 3, axis=2) \
+        .astype(np.uint8)
+    # constant grey blocks: Cb=Cr=128 exactly -> lossless
+    g2 = np.repeat(grey[:1, :1], 8, axis=0).repeat(8, axis=1)
+    assert (decode_jpeg(encode_jpeg(g2)) == g2).all()
+
+
+def test_jpeg_unsupported_variants_raise():
+    a = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(a))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must raise
+    i = blob.find(b"\xFF\xC0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(a)[:-20] )  # truncated entropy stream
+
+
+def test_jpeg_dispatches_through_decode_real():
+    from gdal_spark.multimodal import decode_real
+
+    a = np.full((8, 16), 77, dtype=np.uint8)
+    d = decode_real(encode_jpeg(a))
+    assert d["format"] == "image/jpeg"
+    assert (d["width"], d["height"], d["rate"]) == (16, 8, 0)
+    assert d["values"].sum() == 77 * 16 * 8
