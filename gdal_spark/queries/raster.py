@@ -971,11 +971,17 @@ def q_rgb2pct_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented in gdal_spark.mediancut. Per-image index checksum +
     distinct-index count; oracle = pinned rows from an independent
     scalar transcription of the reference loop."""
-    from gdal_spark.dither import dither_rgb2pct
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.dither import build_colormap_5bit, dither_image
     from gdal_spark.raster import CHECKSUM_PRIMES
 
     _ = sf_dir  # deterministic synthetic RGB fixture
     palette = _pct_oracle_palette()
+    pal = _np.asarray(palette, dtype=_np.int64)
+    cmap = build_colormap_5bit(palette)
+    primes = CHECKSUM_PRIMES.copy()
     pixels = (spark.range(_PCT_SIDE * _PCT_SIDE, numPartitions=16)
               .selectExpr(f"id % {_PCT_SIDE} as gx",
                           f"id DIV {_PCT_SIDE} as gy")
@@ -988,17 +994,30 @@ def q_rgb2pct_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
                   f"cast(gx % {_DIT_IMG} as int) as x",
                   "cast(r as int) as r", "cast(g as int) as g",
                   "cast(b as int) as b"))
-    idx = dither_rgb2pct(pixels, palette)
-    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
-    prime = (f"element_at(array({primes}),"
-             f" cast((y * {_DIT_IMG} + x) % 11 + 1 as int))")
-    return (idx.groupBy("img_id")
-            .agg(F.expr(f"cast(sum(idx % {prime}) % 65536 as bigint)")
-                 .alias("cs_idx"),
-                 F.expr("cast(count(distinct idx) as bigint)")
-                 .alias("n_idx"))
-            .selectExpr("cast(img_id as bigint) as img_id",
-                        "cs_idx", "n_idx"))
+
+    # stats reduce INSIDE the per-image kernel (one row out per image)
+    # so the only shuffle is the groupBy(img_id) feeding the kernel —
+    # a second checksum groupBy would re-shuffle rows the kernel
+    # already holds grouped (plan audit: 3 Exchanges -> 1).
+    def kernel(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(["y", "x"])
+        h = int(pdf["y"].max()) + 1
+        w = int(pdf["x"].max()) + 1
+        rgb = _np.stack([pdf["r"].to_numpy(), pdf["g"].to_numpy(),
+                         pdf["b"].to_numpy()], axis=1) \
+            .astype(_np.uint8).reshape(h, w, 3)
+        idx = dither_image(rgb, pal, cmap).ravel().astype(_np.int64)
+        pos = _np.arange(idx.size, dtype=_np.int64) % 11
+        cs = int((idx % primes[pos]).sum() % 65536)
+        return _pd.DataFrame({
+            "img_id": [int(pdf["img_id"].iloc[0])],
+            "cs_idx": [cs],
+            "n_idx": [int(_np.unique(idx).size)],
+        })
+
+    return (pixels.groupBy("img_id")
+            .applyInPandas(kernel,
+                           "img_id long, cs_idx long, n_idx long"))
 
 
 def _rgb2pct_dither_oracle() -> str:
