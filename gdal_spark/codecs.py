@@ -223,9 +223,10 @@ def decode_png(data: bytes) -> np.ndarray:
 # Decoder parity target: frmts/jpeg/ in the reference (libjpeg's
 # baseline sequential path): segment parse (SOI/APP/DQT/SOF0/DHT/SOS/
 # DRI), canonical Huffman decode, dequantize, dezigzag, float IDCT,
-# level shift, and JFIF YCbCr->RGB for 3-component 4:4:4 scans.
-# Grayscale and 4:4:4 color are supported; subsampled (4:2:0) and
-# progressive scans raise — the documented codec seam narrows to
+# level shift, and JFIF YCbCr->RGB. Grayscale, 4:4:4 color, and 4:2:0
+# color (box-mean chroma downsample on encode, replication upsample on
+# decode — libjpeg's non-fancy path) are supported; progressive scans
+# and other samplings raise — the documented codec seam narrows to
 # exactly those variants. The encoder exists so tests and contract
 # queries can synthesize deterministic payloads (Annex K Huffman
 # tables, unit quant by default); the decoder is the product surface.
@@ -337,27 +338,45 @@ def _enc_coeff_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_blocks(comps_blocks: list[list[np.ndarray]],
+def _mcu_block_order(samps: list[tuple[int, int]], mcu_w: int,
+                     mcu_h: int):
+    """Yield (mcu_index, comp_index, block_y, block_x) in interleaved
+    scan order (spec A.2.3): per MCU, each component contributes its
+    v_i x h_i data units row-major."""
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            m = my * mcu_w + mx
+            for ci, (hi, vi) in enumerate(samps):
+                for dv in range(vi):
+                    for dh in range(hi):
+                        yield m, ci, my * vi + dv, mx * hi + dh
+
+
+def _encode_blocks(comp_grids: list[list[list[np.ndarray]]],
+                   samps: list[tuple[int, int]], mcu_w: int, mcu_h: int,
                    dc_lut: dict, ac_lut: dict,
                    restart_interval: int = 0) -> bytes:
-    """Entropy-code per-component block lists, interleaved one block
-    per component per MCU (4:4:4 / single-component order). With a
-    restart interval, emit RSTn markers every R MCUs and reset the DC
+    """Entropy-code per-component coefficient-block grids in
+    interleaved MCU order (general sampling factors: 4:4:4 is 1x1 per
+    component, 4:2:0 is 2x2 luma + 1x1 chroma). With a restart
+    interval, emit RSTn markers every R MCUs and reset the DC
     predictors (spec F.1.2.3 / B.2.4.4)."""
     out = bytearray()
     w = _BitWriter()
-    preds = [0] * len(comps_blocks)
-    n_mcu = len(comps_blocks[0])
+    preds = [0] * len(comp_grids)
     rst = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
+    last_m = 0
+    for m, ci, by, bx in _mcu_block_order(samps, mcu_w, mcu_h):
+        if restart_interval and m != last_m and \
+                m % restart_interval == 0:
             out += w.flush()
             w = _BitWriter()
             out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) & 7
-            preds = [0] * len(comps_blocks)
-        for ci, blocks in enumerate(comps_blocks):
-            zz = blocks[m].reshape(-1)[ZIGZAG]
+            preds = [0] * len(comp_grids)
+        last_m = m
+        if True:
+            zz = comp_grids[ci][by][bx].reshape(-1)[ZIGZAG]
             diff = int(zz[0]) - preds[ci]
             preds[ci] = int(zz[0])
             s = _category(diff)
@@ -393,15 +412,25 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
-    Dimensions must be multiples of 8 (no partial-block replication —
-    fixture payloads are block-aligned). Default quant table is all
-    ones (lossless for DC-only content; tests also exercise full-AC
-    blocks against an independent transcription of the decode math)."""
+    subsampling: "444" (every component full resolution) or "420"
+    (2x2 luma + box-mean-downsampled chroma; dimensions must then be
+    multiples of 16, else of 8 — no partial-MCU replication, fixture
+    payloads are aligned). Default quant table is all ones (lossless
+    for DC-only content; tests also exercise full-AC blocks against an
+    independent transcription of the decode math)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    assert h % 8 == 0 and w % 8 == 0
+    if gray:
+        subsampling = "444"
+    if subsampling == "420":
+        assert h % 16 == 0 and w % 16 == 0
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        assert h % 8 == 0 and w % 8 == 0
+        samps = [(1, 1)] * (1 if gray else 3)
     q = np.ones(64, dtype=np.int64) if quant is None \
         else np.asarray(quant, dtype=np.int64).reshape(-1)
     if gray:
@@ -416,22 +445,34 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
             np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
         ]
         planes = [np.clip(p, 0, 255) for p in planes]
+        if subsampling == "420":
+            # 2x2 box-mean chroma downsample (libjpeg h2v2 downsample)
+            for ci in (1, 2):
+                p = planes[ci]
+                planes[ci] = np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2]
+                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
     # quant table stored in zigzag order in DQT; natural-order matrix:
     qnat = np.empty(64, dtype=np.int64)
     qnat[ZIGZAG] = q
     qnat = qnat.reshape(8, 8)
-    comps_blocks = []
+    comp_grids = []
     for p in planes:
-        blocks = []
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                coef = np.round(fdct2(blk) / qnat).astype(np.int64)
-                blocks.append(coef)
-        comps_blocks.append(blocks)
+        ph, pw = p.shape
+        grid = [[np.round(fdct2(p[by * 8:by * 8 + 8,
+                                  bx * 8:bx * 8 + 8] - 128.0)
+                          / qnat).astype(np.int64)
+                 for bx in range(pw // 8)]
+                for by in range(ph // 8)]
+        comp_grids.append(grid)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_w = w // (8 * hmax)
+    mcu_h = h // (8 * vmax)
     dc_lut = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_lut = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
-    body = _encode_blocks(comps_blocks, dc_lut, ac_lut, restart_interval)
+    body = _encode_blocks(comp_grids, samps, mcu_w, mcu_h,
+                          dc_lut, ac_lut, restart_interval)
 
     out = bytearray(b"\xFF\xD8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -441,7 +482,8 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])  # h=v=1 (4:4:4), qtable 0
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # qtable 0
     out += _seg(0xC0, sof)  # SOF0 baseline
     dht = bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
     out += _seg(0xC4, dht)
@@ -505,9 +547,10 @@ def _huff_decode(r: "_BitReader", lut: dict) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8.
-    Supports SOF0, 8-bit, 1 or 3 components at 4:4:4, DRI/RSTn restart
-    markers; progressive (SOF2) and subsampled scans raise (the codec
-    seam — libjpeg handles them in the reference)."""
+    Supports SOF0, 8-bit, 1 or 3 components at 4:4:4 or 4:2:0
+    (replication chroma upsample), DRI/RSTn restart markers;
+    progressive (SOF2) and other samplings raise (the codec seam —
+    libjpeg handles them in the reference)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -551,10 +594,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit JPEG supported")
             for ci in range(nc):
                 cid, samp, tq = payload[6 + ci * 3:9 + ci * 3]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (non-4:4:4) unsupported")
                 comps.append((cid, samp, tq))
+            sampset = [(c[1] >> 4, c[1] & 15) for c in comps]
+            if not (all(s == (1, 1) for s in sampset)
+                    or (len(sampset) == 3
+                        and sampset == [(2, 2), (1, 1), (1, 1)])):
+                raise NotImplementedError(
+                    "only 4:4:4 and 4:2:0 JPEG sampling supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -582,14 +628,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, pos, h, w, comps, scan, qtables, hufftables,
                  restart_interval):
     nc = len(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    samps = [((c[1] >> 4), (c[1] & 15)) for c in comps]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component plane at ITS resolution, padded to whole MCUs
+    planes = [np.zeros((mcu_h * vi * 8, mcu_w * hi * 8))
+              for hi, vi in samps]
     r = _BitReader(data[pos:])
     preds = [0] * nc
-    mcu = 0
-    n_mcu = bw * bh
-    while mcu < n_mcu:
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    n_mcu = mcu_w * mcu_h
+    last_m = 0
+    for m, ci, by, bx in _mcu_block_order(samps, mcu_w, mcu_h):
+        if restart_interval and m != last_m and \
+                m % restart_interval == 0:
             # discard pad bits, consume the byte-aligned RSTn marker,
             # reset DC predictors (spec E.2.4 / F.2.1.3.1)
             r.n = 0
@@ -598,37 +651,42 @@ def _decode_scan(data, pos, h, w, comps, scan, qtables, hufftables,
                 raise ValueError("expected RSTn at restart interval")
             r.pos += 2
             preds = [0] * nc
-        by, bx = divmod(mcu, bw)
-        for ci in range(nc):
-            _, dc_id, ac_id = scan[ci]
-            dc_lut = hufftables[(0, dc_id)]
-            ac_lut = hufftables[(1, ac_id)]
-            q = qtables[comps[ci][2]]
-            zz = np.zeros(64, dtype=np.int64)
-            s = _huff_decode(r, dc_lut)
-            diff = _extend(r.bits(s), s) if s else 0
-            preds[ci] += diff
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(r, ac_lut)
-                rr, s = rs >> 4, rs & 15
-                if s == 0:
-                    if rr == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rr
-                if k > 63:
-                    raise ValueError("AC run exceeds block")
-                zz[k] = _extend(r.bits(s), s)
-                k += 1
-            coef = np.empty(64, dtype=np.int64)
-            coef[ZIGZAG] = zz
-            blk = idct2((coef.reshape(8, 8) * q).astype(np.float64)) + 128.0
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-        mcu += 1
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+        last_m = m
+        _, dc_id, ac_id = scan[ci]
+        dc_lut = hufftables[(0, dc_id)]
+        ac_lut = hufftables[(1, ac_id)]
+        q = qtables[comps[ci][2]]
+        zz = np.zeros(64, dtype=np.int64)
+        s = _huff_decode(r, dc_lut)
+        diff = _extend(r.bits(s), s) if s else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, ac_lut)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("AC run exceeds block")
+            zz[k] = _extend(r.bits(s), s)
+            k += 1
+        coef = np.empty(64, dtype=np.int64)
+        coef[ZIGZAG] = zz
+        blk = idct2((coef.reshape(8, 8) * q).astype(np.float64)) + 128.0
+        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    _ = n_mcu
+    # upsample subsampled components by pixel replication (libjpeg's
+    # "simple" h2v2 upsampler, DO_FANCY_UPSAMPLING=FALSE) and crop
+    planes = [
+        np.clip(np.round(
+            np.repeat(np.repeat(p, vmax // samps[i][1], axis=0),
+                      hmax // samps[i][0], axis=1)[:h, :w]), 0, 255)
+        for i, p in enumerate(planes)]
     if nc == 1:
         return planes[0].astype(np.uint8)
     if nc != 3:

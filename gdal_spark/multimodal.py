@@ -195,9 +195,12 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     entropy-decode + dequant + IDCT (+ YCbCr for the 3-component half).
 
     Content contract (mirrored by the oracle SQL):
-      bw = 2 + id%4 and bh = 1 + id%3 blocks -> w = 8*bw, h = 8*bh
+      id%4 == 1 -> 4 x 2 blocks (w=32, h=16; 16-aligned for 4:2:0);
+      otherwise bw = 2 + id%4, bh = 1 + id%3 blocks (w=8*bw, h=8*bh)
       block k (row-major) value = (id*31 + k*17) % 256
-      id%2 == 0 -> grayscale (1 component); else grey RGB (4:4:4)
+      id%2 == 0 -> grayscale; id%4 == 3 -> grey RGB 4:4:4;
+      id%4 == 1 -> grey RGB 4:2:0 (constant 128 chroma stays exact
+      through the box-downsample + replication-upsample pipeline)
     """
     from gdal_spark import codecs as C
 
@@ -206,7 +209,10 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids_, payloads = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                bw, bh = 2 + did % 4, 1 + did % 3
+                if did % 4 == 1:
+                    bw, bh, sub = 4, 2, "420"
+                else:
+                    bw, bh, sub = 2 + did % 4, 1 + did % 3, "444"
                 a = np.empty((bh * 8, bw * 8), dtype=np.uint8)
                 for k in range(bw * bh):
                     by, bx = divmod(k, bw)
@@ -214,7 +220,7 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         (did * 31 + k * 17) % 256
                 if did % 2:
                     a = np.repeat(a[:, :, None], 3, axis=2)
-                payloads.append(C.encode_jpeg(a))
+                payloads.append(C.encode_jpeg(a, subsampling=sub))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

@@ -467,7 +467,9 @@ def q_multimodal_decode_jpeg(spark: SparkSession,
 
 
 def _multimodal_decode_jpeg_oracle() -> str:
-    bw, bh = "(2 + doc_id % 4)", "(1 + doc_id % 3)"
+    # id%4 == 1 -> the 4x2-block 4:2:0 fixture; else the 444/gray shape
+    bw = "(case when doc_id % 4 = 1 then 4 else 2 + doc_id % 4 end)"
+    bh = "(case when doc_id % 4 = 1 then 2 else 1 + doc_id % 3 end)"
     ncomp = "(case when doc_id % 2 = 0 then 1 else 3 end)"
     return f"""
 select doc_id,

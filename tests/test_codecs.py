@@ -254,3 +254,77 @@ def test_jpeg_dispatches_through_decode_real():
     assert d["format"] == "image/jpeg"
     assert (d["width"], d["height"], d["rate"]) == (16, 8, 0)
     assert d["values"].sum() == 77 * 16 * 8
+
+
+def test_jpeg_420_grey_blocks_roundtrip_exactly():
+    """4:2:0, grey constant-per-block content: Y blocks are DC-only and
+    the chroma planes are constant 128 through the box downsample +
+    replication upsample — bit-exact round trip."""
+    a = np.zeros((32, 48), dtype=np.uint8)
+    for by in range(4):
+        for bx in range(6):
+            a[by*8:by*8+8, bx*8:bx*8+8] = (by * 6 + bx) * 41 % 256
+    rgb = np.repeat(a[:, :, None], 3, axis=2)
+    assert (decode_jpeg(encode_jpeg(rgb, subsampling="420")) == rgb).all()
+
+
+def test_jpeg_420_general_color_matches_independent_math():
+    """Random color at 4:2:0: the byte-level round trip equals the
+    independent statement of the full pipeline (RGB->YCbCr rounding,
+    box chroma downsample, per-plane DCT round trip, replication
+    upsample, YCbCr->RGB)."""
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 256, (16, 32, 3)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(a, subsampling="420"))
+
+    r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+    y = np.clip(np.round(0.299*r + 0.587*g + 0.114*b), 0, 255)
+    cb = np.clip(np.round(128.0 - 0.168735892*r - 0.331264108*g + 0.5*b),
+                 0, 255)
+    cr = np.clip(np.round(128.0 + 0.5*r - 0.418687589*g - 0.081312411*b),
+                 0, 255)
+    cb = np.round((cb[0::2, 0::2] + cb[0::2, 1::2]
+                   + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0)
+    cr = np.round((cr[0::2, 0::2] + cr[0::2, 1::2]
+                   + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0)
+
+    def rt(p):
+        out = np.zeros_like(p)
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by*8:by*8+8, bx*8:bx*8+8] - 128.0
+                out[by*8:by*8+8, bx*8:bx*8+8] = \
+                    idct2(np.round(fdct2(blk))) + 128.0
+        return np.clip(np.round(out), 0, 255)
+
+    y2, cb2, cr2 = rt(y), rt(cb), rt(cr)
+    cb2 = np.repeat(np.repeat(cb2, 2, axis=0), 2, axis=1)
+    cr2 = np.repeat(np.repeat(cr2, 2, axis=0), 2, axis=1)
+    exp_r = np.clip(np.round(y2 + 1.402 * (cr2 - 128.0)), 0, 255)
+    exp_g = np.clip(np.round(y2 - 0.344136286 * (cb2 - 128.0)
+                             - 0.714136286 * (cr2 - 128.0)), 0, 255)
+    exp_b = np.clip(np.round(y2 + 1.772 * (cb2 - 128.0)), 0, 255)
+    exp = np.stack([exp_r, exp_g, exp_b], axis=-1).astype(np.uint8)
+    assert (got == exp).all()
+
+
+def test_jpeg_420_restart_markers_match_plain():
+    rng = np.random.RandomState(6)
+    a = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(a, subsampling="420"))
+    for ri in (1, 3):
+        assert (decode_jpeg(encode_jpeg(a, subsampling="420",
+                                        restart_interval=ri))
+                == plain).all()
+
+
+def test_jpeg_422_still_raises():
+    """4:2:2 remains in the documented seam: craft a 2x1-sampling SOF
+    and expect the explicit NotImplementedError."""
+    a = np.zeros((16, 16, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(a))
+    i = blob.find(b"\xFF\xC0")
+    # component 1 sampling byte sits at SOF payload offset 7
+    blob[i + 4 + 7] = 0x21  # h=2, v=1 -> 4:2:2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
