@@ -59,6 +59,10 @@ HEADLINE = [
     # round-4 operators
     "warp_approx_webmercator",
     "multimodal_decode_real",
+    # round-5 operators
+    "multimodal_decode_jpeg",
+    "rgb2pct_dither_checksum",
+    "reproject_osgb36_grid",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -158,8 +158,9 @@ def main() -> None:
         print(f"levels {n_low}/{n_high}: median {effs[len(effs) // 2]} "
               f"best {effs[-1]} worst {effs[0]}", flush=True)
     suffix = "_swap" if swap else ""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r5")
     path = os.path.join(REPO, "BENCH",
-                        f"scaling_concurrent_r4{suffix}.json")
+                        f"scaling_concurrent_{rnd}{suffix}.json")
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print("WROTE", path)

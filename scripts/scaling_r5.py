@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Round-5 scaling measurement (VERDICT r4 next-#9).
+
+Runs interleaved fresh-JVM (N, 4N) pairs at the DOCUMENTED 8/32 levels
+(kept on record every round in case the host quiets) and the
+below-host-ceiling 4/16 cross-check, with same-minute CPU and memory-
+bandwidth probes, writing raw JSON to BENCH/scaling_rerun_r5.json.
+The drift-cancelled concurrent pairs are scripts/scaling_concurrent.py
+(run separately, writes scaling_concurrent_r5*.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts import scaling_bench as sb  # noqa: E402
+from scripts.scaling_rerun_r4 import run_pairs  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    out = {"ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+           "note": "round-5 fresh measurement, same job/method as r4 "
+                   "(scaling_rerun_r4.py run_pairs)"}
+    out["p832"] = run_pairs(8, 32, sf_dir, 8192, repeats=3)
+    out["p416"] = run_pairs(4, 16, sf_dir, 8192, repeats=3)
+    path = os.path.join(sb.REPO, "BENCH", "scaling_rerun_r5.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", path)
+    for k in ("p832", "p416"):
+        print(k, "median", out[k]["median_efficiency"],
+              "best", out[k]["best"], "worst", out[k]["worst"])
+
+
+if __name__ == "__main__":
+    main()
