@@ -411,6 +411,48 @@ def _seg(marker: int, payload: bytes) -> bytes:
         + payload
 
 
+def _jpeg_coeff_grids(arr: np.ndarray, q: np.ndarray,
+                      samps: list[tuple[int, int]],
+                      gray: bool) -> list[list[list[np.ndarray]]]:
+    """Shared encoder front half: RGB->YCbCr (+ optional h2v2 box-mean
+    chroma downsample), blockwise forward DCT, quantize. Returns one
+    [by][bx] grid of natural-order 8x8 int64 coefficient blocks per
+    component."""
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+        if samps[0] != (1, 1):
+            # 2x2 box-mean chroma downsample (libjpeg h2v2 downsample)
+            for ci in (1, 2):
+                p = planes[ci]
+                planes[ci] = np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2]
+                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+    # quant table stored in zigzag order in DQT; natural-order matrix:
+    qnat = np.empty(64, dtype=np.int64)
+    qnat[ZIGZAG] = q
+    qnat = qnat.reshape(8, 8)
+    comp_grids = []
+    for p in planes:
+        ph, pw = p.shape
+        grid = [[np.round(fdct2(p[by * 8:by * 8 + 8,
+                                  bx * 8:bx * 8 + 8] - 128.0)
+                          / qnat).astype(np.int64)
+                 for bx in range(pw // 8)]
+                for by in range(ph // 8)]
+        comp_grids.append(grid)
+    return comp_grids
+
+
 def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
                 restart_interval: int = 0,
                 subsampling: str = "444") -> bytes:
@@ -433,38 +475,7 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
         samps = [(1, 1)] * (1 if gray else 3)
     q = np.ones(64, dtype=np.int64) if quant is None \
         else np.asarray(quant, dtype=np.int64).reshape(-1)
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        r = arr[..., 0].astype(np.float64)
-        g = arr[..., 1].astype(np.float64)
-        b = arr[..., 2].astype(np.float64)
-        planes = [
-            np.round(0.299 * r + 0.587 * g + 0.114 * b),
-            np.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b),
-            np.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
-        ]
-        planes = [np.clip(p, 0, 255) for p in planes]
-        if subsampling == "420":
-            # 2x2 box-mean chroma downsample (libjpeg h2v2 downsample)
-            for ci in (1, 2):
-                p = planes[ci]
-                planes[ci] = np.round(
-                    (p[0::2, 0::2] + p[0::2, 1::2]
-                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
-    # quant table stored in zigzag order in DQT; natural-order matrix:
-    qnat = np.empty(64, dtype=np.int64)
-    qnat[ZIGZAG] = q
-    qnat = qnat.reshape(8, 8)
-    comp_grids = []
-    for p in planes:
-        ph, pw = p.shape
-        grid = [[np.round(fdct2(p[by * 8:by * 8 + 8,
-                                  bx * 8:bx * 8 + 8] - 128.0)
-                          / qnat).astype(np.int64)
-                 for bx in range(pw // 8)]
-                for by in range(ph // 8)]
-        comp_grids.append(grid)
+    comp_grids = _jpeg_coeff_grids(arr, q, samps, gray)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcu_w = w // (8 * hmax)
@@ -496,6 +507,208 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
     out += _seg(0xDA, sos)
     out += body
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation.
+#
+# Encoder emits a 6-scan script (DC first Al=1; AC first 1-5 / 6-63 at
+# Al=2 per component; AC refine Ah=2->1 and Ah=1->0; DC refine) so every
+# G.1.2 code path — EOBRUN accumulation/flush, ZRL-in-refinement,
+# buffered correction bits — is exercised and decodable. The AC scans
+# use a custom complete-at-8-bits Huffman table because the Annex K
+# table lacks the EOBn symbols (r<<4 for r=1..14) progressive needs.
+# Decoder parity target: the reference's frmts/jpeg/ via libjpeg's
+# jdphuff.c (decode_mcu_DC_first/AC_first/DC_refine/AC_refine).
+# ---------------------------------------------------------------------------
+
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _emit_eobrun(w: "_BitWriter", state: dict, ac_codes: dict) -> None:
+    """Flush a pending end-of-band run (G.1.2.2: EOBn symbol = n<<4 with
+    n low-order appended bits) plus the correction bits buffered while
+    the run accumulated."""
+    e = state["eobrun"]
+    if e:
+        nb = e.bit_length() - 1
+        code, ln = ac_codes[nb << 4]
+        w.put(code, ln)
+        if nb:
+            w.put(e & ((1 << nb) - 1), nb)
+        for b in state["be"]:
+            w.put(b, 1)
+        state["eobrun"] = 0
+        state["be"] = []
+
+
+def _enc_ac_first(w, zz_blocks, ss, se, al, ac_codes, state) -> None:
+    """AC first scan for one component (G.1.2.2): code
+    sign·(|coef|>>Al) with run/size symbols; all-zero tails join the
+    cross-block EOB run."""
+    for zz in zz_blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            _emit_eobrun(w, state, ac_codes)
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                r -= 16
+            s = t.bit_length()
+            code, ln = ac_codes[(r << 4) | s]
+            w.put(code, ln)
+            val = t if v >= 0 else -t
+            w.put(_enc_coeff_bits(val, s), s)
+            r = 0
+        if r:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(w, state, ac_codes)
+
+
+def _enc_ac_refine(w, zz_blocks, ss, se, al, ac_codes, state) -> None:
+    """AC refinement scan for one component (G.1.2.3 / libjpeg
+    jcphuff.c encode_mcu_AC_refine): newly-significant coefficients get
+    (run<<4)|1 + sign; already-significant ones append correction bits
+    that ride behind the next emitted symbol; ZRLs are emitted only
+    when they cannot fold into the EOB run."""
+    for zz in zz_blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_idx:
+                _emit_eobrun(w, state, ac_codes)
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            _emit_eobrun(w, state, ac_codes)
+            code, ln = ac_codes[(r << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["be"].extend(br)
+            if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+                _emit_eobrun(w, state, ac_codes)
+
+
+def encode_jpeg_progressive(arr: np.ndarray,
+                            quant: np.ndarray | None = None,
+                            subsampling: str = "444") -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive (SOF2)
+    JFIF bytes. Same coefficient pipeline as encode_jpeg (so a complete
+    progressive stream decodes bit-identically to its baseline twin);
+    only the entropy-coding layer differs."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        subsampling = "444"
+    if subsampling == "420":
+        assert h % 16 == 0 and w % 16 == 0
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        assert h % 8 == 0 and w % 8 == 0
+        samps = [(1, 1)] * (1 if gray else 3)
+    q = np.ones(64, dtype=np.int64) if quant is None \
+        else np.asarray(quant, dtype=np.int64).reshape(-1)
+    comp_grids = _jpeg_coeff_grids(arr, q, samps, gray)
+    nc = len(comp_grids)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_w = w // (8 * hmax)
+    mcu_h = h // (8 * vmax)
+    # zigzag-order coefficient vectors, indexed [ci][by][bx]
+    zz_grids = [[[blk.reshape(-1)[ZIGZAG] for blk in row]
+                 for row in grid] for grid in comp_grids]
+    dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _huff_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += _seg(0xC2, sof)  # SOF2 progressive
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS)
+                + bytes(DC_LUM_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_PROG_BITS)
+                + bytes(AC_PROG_VALS))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int,
+            al: int) -> bytes:
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])
+        return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for _, ci, by, bx in _mcu_block_order(samps, mcu_w, mcu_h):
+        v = int(zz_grids[ci][by][bx][0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(_enc_coeff_bits(diff, s), s)
+    out += bw.flush()
+    # AC scans are per-component (spec forbids interleaved AC)
+    comp_blocks = [
+        [zz_grids[ci][by][bx]
+         for by in range(len(zz_grids[ci]))
+         for bx in range(len(zz_grids[ci][0]))]
+        for ci in range(nc)]
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2),
+                           (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(nc):
+            out += sos([ci + 1], ss, se, ah, al)
+            bw = _BitWriter()
+            state = {"eobrun": 0, "be": []}
+            if ah == 0:
+                _enc_ac_first(bw, comp_blocks[ci], ss, se, al,
+                              ac_codes, state)
+            else:
+                _enc_ac_refine(bw, comp_blocks[ci], ss, se, al,
+                               ac_codes, state)
+            _emit_eobrun(bw, state, ac_codes)
+            out += bw.flush()
+    # final scan: DC refine Ah=1 Al=0, interleaved (raw bits, no tables)
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _, ci, by, bx in _mcu_block_order(samps, mcu_w, mcu_h):
+        bw.put(int(zz_grids[ci][by][bx][0]) & 1, 1)
+    out += bw.flush()
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -546,11 +759,13 @@ def _huff_decode(r: "_BitReader", lut: dict) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8.
-    Supports SOF0, 8-bit, 1 or 3 components at 4:4:4 or 4:2:0
-    (replication chroma upsample), DRI/RSTn restart markers;
-    progressive (SOF2) and other samplings raise (the codec seam —
-    libjpeg handles them in the reference)."""
+    """JFIF bytes -> (h, w) grayscale or (h, w, 3) RGB uint8.
+    Supports baseline sequential (SOF0) AND progressive (SOF2 —
+    spectral selection + successive approximation, the jdphuff.c
+    G.1.2 semantics behind the reference's frmts/jpeg/), 8-bit, 1 or
+    3 components at 4:4:4 or 4:2:0 (replication chroma upsample),
+    DRI/RSTn restart markers; hierarchical/arithmetic/12-bit variants
+    raise (the remaining codec seam)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -559,15 +774,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     comps: list[tuple[int, int, int]] = []  # (comp id, sampling, qtable)
     restart_interval = 0
+    progressive = False
+    saw_scan = False
+    coefs: list[list[list[np.ndarray]]] = []
+    samps: list[tuple[int, int]] = []
+    mcu_w = mcu_h = 0
     while pos < len(data):
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("truncated JPEG header stream")
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and saw_scan:
+                break  # all scans consumed; reconstruct below
             raise ValueError("JPEG has no scan data")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG header stream")
         ln = struct.unpack_from(">H", data, pos)[0]
         if pos + ln > len(data):
             raise ValueError("truncated JPEG segment")
@@ -584,11 +808,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nat[ZIGZAG] = q
                 qtables[tq] = nat.reshape(8, 8)
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported")
-        elif marker == 0xC0:  # SOF0
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                "are supported")
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -601,6 +827,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and sampset == [(2, 2), (1, 1), (1, 1)])):
                 raise NotImplementedError(
                     "only 4:4:4 and 4:2:0 JPEG sampling supported")
+            if progressive:
+                samps = sampset
+                hmax = max(s[0] for s in samps)
+                vmax = max(s[1] for s in samps)
+                mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+                mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
+                # zigzag-order coefficient store, padded to whole MCUs,
+                # accumulated across scans (G.1.2)
+                coefs = [[[np.zeros(64, dtype=np.int64)
+                           for _ in range(mcu_w * hi)]
+                          for _ in range(mcu_h * vi)]
+                         for hi, vi in samps]
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -619,10 +857,205 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = payload[1 + ci * 2], payload[2 + ci * 2]
                 scan.append((cs, tt >> 4, tt & 15))
             pos += ln
-            return _decode_scan(data, pos, h, w, comps, scan, qtables,
-                                hufftables, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, h, w, comps, scan,
+                                    qtables, hufftables,
+                                    restart_interval)
+            ss = payload[1 + ns * 2]
+            se = payload[2 + ns * 2]
+            a = payload[3 + ns * 2]
+            end = _entropy_end(data, pos)
+            _decode_prog_scan(_BitReader(data[pos:end]), h, w, comps,
+                              samps, scan, hufftables, coefs,
+                              mcu_w, mcu_h, ss, se, a >> 4, a & 15,
+                              restart_interval)
+            saw_scan = True
+            pos = end
+            continue
         pos += ln
-    raise ValueError("JPEG has no SOS segment")
+    else:
+        raise ValueError("JPEG has no SOS segment")
+    # progressive reconstruction: dequant + IDCT the accumulated
+    # coefficient store, then the shared upsample/color back half
+    planes = [np.zeros((mcu_h * vi * 8, mcu_w * hi * 8))
+              for hi, vi in samps]
+    for ci in range(len(comps)):
+        q = qtables[comps[ci][2]]
+        for by, row in enumerate(coefs[ci]):
+            for bx, zz in enumerate(row):
+                coef = np.empty(64, dtype=np.int64)
+                coef[ZIGZAG] = zz
+                blk = idct2((coef.reshape(8, 8) * q)
+                            .astype(np.float64)) + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    return _planes_to_image(planes, samps, h, w)
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Index of the first true marker (not a stuffed FF00, not RSTn)
+    at or after pos — the end of one scan's entropy segment."""
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def _consume_rst(r: "_BitReader") -> None:
+    """Byte-align and consume one RSTn marker (spec E.2.4)."""
+    r.n = 0
+    if not (r.pos + 1 < len(r.data) and r.data[r.pos] == 0xFF
+            and 0xD0 <= r.data[r.pos + 1] <= 0xD7):
+        raise ValueError("expected RSTn at restart interval")
+    r.pos += 2
+
+
+def _dec_ac_first(r, zz, ac_lut, ss, se, al, eob) -> None:
+    """AC first scan for one block (G.1.2.2 / jdphuff.c
+    decode_mcu_AC_first): run/size symbols place sign·t<<Al; EOBn
+    symbols start a cross-block end-of-band run."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_lut)
+        rr, s = rs >> 4, rs & 15
+        if s:
+            k += rr
+            if k > se:
+                raise ValueError("AC run exceeds spectral band")
+            zz[k] = _extend(r.bits(s), s) << al
+            k += 1
+        else:
+            if rr != 15:
+                eob[0] = (1 << rr) - 1
+                if rr:
+                    eob[0] += r.bits(rr)
+                break
+            k += 16  # ZRL
+    return
+
+
+def _dec_ac_refine(r, zz, ac_lut, ss, se, al, eob) -> None:
+    """AC refinement scan for one block (G.1.2.3 / jdphuff.c
+    decode_mcu_AC_refine): already-significant coefficients consume a
+    correction bit; (run<<4)|1 symbols make a new coefficient
+    significant after skipping `run` zero-history positions."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_lut)
+            rr, s = rs >> 4, rs & 15
+            sval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid size in AC refinement")
+                sval = p1 if r.bit() else m1
+            elif rr != 15:
+                # NB: unlike AC-first, the run count here includes the
+                # current block — the decrement happens below, after
+                # this block's tail refinement (jdphuff.c AC_refine)
+                eob[0] = 1 << rr
+                if rr:
+                    eob[0] += r.bits(rr)
+                break
+            # advance over rr zero-history positions, appending a
+            # correction bit to each already-nonzero coefficient
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    rr -= 1
+                    if rr < 0:
+                        break
+                k += 1
+            if sval:
+                if k > se:
+                    raise ValueError("refinement run exceeds band")
+                zz[k] = sval
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if r.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_prog_scan(r, h, w, comps, samps, scan, hufftables, coefs,
+                      mcu_w, mcu_h, ss, se, ah, al,
+                      restart_interval) -> None:
+    """Decode one progressive scan into the zigzag coefficient store.
+    Interleaved scans (ns>1, DC only per spec B.2.3) walk MCU order;
+    single-component scans walk the component's own block raster."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+    eob = [0]
+    if len(scan) > 1:
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved progressive AC scan")
+        scan_samps = [samps[cidx[cs]] for cs, _, _ in scan]
+        preds = [0] * len(scan)
+        last_m = 0
+        for m, si, by, bx in _mcu_block_order(scan_samps, mcu_w, mcu_h):
+            if restart_interval and m != last_m \
+                    and m % restart_interval == 0:
+                _consume_rst(r)
+                preds = [0] * len(scan)
+            last_m = m
+            zz = coefs[cidx[scan[si][0]]][by][bx]
+            if ah == 0:
+                s = _huff_decode(r, hufftables[(0, scan[si][1])])
+                preds[si] += _extend(r.bits(s), s) if s else 0
+                zz[0] = preds[si] << al
+            elif r.bit():
+                zz[0] = int(zz[0]) | (1 << al)
+    else:
+        cs, dc_id, ac_id = scan[0]
+        ci = cidx[cs]
+        hi, vi = samps[ci]
+        # non-interleaved scans cover the component's spec block grid
+        # (B.2.3: ceil of its scaled dimensions), not the MCU-padded one
+        nbx = (-(-(w * hi) // hmax) + 7) // 8
+        nby = (-(-(h * vi) // vmax) + 7) // 8
+        pred = 0
+        nb = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and nb \
+                        and nb % restart_interval == 0:
+                    _consume_rst(r)
+                    pred = 0
+                    eob[0] = 0
+                nb += 1
+                zz = coefs[ci][by][bx]
+                if ss == 0:
+                    if ah == 0:
+                        s = _huff_decode(r, hufftables[(0, dc_id)])
+                        pred += _extend(r.bits(s), s) if s else 0
+                        zz[0] = pred << al
+                    elif r.bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+                elif ah == 0:
+                    _dec_ac_first(r, zz, hufftables[(1, ac_id)],
+                                  ss, se, al, eob)
+                else:
+                    _dec_ac_refine(r, zz, hufftables[(1, ac_id)],
+                                   ss, se, al, eob)
 
 
 def _decode_scan(data, pos, h, w, comps, scan, qtables, hufftables,
@@ -680,8 +1113,18 @@ def _decode_scan(data, pos, h, w, comps, scan, qtables, hufftables,
         blk = idct2((coef.reshape(8, 8) * q).astype(np.float64)) + 128.0
         planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
     _ = n_mcu
-    # upsample subsampled components by pixel replication (libjpeg's
-    # "simple" h2v2 upsampler, DO_FANCY_UPSAMPLING=FALSE) and crop
+    return _planes_to_image(planes, samps, h, w)
+
+
+def _planes_to_image(planes: list[np.ndarray],
+                     samps: list[tuple[int, int]],
+                     h: int, w: int) -> np.ndarray:
+    """Shared decoder back half: upsample subsampled components by
+    pixel replication (libjpeg's "simple" h2v2 upsampler,
+    DO_FANCY_UPSAMPLING=FALSE), crop padding, YCbCr->RGB."""
+    nc = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     planes = [
         np.clip(np.round(
             np.repeat(np.repeat(p, vmax // samps[i][1], axis=0),

@@ -72,8 +72,9 @@ def decode_real(payload: bytes) -> dict:
     raise NotImplementedError(
         "real multimodal decode for this format requires codec "
         "libraries not present in this environment (BMP/PNG/WAV and "
-        "baseline JFIF are decoded natively — see gdal_spark.codecs; "
-        "the remaining seam is progressive/subsampled JPEG and video)")
+        "baseline + progressive JFIF are decoded natively — see "
+        "gdal_spark.codecs; the remaining seam is "
+        "arithmetic/hierarchical JPEG and video)")
 
 
 DECODE_REAL_SCHEMA = (
@@ -201,6 +202,11 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
       id%2 == 0 -> grayscale; id%4 == 3 -> grey RGB 4:4:4;
       id%4 == 1 -> grey RGB 4:2:0 (constant 128 chroma stays exact
       through the box-downsample + replication-upsample pipeline)
+      id%5 == 2 -> progressive (SOF2) encoding of the SAME pixels
+      (spectral selection + successive approximation; a complete
+      progressive stream reconstructs the identical coefficients, so
+      the oracle is untouched while the engine path exercises the
+      full G.1.2 multi-scan decoder)
     """
     from gdal_spark import codecs as C
 
@@ -220,7 +226,9 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         (did * 31 + k * 17) % 256
                 if did % 2:
                     a = np.repeat(a[:, :, None], 3, axis=2)
-                payloads.append(C.encode_jpeg(a, subsampling=sub))
+                enc = C.encode_jpeg_progressive if did % 5 == 2 \
+                    else C.encode_jpeg
+                payloads.append(enc(a, subsampling=sub))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

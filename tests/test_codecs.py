@@ -235,9 +235,9 @@ def test_jpeg_color_ycbcr_is_bounded_and_grey_exact():
 def test_jpeg_unsupported_variants_raise():
     a = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(a))
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must raise
+    # flip SOF0 (0xC0) to SOF1 (0xC1): extended sequential must raise
     i = blob.find(b"\xFF\xC0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC1
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
@@ -328,3 +328,84 @@ def test_jpeg_422_still_raises():
     blob[i + 4 + 7] = 0x21  # h=2, v=1 -> 4:2:2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) JPEG — spectral selection + successive approximation.
+# The encoder shares the baseline coefficient pipeline, so a COMPLETE
+# progressive stream must reconstruct bit-identically to its baseline
+# twin: any drift in the G.1.2 scan logic (EOBRUN accounting, refinement
+# correction bits, ZRL-in-refinement, DC successive approximation)
+# breaks exact equality.
+# --------------------------------------------------------------------------
+
+def test_jpeg_progressive_matches_baseline_twin_gray():
+    from gdal_spark.codecs import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    for shape in ((8, 8), (16, 16), (16, 40), (64, 64)):
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg_progressive(a))
+                == decode_jpeg(encode_jpeg(a))).all()
+
+
+def test_jpeg_progressive_matches_baseline_twin_color():
+    from gdal_spark.codecs import encode_jpeg_progressive
+
+    rng = np.random.RandomState(12)
+    for shape, sub in (((16, 16, 3), "444"), ((24, 48, 3), "444"),
+                       ((32, 32, 3), "420"), ((48, 16, 3), "420")):
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg_progressive(a, subsampling=sub))
+                == decode_jpeg(encode_jpeg(a, subsampling=sub))).all()
+
+
+def test_jpeg_progressive_quant_tables():
+    """Non-unit quant zeroes/shrinks AC coefficients, exercising long
+    EOB runs and sparse refinement paths."""
+    from gdal_spark.codecs import encode_jpeg_progressive
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    for q in (np.arange(1, 65, dtype=np.int64) * 3,
+              np.full(64, 16, dtype=np.int64)):
+        assert (decode_jpeg(encode_jpeg_progressive(a, quant=q))
+                == decode_jpeg(encode_jpeg(a, quant=q))).all()
+
+
+def test_jpeg_progressive_flat_and_sparse_eobruns():
+    """Flat content folds every AC scan into one maximal EOB run;
+    near-flat content exercises run interruption mid-scan."""
+    from gdal_spark.codecs import encode_jpeg_progressive
+
+    flat = np.full((32, 32, 3), 200, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat))
+            == decode_jpeg(encode_jpeg(flat))).all()
+    sparse = np.full((40, 40), 100, dtype=np.uint8)
+    sparse[3, 5] = 250
+    sparse[30, 31] = 0
+    assert (decode_jpeg(encode_jpeg_progressive(sparse))
+            == decode_jpeg(encode_jpeg(sparse))).all()
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    """Unit quant + constant-per-block content is end-to-end lossless
+    (the fixture contract synth_jpeg_payloads relies on)."""
+    from gdal_spark.codecs import encode_jpeg_progressive
+
+    a = np.empty((16, 24), dtype=np.uint8)
+    for k in range(6):
+        by, bx = divmod(k, 3)
+        a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (37 + k * 17) % 256
+    assert (decode_jpeg(encode_jpeg_progressive(a)) == a).all()
+
+
+def test_jpeg_progressive_dispatches_through_decode_real():
+    from gdal_spark.codecs import encode_jpeg_progressive
+    from gdal_spark.multimodal import decode_real
+
+    a = np.full((8, 16), 77, dtype=np.uint8)
+    d = decode_real(encode_jpeg_progressive(a))
+    assert d["format"] == "image/jpeg"
+    assert (d["width"], d["height"], d["rate"]) == (16, 8, 0)
+    assert d["values"].sum() == 77 * 16 * 8
