@@ -434,6 +434,31 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 textops.SPARK))
 
 
+def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    (+1 EOS each) in doc_id order and cut the stream into 256-token
+    training sequences; emit each document's global start offset and
+    the sequence-id range it spans. The global prefix sum runs as a
+    two-level scan (bucketed within-partition cumsum + tiny
+    bucket-offset table) so no window ever sees the full corpus in one
+    partition — see textops.pack_sequences_sql. Engine and oracle run
+    the same dual-dialect SQL."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.pack_sequences_sql("documents",
+                                                textops.SPARK))
+
+
+def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-context corpus novelty features (the statistics half of a
+    CCNet-style LM quality filter), integer-deterministic: per document
+    the count/uniqueness/document-frequency profile of its adjacent
+    word bigrams. Engine and oracle run the same dual-dialect SQL
+    (textops.bigram_novelty_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.bigram_novelty_sql("documents",
+                                                textops.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -606,6 +631,8 @@ QUERIES = {
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "text_tfidf_topterms": q_text_tfidf_topterms,
+    "train_pack_sequences": q_train_pack_sequences,
+    "text_bigram_novelty": q_text_bigram_novelty,
 }
 
 ORACLES = {
@@ -651,4 +678,8 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
+    "train_pack_sequences":
+        textops.pack_sequences_sql("documents", DUCKDB),
+    "text_bigram_novelty":
+        textops.bigram_novelty_sql("documents", DUCKDB),
 }

@@ -559,3 +559,115 @@ select doc_id, rank, term, tf, df from (
   from tf join df on tf.term = df.term
 ) s where rank <= {k}
 """
+
+
+def pack_sequences_sql(doc_view: str, engine: str, ctx: int = 256,
+                       bucket: int = 50) -> str:
+    """GPT-style sequence packing (concatenate every document's tokens
+    plus one EOS separator in doc_id order, then cut the stream into
+    fixed ``ctx``-token training sequences): per document, its start
+    offset in the global token stream and the first/last sequence ids
+    it lands in.
+
+    The global prefix sum is computed as a TWO-LEVEL scan so no window
+    ever runs over the full table in one partition: documents carry a
+    range-bucket key (doc_id div ``bucket``); the within-bucket cumsum
+    window is PARTITIONED BY bucket (parallel across executors), and
+    only the bucket-totals table — ``n_docs / bucket`` rows, millions
+    of times smaller than the corpus — pays a single-partition scan.
+    At 100 TB set bucket so that table stays ~1e5 rows (e.g. 1e6 docs
+    per bucket); every other stage is a narrow map or a keyed window.
+    All outputs are exact integers (no floats to drift cross-engine);
+    DuckDB sums are cast to bigint so pandas doesn't lift HUGEINT to
+    float64."""
+    nt = f"{arr_len_sql(tokens_sql('text', engine), engine)} + 1"
+    idiv = "//" if engine == DUCKDB else "div"
+    return f"""
+with tok as (
+  select doc_id, cast({nt} as bigint) as n_tok,
+         cast(doc_id {idiv} {bucket} as bigint) as b
+  from {doc_view}
+),
+within as (
+  select doc_id, b, n_tok,
+         cast(sum(n_tok) over (partition by b order by doc_id
+              rows between unbounded preceding and current row)
+              as bigint) as cum_in_b
+  from tok
+),
+btot as (
+  select b, cast(sum(n_tok) as bigint) as bt from tok group by b
+),
+boff as (
+  select b, cast(sum(bt) over (order by b
+       rows between unbounded preceding and current row) - bt
+       as bigint) as off
+  from btot
+)
+select doc_id, n_tokens, start_off,
+       cast(start_off {idiv} {ctx} as bigint) as seq_first,
+       cast((start_off + n_tokens - 1) {idiv} {ctx} as bigint) as seq_last,
+       cast((start_off + n_tokens - 1) {idiv} {ctx}
+            - start_off {idiv} {ctx} + 1 as bigint) as n_seqs
+from (
+  select w.doc_id, w.n_tok as n_tokens,
+         o.off + w.cum_in_b - w.n_tok as start_off
+  from within w join boff o on w.b = o.b
+) s
+"""
+
+
+def bigrams_sql(toks: str, engine: str) -> str:
+    """Adjacent-word bigram array ('w1 w2' strings); <2-token docs
+    yield an empty array."""
+    if engine == SPARK:
+        return (f"case when size({toks}) >= 2 then"
+                f" transform(sequence(1, size({toks})-1),"
+                f" i -> concat(element_at({toks}, i), ' ',"
+                f" element_at({toks}, i+1)))"
+                f" else array() end")
+    return (f"list_transform(range(1, length({toks})),"
+            f" i -> {toks}[i] || ' ' || {toks}[i+1])")
+
+
+def bigram_novelty_sql(doc_view: str, engine: str) -> str:
+    """Bigram-context novelty features (the corpus-statistics half of a
+    CCNet-style LM quality filter, integer-deterministic): for each
+    document, how unusual its adjacent-word bigrams are corpus-wide.
+    ``unique_bigrams`` (document frequency 1 — seen nowhere else) high
+    means novel/gibberish text; low with high ``max_df`` means
+    boilerplate. Raw integer (n, unique, sum_df, max_df) aggregates are
+    emitted so any downstream smoothing/log formula can be applied
+    without baking a float into the contract.
+
+    Plan shape at 100 TB: bigram arrays are a narrow map (no window —
+    the pair construction is a per-row transform/explode); the DISTINCT
+    (doc, bigram) and df groupBys are the only shuffles, both carrying
+    map-side partial aggregation; the df join back is an equi-join on
+    the bigram key with AQE handling hot stopword-pair skew."""
+    toks = tokens_sql("text", engine)
+    bg = bigrams_sql("_toks", engine)
+    if engine == SPARK:
+        unnest = (f"select doc_id, explode({bg}) as bigram from"
+                  f" (select doc_id, {toks} as _toks from {doc_view})")
+    else:
+        unnest = (f"select doc_id, unnest({bg}) as bigram from"
+                  f" (select doc_id, {toks} as _toks from {doc_view})")
+    return f"""
+with dbg as (
+  select distinct doc_id, bigram from ({unnest}) u
+),
+df as (
+  select bigram, cast(count(*) as bigint) as df from dbg group by bigram
+)
+select d.doc_id,
+       cast(count(*) as bigint) as n_bigrams,
+       cast(sum(case when f.df = 1 then 1 else 0 end) as bigint)
+           as unique_bigrams,
+       cast(sum(f.df) as bigint) as sum_df,
+       cast(max(f.df) as bigint) as max_df,
+       cast(sum(case when f.df = 1 then 100 else 0 end) {"//" if engine == DUCKDB else "div"} count(*)
+           as bigint) as novelty_pct
+from dbg d join df f on d.bigram = f.bigram
+group by d.doc_id
+"""

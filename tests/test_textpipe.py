@@ -405,3 +405,87 @@ def test_tfidf_topterms_ranking_properties(spark):
     from collections import Counter
     c = Counter(toks)
     assert int(top.iloc[0]["tf"]) == max(c.values())
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + bigram novelty (round 5): semantics pinned against
+# pure-Python brute force on a tiny handmade corpus, independent of the
+# dual-dialect SQL both engines share.
+# ---------------------------------------------------------------------------
+
+def _tiny_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_pack_sequences_matches_bruteforce_concat(spark):
+    from gdal_spark import textops
+
+    texts = ["a b c", "d e f g h", "i", "j k l m n o p q r s",
+             "t u", "v w x y z a b", "c", "d e"]
+    _tiny_docs(spark, texts).createOrReplaceTempView("documents")
+    ctx, bucket = 4, 3
+    got = {r["doc_id"]: r for r in spark.sql(
+        textops.pack_sequences_sql("documents", textops.SPARK,
+                                   ctx=ctx, bucket=bucket)).collect()}
+    # brute force: one global stream, n_tok = words + 1 EOS
+    off = 0
+    for i, t in enumerate(texts):
+        n = len(t.split()) + 1
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["start_off"] == off
+        assert r["seq_first"] == off // ctx
+        assert r["seq_last"] == (off + n - 1) // ctx
+        assert r["n_seqs"] == (off + n - 1) // ctx - off // ctx + 1
+        off += n
+    # bucketed two-level scan must equal the naive single scan for any
+    # bucket size, including one larger than the corpus
+    got1 = sorted(spark.sql(textops.pack_sequences_sql(
+        "documents", textops.SPARK, ctx=ctx, bucket=1000)).collect())
+    gotb = sorted(got.values())
+    assert got1 == gotb
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    """The corpus-wide window must be partitioned (parallel); only the
+    bucket-totals window may be global."""
+    from gdal_spark import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    plan = spark.sql(textops.pack_sequences_sql(
+        "documents", textops.SPARK))._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one window partitioned by the bucket key, one global over btot
+    assert plan.count("Window") >= 2
+    assert "partitionBy=[b" in plan.replace("#", "").replace("L]", "]") \
+        or "[b#" in plan
+
+
+def test_bigram_novelty_matches_bruteforce(spark):
+    from collections import Counter
+
+    from gdal_spark import textops
+
+    texts = ["the cat sat", "the cat ran", "a dog ran fast",
+             "the cat sat", "lonely"]
+    _tiny_docs(spark, texts).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r for r in spark.sql(
+        textops.bigram_novelty_sql("documents",
+                                   textops.SPARK)).collect()}
+    per_doc = [set(f"{a} {b}" for a, b in
+                   zip(t.split(), t.split()[1:])) for t in texts]
+    df = Counter(bg for s in per_doc for bg in s)
+    for i, s in enumerate(per_doc):
+        if not s:  # <2 tokens: no bigram row
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["n_bigrams"] == len(s)
+        assert r["unique_bigrams"] == sum(df[b] == 1 for b in s)
+        assert r["sum_df"] == sum(df[b] for b in s)
+        assert r["max_df"] == max(df[b] for b in s)
+        assert r["novelty_pct"] == \
+            100 * sum(df[b] == 1 for b in s) // len(s)
+    assert 4 not in got  # "lonely" has no bigrams
