@@ -267,6 +267,29 @@ def q_reproject_osgb36_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_grid", "ok")
 
 
+def q_reproject_nad27_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAD27 → NAD83 / UTM 14N (EPSG:26914) through the NADCON-style
+    GRID datum path (gdal_spark.gridshift CONUS_GRID — the same
+    broadcast-join seam as reproject_osgb36_grid, demonstrating it is
+    grid-parameterized, not UK-specific; PROJ's conus.las/.los via
+    ogr/ogrct.cpp:1705-1803 is the reference precedent). The fixture
+    straddles the CONUS footprint so out-of-grid rows fail with
+    ok=false exactly like PROJ outside a grid's extent."""
+    from gdal_spark.gridshift import nad27_grid_fwd
+
+    _ = sf_dir  # deterministic grid + point fixture
+    pts = spark.range(60).selectExpr(
+        "cast(id as bigint) as pid",
+        "-128.0 + cast(id % 10 as double) * 7.3 as lon",
+        "22.0 + cast(id DIV 10 as double) * 5.7 as lat")
+    out = nad27_grid_fwd(spark, pts)
+    return out.select(
+        "pid",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "in_grid", "ok")
+
+
 QUERIES = {
     "reproject_webmercator": q_reproject_webmercator,
     "reproject_utm31": q_reproject_utm31,
@@ -279,8 +302,22 @@ QUERIES = {
     "reproject_laea_europe": q_reproject_laea_europe,
     "reproject_ps_north": q_reproject_ps_north,
     "reproject_osgb36_grid": q_reproject_osgb36_grid,
+    "reproject_nad27_grid": q_reproject_nad27_grid,
     "knn": q_knn,
 }
+
+
+def _nad27_grid_oracle() -> str:
+    from gdal_spark.gridshift import nad27_grid_duckdb_sql
+
+    pts = ("select cast(id as bigint) as pid,"
+           " -128.0 + cast(id % 10 as double) * 7.3 as lon,"
+           " 22.0 + cast(id // 10 as double) * 5.7 as lat"
+           " from (select range as id from range(0, 60)) t")
+    inner = nad27_grid_duckdb_sql(pts, keep=["pid"])
+    return (f"select pid, round(easting, 3) as easting,"
+            f" round(northing, 3) as northing, in_grid, ok"
+            f" from ({inner}) z")
 
 
 def _osgb36_grid_oracle() -> str:
@@ -416,5 +453,6 @@ ORACLES = {
     "reproject_laea_europe": _epsg_pts_oracle(3035, "1 = 1"),
     "reproject_ps_north": _epsg_pts_oracle(3413, "lat > 0.0"),
     "reproject_osgb36_grid": _osgb36_grid_oracle(),
+    "reproject_nad27_grid": _nad27_grid_oracle(),
     "knn": _knn_oracle(),
 }

@@ -471,7 +471,14 @@ def q_multimodal_decode_real(spark: SparkSession,
     from gdal_spark.multimodal import decode_real_stats, synth_payloads
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_real_stats(synth_payloads(docs.select("doc_id")))
+    # the CPU-bound codec work inherits the input's split count; the
+    # fixture id table is one parquet split, so spread the 8-byte ids
+    # across cores BEFORE payloads exist (the exchange carries ids
+    # only, never bytes — at real scale the payload source is already
+    # multi-split and this is a cheap id shuffle)
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_payloads(ids))
 
 
 def q_multimodal_decode_jpeg(spark: SparkSession,
@@ -488,7 +495,13 @@ def q_multimodal_decode_jpeg(spark: SparkSession,
         synth_jpeg_payloads
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_real_stats(synth_jpeg_payloads(docs.select("doc_id")))
+    # spread the CPU-bound encode+decode across cores: the fixture id
+    # table is a single parquet split, so without this the whole codec
+    # pass serializes onto one task (measured 5.4 s -> the id shuffle
+    # costs ~40 KB and the pass parallelizes to the core count)
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_jpeg_payloads(ids))
 
 
 def _multimodal_decode_jpeg_oracle() -> str:

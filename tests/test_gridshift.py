@@ -117,3 +117,85 @@ def test_grid_shift_magnitude_is_ntv2_like(spark):
             assert -4.0 <= r[c] <= -1.9
         for c in ("dlon00", "dlon10", "dlon01", "dlon11"):
             assert 1.0 <= r[c] <= 2.5
+
+
+# ---------------------------------------------------------------------------
+# CONUS (NADCON-style) second family: the seam is grid-parameterized,
+# not UK-specific. Independent numpy bilinear against the CONUS node
+# formula, plus the out-of-grid contract on the CONUS footprint.
+# ---------------------------------------------------------------------------
+
+def _conus_node(i: int, j: int, c) -> float:
+    a, b, m, base, scale = c
+    return base + float((i * a + j * b) % m) * scale
+
+
+def test_conus_grid_bilinear_matches_independent_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark.crs import apply_sql_stages
+    from gdal_spark.gridshift import CONUS_GRID
+
+    g = CONUS_GRID
+    rng = np.random.RandomState(21)
+    pts = [(k,
+            float(g["lon0"] + rng.uniform(0.01,
+                                          (g["ni"] - 1) * g["step"] - .01)),
+            float(g["lat0"] + rng.uniform(0.01,
+                                          (g["nj"] - 1) * g["step"] - .01)))
+           for k in range(30)]
+    df = spark.createDataFrame(pts, "pid int, lon double, lat double")
+    df = apply_sql_stages(df, cell_key_stages("lon", "lat", g))
+    df = df.join(F.broadcast(grid_cells(spark, g)), ["ci", "cj"], "left")
+    out = {r["pid"]: r for r in apply_sql_stages(
+        df, bilinear_shift_stages("lon", "lat", "glon", "glat",
+                                  grid=g)).collect()}
+    for pid, lon, lat in pts:
+        ci = int(np.floor((lon - g["lon0"]) / g["step"]))
+        cj = int(np.floor((lat - g["lat0"]) / g["step"]))
+        fx = (lon - g["lon0"]) / g["step"] - ci
+        fy = (lat - g["lat0"]) / g["step"] - cj
+        exp_dlat = sum(
+            _conus_node(ci + di, cj + dj, g["dlat"]) * wx * wy
+            for di, wx in ((0, 1 - fx), (1, fx))
+            for dj, wy in ((0, 1 - fy), (1, fy)))
+        exp_dlon = sum(
+            _conus_node(ci + di, cj + dj, g["dlon"]) * wx * wy
+            for di, wx in ((0, 1 - fx), (1, fx))
+            for dj, wy in ((0, 1 - fy), (1, fy)))
+        r = out[pid]
+        assert abs(r["glat"] - (lat + exp_dlat / 3600.0)) < 1e-12
+        assert abs(r["glon"] - (lon + exp_dlon / 3600.0)) < 1e-12
+
+
+def test_nad27_grid_fwd_footprint_and_plan(spark):
+    """Out-of-grid rows fail like PROJ; the CONUS cell join is a
+    broadcast hash join — the points never shuffle."""
+    from gdal_spark.gridshift import nad27_grid_fwd
+
+    pts = spark.createDataFrame(
+        [(0, -98.5, 35.2),      # in CONUS footprint
+         (1, -130.0, 35.0),     # west of grid
+         (2, -98.0, 20.0),      # south of grid
+         (3, -98.0, 55.0)],     # north of grid
+        "pid int, lon double, lat double")
+    out = nad27_grid_fwd(spark, pts)
+    rows = {r["pid"]: r for r in out.collect()}
+    assert rows[0]["ok"] and rows[0]["in_grid"]
+    for pid in (1, 2, 3):
+        assert not rows[pid]["in_grid"] and not rows[pid]["ok"]
+        assert np.isnan(rows[pid]["easting"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_uk_and_conus_grids_differ():
+    """The two registered grids must not alias each other (distinct
+    footprints and node formulas)."""
+    from gdal_spark.gridshift import CONUS_GRID, UK_GRID
+
+    assert UK_GRID["lon0"] != CONUS_GRID["lon0"]
+    assert UK_GRID["dlat"] != CONUS_GRID["dlat"]
+    assert _conus_node(3, 5, CONUS_GRID["dlat"]) != \
+        _conus_node(3, 5, UK_GRID["dlat"])
