@@ -1140,3 +1140,110 @@ def _planes_to_image(planes: list[np.ndarray],
     b_ = np.round(y + 1.772 * (cb - 128.0))
     out = np.stack([r_, g_, b_], axis=-1)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — RIFF 'AVI ' container whose video stream is a sequence
+# of complete JFIF frames ('MJPG' handler). Container layout is the
+# classic AVI 1.0 structure (LIST hdrl {avih, LIST strl {strh, strf}},
+# LIST movi {00dc...}, idx1). Frame payloads reuse the JFIF codec
+# above, so this closes the "video" half of the multimodal seam with
+# zero new entropy-coding math: MJPEG *is* per-frame baseline JPEG.
+# Reference precedent: GDAL reads frame imagery through per-frame
+# drivers the same way (frmts/jpeg/ for stills); video containers are
+# out-of-tree for GDAL, in-scope here for the training-data pipeline
+# (frame sampling over web-crawl video).
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Frames ((h, w) gray or (h, w, 3) RGB uint8, uniform dims) ->
+    AVI bytes with one 'vids'/'MJPG' stream: each frame is a complete
+    baseline JFIF produced by encode_jpeg. dwScale=1, dwRate=fps keeps
+    the frame rate integral for the fixture contract."""
+    if not frames:
+        raise ValueError("empty frame list")
+    jpegs = [encode_jpeg(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    maxsz = max(len(j) for j in jpegs)
+    avih = _riff_chunk(b"avih", struct.pack(
+        "<14I", 1000000 // fps, maxsz * fps, 0, 0x10, len(frames),
+        0, 1, maxsz, w, h, 0, 0, 0, 0))
+    strh = _riff_chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, len(frames), maxsz,
+        10000, 0, 0, 0, w, h))
+    strf = _riff_chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+        0, 0, 0, 0))
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_chunks, idx, off = [], [], 4
+    for j in jpegs:
+        ck = _riff_chunk(b"00dc", j)
+        movi_chunks.append(ck)
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += len(ck)
+    movi = _riff_list(b"movi", b"".join(movi_chunks))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_start, payload_end)
+    for each chunk in [start, end); LIST chunks report their type so
+    the caller can descend."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        pstart = pos + 8
+        pend = pstart + size
+        if pend > end:
+            raise ValueError("truncated RIFF chunk")
+        if fourcc == b"LIST":
+            yield fourcc, data[pstart:pstart + 4], pstart + 4, pend
+        else:
+            yield fourcc, None, pstart, pend
+        pos = pend + (size & 1)
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """AVI bytes -> (fps, frames). Walks the RIFF tree for the first
+    'vids' stream header (frame rate = dwRate // dwScale) and decodes
+    every '00dc' chunk in LIST movi through decode_jpeg. Non-MJPG
+    video handlers raise NotImplementedError — the same codec seam as
+    decode_jpeg's arithmetic/hierarchical variants."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps, frames = 0, []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps
+        for fourcc, ltype, ps, pe in _riff_walk(data, start, end):
+            if fourcc == b"LIST":
+                walk(ps, pe)
+            elif fourcc == b"strh" and data[ps:ps + 4] == b"vids":
+                handler = data[ps + 4:ps + 8]
+                if handler != b"MJPG":
+                    raise NotImplementedError(
+                        f"AVI video handler {handler!r} requires codec "
+                        "libraries not present in this environment "
+                        "(MJPG decodes natively)")
+                scale, rate = struct.unpack_from("<II", data, ps + 20)
+                fps = rate // max(scale, 1)
+            elif fourcc == b"00dc":
+                frames.append(decode_jpeg(data[ps:pe]))
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not frames:
+        raise ValueError("AVI payload has no 00dc frames")
+    return fps, frames

@@ -64,6 +64,13 @@ def decode_real(payload: bytes) -> dict:
         return {"format": "audio/wav", "width": len(samples),
                 "height": 1, "rate": rate,
                 "values": samples.astype(np.int64)}
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        fps, frames = C.decode_avi_mjpeg(b)
+        return {"format": "video/avi-mjpeg",
+                "width": frames[0].shape[1],
+                "height": frames[0].shape[0], "rate": fps,
+                "values": np.concatenate(
+                    [f.reshape(-1) for f in frames]).astype(np.int64)}
     if b[:2] == b"\xff\xd8":
         px = C.decode_jpeg(b)
         return {"format": "image/jpeg", "width": px.shape[1],
@@ -71,10 +78,11 @@ def decode_real(payload: bytes) -> dict:
                 "values": px.reshape(-1).astype(np.int64)}
     raise NotImplementedError(
         "real multimodal decode for this format requires codec "
-        "libraries not present in this environment (BMP/PNG/WAV and "
-        "baseline + progressive JFIF are decoded natively — see "
-        "gdal_spark.codecs; the remaining seam is "
-        "arithmetic/hierarchical JPEG and video)")
+        "libraries not present in this environment (BMP/PNG/WAV, "
+        "baseline + progressive JFIF, and MJPEG-in-AVI video are "
+        "decoded natively — see gdal_spark.codecs; the remaining seam "
+        "is arithmetic/hierarchical JPEG and inter-frame video codecs "
+        "like H.264)")
 
 
 DECODE_REAL_SCHEMA = (
@@ -236,6 +244,86 @@ def synth_jpeg_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return ids.select(id_col).mapInPandas(
         _synth, schema="doc_id long, payload binary")
+
+
+def _synth_avi_frames(did: int) -> tuple[list[np.ndarray], int]:
+    """The video content contract, one place for both the Spark synth
+    and tests (the DuckDB oracle mirrors it textually):
+      nf = 1 + id%5 frames, bw = 2 + id%3, bh = 1 + id%2 blocks,
+      fps = 5 + id%4; frame f block k (row-major) is the constant
+      (id*31 + f*7 + k*17) % 256 as grey RGB — constant-per-block
+      content is exact through the MJPEG (per-frame JFIF) pipeline."""
+    nf, bw, bh = 1 + did % 5, 2 + did % 3, 1 + did % 2
+    frames = []
+    for f in range(nf):
+        a = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        for k in range(bw * bh):
+            by, bx = divmod(k, bw)
+            a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                (did * 31 + f * 7 + k * 17) % 256
+        frames.append(np.repeat(a[:, :, None], 3, axis=2))
+    return frames, 5 + did % 4
+
+
+def synth_avi_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-in-AVI fixture payloads: every id becomes a
+    REAL multi-frame AVI (gdal_spark.codecs.encode_avi_mjpeg — each
+    frame a complete baseline JFIF), per the _synth_avi_frames content
+    contract. The decode path then exercises the full RIFF walk +
+    per-frame entropy decode + IDCT + YCbCr while the oracle states
+    the decoded statistics arithmetically."""
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames, fps = _synth_avi_frames(did)
+                payloads.append(C.encode_avi_mjpeg(frames, fps=fps))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
+FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames long, width long, "
+    "height long, frame_sum long"
+)
+
+
+def frame_sample_real_stats(payloads: DataFrame, step: int = 2,
+                            id_col: str = "doc_id",
+                            payload_col: str = "payload") -> DataFrame:
+    """(id, AVI payload) → one row per SAMPLED frame (every `step`-th)
+    with that frame's decoded pixel sum: the real-decode upgrade of
+    frame_sample_stub and the canonical video shape for a training
+    pipeline (sample frames → featurize). One-to-many mapInPandas;
+    payload bytes never leave the executor, emitted rows are 6 scalar
+    columns per sampled frame."""
+    from gdal_spark import codecs as C
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                _, frames = C.decode_avi_mjpeg(bytes(p))
+                for fi in range(0, len(frames), step):
+                    fr = frames[fi]
+                    rows.append((int(did), fi, len(frames),
+                                 fr.shape[1], fr.shape[0],
+                                 int(fr.reshape(-1).astype(np.int64)
+                                     .sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "frame_sum"])
+
+    return payloads.select(id_col, payload_col).mapInPandas(
+        _sample, schema=FRAME_STATS_SCHEMA)
 
 
 def resize_stub(pages: DataFrame, out_w: int, out_h: int,

@@ -524,6 +524,81 @@ from documents
 """
 
 
+def q_multimodal_decode_video(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI video decode: synthesize a REAL multi-frame AVI per
+    doc_id (RIFF container, each frame a complete baseline JFIF —
+    gdal_spark.codecs.encode_avi_mjpeg) and decode it back through the
+    pure-numpy RIFF walk + per-frame JPEG codec. Content is constant
+    per 8x8 block (exact through the lossy pipeline), so the oracle
+    states the decoded statistics arithmetically from the
+    _synth_avi_frames contract; any container- or codec-level bug on
+    either side breaks the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_avi_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # id-only repartition before payloads exist: the fixture id table
+    # is one parquet split and the encode+decode pass is CPU-bound
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_avi_payloads(ids))
+
+
+def q_multimodal_video_framestats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Frame sampling with REAL decode — the canonical training-data
+    video shape (sample every 2nd frame → per-frame feature): a
+    one-to-many mapInPandas over the AVI payloads emitting one row per
+    sampled frame with its decoded pixel sum. Upgrades
+    multimodal_frames' stub arithmetic to actual bytes→pixels."""
+    from gdal_spark.multimodal import frame_sample_real_stats, \
+        synth_avi_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return frame_sample_real_stats(synth_avi_payloads(ids), step=2)
+
+
+def _avi_contract() -> tuple[str, str, str]:
+    """(bw, bh, nf) SQL fragments of the video content contract."""
+    return ("(2 + doc_id % 3)", "(1 + doc_id % 2)", "(1 + doc_id % 5)")
+
+
+def _multimodal_decode_video_oracle() -> str:
+    bw, bh, nf = _avi_contract()
+    return f"""
+select doc_id,
+  'video/avi-mjpeg' as format,
+  cast({bw} * 8 as bigint) as width,
+  cast({bh} * 8 as bigint) as height,
+  cast(5 + doc_id % 4 as bigint) as rate,
+  cast({nf} * {bw} * {bh} * 64 * 3 as bigint) as n_vals,
+  cast((doc_id * 31) % 256 as bigint) as val_first,
+  cast(list_sum(list_transform(range(0, {nf} * {bw} * {bh}),
+        i -> (doc_id * 31 + (i // ({bw} * {bh})) * 7
+              + (i % ({bw} * {bh})) * 17) % 256))
+       * 64 * 3 as bigint) as val_sum
+from documents
+"""
+
+
+def _multimodal_video_framestats_oracle() -> str:
+    bw, bh, nf = _avi_contract()
+    return f"""
+select doc_id, f.range as frame_idx,
+  cast({nf} as bigint) as n_frames,
+  cast({bw} * 8 as bigint) as width,
+  cast({bh} * 8 as bigint) as height,
+  cast(list_sum(list_transform(range(0, {bw} * {bh}),
+        k -> (doc_id * 31 + f.range * 7 + k * 17) % 256))
+       * 64 * 3 as bigint) as frame_sum
+from documents cross join range(0, 5) f
+where f.range < {nf} and f.range % 2 = 0
+"""
+
+
 def _multimodal_decode_real_oracle() -> str:
     img = "doc_id % 3 < 2"
     w, h = "(4 + doc_id % 13)", "(3 + doc_id % 11)"
@@ -643,6 +718,8 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frames,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_video": q_multimodal_decode_video,
+    "multimodal_video_framestats": q_multimodal_video_framestats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "train_pack_sequences": q_train_pack_sequences,
     "text_bigram_novelty": q_text_bigram_novelty,
@@ -689,6 +766,8 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_frame_sample": _multimodal_frames_oracle(),
     "multimodal_decode_real": _multimodal_decode_real_oracle(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_oracle(),
+    "multimodal_decode_video": _multimodal_decode_video_oracle(),
+    "multimodal_video_framestats": _multimodal_video_framestats_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
     "train_pack_sequences":

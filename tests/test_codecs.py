@@ -409,3 +409,100 @@ def test_jpeg_progressive_dispatches_through_decode_real():
     assert d["format"] == "image/jpeg"
     assert (d["width"], d["height"], d["rate"]) == (16, 8, 0)
     assert d["values"].sum() == 77 * 16 * 8
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG container: RIFF walk + per-frame JFIF reuse
+# ---------------------------------------------------------------------------
+
+def _const_block_frames(n: int, bw: int = 3, bh: int = 2,
+                        rgb: bool = True) -> list:
+    frames = []
+    for f in range(n):
+        a = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        for k in range(bw * bh):
+            by, bx = divmod(k, bw)
+            a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (f * 7 + k * 17) % 256
+        frames.append(np.repeat(a[:, :, None], 3, axis=2) if rgb else a)
+    return frames
+
+
+def test_avi_mjpeg_roundtrip_exact_rgb_and_gray():
+    from gdal_spark.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    for rgb in (True, False):
+        frames = _const_block_frames(4, rgb=rgb)
+        fps, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=12))
+        assert fps == 12 and len(out) == 4
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+
+
+def test_avi_mjpeg_single_frame_and_structure():
+    from gdal_spark.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = _const_block_frames(1)
+    data = encode_avi_mjpeg(frames, fps=30)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    # RIFF size field spans the whole remaining payload
+    import struct
+    assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+    assert b"movi" in data and b"idx1" in data and b"00dc" in data
+    fps, out = decode_avi_mjpeg(data)
+    assert fps == 30 and len(out) == 1
+    assert np.array_equal(out[0], frames[0])
+
+
+def test_avi_non_mjpg_handler_raises_seam():
+    from gdal_spark.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    data = bytearray(encode_avi_mjpeg(_const_block_frames(2), fps=10))
+    i = data.find(b"vidsMJPG")
+    data[i + 4:i + 8] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(bytes(data))
+
+
+def test_avi_truncated_and_non_avi_raise():
+    from gdal_spark.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    data = encode_avi_mjpeg(_const_block_frames(2), fps=10)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(data[:len(data) // 2])
+
+
+def test_avi_dispatches_through_decode_real():
+    from gdal_spark.codecs import encode_avi_mjpeg
+    from gdal_spark.multimodal import decode_real
+
+    frames = _const_block_frames(3)
+    d = decode_real(encode_avi_mjpeg(frames, fps=9))
+    assert d["format"] == "video/avi-mjpeg"
+    assert (d["width"], d["height"], d["rate"]) == (24, 16, 9)
+    assert len(d["values"]) == 3 * 16 * 24 * 3
+    exp = np.concatenate([f.reshape(-1) for f in frames]).astype(np.int64)
+    assert np.array_equal(d["values"], exp)
+
+
+def test_synth_avi_contract_matches_decode():
+    """The _synth_avi_frames content contract survives the full
+    encode->container->decode pipeline exactly (the property the
+    DuckDB oracle relies on), for every residue class of the mix."""
+    from gdal_spark.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+    from gdal_spark.multimodal import _synth_avi_frames
+
+    for did in range(23):
+        frames, fps = _synth_avi_frames(did)
+        got_fps, out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=fps))
+        assert got_fps == 5 + did % 4
+        assert len(out) == 1 + did % 5
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b)
+        # arithmetic restatement (what the oracle computes)
+        bw, bh, nf = 2 + did % 3, 1 + did % 2, 1 + did % 5
+        exp_sum = 64 * 3 * sum(
+            (did * 31 + f * 7 + k * 17) % 256
+            for f in range(nf) for k in range(bw * bh))
+        assert sum(int(f.astype(np.int64).sum()) for f in out) == exp_sum
