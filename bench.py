@@ -63,6 +63,9 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "rgb2pct_dither_checksum",
     "reproject_osgb36_grid",
+    "multimodal_decode_video",
+    "train_pack_sequences",
+    "geotiff_ingest_tiles",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

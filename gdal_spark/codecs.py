@@ -1247,3 +1247,333 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
     if not frames:
         raise ValueError("AVI payload has no 00dc frames")
     return fps, frames
+
+
+# ---------------------------------------------------------------------------
+# TIFF / GeoTIFF — classic (non-Big) TIFF, 8-bit gray or RGB, strip
+# layout, compression None / PackBits / LZW (+ horizontal predictor),
+# both byte orders. GeoTIFF georeferencing via ModelPixelScaleTag +
+# ModelTiepointTag (north-up affine), the exact tags GDAL's flagship
+# driver reads first (frmts/gtiff/geotiff.cpp; libgeotiff precedent).
+# This is the reference's single most-used format: a GeoTIFF payload
+# decoded here feeds the SAME raster operators (stats, tiling, zonal)
+# that drive the north-star pipeline.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out, i, n = bytearray(), 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        lit = i
+        while (i < n and (i - lit) < 128
+               and not (i + 1 < n and row[i + 1] == row[i])):
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, out_len: int) -> bytes:
+    out, i = bytearray(), 0
+    while len(out) < out_len:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:out_len])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF6 §13): MSB-first bit packing, 9→12-bit
+    codes with EARLY code-width change (width bumps when NextCode ==
+    2^width - 1), ClearCode 256 / EOI 257."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    put(256, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w], width)
+        table[w + c] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+        if nxt >= 4094:
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+    if w:
+        put(table[w], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, out_len: int) -> bytes:
+    out = bytearray()
+    pos = 0  # bit position
+    nbytes = len(data)
+
+    def get(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            byte_i = pos >> 3
+            if byte_i >= nbytes:
+                return 257  # treat truncation as EOI
+            v = (v << 1) | ((data[byte_i] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    prev = b""
+    while len(out) < out_len:
+        code = get(width)
+        if code == 257:
+            break
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = get(width)
+            if code == 257:
+                break
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        table.append(prev + entry[:1])
+        # early change, seen from one entry behind the encoder: the
+        # encoder bumps when ITS next code hits 2^w - 1; the decoder's
+        # table lags by exactly one pending entry, so it bumps at -2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:out_len])
+
+
+def _predictor2_encode(arr: np.ndarray) -> np.ndarray:
+    """Horizontal differencing per row per channel (TIFF predictor 2),
+    modulo-256 byte arithmetic."""
+    d = arr.astype(np.int16)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    return (d % 256).astype(np.uint8)
+
+
+def _predictor2_decode(arr: np.ndarray) -> np.ndarray:
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def encode_tiff(arr: np.ndarray, compression: str = "none",
+                geotransform: tuple | None = None,
+                rows_per_strip: int = 8,
+                predictor: bool = False) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> classic little-endian
+    TIFF. compression: "none" | "packbits" | "lzw". A 6-tuple GDAL
+    geotransform (north-up: rot terms 0) adds ModelPixelScaleTag +
+    ModelTiepointTag, making the output a GeoTIFF."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    px = arr.reshape(h, w * spp)
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor and compression != "lzw":
+        raise ValueError("predictor is an LZW option")
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = px[y0:y0 + rows_per_strip]
+        if predictor:
+            if gray:
+                rows = _predictor2_encode(rows)
+            else:
+                # difference along x per channel, keep interleaved
+                rows = _predictor2_encode(
+                    rows.reshape(rows.shape[0], w, spp)
+                ).reshape(rows.shape[0], -1)
+        raw = rows.tobytes()
+        if compression == "none":
+            strips.append(raw)
+        elif compression == "packbits":
+            strips.append(b"".join(_packbits_encode(r.tobytes())
+                                   for r in rows))
+        else:
+            strips.append(_lzw_encode_tiff(raw))
+    nstrips = len(strips)
+
+    # layout: header(8) | strip data | IFD | external tag values
+    tags = []  # (tag, type, count, packed-or-bytes)
+
+    def tag(t: int, typ: int, vals) -> None:
+        tags.append((t, typ, vals))
+
+    tag(256, 4, [w])
+    tag(257, 4, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [comp_code])
+    tag(262, 3, [1 if gray else 2])
+    tag(273, 4, None)  # strip offsets, filled later
+    tag(277, 3, [spp])
+    tag(278, 4, [rows_per_strip])
+    tag(279, 4, [len(s) for s in strips])
+    tag(284, 3, [1])
+    if predictor:
+        tag(317, 3, [2])
+    if geotransform is not None:
+        x0, pw, rx, y0g, ry, ph = geotransform
+        if rx != 0 or ry != 0:
+            raise NotImplementedError("rotated geotransforms need "
+                                      "ModelTransformationTag")
+        tag(33550, 12, [float(pw), float(-ph), 0.0])
+        tag(33922, 12, [0.0, 0.0, 0.0, float(x0), float(y0g), 0.0])
+
+    data_start = 8
+    strip_offsets, off = [], data_start
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    ifd_off = off
+    ifd_size = 2 + 12 * len(tags) + 4
+    ext_off = ifd_off + ifd_size
+
+    ifd = struct.pack("<H", len(tags))
+    ext = b""
+    for t, typ, vals in tags:
+        if vals is None:
+            vals = strip_offsets
+        ts = _TIFF_TYPE_SIZE[typ]
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        payload = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", t, typ, len(vals)) + \
+                payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", t, typ, len(vals),
+                               ext_off + len(ext))
+            ext += payload
+        del ts
+    ifd += struct.pack("<I", 0)  # next-IFD pointer
+
+    return (struct.pack("<2sHI", b"II", 42, ifd_off)
+            + b"".join(strips) + ifd + ext)
+
+
+def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
+    """Classic TIFF bytes -> ((h, w) or (h, w, 3) uint8 array,
+    geotransform-or-None). Supports both byte orders, 8-bit gray/RGB,
+    strip layout, compression None/PackBits/LZW (+predictor 2).
+    Tiled TIFFs, 16-bit, palette and BigTIFF raise — a documented
+    seam (GDAL reads them through libtiff)."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a classic TIFF payload")
+    ifd_off = struct.unpack_from(f"{e}I", data, 4)[0]
+    n = struct.unpack_from(f"{e}H", data, ifd_off)[0]
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        t, typ, cnt = struct.unpack_from(f"{e}HHI", data,
+                                         ifd_off + 2 + 12 * i)
+        ts = _TIFF_TYPE_SIZE.get(typ)
+        if ts is None:
+            continue
+        size = ts * cnt
+        voff = ifd_off + 2 + 12 * i + 8
+        if size > 4:
+            voff = struct.unpack_from(f"{e}I", data, voff)[0]
+        fmt = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 12: "d"}[typ]
+        if typ == 2:
+            vals = (data[voff:voff + cnt],)
+        elif typ == 5:
+            vals = struct.unpack_from(f"{e}{2 * cnt}I", data, voff)
+        else:
+            vals = struct.unpack_from(f"{e}{cnt}{fmt}", data, voff)
+        tags[t] = vals
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout (strip-only here)")
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,))
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError("TIFF beyond 8-bit gray/RGB")
+    if tags.get(284, (1,))[0] != 1:
+        raise NotImplementedError("planar TIFF configuration")
+    comp = tags.get(259, (1,))[0]
+    pred = tags.get(317, (1,))[0]
+    rps = tags.get(278, (h,))[0]
+    offsets, counts = tags[273], tags[279]
+    row_bytes = w * spp
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        y0 = si * rps
+        nrows = min(rps, h - y0)
+        raw = data[so:so + sc]
+        if comp == 1:
+            dec = raw[:nrows * row_bytes]
+        elif comp == 32773:
+            dec = _packbits_decode(raw, nrows * row_bytes)
+        elif comp == 5:
+            dec = _lzw_decode_tiff(raw, nrows * row_bytes)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        block = np.frombuffer(dec, dtype=np.uint8).reshape(
+            nrows, row_bytes)
+        if pred == 2:
+            if spp == 1:
+                block = _predictor2_decode(block)
+            else:
+                block = _predictor2_decode(
+                    block.reshape(nrows, w, spp).astype(np.uint8)
+                    .transpose(0, 2, 1).reshape(nrows * spp, w)) \
+                    .reshape(nrows, spp, w).transpose(0, 2, 1) \
+                    .reshape(nrows, row_bytes)
+        out[y0:y0 + nrows] = block
+    arr = out.reshape(h, w) if spp == 1 else out.reshape(h, w, 3)
+    gt = None
+    if 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        tp = tags[33922]
+        # tiepoint (i, j, k) -> (x, y, z); north-up affine
+        x0 = tp[3] - tp[0] * sx
+        y0g = tp[4] + tp[1] * sy
+        gt = (x0, sx, 0.0, y0g, 0.0, -sy)
+    return arr, gt

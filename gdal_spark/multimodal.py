@@ -64,6 +64,11 @@ def decode_real(payload: bytes) -> dict:
         return {"format": "audio/wav", "width": len(samples),
                 "height": 1, "rate": rate,
                 "values": samples.astype(np.int64)}
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        px, _gt = C.decode_tiff(b)
+        return {"format": "image/tiff", "width": px.shape[1],
+                "height": px.shape[0], "rate": 0,
+                "values": px.reshape(-1).astype(np.int64)}
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         fps, frames = C.decode_avi_mjpeg(b)
         return {"format": "video/avi-mjpeg",
@@ -288,6 +293,99 @@ def synth_avi_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return ids.select(id_col).mapInPandas(
         _synth, schema="doc_id long, payload binary")
+
+
+def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool]:
+    """The GeoTIFF content contract (mirrored textually by the DuckDB
+    oracle): w = 12 + id%7, h = 8 + id%5, pixel (r, c) value =
+    (id*31 + r*5 + c*3) % 256, grayscale; north-up geotransform with
+    origin ((id%10)*360, (id%7)*240) and 30-unit pixels; compression
+    rotates none/packbits/lzw by id%3 (lzw adds predictor 2 on odd
+    ids) so every strip codec is exercised in the contract."""
+    w, h = 12 + did % 7, 8 + did % 5
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    px = ((did * 31 + r * 5 + c * 3) % 256).astype(np.uint8)
+    gt = ((did % 10) * 360.0, 30.0, 0.0, (did % 7) * 240.0, 0.0, -30.0)
+    comp = ("none", "packbits", "lzw")[did % 3]
+    return px, gt, comp, (comp == "lzw" and did % 2 == 1)
+
+
+def synth_geotiff_payloads(ids: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GeoTIFF fixture payloads: every id becomes a REAL
+    classic-TIFF file (gdal_spark.codecs.encode_tiff) with
+    ModelPixelScale/ModelTiepoint georeferencing, per the
+    _synth_geotiff content contract."""
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                px, gt, comp, pred = _synth_geotiff(did)
+                payloads.append(C.encode_tiff(
+                    px, compression=comp, geotransform=gt,
+                    predictor=pred))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
+GEOTIFF_TILE_SCHEMA = "tile_x long, tile_y long, n_px long, val_sum long"
+
+
+def geotiff_tile_partials(payloads: DataFrame, tile_size: float,
+                          id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """The multimodal→raster-engine bridge: decode each GeoTIFF, place
+    every pixel in world coordinates THROUGH ITS DECODED GEOTRANSFORM
+    (pixel-center convention, gdal_translate's
+    GDALApplyGeoTransform), bin to tile_size-unit tiles, and emit
+    per-image per-tile PARTIAL aggregates. Pixels never cross the
+    Arrow boundary row-by-row and never shuffle — the exchange after
+    this carries one small row per (image, touched tile). The caller
+    finishes with groupBy(tile).sum(), giving the standard two-level
+    aggregation a 100 TB ingest needs."""
+    from gdal_spark import codecs as C
+
+    def _tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[tuple[int, int], list[int]] = {}
+            for p in pdf[payload_col]:
+                px, gt = C.decode_tiff(bytes(p))
+                if gt is None:
+                    raise ValueError("payload is not a GeoTIFF")
+                h, w = px.shape[:2]
+                x0, pw, _, y0, _, ph = gt
+                xc = x0 + (np.arange(w) + 0.5) * pw
+                yc = y0 + (np.arange(h) + 0.5) * ph
+                tx = np.floor(xc / tile_size).astype(np.int64)
+                ty = np.floor(yc / tile_size).astype(np.int64)
+                vals = px.reshape(h, -1).astype(np.int64) if px.ndim == 2 \
+                    else px.sum(axis=2).astype(np.int64)
+                # in-kernel partial agg over the (ty, tx) grid blocks
+                for uy in np.unique(ty):
+                    rsel = ty == uy
+                    for ux in np.unique(tx):
+                        csel = tx == ux
+                        n = int(rsel.sum()) * int(csel.sum())
+                        s = int(vals[np.ix_(rsel, csel)].sum())
+                        k = (int(ux), int(uy))
+                        acc = out.setdefault(k, [0, 0])
+                        acc[0] += n
+                        acc[1] += s
+            yield pd.DataFrame(
+                [(x, y, n, s) for (x, y), (n, s) in out.items()],
+                columns=["tile_x", "tile_y", "n_px", "val_sum"])
+
+    return payloads.select(id_col, payload_col).mapInPandas(
+        _tiles, schema=GEOTIFF_TILE_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = (

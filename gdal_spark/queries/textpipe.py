@@ -561,6 +561,88 @@ def q_multimodal_video_framestats(spark: SparkSession,
     return frame_sample_real_stats(synth_avi_payloads(ids), step=2)
 
 
+def q_multimodal_decode_tiff(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Classic-TIFF decode — the reference's flagship format family
+    (frmts/gtiff): synthesize a REAL TIFF per doc_id (strip layout,
+    compression rotating none/PackBits/LZW+predictor per the
+    _synth_geotiff contract) and decode it back through the
+    pure-numpy IFD walk + strip codecs. The oracle restates the pixel
+    arithmetic, so a bug in any strip codec or the IFD parse breaks
+    the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_geotiff_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_geotiff_payloads(ids))
+
+
+GEOTIFF_TILE_SIZE = 120.0
+
+
+def q_geotiff_ingest_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal→raster bridge, end to end: binary GeoTIFF
+    payloads → decode (pixels + ModelPixelScale/ModelTiepoint
+    geotransform) → world-coordinate tile binning INSIDE the decode
+    kernel (per-image partial aggregates — pixels never shuffle) →
+    global groupBy(tile) roll-up. This is gdaladdo/gdal_translate-
+    style ingest expressed as the standard two-level Spark
+    aggregation; at 100 TB the exchange carries one row per (image,
+    touched tile), not per pixel."""
+    from gdal_spark.multimodal import geotiff_tile_partials, \
+        synth_geotiff_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    partials = geotiff_tile_partials(synth_geotiff_payloads(ids),
+                                     GEOTIFF_TILE_SIZE)
+    return partials.groupBy("tile_x", "tile_y").agg(
+        F.sum("n_px").alias("n_px"), F.sum("val_sum").alias("val_sum"))
+
+
+def _geotiff_contract() -> tuple[str, str]:
+    return ("(12 + doc_id % 7)", "(8 + doc_id % 5)")
+
+
+def _multimodal_decode_tiff_oracle() -> str:
+    w, h = _geotiff_contract()
+    return f"""
+select doc_id,
+  'image/tiff' as format,
+  cast({w} as bigint) as width,
+  cast({h} as bigint) as height,
+  cast(0 as bigint) as rate,
+  cast({w} * {h} as bigint) as n_vals,
+  cast((doc_id * 31) % 256 as bigint) as val_first,
+  cast(list_sum(list_transform(range(0, {w} * {h}),
+        i -> (doc_id * 31 + (i // {w}) * 5 + (i % {w}) * 3) % 256))
+       as bigint) as val_sum
+from documents
+"""
+
+
+def _geotiff_ingest_tiles_oracle() -> str:
+    w, h = _geotiff_contract()
+    return f"""
+select tile_x, tile_y, cast(count(*) as bigint) as n_px,
+       cast(sum(val) as bigint) as val_sum
+from (
+  select cast(floor(((doc_id % 10) * 360.0 + (c.range + 0.5) * 30.0)
+                    / {GEOTIFF_TILE_SIZE!r}) as bigint) as tile_x,
+         cast(floor(((doc_id % 7) * 240.0 - (r.range + 0.5) * 30.0)
+                    / {GEOTIFF_TILE_SIZE!r}) as bigint) as tile_y,
+         (doc_id * 31 + r.range * 5 + c.range * 3) % 256 as val
+  from documents
+  cross join range(0, 12) r cross join range(0, 18) c
+  where r.range < {h} and c.range < {w}
+) t
+group by tile_x, tile_y
+"""
+
+
 def _avi_contract() -> tuple[str, str, str]:
     """(bw, bh, nf) SQL fragments of the video content contract."""
     return ("(2 + doc_id % 3)", "(1 + doc_id % 2)", "(1 + doc_id % 5)")
@@ -720,6 +802,8 @@ QUERIES = {
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_video": q_multimodal_decode_video,
     "multimodal_video_framestats": q_multimodal_video_framestats,
+    "multimodal_decode_tiff": q_multimodal_decode_tiff,
+    "geotiff_ingest_tiles": q_geotiff_ingest_tiles,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "train_pack_sequences": q_train_pack_sequences,
     "text_bigram_novelty": q_text_bigram_novelty,
@@ -768,6 +852,8 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_oracle(),
     "multimodal_decode_video": _multimodal_decode_video_oracle(),
     "multimodal_video_framestats": _multimodal_video_framestats_oracle(),
+    "multimodal_decode_tiff": _multimodal_decode_tiff_oracle(),
+    "geotiff_ingest_tiles": _geotiff_ingest_tiles_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
     "train_pack_sequences":

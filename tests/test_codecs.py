@@ -506,3 +506,123 @@ def test_synth_avi_contract_matches_decode():
             (did * 31 + f * 7 + k * 17) % 256
             for f in range(nf) for k in range(bw * bh))
         assert sum(int(f.astype(np.int64).sum()) for f in out) == exp_sum
+
+
+# ---------------------------------------------------------------------------
+# TIFF / GeoTIFF: IFD walk, strip codecs, georeferencing tags
+# ---------------------------------------------------------------------------
+
+def test_tiff_roundtrip_all_codecs_gray_and_rgb():
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(11)
+    for shape in ((13, 17), (13, 17, 3), (5, 333, 3), (40, 40)):
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for comp in ("none", "packbits", "lzw"):
+            for pred in ((False, True) if comp == "lzw" else (False,)):
+                out, gt = decode_tiff(encode_tiff(
+                    a, compression=comp, predictor=pred))
+                assert gt is None
+                assert np.array_equal(out, a), (shape, comp, pred)
+
+
+def test_tiff_lzw_width_transitions_and_clear():
+    """Random data walks the code width 9->10->11->12 and through a
+    mid-stream Clear (table full at 4094); text data exercises deep
+    dictionary reuse."""
+    from gdal_spark.codecs import _lzw_decode_tiff, _lzw_encode_tiff
+
+    rng = np.random.RandomState(5)
+    blob = bytes(rng.randint(0, 256, size=100_000,
+                             dtype=np.int64).astype(np.uint8))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(blob), len(blob)) == blob
+    text = b"the quick brown fox jumps over the lazy dog " * 4000
+    enc = _lzw_encode_tiff(text)
+    assert len(enc) < len(text) // 2  # actually compresses
+    assert _lzw_decode_tiff(enc, len(text)) == text
+
+
+def test_tiff_packbits_runs_and_literals():
+    from gdal_spark.codecs import _packbits_decode, _packbits_encode
+
+    for row in (b"\x00" * 300, b"abcdef", b"aaabccccd" * 40, b"x"):
+        assert _packbits_decode(_packbits_encode(row), len(row)) == row
+
+
+def test_geotiff_geotransform_roundtrip_and_decode_real():
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+    from gdal_spark.multimodal import decode_real
+
+    a = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    gt_in = (500000.0, 30.0, 0.0, 4649776.0, 0.0, -30.0)
+    data = encode_tiff(a, geotransform=gt_in, compression="lzw")
+    out, gt = decode_tiff(data)
+    assert np.array_equal(out, a) and gt == gt_in
+    d = decode_real(data)
+    assert d["format"] == "image/tiff"
+    assert (d["width"], d["height"]) == (12, 10)
+    assert int(d["values"].sum()) == int(a.astype(np.int64).sum())
+
+
+def test_tiff_big_endian_decodes():
+    """Hand-built MM (Motorola) file: the decoder honors the byte
+    order for the header, IFD and tag values."""
+    import struct
+    from gdal_spark.codecs import decode_tiff
+
+    px = bytes(range(6))  # 3x2 gray, uncompressed, one strip
+    tags = [
+        (256, 4, 1, 3), (257, 4, 1, 2), (258, 3, 1, 8 << 16),
+        (259, 3, 1, 1 << 16), (262, 3, 1, 1 << 16),
+        (273, 4, 1, 8), (277, 3, 1, 1 << 16), (278, 4, 1, 2),
+        (279, 4, 1, len(px)), (284, 3, 1, 1 << 16),
+    ]
+    # SHORT inline values live in the HIGH half on big-endian (<<16)
+    ifd = struct.pack(">H", len(tags))
+    for t, typ, cnt, val in tags:
+        ifd += struct.pack(">HHII", t, typ, cnt, val)
+    ifd += struct.pack(">I", 0)
+    data = struct.pack(">2sHI", b"MM", 42, 8 + len(px)) + px + ifd
+    out, gt = decode_tiff(data)
+    assert out.shape == (2, 3) and gt is None
+    assert np.array_equal(out, np.arange(6, dtype=np.uint8).reshape(2, 3))
+
+
+def test_tiff_unsupported_variants_raise():
+    import struct
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    a = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_tiff(a))
+    # flip the BitsPerSample inline value (tag 258) to 16
+    ifd_off = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd_off)[0]
+    for i in range(n):
+        t = struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]
+        if t == 258:
+            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 16)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(data))
+
+
+def test_synth_geotiff_contract_matches_decode():
+    """Every residue class of the GeoTIFF fixture mix (strip codec x
+    predictor x dims x origin) survives encode->decode exactly, and
+    the decoded geotransform places pixels where the oracle's
+    arithmetic puts them."""
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+    from gdal_spark.multimodal import _synth_geotiff
+
+    for did in range(31):
+        px, gt_in, comp, pred = _synth_geotiff(did)
+        out, gt = decode_tiff(encode_tiff(
+            px, compression=comp, geotransform=gt_in, predictor=pred))
+        assert np.array_equal(out, px)
+        assert gt == gt_in
+        w, h = 12 + did % 7, 8 + did % 5
+        assert out.shape == (h, w)
+        exp_sum = sum((did * 31 + r * 5 + c * 3) % 256
+                      for r in range(h) for c in range(w))
+        assert int(out.astype(np.int64).sum()) == exp_sum

@@ -489,3 +489,45 @@ def test_bigram_novelty_matches_bruteforce(spark):
         assert r["novelty_pct"] == \
             100 * sum(df[b] == 1 for b in s) // len(s)
     assert 4 not in got  # "lonely" has no bigrams
+
+
+def test_geotiff_tile_partials_matches_bruteforce(spark):
+    """The in-kernel tile binning over decoded geotransforms equals a
+    per-pixel numpy brute force, and the executed plan pays exactly
+    two exchanges (id spread + tile-key agg) — the pixels themselves
+    never shuffle."""
+    import numpy as np
+
+    from gdal_spark.multimodal import (_synth_geotiff,
+                                       geotiff_tile_partials,
+                                       synth_geotiff_payloads)
+
+    T = 120.0
+    ids = spark.range(25).selectExpr("id as doc_id").repartition(4)
+    out = geotiff_tile_partials(synth_geotiff_payloads(ids), T) \
+        .groupBy("tile_x", "tile_y") \
+        .agg({"n_px": "sum", "val_sum": "sum"}) \
+        .withColumnRenamed("sum(n_px)", "n_px") \
+        .withColumnRenamed("sum(val_sum)", "val_sum")
+    got = {(r["tile_x"], r["tile_y"]): (r["n_px"], r["val_sum"])
+           for r in out.collect()}
+
+    exp: dict[tuple[int, int], list[int]] = {}
+    for did in range(25):
+        px, gt, _, _ = _synth_geotiff(did)
+        h, w = px.shape
+        for r in range(h):
+            for c in range(w):
+                x = gt[0] + (c + 0.5) * gt[1]
+                y = gt[3] + (r + 0.5) * gt[5]
+                k = (int(np.floor(x / T)), int(np.floor(y / T)))
+                acc = exp.setdefault(k, [0, 0])
+                acc[0] += 1
+                acc[1] += int(px[r, c])
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the plan twice (Final + Initial); count one section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 2
+    assert "Cartesian" not in plan
