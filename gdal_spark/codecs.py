@@ -102,10 +102,25 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# PNG — 8-bit truecolor (color type 2), zlib IDAT, RFC 2083 §6 filters
+# PNG — all five RFC 2083 color types (gray / RGB / palette /
+# gray+alpha / RGBA), bit depths 1/2/4/8/16 where the spec allows
+# them, Adam7 interlace, zlib IDAT, the five §6 scanline filters.
+# This is the full variant surface a real web crawl contains (palette
+# and RGBA dominate); frmts/png/pngdataset.cpp reads the same set
+# through libpng. Palette images are expanded to RGB on decode (GDAL
+# exposes the color table alongside the index band; for the
+# stats/featurize pipeline the expanded pixels are the useful form).
+# tRNS transparency is ignored (documented divergence).
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -121,21 +136,21 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
                     np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → PNG bytes. The filter type cycles
-    row % 5 so every decoder branch (None/Sub/Up/Average/Paeth) is
-    exercised by round-trip tests — a real encoder picks per-row minima;
-    the byte stream is equally valid either way."""
-    h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
-    bpp = 3
+def _filter_rows(rows: np.ndarray, bpp: int, cycle: bool) -> bytes:
+    """Apply §6 filters to byte rows (h, stride); filter type cycles
+    row % 5 when `cycle` so round-trips exercise every decoder branch
+    (a real encoder picks per-row minima — either stream is valid)."""
+    h, stride = rows.shape
     raw = bytearray()
-    prior = np.zeros(w * bpp, dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row = arr[y].reshape(-1)
-        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
-        ft = y % 5
+        row = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.uint8)
+        upleft = np.concatenate([np.zeros(bpp, np.uint8),
+                                 prior[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.uint8)
+        ft = y % 5 if cycle else 0
         if ft == 0:
             filt = row
         elif ft == 1:
@@ -149,29 +164,161 @@ def encode_png(arr: np.ndarray) -> bytes:
             filt = row - _paeth(left, prior, upleft)
         raw += bytes([ft]) + filt.astype(np.uint8).tobytes()
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (PNG_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return bytes(raw)
+
+
+def _unfilter_rows(raw: bytes, h: int, stride: int,
+                   bpp: int, offset: int = 0) -> np.ndarray:
+    """Reverse the §6 filters: (h, stride) reconstructed bytes."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=base + 1)
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 2:
+            rec = line + prior
+        else:
+            # Sub/Average/Paeth need the reconstructed left neighbor —
+            # sequential in x, vectorized across the pixel''s bytes
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                seg = min(bpp, stride - x)
+                left = rec[x - bpp: x - bpp + seg] if x \
+                    else np.zeros(seg, np.uint8)
+                if ft == 1:
+                    rec[x: x + seg] = line[x: x + seg] + left
+                elif ft == 3:
+                    up = prior[x: x + seg]
+                    rec[x: x + seg] = line[x: x + seg] + (
+                        (left.astype(np.int16) + up.astype(np.int16))
+                        // 2).astype(np.uint8)
+                elif ft == 4:
+                    up = prior[x: x + seg]
+                    ul = (prior[x - bpp: x - bpp + seg] if x
+                          else np.zeros(seg, np.uint8))
+                    rec[x: x + seg] = (line[x: x + seg]
+                                       + _paeth(left, up, ul))
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def _samples_to_bytes(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w*channels) sample values -> (h, row_bytes) packed bytes."""
+    h, n = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        return samples.astype(">u2").view(np.uint8).reshape(h, n * 2)
+    per_byte = 8 // depth
+    pad = (-n) % per_byte
+    s = np.pad(samples, ((0, 0), (0, pad))).astype(np.uint8)
+    s = s.reshape(h, -1, per_byte)
+    out = np.zeros(s.shape[:2], dtype=np.uint16)
+    for i in range(per_byte):
+        out = (out << depth) | s[:, :, i]
+    return out.astype(np.uint8)
+
+
+def _bytes_to_samples(rows: np.ndarray, w: int, channels: int,
+                      depth: int) -> np.ndarray:
+    """(h, row_bytes) packed bytes -> (h, w*channels) sample values
+    (uint8 for depth<=8, uint16 for 16)."""
+    h = rows.shape[0]
+    n = w * channels
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2").astype(np.uint16)[:, :n]
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    cols = []
+    for i in range(per_byte):
+        shift = 8 - depth * (i + 1)
+        cols.append((rows >> shift) & mask)
+    out = np.stack(cols, axis=2).reshape(h, -1)
+    return out[:, :n].astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, color_type: int | None = None,
+               depth: int = 8, palette: np.ndarray | None = None,
+               interlace: int = 0) -> bytes:
+    """Array -> PNG bytes. Defaults keep the original behavior
+    ((h, w, 3) uint8 -> 8-bit truecolor). color_type 0/2/3/4/6; for
+    type 3 `arr` holds palette indices and `palette` is (n, 3) uint8.
+    depth per _PNG_DEPTHS; interlace 1 = Adam7."""
+    if color_type is None:
+        color_type = 0 if arr.ndim == 2 else {2: 4, 3: 2, 4: 6}[
+            arr.shape[2]]
+    channels = _PNG_CHANNELS[color_type]
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"depth {depth} invalid for color {color_type}")
+    h, w = arr.shape[:2]
+    samples = arr.reshape(h, w * channels)
+    bpp = max(1, depth * channels // 8)
+    cycle = depth >= 8
+
+    def pass_bytes(sub: np.ndarray) -> bytes:
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            return b""
+        return _filter_rows(_samples_to_bytes(sub, depth), bpp, cycle)
+
+    if interlace == 0:
+        raw = pass_bytes(samples)
+    elif interlace == 1:
+        sg = samples.reshape(h, w, channels)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = sg[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(pass_bytes(
+                    sub.reshape(sub.shape[0], -1)))
+        raw = b"".join(parts)
+    else:
+        raise ValueError("interlace must be 0 or 1")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       interlace)
+    plte = b""
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette required for color type 3")
+        plte = _chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return (PNG_SIG + _chunk(b"IHDR", ihdr) + plte
+            + _chunk(b"IDAT", zlib.compress(raw))
             + _chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3) uint8 RGB. 8-bit truecolor only; IDAT
-    chunks are concatenated then inflated, scanlines unfiltered per
-    RFC 2083 §6.3-6.6 (what libpng does inside
-    frmts/png/pngdataset.cpp's IReadBlock)."""
+    """PNG bytes -> numpy pixels: (h, w) for gray, (h, w, 2) for
+    gray+alpha, (h, w, 3) for RGB (palette expanded), (h, w, 4) for
+    RGBA; uint8, or uint16 at depth 16. Handles bit depths 1/2/4/8/16,
+    Adam7 interlace, concatenated IDATs, all five scanline filters —
+    the full libpng surface behind frmts/png/pngdataset.cpp minus
+    tRNS (ignored)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
-    idat = bytearray()
+    idat, plte = bytearray(), None
     while pos + 8 <= len(data):
         size, ctype = struct.unpack_from(">I4s", data, pos)
         payload = data[pos + 8: pos + 8 + size]
         if ctype == b"IHDR":
-            w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            if (depth, ctype_v, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError("unsupported PNG (8-bit RGB only)")
+            if comp != 0 or filt != 0 or interlace > 1:
+                raise ValueError("unsupported PNG compression/filter")
+            if color not in _PNG_CHANNELS or \
+                    depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"invalid PNG color/depth {color}/{depth}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
@@ -180,41 +327,37 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, count=stride,
-                             offset=y * (stride + 1) + 1)
-        if ft == 0:
-            rec = line.copy()
-        elif ft == 2:
-            rec = line + prior
-        else:
-            # Sub/Average/Paeth need the reconstructed left neighbor —
-            # sequential in x, vectorized across the 3 channel bytes
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(0, stride, bpp):
-                left = rec[x - bpp: x] if x else np.zeros(bpp, np.uint8)
-                if ft == 1:
-                    rec[x: x + bpp] = line[x: x + bpp] + left
-                elif ft == 3:
-                    up = prior[x: x + bpp]
-                    rec[x: x + bpp] = line[x: x + bpp] + (
-                        (left.astype(np.int16) + up.astype(np.int16))
-                        // 2).astype(np.uint8)
-                elif ft == 4:
-                    up = prior[x: x + bpp]
-                    ul = (prior[x - bpp: x] if x
-                          else np.zeros(bpp, np.uint8))
-                    rec[x: x + bpp] = (line[x: x + bpp]
-                                       + _paeth(left, up, ul))
-                else:
-                    raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec
-        prior = rec
-    return out.reshape(h, w, 3)
+    channels = _PNG_CHANNELS[color]
+    bpp = max(1, depth * channels // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if interlace == 0:
+        rows = _unfilter_rows(raw, h, row_bytes(w), bpp)
+        samples = _bytes_to_samples(rows, w, channels, depth)
+    else:
+        dt = np.uint16 if depth == 16 else np.uint8
+        grid = np.zeros((h, w, channels), dtype=dt)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            stride = row_bytes(pw)
+            rows = _unfilter_rows(raw, ph, stride, bpp, offset=off)
+            off += ph * (stride + 1)
+            sub = _bytes_to_samples(rows, pw, channels, depth)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        samples = grid.reshape(h, w * channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[samples.reshape(h, w)]
+    out = samples.reshape((h, w) if channels == 1
+                          else (h, w, channels))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -4,12 +4,14 @@ Images/audio/video ride in the pages table as opaque `binary` columns
 (here: the `html` payload stands in). The engine's job at 100 TB is the
 Spark-side plumbing — schema, Arrow batch shape, partitioning, UDF
 signatures — plus real decode where the format allows it without
-external codec libraries: `decode_real` natively decodes BMP, PNG and
-WAV PCM through gdal_spark.codecs (pure numpy/stdlib-zlib) and raises
-for codec-bound formats (JPEG/H.264 — PIL/ffmpeg absent from this
-container). `decode_stub_meta` keeps the deterministic md5-derived fake
-decode whose arithmetic the DuckDB oracle reproduces exactly, for the
-formats the sandbox can't decode.
+external codec libraries: `decode_real` natively decodes BMP, PNG (all
+variants), WAV PCM, classic TIFF/GeoTIFF, baseline+progressive JFIF
+JPEG and MJPEG-in-AVI video through gdal_spark.codecs (pure
+numpy/stdlib-zlib) and raises for the remaining codec-bound formats
+(arithmetic/hierarchical JPEG, inter-frame video — PIL/ffmpeg absent
+from this container). `decode_stub_meta` keeps the deterministic
+md5-derived fake decode whose arithmetic the DuckDB oracle reproduces
+exactly, for the formats the sandbox can't decode.
 
 Scale notes: payload bytes never leave the executor — metadata extraction
 is a mapInPandas pass emitting small typed rows; batches are bounded by
@@ -36,11 +38,13 @@ DECODE_SCHEMA = (
 def decode_real(payload: bytes) -> dict:
     """Real bytes→pixels/samples decode, dispatched on the payload's
     magic prefix. Codec-free formats are decoded with pure
-    numpy/stdlib (gdal_spark.codecs): BMP 24-bit BI_RGB, PNG 8-bit
-    truecolor (zlib IDAT + RFC 2083 filters), WAV PCM-16. Formats that
-    need external codec libraries (JPEG/H.264/MP3 — not in this
-    container) still raise, with the same seam: a PIL/ffmpeg decode
-    drops into this dispatch without touching any Spark plan.
+    numpy/stdlib (gdal_spark.codecs): BMP 24-bit BI_RGB, PNG (all
+    five RFC 2083 color types, depths 1-16, Adam7), WAV PCM-16,
+    classic TIFF/GeoTIFF strips, baseline+progressive JFIF, and
+    MJPEG-in-AVI video. Formats that need external codec libraries
+    (arithmetic/hierarchical JPEG, H.264, MP3 — not in this container)
+    still raise, with the same seam: a PIL/ffmpeg decode drops into
+    this dispatch without touching any Spark plan.
 
     Returns {"format", "width", "height", "rate", "values"} where
     values is a flat int64 array — RGB bytes row-major for images
@@ -286,6 +290,72 @@ def synth_avi_payloads(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 did = int(did)
                 frames, fps = _synth_avi_frames(did)
                 payloads.append(C.encode_avi_mjpeg(frames, fps=fps))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
+def _synth_png_variant(did: int):
+    """The PNG variant content contract (mirrored textually by the
+    DuckDB oracle): w = 5 + id%9, h = 4 + id%6; base sample
+    s(r, c) = (id*13 + r*7 + c) % 256; variant = id%6 rotates the
+    five color types + 16-bit (gray8, RGB8 with channel k offset by
+    11k, palette-4bit, gray+alpha, RGBA, gray16 with its own wider
+    formula); odd ids encode Adam7-interlaced. Returns
+    (array, encode_kwargs, expected_decoded_RGB-ish array)."""
+    w, h, v = 5 + did % 9, 4 + did % 6, did % 6
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    s = (did * 13 + r * 7 + c) % 256
+    interlace = did % 2
+    if v == 0:
+        a = s.astype(np.uint8)
+        return a, {"color_type": 0, "interlace": interlace}, a
+    if v == 1:
+        a = np.stack([(s + 11 * k) % 256 for k in range(3)],
+                     axis=2).astype(np.uint8)
+        return a, {"interlace": interlace}, a
+    if v == 2:
+        idx = ((did + r * 3 + c) % 16).astype(np.uint8)
+        j = np.arange(16, dtype=np.int64)
+        pal = np.stack([(did * 29 + j * 37) % 256,
+                        (did * 17 + j * 53) % 256,
+                        (did * 11 + j * 71) % 256],
+                       axis=1).astype(np.uint8)
+        return idx, {"color_type": 3, "depth": 4, "palette": pal,
+                     "interlace": interlace}, pal[idx]
+    if v == 3:
+        a = np.stack([s % 256, (s + 77) % 256],
+                     axis=2).astype(np.uint8)
+        return a, {"interlace": interlace}, a
+    if v == 4:
+        a = np.stack([(s + 11 * k) % 256 for k in range(4)],
+                     axis=2).astype(np.uint8)
+        return a, {"interlace": interlace}, a
+    s16 = (did * 509 + r * 257 + c * 97) % 65536
+    a = s16.astype(np.uint16)
+    return a, {"color_type": 0, "depth": 16,
+               "interlace": interlace}, a
+
+
+def synth_png_variant_payloads(ids: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG payloads across the FULL RFC 2083 variant
+    surface (all five color types, 4/8/16-bit, Adam7 on odd ids) —
+    the realistic web-crawl PNG mix."""
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                arr, kw, _ = _synth_png_variant(did)
+                payloads.append(C.encode_png(arr, **kw))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

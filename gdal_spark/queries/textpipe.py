@@ -579,6 +579,72 @@ def q_multimodal_decode_tiff(spark: SparkSession,
     return decode_real_stats(synth_geotiff_payloads(ids))
 
 
+def q_multimodal_decode_png_variants(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Full-surface PNG decode: payloads rotate ALL five RFC 2083
+    color types (gray / RGB / palette-4bit / gray+alpha / RGBA) plus
+    16-bit, half of them Adam7-interlaced — the realistic web-crawl
+    PNG mix (frmts/png reads the same set through libpng). The oracle
+    is interlace-blind by construction: an Adam7 de-interleave bug on
+    the engine side breaks the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_png_variant_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_png_variant_payloads(ids))
+
+
+def _multimodal_decode_png_variants_oracle() -> str:
+    w, h, v = "(5 + doc_id % 9)", "(4 + doc_id % 6)", "(doc_id % 6)"
+    # base gray sample at flat pixel index p (row-major)
+    s = f"(doc_id * 13 + ((p) // {w}) * 7 + ((p) % {w}))"
+    idx = f"((doc_id + ((p) // {w}) * 3 + ((p) % {w})) % 16)"
+    nch = (f"(case {v} when 0 then 1 when 1 then 3 when 2 then 3"
+           f" when 3 then 2 when 4 then 4 else 1 end)")
+
+    def over_samples(val_expr: str, channels: int) -> str:
+        """list_sum over w*h*channels flat samples; val_expr uses p
+        (pixel index) and k (channel index)."""
+        e = val_expr.replace("p", f"(i // {channels})") \
+                    .replace("k", f"(i % {channels})")
+        return (f"list_sum(list_transform(range(0, {w} * {h}"
+                f" * {channels}), i -> {e}))")
+
+    sum_v0 = over_samples(f"({s}) % 256", 1)
+    sum_v1 = over_samples(f"(({s}) + 11 * k) % 256", 3)
+    pal = (f"case k when 0 then (doc_id * 29 + {idx} * 37) % 256"
+           f" when 1 then (doc_id * 17 + {idx} * 53) % 256"
+           f" else (doc_id * 11 + {idx} * 71) % 256 end")
+    sum_v2 = over_samples(pal, 3)
+    sum_v3 = over_samples(
+        f"case k when 0 then ({s}) % 256 else (({s}) + 77) % 256 end", 2)
+    sum_v4 = over_samples(f"(({s}) + 11 * k) % 256", 4)
+    s16 = f"(doc_id * 509 + ((p) // {w}) * 257 + ((p) % {w}) * 97)"
+    sum_v5 = over_samples(f"({s16}) % 65536", 1)
+    return f"""
+select doc_id,
+  'image/png' as format,
+  cast({w} as bigint) as width,
+  cast({h} as bigint) as height,
+  cast(0 as bigint) as rate,
+  cast({w} * {h} * {nch} as bigint) as n_vals,
+  cast(case {v}
+    when 2 then (doc_id * 29 + (doc_id % 16) * 37) % 256
+    when 5 then (doc_id * 509) % 65536
+    else (doc_id * 13) % 256 end as bigint) as val_first,
+  cast(case {v}
+    when 0 then {sum_v0}
+    when 1 then {sum_v1}
+    when 2 then {sum_v2}
+    when 3 then {sum_v3}
+    when 4 then {sum_v4}
+    else {sum_v5} end as bigint) as val_sum
+from documents
+"""
+
+
 GEOTIFF_TILE_SIZE = 120.0
 
 
@@ -804,6 +870,7 @@ QUERIES = {
     "multimodal_video_framestats": q_multimodal_video_framestats,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "geotiff_ingest_tiles": q_geotiff_ingest_tiles,
+    "multimodal_decode_png_variants": q_multimodal_decode_png_variants,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "train_pack_sequences": q_train_pack_sequences,
     "text_bigram_novelty": q_text_bigram_novelty,
@@ -854,6 +921,8 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_video_framestats": _multimodal_video_framestats_oracle(),
     "multimodal_decode_tiff": _multimodal_decode_tiff_oracle(),
     "geotiff_ingest_tiles": _geotiff_ingest_tiles_oracle(),
+    "multimodal_decode_png_variants":
+        _multimodal_decode_png_variants_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
     "train_pack_sequences":

@@ -626,3 +626,94 @@ def test_synth_geotiff_contract_matches_decode():
         exp_sum = sum((did * 31 + r * 5 + c * 3) % 256
                       for r in range(h) for c in range(w))
         assert int(out.astype(np.int64).sum()) == exp_sum
+
+
+# ---------------------------------------------------------------------------
+# PNG variant surface: all color types, depths, Adam7
+# ---------------------------------------------------------------------------
+
+def test_png_all_color_types_roundtrip():
+    from gdal_spark.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, size=(11, 9)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, color_type=0)), g)
+    ga = rng.randint(0, 256, size=(7, 5, 2)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(ga)), ga)
+    rgba = rng.randint(0, 256, size=(6, 10, 4)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(9, 13)).astype(np.uint8)
+    for depth in (4, 8):
+        out = decode_png(encode_png(idx, color_type=3, depth=depth,
+                                    palette=pal))
+        assert np.array_equal(out, pal[idx])
+
+
+def test_png_sub_byte_and_16bit_depths():
+    from gdal_spark.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(17)
+    for d in (1, 2, 4):
+        g = rng.randint(0, 1 << d, size=(10, 23)).astype(np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(g, color_type=0, depth=d)), g), d
+    g16 = rng.randint(0, 65536, size=(8, 6)).astype(np.uint16)
+    out = decode_png(encode_png(g16, color_type=0, depth=16))
+    assert out.dtype == np.uint16 and np.array_equal(out, g16)
+    c16 = rng.randint(0, 65536, size=(5, 7, 3)).astype(np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png(c16, color_type=2, depth=16)), c16)
+
+
+def test_png_adam7_interlace_matrix():
+    """Adam7 must reproduce the plain encoding exactly, including
+    images smaller than one pass block (empty passes)."""
+    from gdal_spark.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(19)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    cases = [
+        (rng.randint(0, 256, size=(13, 17, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, size=(3, 2)).astype(np.uint8),
+         {"color_type": 0}),
+        (rng.randint(0, 256, size=(1, 1, 4)).astype(np.uint8), {}),
+        (rng.randint(0, 16, size=(9, 11)).astype(np.uint8),
+         {"color_type": 3, "depth": 4, "palette": pal}),
+        (rng.randint(0, 65536, size=(10, 9, 3)).astype(np.uint16),
+         {"color_type": 2, "depth": 16}),
+        (rng.randint(0, 2, size=(12, 30)).astype(np.uint8),
+         {"color_type": 0, "depth": 1}),
+        (rng.randint(0, 256, size=(16, 16, 2)).astype(np.uint8), {}),
+    ]
+    for arr, kw in cases:
+        got = decode_png(encode_png(arr, interlace=1, **kw))
+        exp = pal[arr] if kw.get("color_type") == 3 else arr
+        assert np.array_equal(got, exp), (arr.shape, kw)
+
+
+def test_png_invalid_combinations_raise():
+    from gdal_spark.codecs import decode_png, encode_png
+
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_png(a, depth=4)  # truecolor can't be 4-bit
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4), np.uint8), color_type=3)  # no PLTE
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+
+
+def test_synth_png_variant_contract_matches_decode():
+    """Every residue class of the PNG variant mix decodes to exactly
+    what the contract formula states (the property the oracle SQL
+    relies on)."""
+    from gdal_spark.codecs import decode_png, encode_png
+    from gdal_spark.multimodal import _synth_png_variant
+
+    for did in range(36):
+        arr, kw, expected = _synth_png_variant(did)
+        got = decode_png(encode_png(arr, **kw))
+        assert np.array_equal(got, expected), did
+        w, h = 5 + did % 9, 4 + did % 6
+        assert expected.shape[:2] == (h, w)
