@@ -1720,3 +1720,211 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
         y0g = tp[4] + tp[1] * sy
         gt = (x0, sx, 0.0, y0g, 0.0, -sy)
     return arr, gt
+
+
+# ---------------------------------------------------------------------------
+# GIF — 87a/89a, palette frames, GIF-flavor LZW (LSB-first bit
+# packing, LATE code-width change — the mirror image of TIFF's
+# MSB-first early change above), 4-pass row interlace, multi-frame
+# animation (frames composited draw-over at their logical placement;
+# GCE disposal/transparency ignored — documented divergence).
+# Reference: frmts/gif/gifdataset.cpp reads the same streams through
+# giflib. Palette expands to RGB on decode, as with PNG type 3.
+# ---------------------------------------------------------------------------
+
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _lzw_encode_gif(indices: bytes, mcs: int) -> bytes:
+    """GIF LZW: LSB-first packing; clear=2^mcs, eoi=clear+1, width
+    starts mcs+1 and bumps LATE (when the next free code would not
+    fit), max 12 bits."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    nxt, width = eoi + 1, mcs + 1
+    put(clear, width)
+    w = b""
+    for byte in indices:
+        ch = bytes([byte])
+        if w + ch in table:
+            w += ch
+            continue
+        put(table[w], width)
+        table[w + ch] = nxt
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        nxt += 1
+        w = ch
+        if nxt >= 4096:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt, width = eoi + 1, mcs + 1
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, out_len: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    pos = 0
+
+    def get(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte_i = pos >> 3
+            if byte_i >= len(data):
+                return eoi
+            v |= ((data[byte_i] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    table: list[bytes] = []
+    width = mcs + 1
+    prev = b""
+    while len(out) < out_len:
+        code = get(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            code = get(width)
+            if code == eoi:
+                break
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < len(table) and (table[code] or code < clear):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        table.append(prev + entry[:1])
+        # LATE change, one entry behind the encoder: the encoder bumps
+        # after ADDING entry 2^w (it would not fit); the decoder's
+        # lagged table reaches size 2^w exactly one code-read later —
+        # right before the first wider code arrives
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:out_len])
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        seg = data[i:i + 255]
+        out.append(len(seg))
+        out += seg
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """Frames of palette indices ((h, w) uint8, uniform dims, values
+    < len(palette)) + (n, 3) palette -> GIF89a bytes with a global
+    color table; one image block per frame."""
+    pal = np.asarray(palette, np.uint8)
+    n = len(pal)
+    mcs = max(2, int(np.ceil(np.log2(n))))
+    gct_n = 1 << mcs
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((mcs - 1) << 4)
+                       | (mcs - 1), 0, 0)
+    out += pal.tobytes() + b"\x00" * ((gct_n - n) * 3)
+    for fr in frames:
+        flags = 0x40 if interlace else 0
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, flags)
+        idx = fr
+        if interlace:
+            order = [y for start, step in _GIF_PASSES
+                     for y in range(start, h, step)]
+            idx = fr[order]
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_encode_gif(idx.tobytes(), mcs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of (h, w, 3) uint8 RGB frames (palette
+    expanded, composited draw-over onto the logical screen)."""
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, count=n * 3,
+                            offset=pos).reshape(-1, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh, flags = struct.unpack_from("<HHHHB", data,
+                                                      pos)
+        pos += 9
+        pal = gct
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            pal = np.frombuffer(data, np.uint8, count=n * 3,
+                                offset=pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode_gif(bytes(comp), mcs, fw * fh),
+            np.uint8).reshape(fh, fw)
+        if flags & 0x40:  # 4-pass interlace
+            deinter = np.empty_like(idx)
+            rows = [y for start, step in _GIF_PASSES
+                    for y in range(start, fh, step)]
+            deinter[rows] = idx
+            idx = deinter
+        canvas[top:top + fh, left:left + fw] = pal[idx]
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF payload has no image blocks")
+    return frames

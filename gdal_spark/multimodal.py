@@ -80,6 +80,12 @@ def decode_real(payload: bytes) -> dict:
                 "height": frames[0].shape[0], "rate": fps,
                 "values": np.concatenate(
                     [f.reshape(-1) for f in frames]).astype(np.int64)}
+    if b[:4] == b"GIF8":
+        frames = C.decode_gif(b)
+        return {"format": "image/gif", "width": frames[0].shape[1],
+                "height": frames[0].shape[0], "rate": 0,
+                "values": np.concatenate(
+                    [f.reshape(-1) for f in frames]).astype(np.int64)}
     if b[:2] == b"\xff\xd8":
         px = C.decode_jpeg(b)
         return {"format": "image/jpeg", "width": px.shape[1],
@@ -356,6 +362,48 @@ def synth_png_variant_payloads(ids: DataFrame,
                 did = int(did)
                 arr, kw, _ = _synth_png_variant(did)
                 payloads.append(C.encode_png(arr, **kw))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
+def _synth_gif(did: int):
+    """The GIF content contract (mirrored textually by the DuckDB
+    oracle): nf = 1 + id%3 frames of w = 6 + id%5 by h = 4 + id%3
+    palette indices idx(f, r, c) = (id + f*5 + r*2 + c) % 8 over an
+    8-color palette pal[j] = ((id*23 + j*29) % 256,
+    (id*19 + j*31) % 256, (id*7 + j*41) % 256); odd ids interlaced.
+    Returns (frames, palette, interlace)."""
+    nf, w, h = 1 + did % 3, 6 + did % 5, 4 + did % 3
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    frames = [((did + f * 5 + r * 2 + c) % 8).astype(np.uint8)
+              for f in range(nf)]
+    j = np.arange(8, dtype=np.int64)
+    pal = np.stack([(did * 23 + j * 29) % 256,
+                    (did * 19 + j * 31) % 256,
+                    (did * 7 + j * 41) % 256], axis=1).astype(np.uint8)
+    return frames, pal, bool(did % 2)
+
+
+def synth_gif_payloads(ids: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic multi-frame GIF fixture payloads (GIF-flavor LZW,
+    half interlaced), per the _synth_gif content contract."""
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames, pal, inter = _synth_gif(did)
+                payloads.append(C.encode_gif(frames, pal,
+                                             interlace=inter))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

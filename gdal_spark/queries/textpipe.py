@@ -645,6 +645,47 @@ from documents
 """
 
 
+def q_multimodal_decode_gif(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Multi-frame GIF decode (frmts/gif precedent): payloads carry
+    1-3 palette frames through GIF-flavor LZW (LSB-first, late
+    code-width change — the mirror image of TIFF's), half of them
+    4-pass interlaced. The oracle restates the palette-expansion
+    arithmetic; it is interlace- and codec-blind, so an LZW width-sync
+    or de-interlace bug breaks the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_gif_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_gif_payloads(ids))
+
+
+def _multimodal_decode_gif_oracle() -> str:
+    nf, w, h = "(1 + doc_id % 3)", "(6 + doc_id % 5)", "(4 + doc_id % 3)"
+    # flat sample index i -> frame f, pixel p (row-major), channel k
+    f = f"(i // ({w} * {h} * 3))"
+    p = f"((i % ({w} * {h} * 3)) // 3)"
+    k = "(i % 3)"
+    idx = f"((doc_id + {f} * 5 + ({p} // {w}) * 2 + ({p} % {w})) % 8)"
+    val = (f"case {k} when 0 then (doc_id * 23 + {idx} * 29) % 256"
+           f" when 1 then (doc_id * 19 + {idx} * 31) % 256"
+           f" else (doc_id * 7 + {idx} * 41) % 256 end")
+    return f"""
+select doc_id,
+  'image/gif' as format,
+  cast({w} as bigint) as width,
+  cast({h} as bigint) as height,
+  cast(0 as bigint) as rate,
+  cast({nf} * {w} * {h} * 3 as bigint) as n_vals,
+  cast((doc_id * 23 + (doc_id % 8) * 29) % 256 as bigint) as val_first,
+  cast(list_sum(list_transform(range(0, {nf} * {w} * {h} * 3),
+                               i -> {val})) as bigint) as val_sum
+from documents
+"""
+
+
 GEOTIFF_TILE_SIZE = 120.0
 
 
@@ -871,6 +912,7 @@ QUERIES = {
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "geotiff_ingest_tiles": q_geotiff_ingest_tiles,
     "multimodal_decode_png_variants": q_multimodal_decode_png_variants,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "train_pack_sequences": q_train_pack_sequences,
     "text_bigram_novelty": q_text_bigram_novelty,
@@ -923,6 +965,7 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "geotiff_ingest_tiles": _geotiff_ingest_tiles_oracle(),
     "multimodal_decode_png_variants":
         _multimodal_decode_png_variants_oracle(),
+    "multimodal_decode_gif": _multimodal_decode_gif_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
     "train_pack_sequences":

@@ -717,3 +717,82 @@ def test_synth_png_variant_contract_matches_decode():
         assert np.array_equal(got, expected), did
         w, h = 5 + did % 9, 4 + did % 6
         assert expected.shape[:2] == (h, w)
+
+
+# ---------------------------------------------------------------------------
+# GIF: GIF-flavor LZW (LSB-first, late change), interlace, animation
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_frames_and_interlace():
+    from gdal_spark.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    for interlace in (False, True):
+        frames = [rng.randint(0, 8, size=(11, 13)).astype(np.uint8)
+                  for _ in range(3)]
+        out = decode_gif(encode_gif(frames, pal, interlace=interlace))
+        assert len(out) == 3
+        for f_in, f_out in zip(frames, out):
+            assert np.array_equal(f_out, pal[f_in]), interlace
+
+
+def test_gif_lzw_width_bumps_and_clears():
+    """A 256-color random image walks every code width 9->12 and
+    through mid-stream table clears; structured content exercises
+    deep dictionary chains and the KwKwK case."""
+    from gdal_spark.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(29)
+    pal256 = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    huge = rng.randint(0, 256, size=(150, 200)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([huge], pal256))[0],
+                          pal256[huge])
+    runs = np.repeat(np.arange(256, dtype=np.uint8), 64).reshape(64, 256)
+    assert np.array_equal(decode_gif(encode_gif([runs], pal256))[0],
+                          pal256[runs])
+
+
+def test_gif_dispatches_through_decode_real():
+    from gdal_spark.codecs import encode_gif
+    from gdal_spark.multimodal import decode_real
+
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    frames = [np.full((4, 6), v, np.uint8) for v in (0, 7)]
+    d = decode_real(encode_gif(frames, pal))
+    assert d["format"] == "image/gif"
+    assert (d["width"], d["height"], d["rate"]) == (6, 4, 0)
+    assert len(d["values"]) == 2 * 4 * 6 * 3
+    exp = np.concatenate([pal[f].reshape(-1) for f in frames])
+    assert np.array_equal(d["values"], exp.astype(np.int64))
+
+
+def test_gif_invalid_payloads_raise():
+    from gdal_spark.codecs import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    # header with no image blocks
+    import struct
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3B"
+    with pytest.raises(ValueError):
+        decode_gif(hdr)
+
+
+def test_synth_gif_contract_matches_decode():
+    from gdal_spark.codecs import decode_gif, encode_gif
+    from gdal_spark.multimodal import _synth_gif
+
+    for did in range(17):
+        frames, pal, inter = _synth_gif(did)
+        out = decode_gif(encode_gif(frames, pal, interlace=inter))
+        assert len(out) == 1 + did % 3
+        for f_in, f_out in zip(frames, out):
+            assert np.array_equal(f_out, pal[f_in]), did
+        # arithmetic restatement (what the oracle computes)
+        nf, w, h = 1 + did % 3, 6 + did % 5, 4 + did % 3
+        exp_sum = sum(
+            int(v)
+            for f in range(nf) for r in range(h) for c in range(w)
+            for v in pal[(did + f * 5 + r * 2 + c) % 8])
+        assert sum(int(o.astype(np.int64).sum()) for o in out) == exp_sum
