@@ -1533,32 +1533,49 @@ def _lzw_decode_tiff(data: bytes, out_len: int) -> bytes:
 
 
 def _predictor2_encode(arr: np.ndarray) -> np.ndarray:
-    """Horizontal differencing per row per channel (TIFF predictor 2),
-    modulo-256 byte arithmetic."""
-    d = arr.astype(np.int16)
+    """Horizontal differencing along axis 1 (TIFF predictor 2),
+    modulo the sample width (uint8 or uint16)."""
+    d = arr.astype(np.int64)
     d[:, 1:] = d[:, 1:] - d[:, :-1]
-    return (d % 256).astype(np.uint8)
+    return (d % (1 << (arr.dtype.itemsize * 8))).astype(arr.dtype)
 
 
 def _predictor2_decode(arr: np.ndarray) -> np.ndarray:
-    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    # astype truncates the int64 cumsum back modulo the sample width
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
+
+
+_TIFF_DTYPES = {
+    # numpy kind/itemsize -> (BitsPerSample, SampleFormat)
+    ("u", 1): (8, 1), ("u", 2): (16, 1), ("f", 4): (32, 3),
+}
 
 
 def encode_tiff(arr: np.ndarray, compression: str = "none",
                 geotransform: tuple | None = None,
                 rows_per_strip: int = 8,
                 predictor: bool = False) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 -> classic little-endian
-    TIFF. compression: "none" | "packbits" | "lzw". A 6-tuple GDAL
-    geotransform (north-up: rot terms 0) adds ModelPixelScaleTag +
+    """(h, w) gray or (h, w, 3) RGB -> classic little-endian TIFF.
+    Sample types: uint8, uint16, float32 (GDAL's common raster
+    dtypes; SampleFormat tag 339 marks floats). compression: "none" |
+    "packbits" | "lzw" | "deflate". A 6-tuple GDAL geotransform
+    (north-up: rot terms 0) adds ModelPixelScaleTag +
     ModelTiepointTag, making the output a GeoTIFF."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
-    px = arr.reshape(h, w * spp)
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-    if predictor and compression != "lzw":
-        raise ValueError("predictor is an LZW option")
+    key = (arr.dtype.kind, arr.dtype.itemsize)
+    if key not in _TIFF_DTYPES:
+        raise ValueError(f"unsupported TIFF sample dtype {arr.dtype}")
+    bits, sfmt = _TIFF_DTYPES[key]
+    le = arr.astype(arr.dtype.newbyteorder("<"))
+    px = le.reshape(h, w * spp)
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773,
+                 "deflate": 8}[compression]
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor is an LZW/Deflate option")
+    if predictor and sfmt == 3:
+        raise ValueError("predictor 2 needs integer samples")
 
     strips = []
     for y0 in range(0, h, rows_per_strip):
@@ -1577,6 +1594,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         elif compression == "packbits":
             strips.append(b"".join(_packbits_encode(r.tobytes())
                                    for r in rows))
+        elif compression == "deflate":
+            strips.append(zlib.compress(raw))
         else:
             strips.append(_lzw_encode_tiff(raw))
     nstrips = len(strips)
@@ -1589,7 +1608,7 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
 
     tag(256, 4, [w])
     tag(257, 4, [h])
-    tag(258, 3, [8] * spp)
+    tag(258, 3, [bits] * spp)
     tag(259, 3, [comp_code])
     tag(262, 3, [1 if gray else 2])
     tag(273, 4, None)  # strip offsets, filled later
@@ -1599,6 +1618,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     tag(284, 3, [1])
     if predictor:
         tag(317, 3, [2])
+    if sfmt != 1:
+        tag(339, 3, [sfmt] * spp)
     if geotransform is not None:
         x0, pw, rx, y0g, ry, ph = geotransform
         if rx != 0 or ry != 0:
@@ -1675,17 +1696,24 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
         raise NotImplementedError("tiled TIFF layout (strip-only here)")
     w, h = tags[256][0], tags[257][0]
     spp = tags.get(277, (1,))[0]
-    bits = tags.get(258, (8,))
-    if any(b != 8 for b in bits) or spp not in (1, 3):
-        raise NotImplementedError("TIFF beyond 8-bit gray/RGB")
+    bits_t = tags.get(258, (8,))
+    bits = bits_t[0]
+    sfmt = tags.get(339, (1,))[0]
+    if any(b != bits for b in bits_t) or spp not in (1, 3) or \
+            (bits, sfmt) not in ((8, 1), (16, 1), (32, 3)):
+        raise NotImplementedError(
+            "TIFF beyond uint8/uint16/float32 gray or uint8 RGB")
     if tags.get(284, (1,))[0] != 1:
         raise NotImplementedError("planar TIFF configuration")
     comp = tags.get(259, (1,))[0]
     pred = tags.get(317, (1,))[0]
     rps = tags.get(278, (h,))[0]
     offsets, counts = tags[273], tags[279]
-    row_bytes = w * spp
-    out = np.empty((h, row_bytes), dtype=np.uint8)
+    sdt = np.dtype({(8, 1): "u1", (16, 1): "u2",
+                    (32, 3): "f4"}[(bits, sfmt)]).newbyteorder(e)
+    itemsz = sdt.itemsize
+    row_bytes = w * spp * itemsz
+    out = np.empty((h, w * spp), dtype=sdt.newbyteorder("="))
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         y0 = si * rps
         nrows = min(rps, h - y0)
@@ -1696,19 +1724,21 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
             dec = _packbits_decode(raw, nrows * row_bytes)
         elif comp == 5:
             dec = _lzw_decode_tiff(raw, nrows * row_bytes)
+        elif comp in (8, 32946):  # Deflate (new + legacy code)
+            dec = zlib.decompress(raw)[:nrows * row_bytes]
         else:
             raise NotImplementedError(f"TIFF compression {comp}")
-        block = np.frombuffer(dec, dtype=np.uint8).reshape(
-            nrows, row_bytes)
+        block = np.frombuffer(dec, dtype=sdt).reshape(
+            nrows, w * spp).astype(sdt.newbyteorder("="))
         if pred == 2:
             if spp == 1:
                 block = _predictor2_decode(block)
             else:
                 block = _predictor2_decode(
-                    block.reshape(nrows, w, spp).astype(np.uint8)
+                    block.reshape(nrows, w, spp)
                     .transpose(0, 2, 1).reshape(nrows * spp, w)) \
                     .reshape(nrows, spp, w).transpose(0, 2, 1) \
-                    .reshape(nrows, row_bytes)
+                    .reshape(nrows, w * spp)
         out[y0:y0 + nrows] = block
     arr = out.reshape(h, w) if spp == 1 else out.reshape(h, w, 3)
     gt = None

@@ -415,18 +415,30 @@ def synth_gif_payloads(ids: DataFrame,
 
 def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool]:
     """The GeoTIFF content contract (mirrored textually by the DuckDB
-    oracle): w = 12 + id%7, h = 8 + id%5, pixel (r, c) value =
-    (id*31 + r*5 + c*3) % 256, grayscale; north-up geotransform with
-    origin ((id%10)*360, (id%7)*240) and 30-unit pixels; compression
-    rotates none/packbits/lzw by id%3 (lzw adds predictor 2 on odd
-    ids) so every strip codec is exercised in the contract."""
+    oracle): w = 12 + id%7, h = 8 + id%5, grayscale pixel (r, c)
+    value = (id*31 + r*5 + c*3) % M; the sample dtype rotates by id%5
+    (0 -> uint16 with M=4096, 1 -> float32 with integral values and
+    M=512, else uint8 with M=256 — GDAL's common raster dtypes) and
+    the compression by id%4 (none/packbits/lzw/deflate; lzw and
+    deflate add predictor 2 on odd integer-sample ids), so every
+    strip codec x dtype lane is exercised in the contract; north-up
+    geotransform with origin ((id%10)*360, (id%7)*240) and 30-unit
+    pixels."""
     w, h = 12 + did % 7, 8 + did % 5
     r = np.arange(h, dtype=np.int64)[:, None]
     c = np.arange(w, dtype=np.int64)[None, :]
-    px = ((did * 31 + r * 5 + c * 3) % 256).astype(np.uint8)
+    base = did * 31 + r * 5 + c * 3
+    if did % 5 == 0:
+        px = (base % 4096).astype(np.uint16)
+    elif did % 5 == 1:
+        px = (base % 512).astype(np.float32)
+    else:
+        px = (base % 256).astype(np.uint8)
     gt = ((did % 10) * 360.0, 30.0, 0.0, (did % 7) * 240.0, 0.0, -30.0)
-    comp = ("none", "packbits", "lzw")[did % 3]
-    return px, gt, comp, (comp == "lzw" and did % 2 == 1)
+    comp = ("none", "packbits", "lzw", "deflate")[did % 4]
+    pred = (comp in ("lzw", "deflate") and did % 2 == 1
+            and px.dtype.kind == "u")
+    return px, gt, comp, pred
 
 
 def synth_geotiff_payloads(ids: DataFrame,

@@ -710,12 +710,14 @@ def q_geotiff_ingest_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_px").alias("n_px"), F.sum("val_sum").alias("val_sum"))
 
 
-def _geotiff_contract() -> tuple[str, str]:
-    return ("(12 + doc_id % 7)", "(8 + doc_id % 5)")
+def _geotiff_contract() -> tuple[str, str, str]:
+    m = ("(case doc_id % 5 when 0 then 4096 when 1 then 512"
+         " else 256 end)")
+    return ("(12 + doc_id % 7)", "(8 + doc_id % 5)", m)
 
 
 def _multimodal_decode_tiff_oracle() -> str:
-    w, h = _geotiff_contract()
+    w, h, m = _geotiff_contract()
     return f"""
 select doc_id,
   'image/tiff' as format,
@@ -723,16 +725,16 @@ select doc_id,
   cast({h} as bigint) as height,
   cast(0 as bigint) as rate,
   cast({w} * {h} as bigint) as n_vals,
-  cast((doc_id * 31) % 256 as bigint) as val_first,
+  cast((doc_id * 31) % {m} as bigint) as val_first,
   cast(list_sum(list_transform(range(0, {w} * {h}),
-        i -> (doc_id * 31 + (i // {w}) * 5 + (i % {w}) * 3) % 256))
+        i -> (doc_id * 31 + (i // {w}) * 5 + (i % {w}) * 3) % {m}))
        as bigint) as val_sum
 from documents
 """
 
 
 def _geotiff_ingest_tiles_oracle() -> str:
-    w, h = _geotiff_contract()
+    w, h, m = _geotiff_contract()
     return f"""
 select tile_x, tile_y, cast(count(*) as bigint) as n_px,
        cast(sum(val) as bigint) as val_sum
@@ -741,7 +743,7 @@ from (
                     / {GEOTIFF_TILE_SIZE!r}) as bigint) as tile_x,
          cast(floor(((doc_id % 7) * 240.0 - (r.range + 0.5) * 30.0)
                     / {GEOTIFF_TILE_SIZE!r}) as bigint) as tile_y,
-         (doc_id * 31 + r.range * 5 + c.range * 3) % 256 as val
+         (doc_id * 31 + r.range * 5 + c.range * 3) % {m} as val
   from documents
   cross join range(0, 12) r cross join range(0, 18) c
   where r.range < {h} and c.range < {w}

@@ -596,15 +596,18 @@ def test_tiff_unsupported_variants_raise():
         decode_tiff(b"not a tiff")
     a = np.zeros((4, 4), dtype=np.uint8)
     data = bytearray(encode_tiff(a))
-    # flip the BitsPerSample inline value (tag 258) to 16
+    # flip the BitsPerSample inline value (tag 258) to 12 — a depth
+    # the strip reader does not support
     ifd_off = struct.unpack_from("<I", data, 4)[0]
     n = struct.unpack_from("<H", data, ifd_off)[0]
     for i in range(n):
         t = struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]
         if t == 258:
-            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 16)
+            struct.pack_into("<H", data, ifd_off + 2 + 12 * i + 8, 12)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(data))
+    with pytest.raises(ValueError):
+        encode_tiff(a.astype(np.int32))  # unsupported sample dtype
 
 
 def test_synth_geotiff_contract_matches_decode():
@@ -619,11 +622,15 @@ def test_synth_geotiff_contract_matches_decode():
         px, gt_in, comp, pred = _synth_geotiff(did)
         out, gt = decode_tiff(encode_tiff(
             px, compression=comp, geotransform=gt_in, predictor=pred))
+        assert out.dtype == px.dtype
         assert np.array_equal(out, px)
         assert gt == gt_in
         w, h = 12 + did % 7, 8 + did % 5
         assert out.shape == (h, w)
-        exp_sum = sum((did * 31 + r * 5 + c * 3) % 256
+        mod = {0: 4096, 1: 512}.get(did % 5, 256)
+        exp_dtype = {0: np.uint16, 1: np.float32}.get(did % 5, np.uint8)
+        assert out.dtype == exp_dtype
+        exp_sum = sum((did * 31 + r * 5 + c * 3) % mod
                       for r in range(h) for c in range(w))
         assert int(out.astype(np.int64).sum()) == exp_sum
 
@@ -796,3 +803,28 @@ def test_synth_gif_contract_matches_decode():
             for f in range(nf) for r in range(h) for c in range(w)
             for v in pal[(did + f * 5 + r * 2 + c) % 8])
         assert sum(int(o.astype(np.int64).sum()) for o in out) == exp_sum
+
+
+def test_tiff_uint16_float32_deflate_matrix():
+    """GDAL's common raster dtypes through every strip codec: uint16
+    (predictor 2 modulo 65536) and float32 DEM-style samples."""
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(37)
+    a16 = rng.randint(0, 65536, size=(11, 9)).astype(np.uint16)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        preds = (False, True) if comp in ("lzw", "deflate") else (False,)
+        for pred in preds:
+            out, _ = decode_tiff(encode_tiff(a16, compression=comp,
+                                             predictor=pred))
+            assert out.dtype == np.uint16
+            assert np.array_equal(out, a16), (comp, pred)
+    dem = rng.randint(0, 2048, size=(10, 14)).astype(np.float32) / 4.0
+    gt_in = (0.0, 30.0, 0.0, 300.0, 0.0, -30.0)
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        out, gt = decode_tiff(encode_tiff(dem, compression=comp,
+                                          geotransform=gt_in))
+        assert out.dtype == np.float32
+        assert np.array_equal(out, dem) and gt == gt_in, comp
+    with pytest.raises(ValueError):
+        encode_tiff(dem, compression="lzw", predictor=True)
