@@ -63,26 +63,75 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# WAV — RIFF/WAVE, PCM 16-bit
+# WAV — RIFF/WAVE mono: PCM 8/16/24-bit, IEEE float32 (format 3),
+# G.711 mu-law (format 7). The format-7 expander is the exact ITU
+# G.711 table formula; 8-bit PCM is unsigned per the WAV convention
+# and is returned centered (value - 128).
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """int16 mono samples → RIFF/WAVE PCM bytes."""
-    assert samples.dtype == np.int16
-    data = samples.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (the standard table formula:
+    invert, split sign/exponent/mantissa, ((m<<3)+0x84)<<e - 0x84)."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _mulaw_compress(x: np.ndarray) -> np.ndarray:
+    """linear int16 -> G.711 mu-law byte (bias 0x84, clip 0x7F7B)."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 0x7F7B) + 0x84
+    e = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    m = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+_WAV_FMTS = {
+    # name -> (format code, bits, block align)
+    "pcm16": (1, 16, 2), "pcm8": (1, 8, 1), "pcm24": (1, 24, 3),
+    "float32": (3, 32, 4), "mulaw": (7, 8, 1),
+}
+
+
+def encode_wav(samples: np.ndarray, rate: int,
+               fmt: str = "pcm16") -> bytes:
+    """Mono samples -> RIFF/WAVE bytes. fmt: pcm16 (int16), pcm8
+    (centered int, stored unsigned), pcm24 (int32 values in 24-bit
+    range), float32, mulaw (int16, companded)."""
+    code, bits, align = _WAV_FMTS[fmt]
+    if fmt == "pcm16":
+        data = samples.astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        data = (samples.astype(np.int64) + 128).astype(np.uint8) \
+            .tobytes()
+    elif fmt == "pcm24":
+        v = samples.astype("<i4").view(np.uint8).reshape(-1, 4)
+        data = v[:, :3].tobytes()  # little-endian low 3 bytes
+    elif fmt == "float32":
+        data = samples.astype("<f4").tobytes()
+    else:
+        data = _mulaw_compress(samples).tobytes()
+    fmt_pl = struct.pack("<HHIIHH", code, 1, rate, rate * align,
+                         align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_pl)) + fmt_pl
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM-16 bytes → (sample_rate, int16 samples). Walks the
-    chunk list (a real file may carry LIST/fact chunks before data)."""
+    """RIFF/WAVE bytes -> (sample_rate, samples). Walks the chunk list
+    (a real file may carry LIST/fact chunks before data). Mono PCM
+    8/16/24, IEEE float32 and G.711 mu-law decode; other formats
+    (ADPCM, a-law, multichannel) raise — the audio codec seam."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, rate, samples = 12, None, None
+    pos, rate, raw = 12, None, None
+    audio_fmt = bits = None
     while pos + 8 <= len(data):
         cid, size = data[pos:pos + 4], struct.unpack_from("<I", data,
                                                           pos + 4)[0]
@@ -90,14 +139,33 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             audio_fmt, channels, rate = struct.unpack_from(
                 "<HHI", data, pos + 8)
             bits = struct.unpack_from("<H", data, pos + 22)[0]
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise ValueError("unsupported WAV (PCM-16 mono only)")
+            if channels != 1 or (audio_fmt, bits) not in (
+                    (1, 8), (1, 16), (1, 24), (3, 32), (7, 8)):
+                raise ValueError(
+                    "unsupported WAV (mono PCM-8/16/24, float32, "
+                    "mu-law only)")
         elif cid == b"data":
-            samples = np.frombuffer(data, np.int16, count=size // 2,
-                                    offset=pos + 8)
+            raw = data[pos + 8: pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None or audio_fmt is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if (audio_fmt, bits) == (1, 16):
+        samples = np.frombuffer(raw, "<i2", count=len(raw) // 2)
+    elif (audio_fmt, bits) == (1, 8):
+        samples = (np.frombuffer(raw, np.uint8).astype(np.int16)
+                   - 128)
+    elif (audio_fmt, bits) == (1, 24):
+        b3 = np.frombuffer(raw, np.uint8,
+                           count=(len(raw) // 3) * 3).reshape(-1, 3)
+        v = (b3[:, 0].astype(np.int64)
+             | (b3[:, 1].astype(np.int64) << 8)
+             | (b3[:, 2].astype(np.int64) << 16))
+        samples = np.where(v >= 1 << 23, v - (1 << 24),
+                           v).astype(np.int32)
+    elif (audio_fmt, bits) == (3, 32):
+        samples = np.frombuffer(raw, "<f4", count=len(raw) // 4)
+    else:
+        samples = _mulaw_expand(np.frombuffer(raw, np.uint8))
     return rate, samples
 
 

@@ -371,6 +371,57 @@ def synth_png_variant_payloads(ids: DataFrame,
         _synth, schema="doc_id long, payload binary")
 
 
+def _synth_wav_variant(did: int):
+    """The WAV variant content contract (mirrored textually by the
+    DuckDB oracle): n = 50 + id%37 samples at rate 8000 + (id%4)*4000;
+    the format rotates by id%5 — pcm16 / pcm8 / pcm24 / float32 /
+    G.711 mu-law — each with its own integer sample formula so the
+    decoded values are stated arithmetically (for mu-law the oracle
+    carries the exact ITU expander formula)."""
+    import numpy as np
+
+    n, v = 50 + did % 37, did % 5
+    i = np.arange(n, dtype=np.int64)
+    if v == 0:
+        return ((did * 7 + i * 13) % 4096 - 2048).astype(np.int16), \
+            "pcm16"
+    if v == 1:
+        return ((did * 5 + i * 11) % 256 - 128).astype(np.int16), \
+            "pcm8"
+    if v == 2:
+        return ((did * 9 + i * 17) % (1 << 24)
+                - (1 << 23)).astype(np.int32), "pcm24"
+    if v == 3:
+        return ((did * 3 + i * 7) % 1024 - 512).astype(np.float32), \
+            "float32"
+    from gdal_spark.codecs import _mulaw_expand
+    codes = ((did * 7 + i * 13) % 256).astype(np.uint8)
+    return _mulaw_expand(codes), "mulaw"
+
+
+def synth_wav_variant_payloads(ids: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV payloads across the PCM-8/16/24, float32 and
+    mu-law lanes, per the _synth_wav_variant contract."""
+    from gdal_spark import codecs as C
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                samples, fmt = _synth_wav_variant(did)
+                rate = 8000 + (did % 4) * 4000
+                payloads.append(C.encode_wav(samples, rate, fmt=fmt))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    return ids.select(id_col).mapInPandas(
+        _synth, schema="doc_id long, payload binary")
+
+
 def _synth_gif(did: int):
     """The GIF content contract (mirrored textually by the DuckDB
     oracle): nf = 1 + id%3 frames of w = 6 + id%5 by h = 4 + id%3

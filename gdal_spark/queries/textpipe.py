@@ -686,6 +686,68 @@ from documents
 """
 
 
+def q_multimodal_decode_wav_variants(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """WAV format surface: payloads rotate PCM-8/16/24, IEEE float32
+    and G.711 mu-law (the telephony web-audio staple). The oracle
+    carries the exact ITU mu-law expander formula in SQL, so a
+    companding bug breaks the hash."""
+    from gdal_spark.multimodal import decode_real_stats, \
+        synth_wav_variant_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return decode_real_stats(synth_wav_variant_payloads(ids))
+
+
+def _multimodal_decode_wav_variants_oracle() -> str:
+    n, v = "(50 + doc_id % 37)", "(doc_id % 5)"
+    s16 = "((doc_id * 7 + i * 13) % 4096 - 2048)"
+    s8 = "((doc_id * 5 + i * 11) % 256 - 128)"
+    s24 = f"((doc_id * 9 + i * 17) % {1 << 24} - {1 << 23})"
+    sf32 = "((doc_id * 3 + i * 7) % 1024 - 512)"
+    # exact ITU G.711 expander on code x: u = 255-x; sign u>=128;
+    # e = (u//16)%8; m = u%16; mag = (m*8+132)*2^e - 132
+    x = "((doc_id * 7 + i * 13) % 256)"
+    u = f"(255 - {x})"
+    mag = (f"((({u} % 16) * 8 + 132)"
+           f" * cast(pow(2, ({u} // 16) % 8) as bigint) - 132)")
+    smu = f"(case when {u} >= 128 then -{mag} else {mag} end)"
+
+    def lsum(expr: str) -> str:
+        return f"list_sum(list_transform(range(0, {n}), i -> {expr}))"
+
+    return f"""
+select doc_id,
+  'audio/wav' as format,
+  cast({n} as bigint) as width,
+  cast(1 as bigint) as height,
+  cast(8000 + (doc_id % 4) * 4000 as bigint) as rate,
+  cast({n} as bigint) as n_vals,
+  cast(case {v}
+    when 0 then (doc_id * 7) % 4096 - 2048
+    when 1 then (doc_id * 5) % 256 - 128
+    when 2 then (doc_id * 9) % {1 << 24} - {1 << 23}
+    when 3 then (doc_id * 3) % 1024 - 512
+    else (case when (255 - doc_id * 7 % 256) >= 128
+          then -(((255 - doc_id * 7 % 256) % 16 * 8 + 132)
+                 * cast(pow(2, ((255 - doc_id * 7 % 256) // 16) % 8)
+                        as bigint) - 132)
+          else ((255 - doc_id * 7 % 256) % 16 * 8 + 132)
+                 * cast(pow(2, ((255 - doc_id * 7 % 256) // 16) % 8)
+                        as bigint) - 132 end)
+    end as bigint) as val_first,
+  cast(case {v}
+    when 0 then {lsum(s16)}
+    when 1 then {lsum(s8)}
+    when 2 then {lsum(s24)}
+    when 3 then {lsum(sf32)}
+    else {lsum(smu)} end as bigint) as val_sum
+from documents
+"""
+
+
 GEOTIFF_TILE_SIZE = 120.0
 
 
@@ -915,6 +977,7 @@ QUERIES = {
     "geotiff_ingest_tiles": q_geotiff_ingest_tiles,
     "multimodal_decode_png_variants": q_multimodal_decode_png_variants,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_decode_wav_variants": q_multimodal_decode_wav_variants,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "train_pack_sequences": q_train_pack_sequences,
     "text_bigram_novelty": q_text_bigram_novelty,
@@ -968,6 +1031,8 @@ join ({_multimodal_decode_oracle()}) d on d.url = m.url
     "multimodal_decode_png_variants":
         _multimodal_decode_png_variants_oracle(),
     "multimodal_decode_gif": _multimodal_decode_gif_oracle(),
+    "multimodal_decode_wav_variants":
+        _multimodal_decode_wav_variants_oracle(),
     "text_tfidf_topterms":
         textops.tfidf_topterms_sql("documents", DUCKDB),
     "train_pack_sequences":

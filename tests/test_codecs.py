@@ -828,3 +828,55 @@ def test_tiff_uint16_float32_deflate_matrix():
         assert np.array_equal(out, dem) and gt == gt_in, comp
     with pytest.raises(ValueError):
         encode_tiff(dem, compression="lzw", predictor=True)
+
+
+# ---------------------------------------------------------------------------
+# WAV format widening: PCM-8/24, float32, G.711 mu-law
+# ---------------------------------------------------------------------------
+
+def test_wav_format_matrix_roundtrips():
+    from gdal_spark.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(41)
+    s16 = rng.randint(-32768, 32768, size=500).astype(np.int16)
+    r, out = decode_wav(encode_wav(s16, 16000))
+    assert r == 16000 and np.array_equal(out, s16)
+    s8 = rng.randint(-128, 128, size=300).astype(np.int16)
+    r, out = decode_wav(encode_wav(s8, 8000, fmt="pcm8"))
+    assert np.array_equal(out, s8)
+    s24 = rng.randint(-(1 << 23), 1 << 23, size=400).astype(np.int32)
+    r, out = decode_wav(encode_wav(s24, 44100, fmt="pcm24"))
+    assert out.dtype == np.int32 and np.array_equal(out, s24)
+    f32 = rng.uniform(-1, 1, size=256).astype(np.float32)
+    r, out = decode_wav(encode_wav(f32, 48000, fmt="float32"))
+    assert out.dtype == np.float32 and np.array_equal(out, f32)
+
+
+def test_wav_mulaw_g711_semantics():
+    """The expander matches G.711 anchor points (max magnitude 32124,
+    two zero codes) and expand∘compress is identity on the expander's
+    output lattice."""
+    from gdal_spark.codecs import (_mulaw_compress, _mulaw_expand,
+                                   decode_wav, encode_wav)
+
+    u = np.arange(256, dtype=np.uint8)
+    lin = _mulaw_expand(u)
+    assert lin[0x80] == 32124 and lin[0x00] == -32124
+    assert lin[0xFF] == 0 and lin[0x7F] == 0
+    assert np.array_equal(_mulaw_expand(_mulaw_compress(lin)), lin)
+    r, out = decode_wav(encode_wav(lin, 8000, fmt="mulaw"))
+    assert r == 8000 and np.array_equal(out, lin)
+
+
+def test_wav_unsupported_formats_raise():
+    import struct
+    from gdal_spark.codecs import decode_wav, encode_wav
+
+    b = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    struct.pack_into("<H", b, 20, 2)  # format 2 = ADPCM
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    b = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    struct.pack_into("<H", b, 22, 2)  # stereo
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
