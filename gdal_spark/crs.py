@@ -986,6 +986,266 @@ def aea_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal (spherical — the MODIS land grid\'s sphere, R=6371007.181)
+# and Equal Earth (EPSG:8857 — Savric/Patterson/Jenny 2018 polynomial
+# over the AUTHALIC latitude, PROJ\'s ellipsoidal treatment). Both are
+# equal-area world projections a GDAL user warps to routinely (MODIS
+# tiles; modern world basemaps). Snyder p.243 (sinusoidal); the Equal
+# Earth A1..A4 polynomial constants are the published ones.
+# ---------------------------------------------------------------------------
+
+MODIS_SPHERE_R = 6371007.181
+
+
+def sinu_fwd_np(lon, lat, r: float = MODIS_SPHERE_R,
+                lon0_deg: float = 0.0):
+    """Spherical sinusoidal forward: x = R dlam cos(phi), y = R phi."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    phi = np.radians(lat)
+    dlam = np.radians(lon - lon0_deg)
+    dlam = np.arctan2(np.sin(dlam), np.cos(dlam))
+    E = r * dlam * np.cos(phi)
+    N = r * phi
+    return np.where(ok, E, np.nan), np.where(ok, N, np.nan), ok
+
+
+def sinu_inv_np(E, N, r: float = MODIS_SPHERE_R,
+                lon0_deg: float = 0.0):
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    phi = N / r
+    ok = np.abs(phi) <= np.pi / 2.0 + 1e-12
+    cphi = np.cos(np.where(ok, phi, 0.0))
+    pole = cphi < 1e-12
+    lam = np.where(pole, 0.0, E / (r * np.where(pole, 1.0, cphi)))
+    ok = ok & (np.abs(lam) <= np.pi + 1e-9)
+    lon = np.degrees(lam) + lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi), ok & np.isfinite(lon)
+
+
+def sinu_sql_stages(lon: str, lat: str, r: float = MODIS_SPHERE_R,
+                    lon0_deg: float = 0.0) -> list[tuple[str, str]]:
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians({lat})"),
+        ("_dl0", f"radians({lon} - {_fmt(lon0_deg)})"),
+        ("_dl", "atan2(sin(_dl0), cos(_dl0))"),
+        ("easting", f"case when ok then {_fmt(r)} * _dl * cos(_phi)"
+                    f" else cast(\'nan\' as double) end"),
+        ("northing", f"case when ok then {_fmt(r)} * _phi"
+                     f" else cast(\'nan\' as double) end"),
+    ]
+
+
+# Equal Earth polynomial constants (published A1..A4) and M = sqrt(3)/2
+EE_A1, EE_A2, EE_A3, EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+EE_M = math.sqrt(3.0) / 2.0
+
+
+class EqualEarthParams:
+    """EPSG:8857 (WGS 84 / Equal Earth Greenwich): the polynomial runs
+    on the PARAMETRIC angle theta with sin(theta) = M sin(beta), beta
+    the authalic latitude; Rq is the authalic radius (same q/qp
+    machinery as the LAEA family)."""
+
+    def __init__(self, lon0_deg: float = 0.0,
+                 a: float = WGS84_A, e: float = WGS84_E):
+        self.lon0_deg = lon0_deg
+        self.a = a
+        self.e = e
+        e2 = e * e
+        self.qp = (1.0 - e2) * (
+            1.0 / (1.0 - e2)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e)))
+        self.rq = a * math.sqrt(self.qp / 2.0)
+
+
+EQUAL_EARTH_8857 = EqualEarthParams()
+
+
+def _ee_poly(theta):
+    """y/Rq as a function of theta."""
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return theta * (EE_A1 + EE_A2 * t2 + t6 * (EE_A3 + EE_A4 * t2))
+
+
+def _ee_dpoly(theta):
+    """d(y/Rq)/dtheta."""
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return EE_A1 + 3.0 * EE_A2 * t2 + t6 * (7.0 * EE_A3
+                                            + 9.0 * EE_A4 * t2)
+
+
+def equal_earth_fwd_np(lon, lat,
+                       p: EqualEarthParams = EQUAL_EARTH_8857):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    e, e2 = p.e, p.e * p.e
+    phi = np.radians(np.where(ok, lat, 0.0))
+    s = np.sin(phi)
+    q = (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                      - (1.0 / (2.0 * e))
+                      * np.log((1.0 - e * s) / (1.0 + e * s)))
+    beta = np.arcsin(np.clip(q / p.qp, -1.0, 1.0))
+    theta = np.arcsin(EE_M * np.sin(beta))
+    dlam = np.radians(lon) - math.radians(p.lon0_deg)
+    dlam = np.arctan2(np.sin(dlam), np.cos(dlam))
+    dp = _ee_dpoly(theta)
+    E = p.rq * dlam * np.cos(theta) / (EE_M * dp)
+    N = p.rq * _ee_poly(theta)
+    return np.where(ok, E, np.nan), np.where(ok, N, np.nan), ok
+
+
+def equal_earth_inv_np(E, N, p: EqualEarthParams = EQUAL_EARTH_8857,
+                       iters: int = 10):
+    """Newton on theta from y, then beta, then the LAEA-family series
+    back from authalic to geodetic latitude."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    e, e2 = p.e, p.e * p.e
+    yr = N / p.rq
+    theta = yr.copy()
+    for _ in range(iters):
+        theta = theta - (_ee_poly(theta) - yr) / _ee_dpoly(theta)
+    sb = np.clip(np.sin(theta) / EE_M, -1.0, 1.0)
+    beta = np.arcsin(sb)
+    q = p.qp * sb
+    phi = beta.copy()
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = phi + ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))) * (
+            q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e))
+            * np.log((1.0 - e * s) / (1.0 + e * s)))
+    lam = E * EE_M * _ee_dpoly(theta) / (p.rq * np.cos(theta))
+    lon = np.degrees(lam) + p.lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    lat = np.degrees(phi)
+    ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lam) <= np.pi + 1e-9)
+    return lon, lat, ok
+
+
+def equal_earth_sql_stages(lon: str, lat: str,
+                           p: EqualEarthParams = EQUAL_EARTH_8857
+                           ) -> list[tuple[str, str]]:
+    """Forward Equal Earth, shared text: authalic beta (the LAEA q
+    formula), parametric theta, published polynomial."""
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    m = _fmt(EE_M)
+    a1, a2 = _fmt(EE_A1), _fmt(EE_A2)
+    a3, a4 = _fmt(EE_A3), _fmt(EE_A4)
+    return [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_phi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_s", "sin(_phi)"),
+        ("_q", f"(1.0 - {e2}) * (_s / (1.0 - {e2} * _s * _s)"
+               f" - (1.0 / (2.0 * {e}))"
+               f" * ln((1.0 - {e} * _s) / (1.0 + {e} * _s)))"),
+        ("_beta", f"asin(greatest(-1.0, least(1.0, _q / {_fmt(p.qp)})))"),
+        ("_theta", f"asin({m} * sin(_beta))"),
+        ("_t2", "_theta * _theta"),
+        ("_t6", "_t2 * _t2 * _t2"),
+        ("_dp", f"({a1} + 3.0 * {a2} * _t2"
+                f" + _t6 * (7.0 * {a3} + 9.0 * {a4} * _t2))"),
+        ("_dl0", f"radians({lon}) - radians({_fmt(p.lon0_deg)})"),
+        ("_dl", "atan2(sin(_dl0), cos(_dl0))"),
+        ("easting", f"case when ok then {_fmt(p.rq)} * _dl"
+                    f" * cos(_theta) / ({m} * _dp)"
+                    f" else cast(\'nan\' as double) end"),
+        ("northing", f"case when ok then {_fmt(p.rq)} * _theta"
+                     f" * ({a1} + {a2} * _t2"
+                     f" + _t6 * ({a3} + {a4} * _t2))"
+                     f" else cast(\'nan\' as double) end"),
+    ]
+
+
+def sinu_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                        out_lat: str = "lat",
+                        r: float = MODIS_SPHERE_R,
+                        lon0_deg: float = 0.0) -> list[tuple[str, str]]:
+    """Spherical sinusoidal inverse, shared text (mirrors
+    sinu_inv_np): phi = y/R; lam = x / (R cos phi)."""
+    return [
+        ("_iphi", f"({y} / {_fmt(r)})"),
+        ("ok", "(abs(_iphi) <= pi() / 2.0 + 1e-12)"),
+        ("_icphi", "cos(case when ok then _iphi else 0.0 end)"),
+        ("_ipole", "(_icphi < 1e-12)"),
+        ("_ilam", f"case when _ipole then 0.0 else {x}"
+                  f" / ({_fmt(r)} * _icphi) end"),
+        ("ok", "(ok and abs(_ilam) <= pi() + 1e-9)"),
+        (out_lon, f"(mod(degrees(_ilam) + {_fmt(lon0_deg)}"
+                  f" + 180.0 + 360.0, 360.0) - 180.0)"),
+        (out_lat, "degrees(_iphi)"),
+    ]
+
+
+def equal_earth_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                               out_lat: str = "lat",
+                               p: "EqualEarthParams" = None
+                               ) -> list[tuple[str, str]]:
+    """Equal Earth inverse, shared text: Newton on theta (unrolled,
+    INV_ITERS-style), then the authalic->geodetic series (same
+    fixed-point the LAEA inverse uses)."""
+    p = p or EQUAL_EARTH_8857
+    e = _fmt(p.e)
+    e2 = _fmt(p.e * p.e)
+    m = _fmt(EE_M)
+    a1, a2 = _fmt(EE_A1), _fmt(EE_A2)
+    a3, a4 = _fmt(EE_A3), _fmt(EE_A4)
+
+    def poly(t: str) -> str:
+        return (f"({t} * ({a1} + {a2} * {t} * {t}"
+                f" + ({t} * {t}) * ({t} * {t}) * ({t} * {t})"
+                f" * ({a3} + {a4} * {t} * {t})))")
+
+    def dpoly(t: str) -> str:
+        return (f"({a1} + 3.0 * {a2} * {t} * {t}"
+                f" + ({t} * {t}) * ({t} * {t}) * ({t} * {t})"
+                f" * (7.0 * {a3} + 9.0 * {a4} * {t} * {t}))")
+
+    stages: list[tuple[str, str]] = [
+        ("_eyr", f"({y} / {_fmt(p.rq)})"),
+        ("_et", "_eyr"),
+    ]
+    for _ in range(10):
+        stages.append(("_et", f"(_et - ({poly('_et')} - _eyr)"
+                              f" / {dpoly('_et')})"))
+    stages += [
+        ("_esb", f"greatest(-1.0, least(1.0, sin(_et) / {m}))"),
+        ("_eq", f"({_fmt(p.qp)} * _esb)"),
+        ("_ephi", "asin(_esb)"),
+    ]
+    for _ in range(INV_ITERS):
+        stages.append((
+            "_ephi",
+            f"(_ephi + ((1.0 - {e2} * sin(_ephi) * sin(_ephi))"
+            f" * (1.0 - {e2} * sin(_ephi) * sin(_ephi))"
+            f" / (2.0 * cos(_ephi))) * (_eq / (1.0 - {e2})"
+            f" - sin(_ephi) / (1.0 - {e2} * sin(_ephi) * sin(_ephi))"
+            f" + (1.0 / (2.0 * {e})) * ln((1.0 - {e} * sin(_ephi))"
+            f" / (1.0 + {e} * sin(_ephi)))))"))
+    stages += [
+        ("_elam", f"({x} * {m} * {dpoly('_et')}"
+                  f" / ({_fmt(p.rq)} * cos(_et)))"),
+        ("ok", "(abs(_elam) <= pi() + 1e-9"
+               " and isnan(_ephi) = false)"),
+        (out_lon, f"(mod(degrees(_elam) + {_fmt(p.lon0_deg)}"
+                  f" + 180.0 + 360.0, 360.0) - 180.0)"),
+        (out_lat, "degrees(_ephi)"),
+    ]
+    return stages
+
+
+# ---------------------------------------------------------------------------
 # EPSG-code-keyed dispatch (the proj_create_crs_to_crs surface,
 # ogr/ogrct.cpp:1705-1803): forward SQL stages and numpy fwd/inv kernels
 # per code; transforms route through the lon/lat hub. The staged-SQL
@@ -1043,6 +1303,8 @@ def epsg_table() -> dict[int, tuple[str, object]]:
         32761: ("ps", PS_32761),
         25832: ("tmerc", TMERC_25832),
         2193: ("tmerc", TMERC_2193),
+        8857: ("equal_earth", EQUAL_EARTH_8857),
+        6842: ("sinu", None),  # SR-ORG:6842 — MODIS sinusoidal sphere
         27700: ("datum_tmerc", (HELMERT_WGS84_TO_OSGB36, TMERC_27700)),
         26718: ("datum_tmerc", (HELMERT_WGS84_TO_NAD27, TMERC_26718)),
     }
@@ -1088,6 +1350,8 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
             "ps": lambda: ps_sql_stages(lon, lat, p),
             "aea": lambda: aea_sql_stages(lon, lat, p),
             "laea": lambda: laea_sql_stages(lon, lat, p),
+            "sinu": lambda: sinu_sql_stages(lon, lat),
+            "equal_earth": lambda: equal_earth_sql_stages(lon, lat, p),
             "tmerc_wgs84": lambda: tmerc_sql_stages(lon, lat, p[0],
                                                     fn=p[1]),
             "tmerc": lambda: tmerc_sql_stages_p(lon, lat, p),
@@ -1115,6 +1379,9 @@ def epsg_fwd_np(code: int):
         "ps": lambda: lambda lon, lat: ps_fwd_np(lon, lat, p),
         "aea": lambda: lambda lon, lat: aea_fwd_np(lon, lat, p),
         "laea": lambda: lambda lon, lat: laea_fwd_np(lon, lat, p),
+        "sinu": lambda: sinu_fwd_np,
+        "equal_earth": lambda: lambda lon, lat: equal_earth_fwd_np(
+            lon, lat, p),
         "tmerc_wgs84": lambda: lambda lon, lat: tmerc_fwd_np(
             lon, lat, p[0], fn=p[1]),
         "tmerc": lambda: lambda lon, lat: tmerc_fwd_np_p(lon, lat, p),
@@ -1136,6 +1403,8 @@ def epsg_inv_np(code: int):
         "ps": lambda: lambda x, y: ps_inv_np(x, y, p),
         "aea": lambda: lambda x, y: aea_inv_np(x, y, p),
         "laea": lambda: lambda x, y: laea_inv_np(x, y, p),
+        "sinu": lambda: sinu_inv_np,
+        "equal_earth": lambda: lambda x, y: equal_earth_inv_np(x, y, p),
         "tmerc_wgs84": lambda: lambda x, y: tmerc_inv_np(
             x, y, p[0], fn=p[1]),
         "tmerc": lambda: lambda x, y: tmerc_inv_np_p(x, y, p),
@@ -1161,6 +1430,9 @@ def epsg_inv_stages(code: int, x: str, y: str,
         "ps": lambda: ps_inv_sql_stages(x, y, out_lon, out_lat, p),
         "aea": lambda: aea_inv_sql_stages(x, y, out_lon, out_lat, p),
         "laea": lambda: laea_inv_sql_stages(x, y, out_lon, out_lat, p),
+        "sinu": lambda: sinu_inv_sql_stages(x, y, out_lon, out_lat),
+        "equal_earth": lambda: equal_earth_inv_sql_stages(
+            x, y, out_lon, out_lat, p),
         "tmerc_wgs84": lambda: tmerc_inv_sql_stages(x, y, out_lon,
                                                     out_lat, p[0],
                                                     fn=p[1]),

@@ -267,6 +267,44 @@ def q_reproject_osgb36_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_grid", "ok")
 
 
+def q_reproject_equal_earth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:8857 (WGS 84 / Equal Earth Greenwich): the
+    published Savric–Patterson–Jenny polynomial over the PARAMETRIC
+    angle of the authalic latitude (PROJ's ellipsoidal treatment —
+    the same q/qp machinery as the LAEA family). Equal-area validated
+    by a Jacobian invariant in tests/test_geodesy.py."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(8857, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
+def q_reproject_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → MODIS sinusoidal (SR-ORG:6842 — the MODIS land
+    grid's sphere, R=6371007.181): the equal-area projection behind
+    the most-warped raster grid in GDAL practice. Spherical closed
+    form; per-point ok flags, same contract as every registry
+    family."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(6842, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_reproject_nad27_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NAD27 → NAD83 / UTM 14N (EPSG:26914) through the NADCON-style
     GRID datum path (gdal_spark.gridshift CONUS_GRID — the same
@@ -303,6 +341,8 @@ QUERIES = {
     "reproject_ps_north": q_reproject_ps_north,
     "reproject_osgb36_grid": q_reproject_osgb36_grid,
     "reproject_nad27_grid": q_reproject_nad27_grid,
+    "reproject_equal_earth": q_reproject_equal_earth,
+    "reproject_sinusoidal": q_reproject_sinusoidal,
     "knn": q_knn,
 }
 
@@ -454,5 +494,7 @@ ORACLES = {
     "reproject_ps_north": _epsg_pts_oracle(3413, "lat > 0.0"),
     "reproject_osgb36_grid": _osgb36_grid_oracle(),
     "reproject_nad27_grid": _nad27_grid_oracle(),
+    "reproject_equal_earth": _epsg_pts_oracle(8857, "1 = 1"),
+    "reproject_sinusoidal": _epsg_pts_oracle(6842, "1 = 1"),
     "knn": _knn_oracle(),
 }

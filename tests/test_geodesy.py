@@ -634,3 +634,78 @@ def test_new_codes_fwd_sql_matches_numpy(ddb):
         assert out["ok"].all(), code
         assert np.abs(out["e"] - x_np).max() < 1e-6, code
         assert np.abs(out["n"] - y_np).max() < 1e-6, code
+
+
+def test_equal_earth_and_sinusoidal_fwd_sql_matches_numpy(ddb):
+    """Round-5 world equal-area codes: the forward staged SQL agrees
+    with the numpy kernel under DuckDB to 1e-6 m over the whole
+    globe."""
+    from gdal_spark.crs import (epsg_fwd_np, epsg_fwd_stages,
+                                stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(51)
+    lon = rng.uniform(-179.5, 179.5, 60)
+    lat = rng.uniform(-89.5, 89.5, 60)
+    for code in (8857, 6842):
+        x_np, y_np, ok_np = epsg_fwd_np(code)(lon, lat)
+        assert ok_np.all(), code
+        ddb.register("fwd_pts_r5", pd.DataFrame({"lon": lon, "lat": lat}))
+        sql = stages_to_duckdb_sql(
+            "select lon, lat from fwd_pts_r5",
+            epsg_fwd_stages(code, "lon", "lat", "e", "n"),
+            ["e", "n", "ok"])
+        out = ddb.execute(sql).df()
+        assert out["ok"].all(), code
+        assert np.abs(out["e"] - x_np).max() < 1e-6, code
+        assert np.abs(out["n"] - y_np).max() < 1e-6, code
+
+
+def test_equal_earth_and_sinusoidal_inv_sql_roundtrip(ddb):
+    """code → 4326 staged SQL inverts the numpy forward to < 1e-7 deg
+    (Newton + authalic series unrolled for 8857; closed form for the
+    MODIS sphere)."""
+    from gdal_spark.crs import (epsg_fwd_np, epsg_inv_stages,
+                                stages_to_duckdb_sql)
+
+    rng = np.random.RandomState(53)
+    lon = rng.uniform(-170.0, 170.0, 50)
+    lat = rng.uniform(-85.0, 85.0, 50)
+    for code in (8857, 6842):
+        x, y, ok = epsg_fwd_np(code)(lon, lat)
+        assert ok.all()
+        ddb.register("inv_pts_r5", pd.DataFrame({"x": x, "y": y}))
+        sql = stages_to_duckdb_sql(
+            "select x, y from inv_pts_r5",
+            epsg_inv_stages(code, "x", "y"),
+            ["lon", "lat", "ok"])
+        out = ddb.execute(sql).df()
+        assert out["ok"].all(), code
+        assert np.abs(out["lon"] - lon).max() < 1e-7, code
+        assert np.abs(out["lat"] - lat).max() < 1e-7, code
+
+
+def test_equal_earth_area_and_anchor_invariants():
+    """EPSG:8857 preserves the ellipsoid area element (Jacobian test,
+    like LAEA/Albers) and the MODIS sinusoidal x-extent at the equator
+    is pi*R (the grid's documented 20015109.354 m half-width)."""
+    from gdal_spark.crs import MODIS_SPHERE_R, epsg_fwd_np
+
+    lon = np.array([0.0, 15.0, 120.0, -60.0, 179.0])
+    lat = np.array([0.0, 30.0, 60.0, -45.0, 85.0])
+    h = 1e-6
+    fwd = epsg_fwd_np(8857)
+    x0, y0, _ = fwd(lon, lat)
+    x1, y1, _ = fwd(lon + h, lat)
+    x2, y2, _ = fwd(lon, lat + h)
+    jac = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / (h * h)
+    a, e2 = 6378137.0, 0.006694380022903416
+    s2 = np.sin(np.radians(lat)) ** 2
+    m = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+    n = a / np.sqrt(1 - e2 * s2)
+    expected = (np.pi / 180.0) ** 2 * np.cos(np.radians(lat)) * m * n
+    assert np.abs(jac / expected - 1).max() < 1e-4
+
+    x, _, ok = epsg_fwd_np(6842)([180.0], [0.0])
+    assert ok.all()
+    assert abs(x[0] - np.pi * MODIS_SPHERE_R) < 0.5
+    assert abs(x[0] - 20015109.354) < 1.0  # the published MODIS bound
