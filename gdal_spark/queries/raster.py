@@ -1293,6 +1293,30 @@ def q_warp_to_etrs89utm(spark: SparkSession, sf_dir: str) -> DataFrame:
                             src_epsg=4326, dst_epsg=25832)
 
 
+# MODIS sinusoidal destination grid (SR-ORG:6842): covers the
+# degree-gridded DEM's sinusoidal footprint (x 36.5k..287k m,
+# y 5.093M..5.449M m at R=6371007.181) with margin; out-of-footprint
+# pixels fall out of the src-range filter exactly as gdalwarp leaves
+# them as dst nodata.
+_SINU_DST_GT = [30000.0, 1700.0, 0.0, 5452000.0, 0.0, -2300.0]
+_SINU_DST_PX = 160
+
+
+def q_warp_to_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs of the degree-gridded DEM onto the MODIS
+    sinusoidal sphere grid (SR-ORG:6842 — the MODIS land-tile CRS, the
+    single most-warped-to grid in remote sensing): sinusoidal inverse
+    (lat = y/R, lon = x/(R·cos lat)) as the destination leg, identity
+    forward leg (alg/gdaltransformer.cpp:342 chain)."""
+    from gdal_spark.raster import warp_nearest_crs
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_nearest_crs(tiles, _DEG_SRC_GT, DEM_PX,
+                            _SINU_DST_GT, _SINU_DST_PX,
+                            src_epsg=4326, dst_epsg=6842)
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r bilinear + -r cubic (GWKBilinear / GWKCubic kernels,
     alg/gdalwarpkernel.cpp): DEM resampled onto the shifted
@@ -1433,6 +1457,7 @@ QUERIES = {
     "warp_approx_webmercator": q_warp_approx_webmercator,
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_to_etrs89utm": q_warp_to_etrs89utm,
+    "warp_to_sinusoidal": q_warp_to_sinusoidal,
     "warp_order_stats": q_warp_order_stats,
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
@@ -1665,6 +1690,11 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _ETRS_DST_GT,
                                   _ETRS_DST_PX, src_epsg=4326,
                                   dst_epsg=25832),
+    "warp_to_sinusoidal": __import__(
+        "gdal_spark.raster", fromlist=["warp_nearest_crs_oracle_sql"]
+    ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _SINU_DST_GT,
+                                  _SINU_DST_PX, src_epsg=4326,
+                                  dst_epsg=6842),
     "warp_lanczos_dem": f"""
 select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])
