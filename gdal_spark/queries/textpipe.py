@@ -459,6 +459,21 @@ def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 textops.SPARK))
 
 
+def q_dedup_substring_spans(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499): maximal
+    per-document spans of ≥8-token windows whose text occurs at two or
+    more (document, position) locations anywhere in the crawl — the
+    substring-granularity dedup mode the corpus papers run alongside
+    MinHash (suffix-array pass re-expressed as narrow window
+    fingerprints + fingerprint-keyed groupBy/join + per-doc
+    gaps-and-islands window; textops.substr_dup_spans_sql). Engine and
+    oracle run the same dual-dialect SQL."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.substr_dup_spans_sql("documents",
+                                                  textops.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -950,6 +965,7 @@ QUERIES = {
     "dedup_cluster_canonical": q_dedup_cluster,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -992,6 +1008,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "dedup_cluster_canonical": _cluster_oracle(k=3, threshold=0.8),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
+    "dedup_substring_spans": textops.substr_dup_spans_sql("documents",
+                                                          DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -671,3 +671,69 @@ select d.doc_id,
 from dbg d join df f on d.bigram = f.bigram
 group by d.doc_id
 """
+
+
+def substr_dup_spans_sql(doc_view: str, engine: str, L: int = 8) -> str:
+    """ExactSubstr deduplication spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): a
+    token window of length ``L`` whose text occurs at two or more
+    (document, position) locations anywhere in the crawl is duplicated;
+    per document, overlapping duplicated windows merge into maximal
+    spans (consecutive hit positions closer than ``L`` share tokens).
+
+    Spark-first restatement of the paper's suffix-array pass: window
+    fingerprints are generated NARROWLY per document (transform +
+    posexplode — no self-join), the only corpus-wide shuffles carry the
+    8-byte h60 fingerprint key (the count-occurrences groupBy with
+    map-side partials, then the hit equi-join — broadcast-able when the
+    duplicated-key set is small, AQE decides), and the interval merge is
+    a gaps-and-islands window PARTITIONED BY document. Never all-pairs;
+    the final (crawl_id, island) aggregate reuses the window's
+    crawl_id clustering, so it adds no exchange. The h60 fingerprint is
+    the 100 TB scale path (shuffles never carry window text); both
+    engines compute the identical hash, so the 2^-60 collision class is
+    shared arithmetic, not a compare tolerance.
+    """
+    crawl = crawl_sql(doc_view, engine)
+    toks = tokens_sql("text", engine)
+    if engine == SPARK:
+        posg = f"""
+select crawl_id, posexplode(
+  case when size(ts) >= {L}
+       then transform(sequence(0, size(ts)-{L}),
+                      i -> concat_ws(' ', slice(ts, i+1, {L})))
+       else cast(array() as array<string>) end) as (pos, g)
+from toks
+"""
+        posg = f"select crawl_id, pos, {h60_sql('g', engine)} as k from ({posg}) pg"
+    else:
+        inner = (f"select crawl_id, ts, unnest(range(0, greatest(len(ts)-{L}+1, 0)))"
+                 f" as i from toks")
+        g = f"array_to_string(list_slice(ts, i+1, i+{L}), ' ')"
+        posg = (f"select crawl_id, i as pos, {h60_sql(g, engine)} as k"
+                f" from ({inner}) u")
+    return f"""
+with crawl as ({crawl}),
+toks as (select crawl_id, {toks} as ts from crawl),
+posg as ({posg}),
+dup as (select k from posg group by k having count(*) >= 2),
+hits as (select p.crawl_id, p.pos from posg p join dup d using (k)),
+brks as (
+  select crawl_id, pos,
+         case when lag(pos) over (partition by crawl_id order by pos) is null
+                or pos - lag(pos) over (partition by crawl_id order by pos)
+                   >= {L}
+              then 1 else 0 end as brk
+  from hits),
+isl as (
+  select crawl_id, pos,
+         sum(brk) over (partition by crawl_id order by pos) as island
+  from brks)
+select crawl_id,
+       cast(min(pos) as bigint) as span_start,
+       cast(max(pos) + {L - 1} as bigint) as span_end,
+       cast(max(pos) - min(pos) + {L} as bigint) as span_tokens,
+       cast(count(*) as bigint) as n_windows
+from isl
+group by crawl_id, island
+"""

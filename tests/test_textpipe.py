@@ -531,3 +531,86 @@ def test_geotiff_tile_partials_matches_bruteforce(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") <= 2
     assert "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup spans (Lee et al. 2022) — brute-force pinned semantics
+# ---------------------------------------------------------------------------
+
+
+def _brute_substr_spans(texts, L=8):
+    """Independent transcription of the ExactSubstr definition: count
+    every L-token window occurrence across all (id, pos) locations,
+    mark positions whose window text repeats, merge positions closer
+    than L into maximal spans."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in texts.items()}
+    occ = Counter()
+    for ts in toks.values():
+        for p in range(len(ts) - L + 1):
+            occ[" ".join(ts[p:p + L])] += 1
+    spans = []
+    for i, ts in toks.items():
+        hits = [p for p in range(len(ts) - L + 1)
+                if occ[" ".join(ts[p:p + L])] >= 2]
+        run = []
+        for p in hits:
+            if run and p - run[-1] >= L:
+                spans.append((i, run[0], run[-1] + L - 1,
+                              run[-1] - run[0] + L, len(run)))
+                run = []
+            run.append(p)
+        if run:
+            spans.append((i, run[0], run[-1] + L - 1,
+                          run[-1] - run[0] + L, len(run)))
+    return sorted(spans)
+
+
+def test_substring_spans_brute_parity(spark):
+    """Engine output == the brute-force transcription on a corpus with a
+    shared 8-gram across two docs, a within-doc repeat, an exact pair,
+    and a too-short doc."""
+    import gdal_spark.textops as textops
+
+    phrase = "the quick brown fox jumps over the lazy"
+    texts = {
+        # doc_id % 5 == 2 / % 7 == 3 avoided so crawl_sql adds no copies
+        1: phrase + " dog and then it ran away fast tonight ok",
+        4: "intro words here now " + phrase + " dusk settles in",
+        6: "alpha beta gamma delta " + ("one two three four five six "
+                                        "seven eight " * 2) + "tail",
+        9: "short doc only",
+        11: "totally unique sentence with eleven distinct words "
+            "nothing repeats anywhere in this corpus today friend",
+    }
+    # crawl table = orig rows only for these ids
+    expected = _brute_substr_spans(texts)
+    rows = [(i, t, "en") for i, t in texts.items()]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = spark.sql(textops.substr_dup_spans_sql("documents",
+                                                 textops.SPARK))
+    got = sorted((r.crawl_id, r.span_start, r.span_end, r.span_tokens,
+                  r.n_windows) for r in out.collect())
+    assert got == expected
+    # the shared phrase spans both docs; the within-doc repeat of doc 6
+    # produces one merged span; docs 9/11 contribute nothing
+    assert {s[0] for s in got} == {1, 4, 6}
+
+
+def test_substring_spans_window_is_doc_partitioned(spark):
+    """The gaps-and-islands window must run PARTITIONED BY crawl_id —
+    a global (unpartitioned) sort window would serialize the corpus
+    through one task at 100 TB."""
+    import gdal_spark.textops as textops
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = spark.sql(textops.substr_dup_spans_sql(
+        "documents", textops.SPARK))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "windowspecdefinition(crawl_id" in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("crawl_id"), m.group(0)
