@@ -66,6 +66,7 @@ HEADLINE = [
     "multimodal_decode_video",
     "train_pack_sequences",
     "geotiff_ingest_tiles",
+    "dedup_substring_spans",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost
