@@ -474,6 +474,19 @@ def q_dedup_substring_spans(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_dedup_paragraph_exact(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-granular exact dedup (Wenzek et al. 2020):
+    every repeated paragraph occurrence is dropped, keeping the first in
+    (crawl_id, position) order; output is the dropped occurrences with
+    their keeper. Shuffles carry only the 16-byte md5 paragraph key
+    (textops.dedup_paragraph_sql). Engine and oracle run the same
+    dual-dialect SQL."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.dedup_paragraph_sql("documents",
+                                                 textops.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -966,6 +979,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_paragraph_exact": q_dedup_paragraph_exact,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1010,6 +1024,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "dedup_ngram_jaccard": _exact_jaccard_oracle(k=2, threshold=0.7),
     "dedup_substring_spans": textops.substr_dup_spans_sql("documents",
                                                           DUCKDB),
+    "dedup_paragraph_exact": textops.dedup_paragraph_sql("documents",
+                                                         DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -737,3 +737,51 @@ select crawl_id,
 from isl
 group by crawl_id, island
 """
+
+
+def dedup_paragraph_sql(doc_view: str, engine: str, k: int = 8) -> str:
+    """Paragraph-granular exact dedup (the dedup ACTION of CCNet, Wenzek
+    et al. 2020 — drop every repeated paragraph, keeping the first
+    occurrence in (crawl_id, position) order; boilerplate_sql is the
+    companion ANALYSIS stage). Paragraph stand-in on the newline-free
+    fixture corpus = the same non-overlapping k-word segments
+    boilerplate detection uses (segments_sql).
+
+    Output: one row per DROPPED paragraph occurrence —
+    (crawl_id, seg_idx, keeper_id, keeper_idx).
+
+    Scale shape: segments explode narrowly per doc; the only
+    corpus-wide shuffles carry the 16-byte md5 paragraph key — a
+    groupBy picking the keeper (min of an order-preserving composite
+    code, map-side partials) and the equi-join back. Never all-pairs.
+    The composite keeper code (crawl_id * 2^20 + seg_idx) is shared
+    integer arithmetic in both engines; seg_idx < 2^20 holds whenever
+    documents are under ~8M tokens (enforce upstream at ingest).
+    """
+    crawl = crawl_sql(doc_view, engine)
+    toks = tokens_sql("text", engine)
+    segs = segments_sql("ts", k, engine)
+    if engine == SPARK:
+        seg_rows = (f"select crawl_id, posexplode({segs}) as (seg_idx, seg)"
+                    f" from toks")
+    else:
+        inner = (f"select crawl_id, ts,"
+                 f" unnest(range(0, ((length(ts)-1)//{k})+1)) as i from toks")
+        seg = f"array_to_string(list_slice(ts, i*{k}+1, i*{k}+{k}), ' ')"
+        seg_rows = f"select crawl_id, i as seg_idx, {seg} as seg from ({inner}) u"
+    return f"""
+with crawl as ({crawl}),
+toks as (select crawl_id, {toks} as ts from crawl),
+segs as ({seg_rows}),
+keyed as (select crawl_id, seg_idx, md5(seg) as h from segs),
+keeper as (
+  select h, min(crawl_id * 1048576 + seg_idx) as kcode
+  from keyed group by h having count(*) >= 2)
+select cast(k2.crawl_id as bigint) as crawl_id,
+       cast(k2.seg_idx as bigint) as seg_idx,
+       cast(kcode {"//" if engine == DUCKDB else "div"} 1048576 as bigint)
+         as keeper_id,
+       cast(kcode % 1048576 as bigint) as keeper_idx
+from keyed k2 join keeper kk on k2.h = kk.h
+where k2.crawl_id * 1048576 + k2.seg_idx <> kcode
+"""

@@ -614,3 +614,28 @@ def test_substring_spans_window_is_doc_partitioned(spark):
     import re
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).startswith("crawl_id"), m.group(0)
+
+
+def test_paragraph_dedup_keeper_semantics(spark):
+    """CCNet paragraph dedup: repeated segments drop all but the first
+    (crawl_id, seg_idx) occurrence; unique segments never appear."""
+    import gdal_spark.textops as textops
+
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8"          # one exact 8-word segment
+    texts = {
+        # ids avoid %5==2 / %7==3 so crawl_sql adds no extra copies
+        1: seg + " unique tail one two three four five six",
+        4: seg + " other words go here now ok yes no",
+        6: "completely different text with eight words here "
+           "and eight more distinct words after that",
+    }
+    rows = [(i, t, "en") for i, t in texts.items()]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = spark.sql(textops.dedup_paragraph_sql("documents",
+                                                textops.SPARK))
+    got = sorted((r.crawl_id, r.seg_idx, r.keeper_id, r.keeper_idx)
+                 for r in out.collect())
+    # doc 4's first segment == doc 1's first segment -> dropped, keeper
+    # is (1, 0); everything else is unique
+    assert got == [(4, 0, 1, 0)]
