@@ -1246,6 +1246,114 @@ def equal_earth_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
 
 
 # ---------------------------------------------------------------------------
+# Mollweide (ESRI:54009 World Mollweide). PROJ's +proj=moll is a
+# SPHERICAL projection: with +datum=WGS84 it clears the eccentricity and
+# uses the semi-major axis as the sphere radius (R = a = 6378137) —
+# matched here. Snyder p.251: solve 2θ + sin 2θ = π sin φ by Newton on
+# θ' = 2θ, then x = (2√2/π) R Δλ cos θ, y = √2 R sin θ.
+# ---------------------------------------------------------------------------
+
+MOLL_R = WGS84_A
+MOLL_S2 = math.sqrt(2.0)
+MOLL_CX = 2.0 * math.sqrt(2.0) / math.pi
+MOLL_ITERS = 12  # Newton on θ'; pole-guarded (denominator 1+cos θ' → 0)
+
+
+def moll_fwd_np(lon, lat, r: float = MOLL_R, lon0_deg: float = 0.0):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 90.0)
+    phi = np.radians(np.where(ok, lat, 0.0))
+    ps = np.pi * np.sin(phi)
+    tp = 2.0 * np.arcsin(np.clip(np.sin(phi), -1.0, 1.0))
+    for _ in range(MOLL_ITERS):
+        denom = 1.0 + np.cos(tp)
+        step = np.where(denom < 1e-14, 0.0,
+                        (tp + np.sin(tp) - ps) / np.where(denom < 1e-14,
+                                                          1.0, denom))
+        tp = tp - step
+    theta = tp / 2.0
+    dlam = np.radians(lon) - math.radians(lon0_deg)
+    dlam = np.arctan2(np.sin(dlam), np.cos(dlam))
+    E = MOLL_CX * r * dlam * np.cos(theta)
+    N = MOLL_S2 * r * np.sin(theta)
+    return np.where(ok, E, np.nan), np.where(ok, N, np.nan), ok
+
+
+def moll_inv_np(E, N, r: float = MOLL_R, lon0_deg: float = 0.0):
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    sth = N / (MOLL_S2 * r)
+    ok = np.abs(sth) <= 1.0 + 1e-12
+    theta = np.arcsin(np.clip(sth, -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi,
+                            -1.0, 1.0))
+    cth = np.cos(theta)
+    pole = cth < 1e-12
+    lam = np.where(pole, 0.0,
+                   E / (MOLL_CX * r * np.where(pole, 1.0, cth)))
+    ok = ok & (np.abs(lam) <= np.pi + 1e-9)
+    lon = np.degrees(lam) + lon0_deg
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi), ok & np.isfinite(lon)
+
+
+def moll_sql_stages(lon: str, lat: str, r: float = MOLL_R,
+                    lon0_deg: float = 0.0) -> list[tuple[str, str]]:
+    """Forward Mollweide, shared text (mirrors moll_fwd_np): unrolled
+    pole-guarded Newton on θ' = 2θ. Constant products are folded in
+    Python — DuckDB would multiply two DECIMAL literals and overflow."""
+    cx_r = _fmt(MOLL_CX * r)
+    s2_r = _fmt(MOLL_S2 * r)
+    stages: list[tuple[str, str]] = [
+        ("ok", f"(isnan({lon}) = false and isnan({lat}) = false"
+               f" and abs({lat}) <= 90.0)"),
+        ("_mphi", f"radians(case when ok then {lat} else 0.0 end)"),
+        ("_mps", "pi() * sin(_mphi)"),
+        ("_mtp", "2.0 * asin(greatest(-1.0, least(1.0, sin(_mphi))))"),
+    ]
+    for _ in range(MOLL_ITERS):
+        stages.append((
+            "_mtp",
+            "(_mtp - case when (1.0 + cos(_mtp)) < 1e-14 then 0.0"
+            " else (_mtp + sin(_mtp) - _mps) / (1.0 + cos(_mtp)) end)"))
+    stages += [
+        ("_mth", "(_mtp / 2.0)"),
+        ("_mdl0", f"radians({lon}) - radians({_fmt(lon0_deg)})"),
+        ("_mdl", "atan2(sin(_mdl0), cos(_mdl0))"),
+        ("easting", f"case when ok then {cx_r} * _mdl"
+                    f" * cos(_mth) else cast('nan' as double) end"),
+        ("northing", f"case when ok then {s2_r}"
+                     f" * sin(_mth) else cast('nan' as double) end"),
+    ]
+    return stages
+
+
+def moll_inv_sql_stages(x: str, y: str, out_lon: str = "lon",
+                        out_lat: str = "lat", r: float = MOLL_R,
+                        lon0_deg: float = 0.0) -> list[tuple[str, str]]:
+    """Mollweide inverse, shared text (mirrors moll_inv_np): closed
+    form — θ from y, φ from the defining equation, λ from x."""
+    cx_r = _fmt(MOLL_CX * r)
+    s2_r = _fmt(MOLL_S2 * r)
+    return [
+        ("_msth", f"({y} / {s2_r})"),
+        ("ok", "(abs(_msth) <= 1.0 + 1e-12)"),
+        ("_mith", "asin(greatest(-1.0, least(1.0, _msth)))"),
+        ("_miphi", "asin(greatest(-1.0, least(1.0,"
+                   " (2.0 * _mith + sin(2.0 * _mith)) / pi())))"),
+        ("_micth", "cos(_mith)"),
+        ("_mipole", "(_micth < 1e-12)"),
+        ("_milam", f"case when _mipole then 0.0 else {x}"
+                   f" / ({cx_r} * _micth) end"),
+        ("ok", "(ok and abs(_milam) <= pi() + 1e-9)"),
+        (out_lon, f"(mod(degrees(_milam) + {_fmt(lon0_deg)}"
+                  f" + 180.0 + 360.0, 360.0) - 180.0)"),
+        (out_lat, "degrees(_miphi)"),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # EPSG-code-keyed dispatch (the proj_create_crs_to_crs surface,
 # ogr/ogrct.cpp:1705-1803): forward SQL stages and numpy fwd/inv kernels
 # per code; transforms route through the lon/lat hub. The staged-SQL
@@ -1305,6 +1413,7 @@ def epsg_table() -> dict[int, tuple[str, object]]:
         2193: ("tmerc", TMERC_2193),
         8857: ("equal_earth", EQUAL_EARTH_8857),
         6842: ("sinu", None),  # SR-ORG:6842 — MODIS sinusoidal sphere
+        54009: ("moll", None),  # ESRI:54009 — World Mollweide
         27700: ("datum_tmerc", (HELMERT_WGS84_TO_OSGB36, TMERC_27700)),
         26718: ("datum_tmerc", (HELMERT_WGS84_TO_NAD27, TMERC_26718)),
     }
@@ -1351,6 +1460,7 @@ def epsg_fwd_stages(code: int, lon: str, lat: str,
             "aea": lambda: aea_sql_stages(lon, lat, p),
             "laea": lambda: laea_sql_stages(lon, lat, p),
             "sinu": lambda: sinu_sql_stages(lon, lat),
+            "moll": lambda: moll_sql_stages(lon, lat),
             "equal_earth": lambda: equal_earth_sql_stages(lon, lat, p),
             "tmerc_wgs84": lambda: tmerc_sql_stages(lon, lat, p[0],
                                                     fn=p[1]),
@@ -1380,6 +1490,7 @@ def epsg_fwd_np(code: int):
         "aea": lambda: lambda lon, lat: aea_fwd_np(lon, lat, p),
         "laea": lambda: lambda lon, lat: laea_fwd_np(lon, lat, p),
         "sinu": lambda: sinu_fwd_np,
+        "moll": lambda: moll_fwd_np,
         "equal_earth": lambda: lambda lon, lat: equal_earth_fwd_np(
             lon, lat, p),
         "tmerc_wgs84": lambda: lambda lon, lat: tmerc_fwd_np(
@@ -1404,6 +1515,7 @@ def epsg_inv_np(code: int):
         "aea": lambda: lambda x, y: aea_inv_np(x, y, p),
         "laea": lambda: lambda x, y: laea_inv_np(x, y, p),
         "sinu": lambda: sinu_inv_np,
+        "moll": lambda: moll_inv_np,
         "equal_earth": lambda: lambda x, y: equal_earth_inv_np(x, y, p),
         "tmerc_wgs84": lambda: lambda x, y: tmerc_inv_np(
             x, y, p[0], fn=p[1]),
@@ -1431,6 +1543,7 @@ def epsg_inv_stages(code: int, x: str, y: str,
         "aea": lambda: aea_inv_sql_stages(x, y, out_lon, out_lat, p),
         "laea": lambda: laea_inv_sql_stages(x, y, out_lon, out_lat, p),
         "sinu": lambda: sinu_inv_sql_stages(x, y, out_lon, out_lat),
+        "moll": lambda: moll_inv_sql_stages(x, y, out_lon, out_lat),
         "equal_earth": lambda: equal_earth_inv_sql_stages(
             x, y, out_lon, out_lat, p),
         "tmerc_wgs84": lambda: tmerc_inv_sql_stages(x, y, out_lon,

@@ -305,6 +305,27 @@ def q_reproject_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_mollweide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → World Mollweide (ESRI:54009): the classic equal-area
+    world map. PROJ's +proj=moll is spherical — with +datum=WGS84 the
+    sphere radius is the semi-major axis — matched exactly; the
+    defining equation 2θ + sin 2θ = π sin φ runs as a pole-guarded
+    unrolled Newton in pure staged SQL (Snyder p.251; anchor-validated
+    against Snyder's published numerical example in
+    tests/test_geodesy.py)."""
+    from gdal_spark.crs import epsg_fwd_stages
+
+    pts = points_from_documents(spark, sf_dir)
+    out = apply_sql_stages(pts, epsg_fwd_stages(54009, "lon", "lat",
+                                                "easting", "northing"))
+    return out.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        "ok",
+    )
+
+
 def q_reproject_nad27_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NAD27 → NAD83 / UTM 14N (EPSG:26914) through the NADCON-style
     GRID datum path (gdal_spark.gridshift CONUS_GRID — the same
@@ -343,6 +364,7 @@ QUERIES = {
     "reproject_nad27_grid": q_reproject_nad27_grid,
     "reproject_equal_earth": q_reproject_equal_earth,
     "reproject_sinusoidal": q_reproject_sinusoidal,
+    "reproject_mollweide": q_reproject_mollweide,
     "knn": q_knn,
 }
 
@@ -496,5 +518,6 @@ ORACLES = {
     "reproject_nad27_grid": _nad27_grid_oracle(),
     "reproject_equal_earth": _epsg_pts_oracle(8857, "1 = 1"),
     "reproject_sinusoidal": _epsg_pts_oracle(6842, "1 = 1"),
+    "reproject_mollweide": _epsg_pts_oracle(54009, "1 = 1"),
     "knn": _knn_oracle(),
 }

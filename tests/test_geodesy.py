@@ -646,7 +646,7 @@ def test_equal_earth_and_sinusoidal_fwd_sql_matches_numpy(ddb):
     rng = np.random.RandomState(51)
     lon = rng.uniform(-179.5, 179.5, 60)
     lat = rng.uniform(-89.5, 89.5, 60)
-    for code in (8857, 6842):
+    for code in (8857, 6842, 54009):
         x_np, y_np, ok_np = epsg_fwd_np(code)(lon, lat)
         assert ok_np.all(), code
         ddb.register("fwd_pts_r5", pd.DataFrame({"lon": lon, "lat": lat}))
@@ -670,7 +670,7 @@ def test_equal_earth_and_sinusoidal_inv_sql_roundtrip(ddb):
     rng = np.random.RandomState(53)
     lon = rng.uniform(-170.0, 170.0, 50)
     lat = rng.uniform(-85.0, 85.0, 50)
-    for code in (8857, 6842):
+    for code in (8857, 6842, 54009):
         x, y, ok = epsg_fwd_np(code)(lon, lat)
         assert ok.all()
         ddb.register("inv_pts_r5", pd.DataFrame({"x": x, "y": y}))
@@ -709,3 +709,33 @@ def test_equal_earth_area_and_anchor_invariants():
     assert ok.all()
     assert abs(x[0] - np.pi * MODIS_SPHERE_R) < 0.5
     assert abs(x[0] - 20015109.354) < 1.0  # the published MODIS bound
+
+
+def test_mollweide_anchor_and_area_invariants():
+    """ESRI:54009 (spherical on R = a, PROJ +proj=moll semantics):
+    Snyder's published numerical example (p.367), the map-extent
+    anchors (equator half-width 2*sqrt(2)*R, pole height sqrt(2)*R),
+    and the spherical equal-area Jacobian R^2 cos(phi)."""
+    from gdal_spark.crs import MOLL_R, epsg_fwd_np, moll_fwd_np
+
+    # Snyder numerical example: R=1, lam0=-90, point (-75, 50)
+    x, y, ok = moll_fwd_np([-75.0], [50.0], r=1.0, lon0_deg=-90.0)
+    assert ok.all()
+    assert abs(x[0] - 0.1788845) < 1e-6
+    assert abs(y[0] - 0.9208758) < 1e-6
+
+    fwd = epsg_fwd_np(54009)
+    xe, _, _ = fwd([180.0], [0.0])
+    _, yp, _ = fwd([0.0], [90.0])
+    assert abs(xe[0] - 2.0 * np.sqrt(2.0) * MOLL_R) < 1e-3
+    assert abs(yp[0] - np.sqrt(2.0) * MOLL_R) < 1e-3
+
+    lon = np.array([0.0, 15.0, 120.0, -60.0, 179.0])
+    lat = np.array([0.0, 30.0, 60.0, -45.0, 85.0])
+    h = 1e-6
+    x0, y0, _ = fwd(lon, lat)
+    x1, y1, _ = fwd(lon + h, lat)
+    x2, y2, _ = fwd(lon, lat + h)
+    jac = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / (h * h)
+    expected = (np.pi / 180.0) ** 2 * np.cos(np.radians(lat)) * MOLL_R ** 2
+    assert np.abs(jac / expected - 1).max() < 1e-4
