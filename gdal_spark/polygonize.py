@@ -741,3 +741,76 @@ def polygonize_ring_features(labeled: DataFrame) -> DataFrame:
 
     return labeled.groupBy("comp").applyInPandas(
         per_comp, "comp long, n_rings long, geom binary")
+
+
+def near_pixels(tiles: DataFrame, threshold: float,
+                dtype: str = "int64") -> DataFrame:
+    """(gx, gy) rows of pixels with value <= threshold — the sparse
+    near-black mask. Only mask pixels ever leave the decode kernel, so
+    at corpus scale the downstream component work is linear in the
+    collar size, not the raster size."""
+    np_dtype = np.dtype(dtype)
+    t = TILE_PX
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["data"], dtype=np_dtype) \
+                    .reshape(t, t)
+                yy, xx = np.nonzero(buf <= threshold)
+                if len(xx):
+                    outs.append(pd.DataFrame({
+                        "gx": xx.astype(np.int64) + int(row["tx"]) * t,
+                        "gy": yy.astype(np.int64) + int(row["ty"]) * t}))
+            yield (pd.concat(outs) if outs
+                   else pd.DataFrame({"gx": [], "gy": []}, dtype=np.int64))
+
+    return tiles.mapInPandas(run, "gx long, gy long")
+
+
+def nearblack_collar(px: DataFrame, grid_w: int,
+                     raster_px: int) -> DataFrame:
+    """nearblack (apps/nearblack_lib.cpp): the collar = near-black mask
+    pixels whose 4-connected component touches the raster border —
+    these are set to the target color; interior near-black lakes
+    survive. Reuses the distributed min-label components machinery
+    (label_pixels / propagate_labels), so the semantics are the
+    edge-connected flood GDAL's two-pass scanline approximates."""
+    labeled = label_pixels(px, grid_w)
+    w1 = raster_px - 1
+    border_comps = (
+        labeled.filter(f"gx = 0 or gy = 0 or gx = {w1} or gy = {w1}")
+        .select("comp").distinct())
+    return (labeled.join(border_comps, "comp", "left_semi")
+            .select("gx", "gy"))
+
+
+def nearblack_oracle_sql(raster_px: int, value_sql: str,
+                         threshold: int) -> str:
+    """DuckDB ground truth: BFS-from-border over the near-black
+    adjacency graph (recursive CTE with set semantics — converges in
+    collar-thickness iterations), independent of the engine's
+    min-label + pointer-jumping formulation."""
+    w = raster_px
+    return f"""
+with recursive px as (
+  select gx, gy, gy * {w} + gx as pid from (
+    select a.range as gx, b.range as gy
+    from range(0, {w}) a cross join range(0, {w}) b) g
+  where ({value_sql}) <= {threshold}
+),
+e as (
+  select a.pid as u, b.pid as v from px a join px b
+    on (b.gx = a.gx + 1 and b.gy = a.gy)
+    or (b.gx = a.gx and b.gy = a.gy + 1)
+),
+esym as (select u, v from e union select v, u from e),
+reach(pid) as (
+  select pid from px
+  where gx = 0 or gy = 0 or gx = {w - 1} or gy = {w - 1}
+  union
+  select es.v from reach join esym es on es.u = reach.pid
+)
+select px.gx as gx, px.gy as gy from px join reach using (pid)
+"""

@@ -1317,6 +1317,26 @@ def q_warp_to_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
                             src_epsg=4326, dst_epsg=6842)
 
 
+NEARBLACK_TOL = 7
+
+
+def q_raster_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack (apps/nearblack_lib.cpp): trim the near-black collar —
+    mask pixels (value ≤ tol) whose 4-connected component touches the
+    raster border — from a fixture with a wavy collar and two interior
+    dark lakes that must survive. The mask leaves the decode kernel
+    sparse (collar-sized, not raster-sized); components run on the
+    shared distributed min-label + pointer-jumping machinery; the
+    oracle is an independent BFS-from-border recursive CTE."""
+    from gdal_spark.polygonize import near_pixels, nearblack_collar
+    from gdal_spark.raster import synth_collar_tiles
+
+    _ = sf_dir
+    tiles = synth_collar_tiles(spark, DEM_PX)
+    px = near_pixels(tiles, NEARBLACK_TOL)
+    return nearblack_collar(px, DEM_PX, DEM_PX)
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r bilinear + -r cubic (GWKBilinear / GWKCubic kernels,
     alg/gdalwarpkernel.cpp): DEM resampled onto the shifted
@@ -1458,6 +1478,7 @@ QUERIES = {
     "warp_to_lcc93": q_warp_to_lcc93,
     "warp_to_etrs89utm": q_warp_to_etrs89utm,
     "warp_to_sinusoidal": q_warp_to_sinusoidal,
+    "raster_nearblack": q_raster_nearblack,
     "warp_order_stats": q_warp_order_stats,
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
@@ -1695,6 +1716,11 @@ ORACLES = {
     ).warp_nearest_crs_oracle_sql(_DEG_SRC_GT, DEM_PX, _SINU_DST_GT,
                                   _SINU_DST_PX, src_epsg=4326,
                                   dst_epsg=6842),
+    "raster_nearblack": __import__(
+        "gdal_spark.polygonize", fromlist=["nearblack_oracle_sql"]
+    ).nearblack_oracle_sql(DEM_PX, __import__(
+        "gdal_spark.raster", fromlist=["collar_val_sql"]
+    ).collar_val_sql(DEM_PX), NEARBLACK_TOL),
     "warp_lanczos_dem": f"""
 select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_lanczos_oracle_sql"])

@@ -984,6 +984,54 @@ DEM_ELEV_SQL = "((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211)"
 OVERLAY_VAL_SQL = "((gx * 7 + gy * gy * 11 + 13) % 199)"
 
 
+def collar_val_sql(raster_px: int) -> str:
+    """Closed-form value of the nearblack fixture raster: a wavy
+    near-black collar (border distance < a deterministic 3..8 wobble),
+    two interior near-black lakes that must SURVIVE trimming (they are
+    dark but not border-connected), and a bright interior (≥ 8)
+    elsewhere. Dark values cycle 0..4 so the nearblack threshold (7)
+    separates exactly dark vs bright."""
+    w1 = raster_px - 1
+    return (f"(case when least(gx, gy, {w1} - gx, {w1} - gy)"
+            f" < 3 + (gx * 7 + gy * 5) % 6"
+            f" or (gx between 40 and 47 and gy between 40 and 47)"
+            f" or (gx between 100 and 105 and gy between 90 and 96)"
+            f" then (gx + gy) % 5"
+            f" else 8 + {DEM_ELEV_SQL} end)")
+
+
+def synth_collar_tiles(spark, raster_px: int,
+                       dtype: str = "int64") -> DataFrame:
+    """Tile rows of the nearblack fixture (see collar_val_sql — the
+    numpy formula here is its transcription)."""
+    tile_px = TILE_PX
+    n_tiles = raster_px // tile_px
+    np_dtype = np.dtype(dtype)
+    w1 = raster_px - 1
+    keys = spark.range(n_tiles * n_tiles).select(
+        (F.col("id") % n_tiles).alias("_tx"),
+        (F.col("id") / n_tiles).cast("long").alias("_ty"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gy, gx = np.mgrid[0:tile_px, 0:tile_px]
+        gx = gx + tx * tile_px
+        gy = gy + ty * tile_px
+        bd = np.minimum(np.minimum(gx, gy), np.minimum(w1 - gx, w1 - gy))
+        dark = (bd < 3 + (gx * 7 + gy * 5) % 6) \
+            | ((gx >= 40) & (gx <= 47) & (gy >= 40) & (gy <= 47)) \
+            | ((gx >= 100) & (gx <= 105) & (gy >= 90) & (gy <= 96))
+        elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+        val = np.where(dark, (gx + gy) % 5, 8 + elev).astype(np_dtype)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [1],
+            "gt": [tile_geotransform(tx, ty, 0)],
+            "data": [val.tobytes()],
+        })
+
+    return keys.groupBy("_tx", "_ty").applyInPandas(build, TILE_SCHEMA)
+
+
 def synth_overlay_tiles(spark, raster_px: int,
                         window: tuple[int, int, int, int],
                         dtype: str = "int64") -> DataFrame:
