@@ -487,6 +487,20 @@ def q_dedup_paragraph_exact(spark: SparkSession,
                                                  textops.SPARK))
 
 
+def q_crawl_url_canonicalize(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + exact-URL dedup stats (RFC 3986 §6
+    normalization as every crawler's frontier runs it): lowercase
+    scheme/host, strip default ports and leading www., drop fragments
+    and utm_*/fbclid tracking params, trim non-root trailing slashes;
+    per page the canonical URL and its duplicate-group size. Engine and
+    oracle run the same dual-dialect SQL
+    (textops.url_canonicalize_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.url_canonicalize_sql("documents",
+                                                  textops.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -980,6 +994,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_paragraph_exact": q_dedup_paragraph_exact,
+    "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1026,6 +1041,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                           DUCKDB),
     "dedup_paragraph_exact": textops.dedup_paragraph_sql("documents",
                                                          DUCKDB),
+    "crawl_url_canonicalize": textops.url_canonicalize_sql("documents",
+                                                           DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -785,3 +785,105 @@ select cast(k2.crawl_id as bigint) as crawl_id,
 from keyed k2 join keeper kk on k2.h = kk.h
 where k2.crawl_id * 1048576 + k2.seg_idx <> kcode
 """
+
+
+def _re_replace_all(expr: str, pat: str, repl: str, engine: str) -> str:
+    """Global regexp_replace in both dialects (Spark replaces every
+    match by default; DuckDB needs the 'g' option)."""
+    if engine == SPARK:
+        return f"regexp_replace({expr}, '{pat}', '{repl}')"
+    return f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+
+
+MESSY_URL_SQL = """concat(
+  case when doc_id % 4 = 1 then 'HTTPS'
+       when doc_id % 4 = 2 then 'http' else 'https' end,
+  '://',
+  case when doc_id % 3 = 0 then 'WWW.' else '' end,
+  case when doc_id % 6 < 3 then 'Site' else 'site' end,
+  doc_id % 50, '.Example',
+  case when doc_id % 5 = 0 and doc_id % 4 <> 2 then ':443'
+       when doc_id % 5 = 1 and doc_id % 4 = 2 then ':80'
+       else '' end,
+  '/a/', doc_id % 20,
+  case when doc_id % 2 = 0 then '/' else '' end,
+  case when doc_id % 3 = 1
+         then concat('?id=', doc_id % 10,
+                     '&utm_source=feed&utm_campaign=x')
+       when doc_id % 7 = 2 then '?utm_medium=email'
+       else '' end,
+  case when doc_id % 2 = 1 then '#sec' else '' end)"""
+
+
+def url_canonicalize_sql(doc_view: str, engine: str) -> str:
+    """Crawl URL canonicalization + exact-URL dedup stats (the
+    frontier/dedup normalization every crawler runs — cf. the rules
+    shared by CommonCrawl tooling and RFC 3986 §6): lowercase scheme
+    and host, strip default ports (:80 http / :443 https), strip a
+    leading ``www.``, drop the fragment, drop tracking params
+    (utm_* / fbclid) while keeping the rest of the query, and strip a
+    trailing slash on non-root paths. Output is per-page
+    (doc_id, url_canon, group_n) where group_n counts the pages
+    sharing the canonical URL — the crawl-frontier dedup signal.
+
+    The messy input URLs are synthesized deterministically from doc_id
+    (MESSY_URL_SQL, shared ANSI) so every rule fires on a known subset.
+    Pure string/regexp Catalyst expressions — no Python per row; the
+    only shuffle is the url_canon count window (at crawl scale: a
+    groupBy with map-side partials instead).
+    """
+    strip_utm = _re_replace_all("concat(qs, '&')",
+                                "(utm_[a-z]+|fbclid)=[^&]*&", "", engine)
+    strip_frag = _re_replace_all("pathq0", "#.*$", "", engine)
+    return f"""
+with urls as (select doc_id, {MESSY_URL_SQL} as url from {doc_view}),
+p as (
+  select doc_id, url,
+         lower(substr(url, 1, position('://' in url) - 1)) as scheme,
+         substr(url, position('://' in url) + 3) as rest
+  from urls),
+h as (
+  select *,
+         case when position('/' in rest) = 0 then rest
+              else substr(rest, 1, position('/' in rest) - 1) end
+           as hostport,
+         case when position('/' in rest) = 0 then '/'
+              else substr(rest, position('/' in rest)) end as pathq0
+  from p),
+h2 as (
+  select *, lower(
+    case when scheme = 'https' and hostport like '%:443'
+           then substr(hostport, 1, length(hostport) - 4)
+         when scheme = 'http' and hostport like '%:80'
+           then substr(hostport, 1, length(hostport) - 3)
+         else hostport end) as host0
+  from h),
+h3 as (
+  select *, case when host0 like 'www.%' then substr(host0, 5)
+                 else host0 end as host
+  from h2),
+f as (select *, {strip_frag} as pathq from h3),
+q as (
+  select *,
+         case when position('?' in pathq) = 0 then pathq
+              else substr(pathq, 1, position('?' in pathq) - 1) end
+           as path0,
+         case when position('?' in pathq) = 0 then ''
+              else substr(pathq, position('?' in pathq) + 1) end as qs
+  from f),
+q2 as (select *, trim(trailing '&' from {strip_utm}) as qs1 from q),
+pp as (
+  select *, case when path0 <> '/' and path0 like '%/'
+                   then substr(path0, 1, length(path0) - 1)
+                 else path0 end as path1
+  from q2),
+c as (
+  select doc_id,
+         concat(scheme, '://', host, path1,
+                case when qs1 = '' then ''
+                     else concat('?', qs1) end) as url_canon
+  from pp)
+select cast(doc_id as bigint) as doc_id, url_canon,
+       cast(count(*) over (partition by url_canon) as bigint) as group_n
+from c
+"""

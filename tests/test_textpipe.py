@@ -639,3 +639,31 @@ def test_paragraph_dedup_keeper_semantics(spark):
     # doc 4's first segment == doc 1's first segment -> dropped, keeper
     # is (1, 0); everything else is unique
     assert got == [(4, 0, 1, 0)]
+
+
+def test_url_canonicalize_rules(spark):
+    """Every normalization rule pinned on hand-computed doc_ids."""
+    import gdal_spark.textops as textops
+
+    rows = [(i, "t", "en") for i in (0, 1, 2, 5, 6, 7, 16, 21, 30)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = {r.doc_id: r.url_canon for r in
+           spark.sql(textops.url_canonicalize_sql(
+               "documents", textops.SPARK)).collect()}
+    # doc 0: https, WWW., Site0.Example, :443, /a/0/, no query
+    assert out[0] == "https://site0.example/a/0"
+    # doc 1: HTTPS scheme, site1, /a/1, ?id=1&utm_* -> id kept, #sec
+    assert out[1] == "https://site1.example/a/1?id=1"
+    # doc 2: http scheme, utm-only query (%7==2) -> query dropped,
+    # trailing slash (%2==0) trimmed
+    assert out[2] == "http://site2.example/a/2"
+    # doc 5: https + :443 never emitted (%4==1 -> HTTPS), trailing #sec
+    assert out[5] == "https://site5.example/a/5"
+    # doc 6: WWW. + :80 on http? (%4==2 -> http, %5==1 -> :80) -> doc 6
+    # is %4==2 and %5==1: http://WWW.Site6...:80 -> stripped
+    assert out[6] == "http://site6.example/a/6"
+    # doc 16: %3==1 query with id=6 kept, utm stripped
+    assert out[16] == "https://site16.example/a/16?id=6"
+    # all nine hand-picked ids canonicalize to distinct URLs
+    assert len(set(out.values())) == len(out)
