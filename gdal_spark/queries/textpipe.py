@@ -501,6 +501,19 @@ def q_crawl_url_canonicalize(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (k=8, 3
+    unrolled rounds) — the semantic-clustering stage behind
+    cluster-balanced data mixing and SemDeDup-style semantic dedup.
+    Integer-deterministic centroid means + sequential-fold distances
+    make the whole iteration bit-exact across engines
+    (simsearch.kmeans_sql); per-round work is a bounded k-wide
+    broadcast product + a per-vector rank + a (cid, dim) aggregate."""
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(simsearch.kmeans_sql("embeddings",
+                                          simsearch.SPARK))
+
+
 def q_multimodal_decode_real(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """REAL multimodal decode (VERDICT r3 missing #3): synthesize an
@@ -995,6 +1008,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_paragraph_exact": q_dedup_paragraph_exact,
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
+    "embed_kmeans": q_embed_kmeans,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1043,6 +1057,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                          DUCKDB),
     "crawl_url_canonicalize": textops.url_canonicalize_sql("documents",
                                                            DUCKDB),
+    "embed_kmeans": simsearch.kmeans_sql("embeddings", "duckdb"),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -506,3 +506,76 @@ select qid, vec_id,
 from cand
 qualify "rank" <= {k}
 """
+
+
+def kmeans_sql(emb_view: str, engine: str, k: int = 8,
+               rounds: int = 3, quant: int = 1000000) -> str:
+    """Distributed Lloyd k-means over the embedding corpus (the
+    semantic-clustering stage LLM pipelines run for cluster-balanced
+    data mixing and SemDeDup-style semantic dedup) — ``rounds``
+    assignment/update iterations UNROLLED into one shared dual-dialect
+    SQL text, so the oracle runs the identical arithmetic.
+
+    Determinism design (the reason this is oracle-checkable at all):
+    - init = the k smallest vec_ids (no RNG);
+    - assignment distances are sequential-fold dot products (dot_sql) —
+      IEEE ops in identical order on both engines;
+    - the centroid update is an INTEGER-DETERMINISTIC mean: per-dim
+      values are quantized to round(val·quant) BIGINTs, summed exactly
+      (associative — immune to partial-aggregation order), and divided
+      back — so cross-row float summation order, the classic source of
+      distributed-float nondeterminism, never occurs. Ties break by cid.
+
+    Scale shape: each round is one broadcast product vectors × k
+    centroids (k is a constant — a bounded product, the IVF precedent)
+    + a per-vector window rank + a (cid, dim)-keyed aggregate with
+    map-side partials. Nothing is ever quadratic in N.
+    """
+    base = as_double_list_sql("embedding", engine)
+    dot = dot_sql("vec", "cvec", engine)
+    q = float(quant)
+    parts = [f"""
+with a as (select vec_id, {base} as vec from {emb_view}),
+v as (select vec_id, vec, {norm2_sql('vec', engine)} as n2 from a),
+c0 as (
+  select vec_id as cid, vec as cvec, n2 as cn2
+  from (select vec_id, vec, n2,
+               row_number() over (order by vec_id) as _r from v) i
+  where _r <= {k})"""]
+    for r in range(rounds):
+        parts.append(f""",
+s{r} as (
+  select vec_id, vec, n2, cid,
+         (n2 - 2.0 * {dot} + cn2) as dist
+  from v cross join c{r}),
+a{r} as (
+  select vec_id, vec, n2, cid, dist from (
+    select *, row_number() over (partition by vec_id
+                                 order by dist, cid) as rn from s{r}) z
+  where rn = 1)""")
+        if r == rounds - 1:
+            break
+        if engine == SPARK:
+            expl = (f"select cid, posexplode(vec) as (dim, val)"
+                    f" from a{r}")
+            rebuild = ("transform(array_sort(collect_list("
+                       "struct(dim, mu))), s -> s.mu)")
+        else:
+            expl = (f"select cid, dim, vec[dim + 1] as val from ("
+                    f"select cid, vec, unnest(range(0, len(vec)))"
+                    f" as dim from a{r}) e")
+            rebuild = "list(mu order by dim)"
+        parts.append(f""",
+m{r} as (
+  select cid, dim,
+         cast(sum(cast(round(val * {q}) as bigint)) as double)
+           / {q} / count(*) as mu
+  from ({expl}) x group by cid, dim),
+cv{r} as (select cid, {rebuild} as cvec from m{r} group by cid),
+c{r + 1} as (
+  select cid, cvec, {norm2_sql('cvec', engine)} as cn2 from cv{r})""")
+    parts.append(f"""
+select cast(vec_id as bigint) as vec_id, cast(cid as bigint) as cluster,
+       round(dist, 6) as dist_sq
+from a{rounds - 1}""")
+    return "".join(parts)

@@ -37,6 +37,9 @@ BOUNDED_PRODUCTS = {
     "raster_viewshed",
     # lines x the single clip-window row (constant)
     "clip_lines_cyrus_beck",
+    # Lloyd assignment: vectors x constant k=8 centroid table per
+    # round (the ann_ivf_topk precedent); every other stage is keyed
+    "embed_kmeans",
     # warped pixels x the constant 6-row cutline edge table (the
     # constant-key equi-join folds to true); linear in pixels
     "warp_cutline",

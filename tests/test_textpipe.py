@@ -667,3 +667,39 @@ def test_url_canonicalize_rules(spark):
     assert out[16] == "https://site16.example/a/16?id=6"
     # all nine hand-picked ids canonicalize to distinct URLs
     assert len(set(out.values())) == len(out)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The unrolled SQL k-means equals an independent numpy
+    transcription of quantized Lloyd (init = k smallest vec_ids,
+    integer-deterministic means, ties to the lower cid)."""
+    import numpy as np
+
+    import gdal_spark.simsearch as simsearch
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").orderBy("vec_id")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    k, q = 8, 1e6
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    C = V[:k].copy()
+    for rnd in range(3):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # the SQL computes n2 - 2 dot + cn2 (same value up to fp); use
+        # argmin with lower-cid ties, matching order by dist, cid
+        assign = d.argmin(axis=1)
+        if rnd == 2:
+            break
+        for c in range(k):
+            sel = V[assign == c]
+            C[c] = np.round(sel * q).sum(axis=0) / q / len(sel)
+
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    out = spark.sql(simsearch.kmeans_sql("embeddings", simsearch.SPARK))
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    expected = {int(i): int(a) for i, a in zip(ids, assign)}
+    assert got == expected
