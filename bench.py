@@ -67,6 +67,9 @@ HEADLINE = [
     "train_pack_sequences",
     "geotiff_ingest_tiles",
     "dedup_substring_spans",
+    "dedup_paragraph_exact",
+    "crawl_url_canonicalize",
+    "embed_kmeans",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

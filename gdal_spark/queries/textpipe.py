@@ -501,6 +501,19 @@ def q_crawl_url_canonicalize(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_crawl_robots_filter(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
+    the canonical path against its host's Allow/Disallow rules —
+    longest matching prefix wins, Allow beats Disallow on ties, no
+    match means allowed. Rules are per-host metadata (a tiny broadcast
+    equi-join); pages never shuffle. Engine and oracle run the same
+    dual-dialect SQL (textops.robots_filter_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.robots_filter_sql("documents",
+                                               textops.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1009,6 +1022,7 @@ QUERIES = {
     "dedup_paragraph_exact": q_dedup_paragraph_exact,
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "embed_kmeans": q_embed_kmeans,
+    "crawl_robots_filter": q_crawl_robots_filter,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1057,7 +1071,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                          DUCKDB),
     "crawl_url_canonicalize": textops.url_canonicalize_sql("documents",
                                                            DUCKDB),
-    "embed_kmeans": simsearch.kmeans_sql("embeddings", "duckdb"),
+    "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
+    "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -832,11 +832,29 @@ def url_canonicalize_sql(doc_view: str, engine: str) -> str:
     only shuffle is the url_canon count window (at crawl scale: a
     groupBy with map-side partials instead).
     """
+    parts = url_parts_cte(doc_view, engine)
+    return f"""
+with {parts},
+c as (
+  select doc_id,
+         concat(scheme, '://', host, path1,
+                case when qs1 = '' then ''
+                     else concat('?', qs1) end) as url_canon
+  from pp)
+select cast(doc_id as bigint) as doc_id, url_canon,
+       cast(count(*) over (partition by url_canon) as bigint) as group_n
+from c
+"""
+
+
+def url_parts_cte(doc_view: str, engine: str) -> str:
+    """The canonicalization CTE chain up to ``pp`` — per page the
+    normalized (scheme, host, path1, qs1). Shared by
+    url_canonicalize_sql and robots_filter_sql."""
     strip_utm = _re_replace_all("concat(qs, '&')",
                                 "(utm_[a-z]+|fbclid)=[^&]*&", "", engine)
     strip_frag = _re_replace_all("pathq0", "#.*$", "", engine)
-    return f"""
-with urls as (select doc_id, {MESSY_URL_SQL} as url from {doc_view}),
+    return f"""urls as (select doc_id, {MESSY_URL_SQL} as url from {doc_view}),
 p as (
   select doc_id, url,
          lower(substr(url, 1, position('://' in url) - 1)) as scheme,
@@ -876,14 +894,61 @@ pp as (
   select *, case when path0 <> '/' and path0 like '%/'
                    then substr(path0, 1, length(path0) - 1)
                  else path0 end as path1
-  from q2),
+  from q2)"""
+
+
+def robots_filter_sql(doc_view: str, engine: str) -> str:
+    """Robots-exclusion filtering (RFC 9309 §2.2.2 longest-match rule —
+    the crawl-politeness gate every fetcher applies): each page's
+    canonical path is matched against its host's Allow/Disallow rules;
+    the LONGEST matching prefix wins, Allow beating Disallow on equal
+    length; no match ⇒ allowed. Output per page:
+    (doc_id, url_canon, allowed, matched_prefix).
+
+    The rule table is synthesized deterministically per host (shared
+    dialect-split range scan): every host disallows '/private/' (never
+    matches — exercises the default-allow), hosts h%3==0 disallow
+    '/a/' (blanket block), hosts h%6==0 additionally Allow '/a/1'
+    (the longer match un-blocks /a/1 and /a/10..19 — the RFC's
+    motivating example shape).
+
+    Scale shape: rules are per-host metadata — a tiny broadcast join on
+    the host equi-key; the prefix test and longest-match rank run
+    per page. No shuffle ever carries page text.
+    """
+    parts = url_parts_cte(doc_view, engine)
+    if engine == SPARK:
+        hosts = "select id as hh from range(0, 50)"
+    else:
+        hosts = "select range as hh from range(0, 50)"
+    return f"""
+with {parts},
 c as (
-  select doc_id,
+  select doc_id, host, path1,
          concat(scheme, '://', host, path1,
                 case when qs1 = '' then ''
                      else concat('?', qs1) end) as url_canon
-  from pp)
-select cast(doc_id as bigint) as doc_id, url_canon,
-       cast(count(*) over (partition by url_canon) as bigint) as group_n
-from c
+  from pp),
+hosts as ({hosts}),
+rules as (
+  select concat('site', hh, '.example') as rhost,
+         '/private/' as prefix, 0 as allow from hosts
+  union all
+  select concat('site', hh, '.example'), '/a/', 0 from hosts
+  where hh % 3 = 0
+  union all
+  select concat('site', hh, '.example'), '/a/1', 1 from hosts
+  where hh % 6 = 0),
+m as (
+  select c.doc_id, r.prefix, r.allow,
+         row_number() over (partition by c.doc_id
+                            order by length(r.prefix) desc,
+                                     r.allow desc) as rn
+  from c join rules r on c.host = r.rhost
+  where substr(c.path1, 1, length(r.prefix)) = r.prefix)
+select cast(c.doc_id as bigint) as doc_id, c.url_canon,
+       cast(coalesce(m.allow, 1) as bigint) as allowed,
+       coalesce(m.prefix, '') as matched_prefix
+from c left join (select doc_id, prefix, allow from m where rn = 1) m
+  on c.doc_id = m.doc_id
 """

@@ -703,3 +703,31 @@ def test_kmeans_matches_numpy_lloyd(spark):
     got = {r.vec_id: r.cluster for r in out.collect()}
     expected = {int(i): int(a) for i, a in zip(ids, assign)}
     assert got == expected
+
+
+def test_robots_longest_match_semantics(spark):
+    """RFC 9309 longest-match pinned: blanket Disallow '/a/' blocks
+    h%3==0 hosts, the longer Allow '/a/1' un-blocks /a/1x paths on
+    h%6==0 hosts, unlisted hosts default to allowed."""
+    import gdal_spark.textops as textops
+
+    # doc_id drives host (doc_id % 50) and path (/a/<doc_id % 20>)
+    rows = [(i, "t", "en") for i in (
+        3,    # host site3 (3%3==0 -> disallow /a/): path /a/3 BLOCKED
+        6,    # host site6 (6%6==0): path /a/6 blocked (allow /a/1 no match)
+        46,   # host site46 (46%3 != 0): allowed by default
+        12,   # host site12 (12%6==0): path /a/12 starts '/a/1' -> ALLOWED
+        112,  # host site12, path /a/12 -> allowed (same rules)
+        66,   # host site16 (66%50=16, 16%3!=0): default allowed
+    )]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = {r.doc_id: (r.allowed, r.matched_prefix) for r in
+           spark.sql(textops.robots_filter_sql(
+               "documents", textops.SPARK)).collect()}
+    assert out[3] == (0, "/a/")
+    assert out[6] == (0, "/a/")
+    assert out[46] == (1, "")
+    assert out[12] == (1, "/a/1")
+    assert out[112] == (1, "/a/1")
+    assert out[66] == (1, "")
