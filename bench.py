@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_paragraph_exact",
     "crawl_url_canonicalize",
     "embed_kmeans",
+    "crawl_html_extract",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

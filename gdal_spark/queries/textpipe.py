@@ -514,6 +514,24 @@ def q_crawl_robots_filter(spark: SparkSession,
                                                textops.SPARK))
 
 
+def q_crawl_html_extract(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over the pages html:binary column — the
+    north-rule per-row invariant ('byte-identical extracted text per
+    url', BASELINE.json). Deterministic messy markup (head/title/
+    style/scripts with raw '<'/'&' bodies, comments hiding fake tags,
+    inline a/b wrappers, entity-bearing attributes) is synthesized
+    around the page text, utf-8-encoded to binary, then decoded and
+    extracted by the staged region-strip -> tag-strip -> entity-decode
+    pipeline; every row asserts extracted == expected byte-for-byte.
+    Pure narrow projection (six regexp/replace passes in whole-stage
+    codegen, zero shuffles/joins/Python) — scan-bound at 100 TB.
+    Engine and oracle share the SQL (textops.html_extract_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.html_extract_sql("documents",
+                                              textops.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1023,6 +1041,7 @@ QUERIES = {
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
+    "crawl_html_extract": q_crawl_html_extract,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1073,6 +1092,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                            DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
+    "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -952,3 +952,125 @@ select cast(c.doc_id as bigint) as doc_id, c.url_canon,
 from c left join (select doc_id, prefix, allow from m where rn = 1) m
   on c.doc_id = m.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the north-rule per-row invariant)
+# ---------------------------------------------------------------------------
+
+
+def _html_escape(expr: str) -> str:
+    """HTML-escape a text fragment (portable: plain replace chain).
+    '&' first so later entities are not double-escaped."""
+    return ("replace(replace(replace(" + expr +
+            ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+
+
+def _html_unescape(expr: str) -> str:
+    """Inverse of _html_escape; '&amp;' LAST so an escaped literal
+    '&lt;' in the source text ('&amp;lt;' in HTML) survives one level:
+    the '&lt;' pass cannot match it (no '&' directly before 'lt;') and
+    the final '&amp;' pass restores exactly '&lt;'."""
+    return ("replace(replace(replace(" + expr +
+            ", '&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+
+
+def rich_html_sql(text: str = "text", doc_id: str = "doc_id") -> str:
+    """Deterministic messy-HTML synthesis (shared ANSI): the page text
+    split into segments and wrapped in realistic markup — head with
+    title/meta/style and a script whose body contains raw ``<``/``&``
+    (so stripping ORDER is load-bearing), an HTML comment containing a
+    fake ``<p>`` tag, inline ``<a>``/``<b>`` wrappers with an entity
+    inside an attribute value, and a body script. Each text segment is
+    HTML-escaped independently (tags sit at segment boundaries, so
+    entities never straddle a boundary and escape/unescape is exactly
+    invertible per segment)."""
+    e = _html_escape
+    s1 = f"substr({text}, 1, 40)"
+    s2a, s2b, s2c = (f"substr({text}, 41, 20)", f"substr({text}, 61, 30)",
+                     f"substr({text}, 91, 30)")
+    s3 = f"substr({text}, 121)"
+    return f"""concat(
+  '<html><head><title>Doc ', {doc_id}, '</title>',
+  '<meta charset="utf-8"><meta name="robots" content="index">',
+  '<style>body{{margin:0;font-size:', 10 + {doc_id} % 8, 'px}}</style>',
+  '<script>var n=', {doc_id}, ';if(n<99&&n>0){{n=n+1}}</script>',
+  '</head><body>',
+  '<!-- warc-record ', {doc_id}, ' <p>not text</p> -->',
+  '<h1 class="t">', {e(s1)}, '</h1>',
+  '<p id="m">', {e(s2a)}, '<a href="/r?a=1&amp;b=2">', {e(s2b)},
+  '</a><b>', {e(s2c)}, '</b></p>',
+  '<script type="text/javascript">document.write("<i>ad</i>")</script>',
+  '<p>', {e(s3)}, '</p>',
+  '</body></html>')"""
+
+
+def html_extract_stages(engine: str,
+                        html: str = "html_str") -> list[tuple[str, str]]:
+    """Staged HTML->text extraction (shared dual-dialect SQL).
+
+    Stage order is semantic, not cosmetic: head/script bodies may
+    contain raw ``<`` and fake tags (scripts routinely do), so they are
+    removed as *regions* before the generic tag stripper runs; comments
+    likewise. Block-level closers become newlines; inline tags vanish
+    without inserting whitespace; entities decode last ('&amp;' after
+    '&lt;'/'&gt;' — see _html_unescape)."""
+    r = _re_replace_all
+    return [
+        ("_e0", r(html, '(?s)<head>.*?</head>', '', engine)),
+        ("_e1", r("_e0", '(?s)<script[^>]*>.*?</script>', '', engine)),
+        ("_e2", r("_e1", '(?s)<!--.*?-->', '', engine)),
+        ("_e3", "replace(replace(_e2, '</h1>', chr(10)),"
+                " '</p>', chr(10))"),
+        ("_e4", r("_e3", '<[^>]*>', '', engine)),
+        ("extracted", _html_unescape("_e4")),
+    ]
+
+
+def html_extract_sql(doc_view: str, engine: str) -> str:
+    """HTML -> text extraction over the pages html column, verified
+    byte-identical per url against the known source text (the
+    north-rule invariant: 'byte-identical extracted text per url').
+
+    Output per page: (doc_id, html_len, text_len, text_md5,
+    byte_identical). ``byte_identical`` compares the extracted text
+    with the expected reconstruction (segments joined by the newlines
+    the block tags contribute) — true for every row by construction;
+    the driver's value-hash then pins the md5 of every extracted text
+    cross-engine.
+
+    Scale shape: a pure narrow projection — six regexp/replace passes
+    per page inside whole-stage codegen, zero joins, zero shuffles,
+    zero Python. At 100 TB this is scan-bound, the ideal plan.
+
+    On the Spark side the HTML goes through a real utf-8
+    encode->binary->decode round trip (the input contract's
+    html:binary column); DuckDB extracts from the same string directly
+    — the extraction arithmetic is the shared part.
+    """
+    html_expr = rich_html_sql("text", "doc_id")
+    if engine == SPARK:
+        html_col = f"decode(encode({html_expr}, 'utf-8'), 'utf-8')"
+    else:
+        html_col = html_expr
+    stages = html_extract_stages(engine)
+    stage_sql = ",\n".join(f"{expr} as {name}" for name, expr in stages)
+    # expected: seg(1,40) + '\n' + seg(41,80) + '\n' + seg(121..) + '\n'
+    # (s2a+s2b+s2c above = substr(41,80); </h1> and each </p> emit \n)
+    expected = ("concat(substr(text, 1, 40), chr(10),"
+                " substr(text, 41, 80), chr(10),"
+                " substr(text, 121), chr(10))")
+    return f"""
+with rh as (
+  select doc_id, text, {html_col} as html_str from {doc_view}),
+ex as (
+  select doc_id, text, html_str,
+{stage_sql}
+  from rh)
+select cast(doc_id as bigint) as doc_id,
+       cast(length(html_str) as bigint) as html_len,
+       cast(length(extracted) as bigint) as text_len,
+       md5(extracted) as text_md5,
+       (extracted = {expected}) as byte_identical
+from ex
+"""
