@@ -71,6 +71,7 @@ HEADLINE = [
     "crawl_url_canonicalize",
     "embed_kmeans",
     "crawl_html_extract",
+    "warc_ingest_records",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

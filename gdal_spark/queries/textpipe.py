@@ -532,6 +532,22 @@ def q_crawl_html_extract(spark: SparkSession,
                                               textops.SPARK))
 
 
+def q_warc_ingest_records(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) container ingest — the pages corpus serialized
+    into Common-Crawl-style WARC file blobs (records concatenated per
+    file) and parsed back to typed per-record rows: WARC headers,
+    HTTP status/mime, declared-Content-Length payload slicing (real
+    reader semantics — never search the payload), terminator check,
+    payload md5. Files are the parallel unit exactly as in real CC
+    processing (64k x 1 GB blobs); the parse path is narrow per-file
+    string work, no shuffle. Engine and oracle share the SQL
+    (textops.warc_ingest_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.warc_ingest_sql("documents",
+                                             textops.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1042,6 +1058,7 @@ QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_html_extract": q_crawl_html_extract,
+    "warc_ingest_records": q_warc_ingest_records,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1093,6 +1110,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
+    "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1074,3 +1074,112 @@ select cast(doc_id as bigint) as doc_id,
        (extracted = {expected}) as byte_identical
 from ex
 """
+
+
+# ---------------------------------------------------------------------------
+# WARC container ingest (Common-Crawl's on-disk format)
+# ---------------------------------------------------------------------------
+
+WARC_FILES = 37  # files per corpus in the synthetic layout (doc_id % 37)
+
+
+def warc_ingest_sql(doc_view: str, engine: str) -> str:
+    """WARC (ISO 28500) record ingest: the pages corpus serialized
+    into Common-Crawl-style WARC files (one binary blob per file,
+    records concatenated in doc order), then parsed back into typed
+    per-record rows — the first stage of every real CC pipeline.
+
+    Synthesis (shared ANSI, deterministic): each page becomes a
+    ``WARC/1.0`` response record — WARC headers, blank line, an
+    HTTP/1.1 response block whose ``Content-Length`` covers it, and the
+    ``\\r\\n\\r\\n`` record terminator; records group into
+    ``doc_id % WARC_FILES`` files via an ORDERED string aggregation.
+
+    Parsing honors real WARC reader semantics: the HTTP block is taken
+    by the DECLARED Content-Length (never by searching the payload —
+    payloads may contain blank lines), and ``length_ok`` verifies the
+    declared length lands exactly on the record terminator. Fields come
+    out with regexp_extract; the payload md5 pins byte fidelity.
+
+    Scale shape: real CC crawls are ~64k x 1 GB WARC files; files are
+    the parallel unit (one row / one input split each), record split +
+    header parse are NARROW per-file string ops (no shuffle in the
+    parse path — the one exchange here is the synthesis groupBy, which
+    in production is the upstream fetcher's write). WARC-Date is
+    carried as epoch seconds (cosmetic divergence: real WARC uses
+    ISO-8601; the two engines' datetime formatters disagree on
+    spelling, the epoch integer is bit-portable).
+    """
+    crlf = "concat(chr(13), chr(10))"
+    crlf2 = "concat(chr(13), chr(10), chr(13), chr(10))"
+    if engine == SPARK:
+        agg = ("array_join(transform(array_sort(collect_list("
+               "struct(doc_id, rec))), x -> x.rec), '')")
+        split_recs = "split(blob, concat('WARC/1[.]0', chr(13), chr(10)))"
+        explode = "explode(recs)"
+    else:
+        agg = "string_agg(rec, '' order by doc_id)"
+        split_recs = ("regexp_split_to_array(blob,"
+                      " concat('WARC/1[.]0', chr(13), chr(10)))")
+        explode = "unnest(recs)"
+    return f"""
+with pages as (
+  select doc_id,
+         concat('https://site', doc_id % 100, '.example/p/', doc_id)
+           as url,
+         1735689600 + doc_id * 7 as epoch,
+         concat('<html><body><p>', replace(text, chr(13), ''),
+                '</p></body></html>') as payload
+  from {doc_view}),
+http as (
+  select doc_id, url, epoch,
+         concat('HTTP/1.1 200 OK', {crlf},
+                'Content-Type: text/html; charset=utf-8', {crlf},
+                {crlf}, payload) as http_block
+  from pages),
+recs0 as (
+  select doc_id, doc_id % {WARC_FILES} as file_id,
+         concat('WARC/1.0', {crlf},
+                'WARC-Type: response', {crlf},
+                'WARC-Target-URI: ', url, {crlf},
+                'WARC-Date-Epoch: ', epoch, {crlf},
+                'Content-Type: application/http;msgtype=response', {crlf},
+                'Content-Length: ', length(http_block), {crlf},
+                {crlf}, http_block, {crlf2}) as rec
+  from http),
+files as (
+  select file_id, {agg} as blob from recs0 group by file_id),
+exploded as (
+  select file_id, {explode} as rec
+  from (select file_id, {split_recs} as recs from files) t),
+parsed0 as (
+  select file_id, rec,
+         position({crlf2} in rec) as hdr_end,
+         cast(regexp_extract(rec,
+              'Content-Length: ([0-9]+)', 1) as bigint) as content_length
+  from exploded where rec <> ''),
+parsed as (
+  select file_id, content_length,
+         substr(rec, 1, hdr_end - 1) as warc_hdr,
+         substr(rec, hdr_end + 4, content_length) as http_block,
+         substr(rec, hdr_end + 4 + content_length, 4) = {crlf2}
+           as length_ok
+  from parsed0)
+select file_id,
+       regexp_extract(warc_hdr, 'WARC-Target-URI: ([^\r]+)', 1) as url,
+       regexp_extract(warc_hdr, 'WARC-Type: ([^\r]+)', 1) as warc_type,
+       cast(regexp_extract(warc_hdr,
+            'WARC-Date-Epoch: ([0-9]+)', 1) as bigint) as warc_epoch,
+       cast(regexp_extract(http_block,
+            'HTTP/1[.]1 ([0-9]+)', 1) as bigint) as status,
+       regexp_extract(http_block,
+            'Content-Type: ([^;\r]+)', 1) as mime,
+       content_length,
+       cast(length(substr(http_block,
+            position({crlf2} in http_block) + 4)) as bigint)
+         as payload_len,
+       md5(substr(http_block,
+            position({crlf2} in http_block) + 4)) as payload_md5,
+       length_ok
+from parsed
+"""

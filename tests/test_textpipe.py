@@ -793,3 +793,56 @@ def test_html_extract_strip_order_is_load_bearing(spark):
     for decoy in ("not text", "document.write", "n=n+1", "Doc 42",
                   "margin:0", "ad", "robots"):
         assert decoy not in extracted
+
+
+def test_warc_ingest_record_arithmetic(spark):
+    """One hand-computed record: the declared Content-Length must be
+    the exact HTTP-block length, the payload must round-trip
+    byte-for-byte, and the record terminator must land where the
+    declared length says (length_ok)."""
+    import hashlib
+
+    import gdal_spark.textops as textops
+
+    text = "hello warc world"
+    spark.createDataFrame([(3, text, "en")],
+                          "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    r = spark.sql(textops.warc_ingest_sql(
+        "documents", textops.SPARK)).collect()[0]
+    payload = f"<html><body><p>{text}</p></body></html>"
+    http_block = ("HTTP/1.1 200 OK\r\n"
+                  "Content-Type: text/html; charset=utf-8\r\n"
+                  "\r\n" + payload)
+    assert r.file_id == 3
+    assert r.url == "https://site3.example/p/3"
+    assert r.warc_type == "response"
+    assert r.warc_epoch == 1735689600 + 3 * 7
+    assert r.status == 200
+    assert r.mime == "text/html"
+    assert r.content_length == len(http_block)
+    assert r.payload_len == len(payload)
+    assert r.payload_md5 == hashlib.md5(payload.encode()).hexdigest()
+    assert r.length_ok
+
+
+def test_warc_ingest_multirecord_files_lossless(spark):
+    """Records grouped into shared file blobs (doc_id % WARC_FILES)
+    split back losslessly: every input url appears exactly once and
+    every declared length verifies."""
+    import gdal_spark.textops as textops
+
+    n = 120
+    rows = [(i, f"document body {i} " * (1 + i % 5), "en")
+            for i in range(n)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = spark.sql(textops.warc_ingest_sql(
+        "documents", textops.SPARK)).collect()
+    assert len(out) == n
+    assert {r.url for r in out} == {
+        f"https://site{i % 100}.example/p/{i}" for i in range(n)}
+    assert all(r.length_ok for r in out)
+    # several records really do share one file blob
+    files = {r.file_id for r in out}
+    assert len(files) == textops.WARC_FILES
