@@ -1622,13 +1622,18 @@ _TIFF_DTYPES = {
 def encode_tiff(arr: np.ndarray, compression: str = "none",
                 geotransform: tuple | None = None,
                 rows_per_strip: int = 8,
-                predictor: bool = False) -> bytes:
+                predictor: bool = False,
+                tiled: bool = False,
+                tile_wh: tuple[int, int] = (16, 16)) -> bytes:
     """(h, w) gray or (h, w, 3) RGB -> classic little-endian TIFF.
     Sample types: uint8, uint16, float32 (GDAL's common raster
     dtypes; SampleFormat tag 339 marks floats). compression: "none" |
     "packbits" | "lzw" | "deflate". A 6-tuple GDAL geotransform
     (north-up: rot terms 0) adds ModelPixelScaleTag +
-    ModelTiepointTag, making the output a GeoTIFF."""
+    ModelTiepointTag, making the output a GeoTIFF. ``tiled`` writes
+    the TIFF6 tile layout (tags 322-325; tile dims must be multiples
+    of 16 per the spec, edge tiles zero-padded to full size) instead
+    of strips — GDAL's default layout for large rasters."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
@@ -1645,27 +1650,41 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     if predictor and sfmt == 3:
         raise ValueError("predictor 2 needs integer samples")
 
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = px[y0:y0 + rows_per_strip]
+    def _pack_block(rows: np.ndarray, width: int) -> bytes:
+        """Predictor + codec for one strip/tile block of given pixel
+        width (strips: w; tiles: tile width)."""
         if predictor:
             if gray:
                 rows = _predictor2_encode(rows)
             else:
                 # difference along x per channel, keep interleaved
                 rows = _predictor2_encode(
-                    rows.reshape(rows.shape[0], w, spp)
+                    rows.reshape(rows.shape[0], width, spp)
                 ).reshape(rows.shape[0], -1)
         raw = rows.tobytes()
         if compression == "none":
-            strips.append(raw)
-        elif compression == "packbits":
-            strips.append(b"".join(_packbits_encode(r.tobytes())
-                                   for r in rows))
-        elif compression == "deflate":
-            strips.append(zlib.compress(raw))
-        else:
-            strips.append(_lzw_encode_tiff(raw))
+            return raw
+        if compression == "packbits":
+            return b"".join(_packbits_encode(r.tobytes()) for r in rows)
+        if compression == "deflate":
+            return zlib.compress(raw)
+        return _lzw_encode_tiff(raw)
+
+    if tiled:
+        tw, th = tile_wh
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        strips = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((th, tw * spp), dtype=le.dtype)
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                tile[:ys, :xs * spp] = px[y0:y0 + ys,
+                                          x0 * spp:(x0 + xs) * spp]
+                strips.append(_pack_block(tile, tw))
+    else:
+        strips = [_pack_block(px[y0:y0 + rows_per_strip], w)
+                  for y0 in range(0, h, rows_per_strip)]
     nstrips = len(strips)
 
     # layout: header(8) | strip data | IFD | external tag values
@@ -1679,13 +1698,20 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     tag(258, 3, [bits] * spp)
     tag(259, 3, [comp_code])
     tag(262, 3, [1 if gray else 2])
-    tag(273, 4, None)  # strip offsets, filled later
+    if not tiled:
+        tag(273, 4, None)  # strip offsets, filled later
     tag(277, 3, [spp])
-    tag(278, 4, [rows_per_strip])
-    tag(279, 4, [len(s) for s in strips])
+    if not tiled:
+        tag(278, 4, [rows_per_strip])
+        tag(279, 4, [len(s) for s in strips])
     tag(284, 3, [1])
     if predictor:
         tag(317, 3, [2])
+    if tiled:
+        tag(322, 4, [tile_wh[0]])
+        tag(323, 4, [tile_wh[1]])
+        tag(324, 4, None)  # tile offsets, filled later
+        tag(325, 4, [len(s) for s in strips])
     if sfmt != 1:
         tag(339, 3, [sfmt] * spp)
     if geotransform is not None:
@@ -1729,10 +1755,12 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
 
 def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
     """Classic TIFF bytes -> ((h, w) or (h, w, 3) uint8 array,
-    geotransform-or-None). Supports both byte orders, 8-bit gray/RGB,
-    strip layout, compression None/PackBits/LZW (+predictor 2).
-    Tiled TIFFs, 16-bit, palette and BigTIFF raise — a documented
-    seam (GDAL reads them through libtiff)."""
+    geotransform-or-None). Supports both byte orders, gray
+    (uint8/uint16/float32) and uint8 RGB, BOTH strip and TIFF6 tile
+    layouts (tags 322-325, edge tiles padded then cropped),
+    compression None/PackBits/LZW/Deflate (+predictor 2). Palette
+    and BigTIFF raise — a documented seam (GDAL reads them through
+    libtiff)."""
     if data[:4] == b"II*\x00":
         e = "<"
     elif data[:4] == b"MM\x00*":
@@ -1760,8 +1788,6 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
         else:
             vals = struct.unpack_from(f"{e}{cnt}{fmt}", data, voff)
         tags[t] = vals
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF layout (strip-only here)")
     w, h = tags[256][0], tags[257][0]
     spp = tags.get(277, (1,))[0]
     bits_t = tags.get(258, (8,))
@@ -1775,39 +1801,58 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
         raise NotImplementedError("planar TIFF configuration")
     comp = tags.get(259, (1,))[0]
     pred = tags.get(317, (1,))[0]
-    rps = tags.get(278, (h,))[0]
-    offsets, counts = tags[273], tags[279]
     sdt = np.dtype({(8, 1): "u1", (16, 1): "u2",
                     (32, 3): "f4"}[(bits, sfmt)]).newbyteorder(e)
     itemsz = sdt.itemsize
-    row_bytes = w * spp * itemsz
-    out = np.empty((h, w * spp), dtype=sdt.newbyteorder("="))
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        y0 = si * rps
-        nrows = min(rps, h - y0)
-        raw = data[so:so + sc]
+
+    def _unpack_block(raw: bytes, nrows: int, width: int) -> np.ndarray:
+        """Codec + predictor for one strip/tile block of given pixel
+        width (strips: w; tiles: tile width, full padded size)."""
+        blk_bytes = nrows * width * spp * itemsz
         if comp == 1:
-            dec = raw[:nrows * row_bytes]
+            dec = raw[:blk_bytes]
         elif comp == 32773:
-            dec = _packbits_decode(raw, nrows * row_bytes)
+            dec = _packbits_decode(raw, blk_bytes)
         elif comp == 5:
-            dec = _lzw_decode_tiff(raw, nrows * row_bytes)
+            dec = _lzw_decode_tiff(raw, blk_bytes)
         elif comp in (8, 32946):  # Deflate (new + legacy code)
-            dec = zlib.decompress(raw)[:nrows * row_bytes]
+            dec = zlib.decompress(raw)[:blk_bytes]
         else:
             raise NotImplementedError(f"TIFF compression {comp}")
         block = np.frombuffer(dec, dtype=sdt).reshape(
-            nrows, w * spp).astype(sdt.newbyteorder("="))
+            nrows, width * spp).astype(sdt.newbyteorder("="))
         if pred == 2:
             if spp == 1:
                 block = _predictor2_decode(block)
             else:
                 block = _predictor2_decode(
-                    block.reshape(nrows, w, spp)
-                    .transpose(0, 2, 1).reshape(nrows * spp, w)) \
-                    .reshape(nrows, spp, w).transpose(0, 2, 1) \
-                    .reshape(nrows, w * spp)
-        out[y0:y0 + nrows] = block
+                    block.reshape(nrows, width, spp)
+                    .transpose(0, 2, 1).reshape(nrows * spp, width)) \
+                    .reshape(nrows, spp, width).transpose(0, 2, 1) \
+                    .reshape(nrows, width * spp)
+        return block
+
+    out = np.empty((h, w * spp), dtype=sdt.newbyteorder("="))
+    if 322 in tags:  # TIFF6 tile layout (tags 322-325), edge-padded
+        tw, th = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        across = (w + tw - 1) // tw
+        out3 = out.reshape(h, w, spp)
+        for ti, (so, sc) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * th, tx * tw
+            ys, xs = min(th, h - y0), min(tw, w - x0)
+            block = _unpack_block(data[so:so + sc], th, tw)
+            out3[y0:y0 + ys, x0:x0 + xs] = \
+                block.reshape(th, tw, spp)[:ys, :xs]
+    else:
+        rps = tags.get(278, (h,))[0]
+        offsets, counts = tags[273], tags[279]
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            y0 = si * rps
+            nrows = min(rps, h - y0)
+            out[y0:y0 + nrows] = _unpack_block(data[so:so + sc],
+                                               nrows, w)
     arr = out.reshape(h, w) if spp == 1 else out.reshape(h, w, 3)
     gt = None
     if 33550 in tags and 33922 in tags:

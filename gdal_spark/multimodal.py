@@ -464,7 +464,7 @@ def synth_gif_payloads(ids: DataFrame,
         _synth, schema="doc_id long, payload binary")
 
 
-def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool]:
+def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool, bool]:
     """The GeoTIFF content contract (mirrored textually by the DuckDB
     oracle): w = 12 + id%7, h = 8 + id%5, grayscale pixel (r, c)
     value = (id*31 + r*5 + c*3) % M; the sample dtype rotates by id%5
@@ -472,7 +472,9 @@ def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool]:
     M=512, else uint8 with M=256 — GDAL's common raster dtypes) and
     the compression by id%4 (none/packbits/lzw/deflate; lzw and
     deflate add predictor 2 on odd integer-sample ids), so every
-    strip codec x dtype lane is exercised in the contract; north-up
+    strip codec x dtype lane is exercised in the contract; ids with
+    id%3 == 2 use the TIFF6 tile layout (16x16 tiles, edge-padded —
+    GDAL's default for large rasters) instead of strips; north-up
     geotransform with origin ((id%10)*360, (id%7)*240) and 30-unit
     pixels."""
     w, h = 12 + did % 7, 8 + did % 5
@@ -489,7 +491,7 @@ def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool]:
     comp = ("none", "packbits", "lzw", "deflate")[did % 4]
     pred = (comp in ("lzw", "deflate") and did % 2 == 1
             and px.dtype.kind == "u")
-    return px, gt, comp, pred
+    return px, gt, comp, pred, did % 3 == 2
 
 
 def synth_geotiff_payloads(ids: DataFrame,
@@ -505,10 +507,10 @@ def synth_geotiff_payloads(ids: DataFrame,
             ids_, payloads = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                px, gt, comp, pred = _synth_geotiff(did)
+                px, gt, comp, pred, tiled = _synth_geotiff(did)
                 payloads.append(C.encode_tiff(
                     px, compression=comp, geotransform=gt,
-                    predictor=pred))
+                    predictor=pred, tiled=tiled))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

@@ -619,9 +619,10 @@ def test_synth_geotiff_contract_matches_decode():
     from gdal_spark.multimodal import _synth_geotiff
 
     for did in range(31):
-        px, gt_in, comp, pred = _synth_geotiff(did)
+        px, gt_in, comp, pred, tiled = _synth_geotiff(did)
         out, gt = decode_tiff(encode_tiff(
-            px, compression=comp, geotransform=gt_in, predictor=pred))
+            px, compression=comp, geotransform=gt_in, predictor=pred,
+            tiled=tiled))
         assert out.dtype == px.dtype
         assert np.array_equal(out, px)
         assert gt == gt_in
@@ -880,3 +881,37 @@ def test_wav_unsupported_formats_raise():
     struct.pack_into("<H", b, 22, 2)  # stereo
     with pytest.raises(ValueError):
         decode_wav(bytes(b))
+
+
+def test_tiff_tiled_layout_roundtrip():
+    """TIFF6 tile layout (tags 322-325): multi-tile assembly with
+    edge padding cropped, across every codec x dtype x predictor
+    lane, matches the strip-layout decode of the same array."""
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(11)
+    gt_in = (100.0, 30.0, 0.0, 500.0, 0.0, -30.0)
+    for shape in [(8, 12), (40, 53), (16, 16), (33, 47, 3)]:
+        for comp in ["none", "packbits", "lzw", "deflate"]:
+            for pred in [False, True]:
+                for dt, m in [(np.uint8, 256), (np.uint16, 4096),
+                              (np.float32, 512)]:
+                    if len(shape) == 3 and dt is not np.uint8:
+                        continue
+                    if pred and comp in ("none", "packbits"):
+                        continue
+                    if pred and dt is np.float32:
+                        continue
+                    a = rng.randint(0, m, shape).astype(dt)
+                    data = encode_tiff(a, compression=comp,
+                                       predictor=pred, tiled=True,
+                                       tile_wh=(16, 16),
+                                       geotransform=gt_in)
+                    out, gt = decode_tiff(data)
+                    assert out.dtype == a.dtype
+                    assert np.array_equal(out, a), (shape, comp, pred)
+                    assert gt == gt_in
+    # tile dims must be multiples of 16 (TIFF6 spec)
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((8, 8), np.uint8), tiled=True,
+                    tile_wh=(8, 8))
