@@ -470,6 +470,54 @@ def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr("qid", "round(value, 6) as value")
 
 
+_GCP_DST_PX = 160
+
+
+def _gcp_fits():
+    from gdal_spark.gcp import default_dst_grid, fit_gcp_poly, synth_gcps
+
+    gcps = synth_gcps(5, DEM_PX)
+    return (fit_gcp_poly(gcps, 1), fit_gcp_poly(gcps, 2),
+            default_dst_grid(DEM_PX, _GCP_DST_PX))
+
+
+def q_warp_gcp_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -order 1/-order 2 over a GCP-georeferenced source
+    (GDALCreateGCPTransformer, alg/gdal_crs.cpp): 25 synthetic GCPs on
+    a quadratic ground truth, both polynomial orders least-squares
+    fitted on the driver (where GDAL fits them too) and folded into
+    the dst→src Catalyst chain as literals; nearest warp through the
+    shared chunk-gather plan. Order 1's affine approximation lands
+    ~1.3 px off the truth at the corners — the reason -order exists —
+    while order 2 is ~0.01 px; both orders are exact vs the oracle
+    because engine and oracle share the folded expression text."""
+    from gdal_spark.gcp import warp_gcp_nearest
+
+    _ = sf_dir
+    fit1, fit2, dst_gt = _gcp_fits()
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    w1 = warp_gcp_nearest(tiles, fit1, DEM_PX, dst_gt, _GCP_DST_PX) \
+        .select(F.lit("order1").alias("method"), "di", "dj", "value")
+    w2 = warp_gcp_nearest(tiles, fit2, DEM_PX, dst_gt, _GCP_DST_PX) \
+        .select(F.lit("order2").alias("method"), "di", "dj", "value")
+    return w1.unionByName(w2)
+
+
+def _warp_gcp_oracle() -> str:
+    from gdal_spark.gcp import warp_gcp_oracle_sql
+
+    fit1, fit2, dst_gt = _gcp_fits()
+    o1 = warp_gcp_oracle_sql(fit1, DEM_PX, dst_gt, _GCP_DST_PX,
+                             DEM_ELEV_SQL)
+    o2 = warp_gcp_oracle_sql(fit2, DEM_PX, dst_gt, _GCP_DST_PX,
+                             DEM_ELEV_SQL)
+    return f"""
+select 'order1' as method, di, dj, value from ({o1}) a
+union all
+select 'order2' as method, di, dj, value from ({o2}) b
+"""
+
+
 def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
     smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
@@ -1483,6 +1531,7 @@ QUERIES = {
     "warp_average_nodata": q_warp_average_nodata,
     "warp_lanczos_dem": q_warp_lanczos,
     "warp_cubicspline_dem": q_warp_cubicspline,
+    "warp_gcp_poly": q_warp_gcp_poly,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1731,6 +1780,7 @@ select qid, round(value, 6) as value from (
 {__import__("gdal_spark.raster", fromlist=["warp_cubicspline_oracle_sql"])
  .warp_cubicspline_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) s
 """,
+    "warp_gcp_poly": _warp_gcp_oracle(),
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,
