@@ -548,6 +548,101 @@ def q_warc_ingest_records(spark: SparkSession,
                                              textops.SPARK))
 
 
+def _charset_html_sql() -> str:
+    """Shared ANSI: the page html STRING with injected non-ASCII
+    (é = chr(233), ° = chr(176) — chars whose latin-1 and utf-8
+    encodings differ) and a per-lane meta declaration."""
+    return """concat('<html><head>',
+  case doc_id % 4 when 0 then '<meta charset="utf-8">'
+       when 1 then '<meta charset="iso-8859-1">'
+       when 3 then '<meta charset="iso-8859-1">'
+       else '' end,
+  '</head><body><p>', chr(233), chr(176), ' ', text,
+  '</p></body></html>')"""
+
+
+def q_crawl_charset_decode(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Charset sniffing + decode over raw page BYTES — the messy-
+    encodings reality of web crawls (cf. WARC readers + html5lib's
+    prescan): lane doc%4 == 0 utf-8 with meta, == 1 real iso-8859-1
+    with meta, == 2 utf-16le with BOM and no meta, == 3 MISLABELED —
+    meta says iso-8859-1 but the bytes are utf-8, so trusting the
+    label produces deterministic mojibake (é -> Ã©), which the lane
+    pins. Sniff order = BOM, then meta charset (extracted through a
+    lossless latin-1 pre-decode), then the utf-8 default. All
+    byte-level work is JVM Catalyst (encode/decode/substring on
+    binary) — no Python; the oracle restates every lane closed-form
+    from the ground-truth string (it never sees bytes). Narrow
+    projection: zero shuffles."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    html = _charset_html_sql()
+    moji = ("replace(replace(html_str, chr(233),"
+            " concat(chr(195), chr(169))), chr(176),"
+            " concat(chr(194), chr(176)))")
+    return spark.sql(f"""
+with h as (
+  select doc_id, {html} as html_str from documents),
+b as (
+  select doc_id, html_str,
+         case doc_id % 4
+           when 1 then encode(html_str, 'ISO-8859-1')
+           when 2 then concat(X'FFFE', encode(html_str, 'UTF-16LE'))
+           else encode(html_str, 'UTF-8') end as page_bytes
+  from h),
+s as (
+  select *,
+         case when substring(page_bytes, 1, 2) = X'FFFE'
+                then 'utf-16le'
+              else lower(coalesce(nullif(regexp_extract(
+                     decode(page_bytes, 'ISO-8859-1'),
+                     'charset="([A-Za-z0-9-]+)"', 1), ''), 'utf-8'))
+         end as sniffed
+  from b),
+d as (
+  select *,
+         case sniffed
+           when 'utf-16le' then decode(substring(
+                page_bytes, 3, octet_length(page_bytes)), 'UTF-16LE')
+           when 'iso-8859-1' then decode(page_bytes, 'ISO-8859-1')
+           else decode(page_bytes, 'UTF-8') end as decoded
+  from s)
+select cast(doc_id as bigint) as doc_id, sniffed,
+       cast(octet_length(page_bytes) as bigint) as n_bytes,
+       md5(decoded) as text_md5,
+       case when doc_id % 4 = 3 then decoded = {moji}
+            else decoded = html_str end as decode_ok
+from d
+""")
+
+
+def _crawl_charset_decode_oracle() -> str:
+    """Every lane closed-form from the ground-truth string: the
+    sniffed label, the per-charset byte count (latin-1 = chars,
+    utf-16le = 2*chars + BOM, utf-8 = strlen), and the decoded md5
+    (lane 3 hashes the deterministic mojibake)."""
+    html = _charset_html_sql()
+    moji = ("replace(replace(html_str, chr(233),"
+            " concat(chr(195), chr(169))), chr(176),"
+            " concat(chr(194), chr(176)))")
+    return f"""
+with h as (
+  select doc_id, {html} as html_str from documents)
+select cast(doc_id as bigint) as doc_id,
+       case doc_id % 4 when 1 then 'iso-8859-1'
+            when 2 then 'utf-16le'
+            when 3 then 'iso-8859-1' else 'utf-8' end as sniffed,
+       cast(case doc_id % 4
+            when 1 then length(html_str)
+            when 2 then 2 * length(html_str) + 2
+            else strlen(html_str) end as bigint) as n_bytes,
+       case when doc_id % 4 = 3 then md5({moji})
+            else md5(html_str) end as text_md5,
+       true as decode_ok
+from h
+"""
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1059,6 +1154,7 @@ QUERIES = {
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_html_extract": q_crawl_html_extract,
     "warc_ingest_records": q_warc_ingest_records,
+    "crawl_charset_decode": q_crawl_charset_decode,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1111,6 +1207,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
     "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
+    "crawl_charset_decode": _crawl_charset_decode_oracle(),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

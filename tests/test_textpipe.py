@@ -846,3 +846,47 @@ def test_warc_ingest_multirecord_files_lossless(spark):
     # several records really do share one file blob
     files = {r.file_id for r in out}
     assert len(files) == textops.WARC_FILES
+
+
+def test_charset_decode_lanes_match_python_codecs(spark):
+    """Independent oracle: rebuild each lane's bytes with Python's
+    codecs and check the engine's sniff + decode verdicts, including
+    the mislabeled lane's deterministic mojibake."""
+    import hashlib
+
+    from gdal_spark.queries.textpipe import q_crawl_charset_decode
+
+    import tempfile
+
+    rows = [(i, f"payload {i} with words", "en") for i in range(8)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r for r in
+           q_crawl_charset_decode(spark, tmp).collect()}
+    for i, text, _ in rows:
+        meta = {0: '<meta charset="utf-8">',
+                1: '<meta charset="iso-8859-1">',
+                2: "", 3: '<meta charset="iso-8859-1">'}[i % 4]
+        html = (f"<html><head>{meta}</head><body><p>\xe9\xb0 {text}"
+                f"</p></body></html>")
+        enc = {0: html.encode("utf-8"),
+               1: html.encode("iso-8859-1"),
+               2: b"\xff\xfe" + html.encode("utf-16-le"),
+               3: html.encode("utf-8")}[i % 4]
+        r = out[i]
+        assert r.n_bytes == len(enc)
+        if i % 4 == 2:
+            assert r.sniffed == "utf-16le"
+            decoded = enc[2:].decode("utf-16-le")
+        elif i % 4 == 0:
+            assert r.sniffed == "utf-8"
+            decoded = enc.decode("utf-8")
+        else:
+            assert r.sniffed == "iso-8859-1"
+            decoded = enc.decode("iso-8859-1")  # lane 3: mojibake
+        assert r.text_md5 == hashlib.md5(
+            decoded.encode("utf-8")).hexdigest()
+        assert r.decode_ok
+        if i % 4 == 3:
+            assert decoded != html and "\xc3\xa9" in decoded
