@@ -643,6 +643,20 @@ from h
 """
 
 
+def q_crawl_cdx_index(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    """CDX(J)-style capture index over the WARC layout (the lookup
+    table Common Crawl publishes beside every crawl): SURT key (host
+    labels reversed — captures of one domain sort adjacently), capture
+    epoch, payload digest, and the REAL (file_id, rec_offset, rlen)
+    triple — the byte offsets records occupy in warc_ingest_records'
+    blobs, pinned by test with substr() on the actual blob. One
+    exchange: the file_id-partitioned window cumsum over record
+    lengths. Engine and oracle share the SQL (textops.cdx_index_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.cdx_index_sql("documents", textops.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1155,6 +1169,7 @@ QUERIES = {
     "crawl_html_extract": q_crawl_html_extract,
     "warc_ingest_records": q_warc_ingest_records,
     "crawl_charset_decode": q_crawl_charset_decode,
+    "crawl_cdx_index": q_crawl_cdx_index,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1208,6 +1223,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
     "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
     "crawl_charset_decode": _crawl_charset_decode_oracle(),
+    "crawl_cdx_index": textops.cdx_index_sql("documents", DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1083,6 +1083,85 @@ from ex
 WARC_FILES = 37  # files per corpus in the synthetic layout (doc_id % 37)
 
 
+def warc_records_cte(doc_view: str) -> str:
+    """The WARC record synthesis CTE chain up to ``recs0`` (per page:
+    file_id + the full serialized record string) — shared ANSI, used
+    by warc_ingest_sql (record parsing) and cdx_index_sql (byte-offset
+    index)."""
+    crlf = "concat(chr(13), chr(10))"
+    crlf2 = "concat(chr(13), chr(10), chr(13), chr(10))"
+    return f"""pages as (
+  select doc_id,
+         concat('https://site', doc_id % 100, '.example/p/', doc_id)
+           as url,
+         1735689600 + doc_id * 7 as epoch,
+         concat('<html><body><p>', replace(text, chr(13), ''),
+                '</p></body></html>') as payload
+  from {doc_view}),
+http as (
+  select doc_id, url, epoch, payload,
+         concat('HTTP/1.1 200 OK', {crlf},
+                'Content-Type: text/html; charset=utf-8', {crlf},
+                {crlf}, payload) as http_block
+  from pages),
+recs0 as (
+  select doc_id, url, epoch, payload, doc_id % {WARC_FILES} as file_id,
+         concat('WARC/1.0', {crlf},
+                'WARC-Type: response', {crlf},
+                'WARC-Target-URI: ', url, {crlf},
+                'WARC-Date-Epoch: ', epoch, {crlf},
+                'Content-Type: application/http;msgtype=response', {crlf},
+                'Content-Length: ', length(http_block), {crlf},
+                {crlf}, http_block, {crlf2}) as rec
+  from http)"""
+
+
+def cdx_index_sql(doc_view: str, engine: str) -> str:
+    """CDX(J)-style capture index over the WARC layout — the lookup
+    structure Common Crawl publishes next to every crawl (SURT key,
+    capture time, content digest, and the (file, offset, length)
+    triple (rec_offset) that lets a reader range-request one record out of a ~1 GB
+    WARC blob without scanning it).
+
+    SURT (Sort-friendly URI Reordering Transform): host labels
+    reversed and comma-joined, then ')' + path — 'site7.example/p/7'
+    → 'example,site7)/p/7' — so captures of one registrable domain
+    sort adjacently.
+
+    The offset is real, not cosmetic: a window cumsum of serialized
+    record lengths within each file in write order — exactly the
+    offsets the records occupy in warc_ingest_sql's blobs (pinned by
+    test against substr() of the actual blob). Scale shape: one
+    exchange, the file_id-partitioned window (tiny rows: id + length);
+    at crawl scale this is the indexer that runs once per WARC file
+    write. Output: (surt_key, warc_epoch, digest, file_id, rec_offset,
+    rlen)."""
+    host = "substr(url, 9, position('/' in substr(url, 9)) - 1)"
+    path = "substr(url, 8 + position('/' in substr(url, 9)))"
+    if engine == SPARK:
+        rev = f"array_join(reverse(split({host}, '[.]')), ',')"
+    else:
+        rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    return f"""
+with {warc_records_cte(doc_view)},
+idx as (
+  select doc_id, url, epoch, payload, file_id,
+         length(rec) as rlen,
+         coalesce(sum(length(rec)) over (
+             partition by file_id order by doc_id
+             rows between unbounded preceding and 1 preceding),
+           0) as rec_offset
+  from recs0)
+select concat({rev}, ')', {path}) as surt_key,
+       cast(epoch as bigint) as warc_epoch,
+       md5(payload) as digest,
+       cast(file_id as bigint) as file_id,
+       cast(rec_offset as bigint) as rec_offset,
+       cast(rlen as bigint) as rlen
+from idx
+"""
+
+
 def warc_ingest_sql(doc_view: str, engine: str) -> str:
     """WARC (ISO 28500) record ingest: the pages corpus serialized
     into Common-Crawl-style WARC files (one binary blob per file,
@@ -1123,30 +1202,7 @@ def warc_ingest_sql(doc_view: str, engine: str) -> str:
                       " concat('WARC/1[.]0', chr(13), chr(10)))")
         explode = "unnest(recs)"
     return f"""
-with pages as (
-  select doc_id,
-         concat('https://site', doc_id % 100, '.example/p/', doc_id)
-           as url,
-         1735689600 + doc_id * 7 as epoch,
-         concat('<html><body><p>', replace(text, chr(13), ''),
-                '</p></body></html>') as payload
-  from {doc_view}),
-http as (
-  select doc_id, url, epoch,
-         concat('HTTP/1.1 200 OK', {crlf},
-                'Content-Type: text/html; charset=utf-8', {crlf},
-                {crlf}, payload) as http_block
-  from pages),
-recs0 as (
-  select doc_id, doc_id % {WARC_FILES} as file_id,
-         concat('WARC/1.0', {crlf},
-                'WARC-Type: response', {crlf},
-                'WARC-Target-URI: ', url, {crlf},
-                'WARC-Date-Epoch: ', epoch, {crlf},
-                'Content-Type: application/http;msgtype=response', {crlf},
-                'Content-Length: ', length(http_block), {crlf},
-                {crlf}, http_block, {crlf2}) as rec
-  from http),
+with {warc_records_cte(doc_view)},
 files as (
   select file_id, {agg} as blob from recs0 group by file_id),
 exploded as (

@@ -890,3 +890,48 @@ def test_charset_decode_lanes_match_python_codecs(spark):
         assert r.decode_ok
         if i % 4 == 3:
             assert decoded != html and "\xc3\xa9" in decoded
+
+
+def test_cdx_offsets_address_the_real_blob(spark):
+    """The CDX (file_id, rec_offset, rlen) triple must address the
+    actual bytes in the serialized WARC blob: substr(blob,
+    rec_offset+1, rlen) re-extracts exactly one record that starts
+    'WARC/1.0', names the SURT'd url, and whose payload hashes to the
+    row's digest."""
+    import hashlib
+
+    import gdal_spark.textops as textops
+
+    rows = [(i, f"body text {i} " * (1 + i % 4), "en") for i in range(80)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    cdx = spark.sql(textops.cdx_index_sql(
+        "documents", textops.SPARK)).collect()
+    assert len(cdx) == 80
+    # rebuild the blobs the same way warc_ingest does
+    blobs = {r.file_id: r.blob for r in spark.sql(f"""
+        with {textops.warc_records_cte('documents')}
+        select file_id,
+               array_join(transform(array_sort(collect_list(
+                 struct(doc_id, rec))), x -> x.rec), '') as blob
+        from recs0 group by file_id""").collect()}
+    for r in cdx:
+        rec = blobs[r.file_id][r.rec_offset:r.rec_offset + r.rlen]
+        assert rec.startswith("WARC/1.0\r\n")
+        assert rec.endswith("\r\n\r\n")
+        # surt key round-trips to the record's target URI
+        host_rev, path = r.surt_key.split(")", 1)
+        host = ".".join(reversed(host_rev.split(",")))
+        assert f"WARC-Target-URI: https://{host}{path}\r\n" in rec
+        payload = rec.split("\r\n\r\n")[2]
+        assert hashlib.md5(payload.encode()).hexdigest() == r.digest
+    # offsets tile each blob exactly
+    per_file: dict = {}
+    for r in cdx:
+        per_file.setdefault(r.file_id, []).append((r.rec_offset, r.rlen))
+    for fid, spans in per_file.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2
+        assert spans[-1][0] + spans[-1][1] == len(blobs[fid])
