@@ -657,6 +657,36 @@ def q_crawl_cdx_index(spark: SparkSession,
     return spark.sql(textops.cdx_index_sql("documents", textops.SPARK))
 
 
+def q_text_gopher_rules(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 App. A): word
+    count, mean word length, symbol-to-word ratio, letter-bearing word
+    fraction, stop-word hits — with the per-rule thresholds and the
+    keep verdict, all as one narrow array-expression pass (no shuffle,
+    no Python). The stop list is instantiated with the corpus' own
+    function-word analogues (the rule is corpus-parameterized in real
+    pipelines too). Engine and oracle share the SQL
+    (textops.gopher_rules_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.gopher_rules_sql(
+        "documents", textops.SPARK, textops.FIXTURE_STOPWORDS))
+
+
+def q_train_mixture_sample(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture sampling (the data-mixing
+    stage of LLM pretraining): per-source budgets proportional to
+    char-mass^0.5, integer-deterministic (milli-scaled sqrt weights so
+    the cross-source sum is exact), per-doc keep by the overflow-masked
+    multiplicative hash rank — a pure function of doc_id, so re-running
+    a partition reproduces the identical sample. One tiny per-source
+    aggregate + one source-keyed window. Engine and oracle share the
+    SQL (textops.mixture_sample_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.mixture_sample_sql("documents",
+                                                textops.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1170,6 +1200,8 @@ QUERIES = {
     "warc_ingest_records": q_warc_ingest_records,
     "crawl_charset_decode": q_crawl_charset_decode,
     "crawl_cdx_index": q_crawl_cdx_index,
+    "text_gopher_rules": q_text_gopher_rules,
+    "train_mixture_sample": q_train_mixture_sample,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1224,6 +1256,10 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
     "crawl_charset_decode": _crawl_charset_decode_oracle(),
     "crawl_cdx_index": textops.cdx_index_sql("documents", DUCKDB),
+    "text_gopher_rules": textops.gopher_rules_sql(
+        "documents", DUCKDB, textops.FIXTURE_STOPWORDS),
+    "train_mixture_sample": textops.mixture_sample_sql("documents",
+                                                       DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

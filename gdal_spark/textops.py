@@ -1239,3 +1239,136 @@ select file_id,
        length_ok
 from parsed
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixture sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+MIXTURE_BUDGET = 200  # total docs the mixture targets
+
+
+def mixture_sample_sql(doc_view: str, engine: str,
+                       budget: int = MIXTURE_BUDGET) -> str:
+    """Temperature-weighted mixture sampling across sources — the data-
+    mixing stage of LLM pretraining (cf. the alpha-scaled multinomial
+    weights of multilingual/CC-mix recipes): source i gets a document
+    budget proportional to mass_i^alpha with alpha = 0.5, which
+    up-weights small sources relative to proportional sampling.
+
+    Integer-deterministic throughout: the temperature weight is
+    cast(round(sqrt(mass)*1000) as bigint) — sqrt is IEEE
+    correctly-rounded, so identical in both engines, and the scaled
+    integer makes the cross-source SUM exact and order-independent
+    (the embed_kmeans trick). Per-source doc ranking is the same
+    overflow-masked multiplicative hash the stratified sampler uses —
+    a pure function of doc_id, so a re-run partition reproduces the
+    identical sample (resume invariant). Shape: one tiny per-source
+    aggregate (20 rows, broadcast back) + one window rank keyed by
+    source; at crawl scale the window becomes a per-source
+    approx-threshold select, and the docstring's keyed-by-source skew
+    caveat applies (sources are few and fat — salt the rank by hash
+    bucket if one source dominates)."""
+    _ = engine  # shared ANSI spelling
+    return f"""
+with w as (
+  select source,
+         cast(round(sqrt(sum(n_chars)) * 1000) as bigint) as wgt
+  from {doc_view} group by source),
+tot as (select sum(wgt) as wsum from w),
+tgt as (
+  select w.source, w.wgt,
+         cast(floor(({budget} * w.wgt) / t.wsum) as bigint) as target_n
+  from w cross join tot t),
+r as (
+  select d.doc_id, d.source,
+         row_number() over (
+           partition by d.source
+           order by {SAMPLE_HASH}, d.doc_id) as samp_rank
+  from {doc_view} d)
+select r.doc_id, r.source, cast(r.samp_rank as bigint) as samp_rank,
+       g.target_n, g.wgt,
+       r.samp_rank <= g.target_n as keep
+from r join tgt g on g.source = r.source
+"""
+
+
+def _arr_len_sum(toks: str, engine: str) -> str:
+    """Sum of token lengths (bigint) in each dialect."""
+    if engine == SPARK:
+        return (f"aggregate({toks}, cast(0 as bigint),"
+                f" (acc, w) -> acc + length(w))")
+    return f"cast(list_sum(list_transform({toks}, w -> length(w))) as bigint)"
+
+
+def _arr_count_alpha(toks: str, engine: str) -> str:
+    """Count of tokens containing at least one ASCII letter."""
+    if engine == SPARK:
+        return f"size(filter({toks}, w -> w rlike '[a-zA-Z]'))"
+    return (f"length(list_filter({toks},"
+            f" w -> regexp_matches(w, '[a-zA-Z]')))")
+
+
+def _arr_contains(toks: str, word: str, engine: str) -> str:
+    fn = "array_contains" if engine == SPARK else "list_contains"
+    return f"{fn}({toks}, '{word}')"
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# The synthetic corpus has a systems-vocabulary, so the contract query
+# instantiates the stop-word rule with the corpus' own function-word
+# analogues (the rule is corpus-parameterized in real pipelines too —
+# Gopher's English list is meaningless for code or non-English shards).
+FIXTURE_STOPWORDS = ("join", "hash", "row", "batch", "scan", "filter",
+                     "order", "data")
+
+
+def gopher_rules_sql(doc_view: str, engine: str,
+                     stopwords: tuple = GOPHER_STOPWORDS) -> str:
+    """The Gopher quality-rule battery (Rae et al. 2021, Appendix A —
+    the rule set MassiveWeb/RefinedWeb-style pipelines start from):
+    per doc the signals and the keep verdict —
+
+      50 <= n_words <= 100000, 3 <= mean word length <= 10,
+      symbol-to-word ratio ('#' + '...') < 0.1,
+      fraction of words containing a letter > 0.80,
+      >= 2 hits among the 8 Gopher stop words.
+
+    All signals are array-expression arithmetic over the whitespace
+    token list — one narrow pass, no shuffle, no Python; the per-rule
+    booleans ride along so downstream can audit WHY a page dropped
+    (the operational difference between a filter and a filter you can
+    debug at 100 TB)."""
+    toks = tokens_sql("text", engine)
+    nw = "cast(n_words as double)"
+    stop_hits = " + ".join(
+        f"(case when {_arr_contains('_toks', w, engine)} then 1 else 0 end)"
+        for w in stopwords)
+    return f"""
+with t as (
+  select doc_id, text, {toks} as _toks from {doc_view}),
+sig as (
+  select doc_id,
+         cast({('size' if engine == SPARK else 'length')}(_toks)
+              as bigint) as n_words,
+         {_arr_len_sum('_toks', engine)} as char_sum,
+         cast({_arr_count_alpha('_toks', engine)} as bigint)
+           as n_alpha_words,
+         cast(length(text) - length(replace(text, '#', '')) +
+              (length(text) - length(replace(text, '...', ''))) / 3
+              as bigint) as n_symbols,
+         cast({stop_hits} as bigint) as stop_hits
+  from t)
+select doc_id, n_words,
+       round(char_sum / {nw}, 6) as mean_word_len,
+       round(n_alpha_words / {nw}, 6) as alpha_word_frac,
+       round(n_symbols / {nw}, 6) as symbol_ratio,
+       stop_hits,
+       (n_words between 50 and 100000
+        and char_sum / {nw} between 3.0 and 10.0
+        and n_symbols / {nw} < 0.1
+        and n_alpha_words / {nw} > 0.80
+        and stop_hits >= 2) as keep
+from sig
+"""

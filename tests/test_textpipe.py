@@ -935,3 +935,66 @@ def test_cdx_offsets_address_the_real_blob(spark):
         for (o1, l1), (o2, _) in zip(spans, spans[1:]):
             assert o1 + l1 == o2
         assert spans[-1][0] + spans[-1][1] == len(blobs[fid])
+
+
+def test_gopher_rules_signals_hand_computed(spark):
+    """Each Gopher signal pinned on a hand-built doc; verdict flips on
+    exactly the violated rule."""
+    import tempfile
+
+    import gdal_spark.textops as textops
+    from gdal_spark.queries.textpipe import q_text_gopher_rules
+
+    good = " ".join(["join", "hash", "data"] + ["word"] * 60)  # 63 words
+    short = "join hash data word"                              # 4 words
+    symbols = " ".join(["join", "hash"] + ["###"] * 70)        # symbol-heavy
+    numeric = " ".join(["join", "hash"] + ["123"] * 70)        # low alpha
+    nostop = " ".join(["word"] * 80)                           # 0 stop hits
+    rows = [(0, good, "en"), (1, short, "en"), (2, symbols, "en"),
+            (3, numeric, "en"), (4, nostop, "en")]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r for r in q_text_gopher_rules(spark, tmp).collect()}
+    assert out[0].keep
+    assert out[0].n_words == 63
+    assert out[0].stop_hits == 3
+    assert abs(out[0].mean_word_len
+               - (4 * 2 + 4 + 4 * 60) / 63) < 1e-6
+    assert out[0].alpha_word_frac == 1.0
+    assert not out[1].keep          # < 50 words
+    assert not out[2].keep          # symbol ratio >= 0.1
+    assert out[2].symbol_ratio > 0.5
+    assert not out[3].keep          # alpha fraction <= 0.8
+    assert out[3].alpha_word_frac < 0.05
+    assert not out[4].keep          # stop hits < 2
+    assert out[4].stop_hits == 0
+    assert len(textops.GOPHER_STOPWORDS) == 8
+
+
+def test_mixture_sample_temperature_and_determinism(spark):
+    """alpha=0.5 budgets: a source with 4x the char mass gets only 2x
+    the budget; the realized sample is a pure function of doc_id
+    (identical across re-runs)."""
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_train_mixture_sample
+
+    rows = []
+    for i in range(400):
+        src = "big" if i % 4 else "small"   # big: 300 docs, small: 100
+        rows.append((i, "x" * 100, "en", src, 100))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = q_train_mixture_sample(spark, tmp).toPandas()
+    tgt = out.drop_duplicates("source").set_index("source").target_n
+    # mass ratio 3:1 -> weight ratio sqrt(3):1 ~ 1.73, NOT 3
+    assert 1.5 < tgt["big"] / tgt["small"] < 2.0
+    assert out.keep.sum() == out[out.keep].doc_id.nunique()
+    again = q_train_mixture_sample(spark, tmp).toPandas()
+    kept1 = set(out[out.keep].doc_id)
+    kept2 = set(again[again.keep].doc_id)
+    assert kept1 == kept2 and len(kept1) > 0
