@@ -687,6 +687,17 @@ def q_train_mixture_sample(spark: SparkSession,
                                                 textops.SPARK))
 
 
+def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
+    engines): per-dim symmetric corpus scales, round-to-int8
+    quantization, EXACT integer dot-product ranking — 4x memory and
+    integer SIMD at scale; recall vs the float baseline pinned in
+    tests. Engine and oracle share the SQL (simsearch.sq8_topk_sql)."""
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(simsearch.sq8_topk_sql(
+        "embeddings", ANN_QUERY_FILTER, 10, simsearch.SPARK))
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (k=8, 3
     unrolled rounds) — the semantic-clustering stage behind
@@ -1202,6 +1213,7 @@ QUERIES = {
     "crawl_cdx_index": q_crawl_cdx_index,
     "text_gopher_rules": q_text_gopher_rules,
     "train_mixture_sample": q_train_mixture_sample,
+    "embed_sq8_topk": q_embed_sq8_topk,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1260,6 +1272,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
         "documents", DUCKDB, textops.FIXTURE_STOPWORDS),
     "train_mixture_sample": textops.mixture_sample_sql("documents",
                                                        DUCKDB),
+    "embed_sq8_topk": simsearch.sq8_topk_sql(
+        "embeddings", ANN_QUERY_FILTER, 10, simsearch.DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

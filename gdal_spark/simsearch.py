@@ -579,3 +579,77 @@ select cast(vec_id as bigint) as vec_id, cast(cid as bigint) as cluster,
        round(dist, 6) as dist_sq
 from a{rounds - 1}""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+
+def int_dot_sql(a: str, b: str, engine: str) -> str:
+    """Integer dot product over bigint lists — EXACT, so rank order is
+    engine-independent by arithmetic, not by shared fold order."""
+    if engine == SPARK:
+        return (
+            f"aggregate(transform(sequence(1, size({a})),"
+            f" i -> element_at({a}, i) * element_at({b}, i)),"
+            f" cast(0 as bigint), (x, y) -> x + y)"
+        )
+    return (
+        f"list_reduce(list_concat([cast(0 as bigint)],"
+        f" list_transform(range(1, length({a})+1),"
+        f" i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def sq8_topk_sql(emb_view: str, query_filter: str, k: int,
+                 engine: str) -> str:
+    """Scalar-quantized int8 ANN top-k (the SQ8 storage layout of
+    FAISS/Milvus-class engines): per-dimension symmetric scales
+    s_d = max|v_d| over the corpus, q_d = round(v_d/s_d*127) clamped to
+    [-127, 127], ranking by the EXACT integer quantized dot product
+    (vectors are unit-norm, so dot ≈ cosine). 4x memory reduction and
+    integer SIMD at scale; recall vs the float baseline is pinned in
+    tests (the quantization error story), while the driver hash checks
+    the quantized ranking itself bit-for-bit — integer scores make
+    cross-engine ties impossible to get wrong.
+
+    Shape: the scale pass is one (dim)-keyed aggregate (64 rows,
+    broadcast back); quantization is narrow; the search is the
+    broadcast bounded-query-set product of the brute baseline
+    (BOUNDED_PRODUCTS; the scale path for unbounded query sets remains
+    ann_lsh/ann_ivf, which this composes with)."""
+    aug = aug_sql(emb_view, engine)
+    if engine == SPARK:
+        d_gen = "explode(sequence(1, size(vec))) as d"
+        elem = "element_at(vec, d)"
+        reasm = "transform(array_sort(collect_list(struct(d, q))), x -> x.q)"
+    else:
+        d_gen = "unnest(range(1, length(vec)+1)) as d"
+        elem = "vec[d]"
+        reasm = "list(q order by d)"
+    qdot = int_dot_sql("c.qvec", "q.qq", engine)
+    return f"""
+with aug as ({aug}),
+ex as (select vec_id, {d_gen}, vec from aug),
+ex2 as (select vec_id, d, {elem} as v from ex),
+sc as (select d, max(abs(v)) as s from ex2 group by d),
+qd as (
+  select vec_id, ex2.d,
+         cast(greatest(-127.0, least(127.0, round(v / s * 127)))
+              as bigint) as q
+  from ex2 join sc on sc.d = ex2.d),
+qv as (select vec_id, {reasm} as qvec from qd group by vec_id),
+qs as (select vec_id as qid, qvec as qq from qv
+       where {query_filter}),
+scored as (
+  select q.qid, c.vec_id, {qdot} as qdot
+  from qv c cross join qs q where c.vec_id <> q.qid),
+ranked as (
+  select qid, vec_id, qdot,
+         row_number() over (partition by qid
+                            order by qdot desc, vec_id) as rank
+  from scored)
+select qid, vec_id, cast(rank as bigint) as rank, qdot
+from ranked where rank <= {k}
+"""

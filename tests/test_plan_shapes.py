@@ -43,6 +43,10 @@ BOUNDED_PRODUCTS = {
     # warped pixels x the constant 6-row cutline edge table (the
     # constant-key equi-join folds to true); linear in pixels
     "warp_cutline",
+    # int8-quantized brute rank: corpus x bounded query set (50) — the
+    # ann_topk_cosine precedent with SQ8 storage; unbounded query sets
+    # go through ann_lsh/ann_ivf
+    "embed_sq8_topk",
 }
 
 SF = "/root/testdata/sf0.001"
