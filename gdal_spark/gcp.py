@@ -184,3 +184,192 @@ def default_dst_grid(raster_px: int, dst_px: int) -> list[float]:
             0.94 * (x_max - x_min) / dst_px, 0.0,
             y_max - 0.03 * (y_max - y_min), 0.0,
             -0.94 * (y_max - y_min) / dst_px]
+
+
+# ---------------------------------------------------------------------------
+# Thin-plate-spline transformer (gdalwarp -tps)
+# ---------------------------------------------------------------------------
+
+
+def _tps_u(d2: np.ndarray) -> np.ndarray:
+    """The reference's basis (alg/thinplatespline.cpp:179): for squared
+    distance d2, U = d2 * ln(d2), 0 at d2 = 0."""
+    out = np.zeros_like(d2)
+    nz = d2 > 0
+    out[nz] = d2[nz] * np.log(d2[nz])
+    return out
+
+
+def fit_tps(gcps: list[tuple]) -> dict:
+    """Thin-plate-spline fit of the world→pixel direction on the GCP
+    list (GDALCreateTPSTransformer / VizGeorefSpline2D semantics:
+    f = affine + Σ wᵢ·U(|p-cᵢ|²), side conditions Σw = Σw·x = Σw·y = 0;
+    TPS interpolates the GCPs EXACTLY, unlike the polynomial orders).
+    The solve runs once on the driver over the bounded (n+3) system —
+    where GDAL runs it — in a normalized input frame for conditioning
+    (the normalization constants are folded into the transform, which
+    the engine and oracle share as literals)."""
+    g = np.asarray(gcps, dtype=np.float64)
+    wx, wy, px, py = g[:, 2], g[:, 3], g[:, 0], g[:, 1]
+    mx, my = float(wx.mean()), float(wy.mean())
+    sx = float(wx.std()) or 1.0
+    sy = float(wy.std()) or 1.0
+    cx, cy = (wx - mx) / sx, (wy - my) / sy
+    n = len(gcps)
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    a = np.zeros((n + 3, n + 3))
+    a[:n, :n] = _tps_u(d2)
+    p = np.stack([np.ones(n), cx, cy], axis=1)
+    a[:n, n:] = p
+    a[n:, :n] = p.T
+    sol = np.linalg.solve(a, np.stack(
+        [np.concatenate([px, np.zeros(3)]),
+         np.concatenate([py, np.zeros(3)])], axis=1))
+    return {"mx": mx, "my": my, "sx": sx, "sy": sy,
+            "cx": cx.tolist(), "cy": cy.tolist(),
+            "wu": sol[:n, 0].tolist(), "au": sol[n:, 0].tolist(),
+            "wv": sol[:n, 1].tolist(), "av": sol[n:, 1].tolist()}
+
+
+def _arr_lit(vals: list[float], engine: str) -> str:
+    body = ", ".join(_lit(v) for v in vals)
+    return f"array({body})" if engine == "spark" else f"[{body}]"
+
+
+def tps_rbf_sql(fit: dict, engine: str) -> tuple[str, str]:
+    """The two TPS output expressions over staged columns (_xn, _yn),
+    as sequential FOLDS over array literals of centers/weights — one
+    compact higher-order expression instead of per-center staged
+    columns, so Catalyst's project-collapse cannot re-substitute the
+    center terms into a combinatorial tree (the first spelling hung
+    the optimizer: 16 centers x 3 occurrences x 4 coordinate refs
+    x N consuming expressions). Fold order is the index sequence in
+    BOTH engines, so float sums are bit-identical."""
+    n = len(fit["cx"])
+    cx = _arr_lit(fit["cx"], engine)
+    cy = _arr_lit(fit["cy"], engine)
+
+    def fold(w: list[float], aff: list[float]) -> str:
+        wl = _arr_lit(w, engine)
+        if engine == "spark":
+            d2 = (f"(_xn - element_at({cx}, i + 1))"
+                  f" * (_xn - element_at({cx}, i + 1))"
+                  f" + (_yn - element_at({cy}, i + 1))"
+                  f" * (_yn - element_at({cy}, i + 1))")
+            term = (f"element_at({wl}, i + 1) *"
+                    f" (case when ({d2}) = 0 then cast(0 as double)"
+                    f" else ({d2}) * ln({d2}) end)")
+            rbf = (f"aggregate(transform(sequence(0, {n - 1}),"
+                   f" i -> {term}), cast(0 as double), (x, y) -> x + y)")
+        else:
+            d2 = (f"(_xn - {cx}[i + 1]) * (_xn - {cx}[i + 1])"
+                  f" + (_yn - {cy}[i + 1]) * (_yn - {cy}[i + 1])")
+            term = (f"{wl}[i + 1] *"
+                    f" (case when ({d2}) = 0 then cast(0 as double)"
+                    f" else ({d2}) * ln({d2}) end)")
+            rbf = (f"list_reduce(list_concat([cast(0 as double)],"
+                   f" list_transform(range(0, {n}), i -> {term})),"
+                   f" (x, y) -> x + y)")
+        return (f"({_lit(aff[0])} + {_lit(aff[1])} * _xn"
+                f" + {_lit(aff[2])} * _yn + {rbf})")
+
+    return fold(fit["wu"], fit["au"]), fold(fit["wv"], fit["av"])
+
+
+def tps_stages(fit: dict, xe: str, ye: str,
+               engine: str = "spark") -> list[tuple[str, str]]:
+    """Staged shared SQL applying the TPS. The two dialects spell the
+    SAME arithmetic with engine-appropriate structure:
+
+    - Spark: one fold over array literals per output (tps_rbf_sql) —
+      compact HOF, because per-center staged columns made Catalyst's
+      project-collapse re-substitute the center terms into a
+      combinatorial tree (the first spelling hung the optimizer);
+    - DuckDB: per-center staged columns with an explicit ACCUMULATOR
+      chain — because DuckDB interprets list lambdas per row (48 s vs
+      1 s for stages on the fixture grid).
+
+    Bit-parity holds by construction: the fold computes
+    ((((0+t0)+t1)+...)+t15) and the accumulator chain computes the
+    identical grouping, then both add the affine part in the same
+    left-to-right order. Output columns: _spx, _spy."""
+    stages = [
+        ("_xn", f"(({xe}) - {_lit(fit['mx'])}) / {_lit(fit['sx'])}"),
+        ("_yn", f"(({ye}) - {_lit(fit['my'])}) / {_lit(fit['sy'])}"),
+    ]
+    if engine == "spark":
+        spx, spy = tps_rbf_sql(fit, engine)
+        return stages + [("_spx", spx), ("_spy", spy)]
+    n = len(fit["cx"])
+    for i in range(n):
+        stages.append(
+            (f"_d{i}",
+             f"(_xn - {_lit(fit['cx'][i])}) * (_xn - {_lit(fit['cx'][i])})"
+             f" + (_yn - {_lit(fit['cy'][i])})"
+             f" * (_yn - {_lit(fit['cy'][i])})"))
+    for i in range(n):
+        stages.append(
+            (f"_u{i}", f"case when _d{i} = 0 then cast(0 as double)"
+                       f" else _d{i} * ln(_d{i}) end"))
+    for pref, w in (("_ax", fit["wu"]), ("_ay", fit["wv"])):
+        stages.append((f"{pref}0",
+                       f"cast(0 as double) + {_lit(w[0])} * _u0"))
+        for i in range(1, n):
+            stages.append((f"{pref}{i}",
+                           f"{pref}{i - 1} + {_lit(w[i])} * _u{i}"))
+    au, av = fit["au"], fit["av"]
+    stages.append(("_spx", f"{_lit(au[0])} + {_lit(au[1])} * _xn"
+                           f" + {_lit(au[2])} * _yn + _ax{n - 1}"))
+    stages.append(("_spy", f"{_lit(av[0])} + {_lit(av[1])} * _xn"
+                           f" + {_lit(av[2])} * _yn + _ay{n - 1}"))
+    return stages
+
+
+def warp_tps_nearest(tiles: DataFrame, fit: dict, raster_px: int,
+                     dst_gt: list[float], dst_px: int,
+                     dtype: str = "int64") -> DataFrame:
+    """Nearest warp through the TPS transformer (gdalwarp -tps): the
+    same chunk-gather plan as warp_gcp_nearest; the RBF evaluation is
+    staged Catalyst columns (one per center) inside codegen."""
+    spark = tiles.sparkSession
+    t = TILE_PX
+    wx = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    wy = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    dst = (
+        spark.range(dst_px * dst_px, numPartitions=dst_grid_parts(dst_px))
+        .select((F.col("id") % dst_px).alias("di"),
+                (F.col("id") / dst_px).cast("long").alias("dj"))
+    )
+    for name, expr in tps_stages(fit, wx, wy, "spark"):
+        dst = dst.withColumn(name, F.expr(expr))
+    dst = (
+        dst.withColumn("sgx", F.expr("cast(floor(_spx) as bigint)"))
+        .withColumn("sgy", F.expr("cast(floor(_spy) as bigint)"))
+        .filter(f"sgx >= 0 and sgx < {raster_px}"
+                f" and sgy >= 0 and sgy < {raster_px}")
+        .withColumn("tx", F.expr(f"sgx div {t}"))
+        .withColumn("ty", F.expr(f"sgy div {t}"))
+        .select("di", "dj", "sgx", "sgy", "tx", "ty")
+    )
+    return _nearest_gather(dst, tiles, np.dtype(dtype))
+
+
+def warp_tps_oracle_sql(fit: dict, raster_px: int, dst_gt: list[float],
+                        dst_px: int, elev_sql: str) -> str:
+    """DuckDB oracle: identical staged TPS chain over a range grid."""
+    from gdal_spark.crs import stages_to_duckdb_sql
+
+    wx = f"({_lit(dst_gt[0])} + (di + 0.5) * {_lit(dst_gt[1])})"
+    wy = f"({_lit(dst_gt[3])} + (dj + 0.5) * {_lit(dst_gt[5])})"
+    base = (f"select a.range as di, b.range as dj"
+            f" from range(0, {dst_px}) a cross join range(0, {dst_px}) b")
+    stages = tps_stages(fit, wx, wy, "duckdb") + [
+        ("sgx", "cast(floor(_spx) as bigint)"),
+        ("sgy", "cast(floor(_spy) as bigint)"),
+    ]
+    inner = stages_to_duckdb_sql(base, stages, ["di", "dj", "sgx", "sgy"])
+    elev = elev_sql.replace("gx", "sgx").replace("gy", "sgy")
+    return f"""
+select di, dj, {elev} as value from ({inner}) m
+where sgx >= 0 and sgx < {raster_px} and sgy >= 0 and sgy < {raster_px}
+"""

@@ -518,6 +518,34 @@ select 'order2' as method, di, dj, value from ({o2}) b
 """
 
 
+def q_warp_gcp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -tps (GDALCreateTPSTransformer / VizGeorefSpline2D,
+    alg/gdal_tps.cpp + alg/thinplatespline.cpp:179 — basis
+    U = d²·ln(d²)): thin-plate-spline warp fitted on 16 GCPs of the
+    quadratic ground truth. TPS interpolates the GCPs EXACTLY (vs the
+    polynomial orders' least-squares residual); the (n+3) solve runs
+    once on the driver and folds into staged Catalyst columns — one
+    squared-distance + basis column per center, so every stage stays
+    small for codegen — feeding the shared chunk-gather nearest
+    warp."""
+    from gdal_spark.gcp import fit_tps, synth_gcps, warp_tps_nearest
+
+    _ = sf_dir
+    _, _, dst_gt = _gcp_fits()
+    fit = fit_tps(synth_gcps(4, DEM_PX))
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    return warp_tps_nearest(tiles, fit, DEM_PX, dst_gt, _GCP_DST_PX)
+
+
+def _warp_gcp_tps_oracle() -> str:
+    from gdal_spark.gcp import fit_tps, synth_gcps, warp_tps_oracle_sql
+
+    _, _, dst_gt = _gcp_fits()
+    fit = fit_tps(synth_gcps(4, DEM_PX))
+    return warp_tps_oracle_sql(fit, DEM_PX, dst_gt, _GCP_DST_PX,
+                               DEM_ELEV_SQL)
+
+
 def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
     smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
@@ -1532,6 +1560,7 @@ QUERIES = {
     "warp_lanczos_dem": q_warp_lanczos,
     "warp_cubicspline_dem": q_warp_cubicspline,
     "warp_gcp_poly": q_warp_gcp_poly,
+    "warp_gcp_tps": q_warp_gcp_tps,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1781,6 +1810,7 @@ select qid, round(value, 6) as value from (
  .warp_cubicspline_oracle_sql(_DST_GT, _SRC_GT, _DST_PX, DEM_PX)}) s
 """,
     "warp_gcp_poly": _warp_gcp_oracle(),
+    "warp_gcp_tps": _warp_gcp_tps_oracle(),
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,

@@ -3,6 +3,7 @@ recovery, order-residual ordering, and warp divergence between orders."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark.gcp import (_terms, _truth, default_dst_grid, fit_gcp_poly,
                             synth_gcps, warp_gcp_pixel_sql)
@@ -81,3 +82,58 @@ def test_dst_grid_covers_truth_footprint():
     sgx_e, sgy_e = warp_gcp_pixel_sql(
         fit_gcp_poly(synth_gcps(5, 256), 2), gt)
     assert "floor" in sgx_e and "floor" in sgy_e
+
+
+def test_tps_interpolates_gcps_exactly():
+    """TPS must pass through every GCP (the property -tps buys over
+    polynomial orders), and its side conditions must hold."""
+    import numpy as np
+
+    from gdal_spark.gcp import _tps_u, fit_tps, synth_gcps
+
+    g = synth_gcps(4, 256)
+    fit = fit_tps(g)
+    arr = np.asarray(g)
+    cx = (arr[:, 2] - fit["mx"]) / fit["sx"]
+    cy = (arr[:, 3] - fit["my"]) / fit["sy"]
+    d2 = (cx[:, None] - np.array(fit["cx"])[None, :]) ** 2 \
+        + (cy[:, None] - np.array(fit["cy"])[None, :]) ** 2
+    u = _tps_u(d2)
+    fx = fit["au"][0] + fit["au"][1] * cx + fit["au"][2] * cy \
+        + u @ np.array(fit["wu"])
+    fy = fit["av"][0] + fit["av"][1] * cx + fit["av"][2] * cy \
+        + u @ np.array(fit["wv"])
+    assert np.abs(fx - arr[:, 0]).max() < 1e-9
+    assert np.abs(fy - arr[:, 1]).max() < 1e-9
+    for w in (fit["wu"], fit["wv"]):
+        w = np.array(w)
+        assert abs(w.sum()) < 1e-9
+        assert abs((w * cx).sum()) < 1e-9
+        assert abs((w * cy).sum()) < 1e-9
+
+
+def test_tps_sql_stages_match_numpy(spark):
+    """The staged Catalyst TPS evaluation equals the numpy evaluation
+    of the same fit on probe points (same basis, same constants)."""
+    import numpy as np
+
+    from gdal_spark.gcp import _tps_u, fit_tps, synth_gcps, tps_stages
+
+    fit = fit_tps(synth_gcps(4, 256))
+    df = spark.range(40).selectExpr(
+        "cast(20000 + id * 4321.7 as double) as wx",
+        "cast(-190000 + id * 4567.3 as double) as wy")
+    for name, expr in tps_stages(fit, "wx", "wy"):
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select("wx", "wy", "_spx", "_spy").collect()
+    for r in rows:
+        cx = (r.wx - fit["mx"]) / fit["sx"]
+        cy = (r.wy - fit["my"]) / fit["sy"]
+        d2 = (cx - np.array(fit["cx"])) ** 2 + (cy - np.array(fit["cy"])) ** 2
+        u = _tps_u(d2)
+        ex = fit["au"][0] + fit["au"][1] * cx + fit["au"][2] * cy \
+            + u @ np.array(fit["wu"])
+        ey = fit["av"][0] + fit["av"][1] * cx + fit["av"][2] * cy \
+            + u @ np.array(fit["wv"])
+        assert abs(r._spx - ex) < 1e-8 * max(1.0, abs(ex))
+        assert abs(r._spy - ey) < 1e-8 * max(1.0, abs(ey))
