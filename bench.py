@@ -72,6 +72,13 @@ HEADLINE = [
     "embed_kmeans",
     "crawl_html_extract",
     "warc_ingest_records",
+    "crawl_cdx_index",
+    "crawl_charset_decode",
+    "text_gopher_rules",
+    "train_mixture_sample",
+    "embed_sq8_topk",
+    "warp_gcp_poly",
+    "warp_gcp_tps",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

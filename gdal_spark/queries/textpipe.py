@@ -687,6 +687,23 @@ def q_train_mixture_sample(spark: SparkSession,
                                                 textops.SPARK))
 
 
+def q_vector_geojson_ingest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GeoJSON (RFC 7946) feature ingest — GDAL's most-read text
+    vector format (ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp):
+    Feature strings (Points + closed rectangle Polygon rings, integer-
+    microdegree vertices so JSON text is bit-portable) parsed back via
+    engine-native JSON paths into typed rows, with the ring's shoelace
+    area recomputed from the extracted vertices. Narrow projection,
+    zero shuffles, zero Python. Engine and oracle share the SQL
+    (geojson.geojson_ingest_sql)."""
+    from gdal_spark import geojson
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(geojson.geojson_ingest_sql("documents",
+                                                geojson.SPARK))
+
+
 def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
     engines): per-dim symmetric corpus scales, round-to-int8
@@ -1214,6 +1231,7 @@ QUERIES = {
     "text_gopher_rules": q_text_gopher_rules,
     "train_mixture_sample": q_train_mixture_sample,
     "embed_sq8_topk": q_embed_sq8_topk,
+    "vector_geojson_ingest": q_vector_geojson_ingest,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1274,6 +1292,9 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                        DUCKDB),
     "embed_sq8_topk": simsearch.sq8_topk_sql(
         "embeddings", ANN_QUERY_FILTER, 10, simsearch.DUCKDB),
+    "vector_geojson_ingest": __import__(
+        "gdal_spark.geojson", fromlist=["geojson_ingest_sql"]
+    ).geojson_ingest_sql("documents", "duckdb"),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1032,3 +1032,47 @@ def test_sq8_quantized_recall_vs_float_baseline(spark):
     fl1 = fl[fl["rank"] == 1].set_index("qid").vec_id
     agree = sum(1 for q in fl1.index if sq1[q] == fl1[q])
     assert agree >= 0.8 * len(fl1)
+
+
+def test_geojson_roundtrip_and_shoelace(spark):
+    """GeoJSON parse pinned against the synthesis contract: name/cls
+    round-trip, Point coordinates equal the synth microdegrees, the
+    polygon shoelace area equals the closed-form rectangle area."""
+    import json
+
+    from gdal_spark import geojson as G
+    from gdal_spark.pages import points_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    out = {r.doc_id: r for r in spark.sql(
+        G.geojson_ingest_sql("documents", G.SPARK)).collect()}
+    pts = {r.doc_id: r for r in
+           points_from_documents(spark, sf, geotagged_only=False)
+           .collect()}
+    assert len(out) == len(pts)
+    for did, r in out.items():
+        assert r.name == f"p{did}" and r.cls == did % 7
+        assert r.x0_mic == pts[did].lon_mic
+        assert r.y0_mic == pts[did].lat_mic
+        if did % 3 == 0:
+            assert r.gtype == "Polygon" and r.n_vertices == 5
+            w = 10000 + (did % 50) * 1000
+            h = 8000 + (did % 30) * 1000
+            assert abs(r.area_deg2 - w * h / 1e12) < 1e-15
+        else:
+            assert r.gtype == "Point" and r.n_vertices == 0
+            assert r.area_deg2 == 0.0
+    # the synthesized features are themselves valid JSON documents
+    row = spark.sql(f"""
+        with p as (select doc_id, 0 as _z from documents limit 1)
+        select {G.geojson_feature_sql('doc_id')} as f
+        from (select doc_id,
+                     cast(doc_id as bigint) * 0 + 1 as lon_mic,
+                     2 as lat_mic from documents limit 3) t
+    """).collect()
+    for x in row:
+        parsed = json.loads(x.f)
+        assert parsed["type"] == "Feature"
+        assert parsed["geometry"]["type"] in ("Point", "Polygon")
