@@ -2071,3 +2071,111 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
     if not frames:
         raise ValueError("GIF payload has no image blocks")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# ESRI Shapefile — .shp geometry (Point + PolyLine) and .dbf attribute
+# table (dBASE III), the reference's most iconic vector format
+# (ogr/ogrsf_frmts/shape/shapelib; ESRI Shapefile Technical Description
+# 1998). Mixed endianness is the format's signature: file/record
+# headers big-endian, record payloads little-endian.
+# ---------------------------------------------------------------------------
+
+
+def encode_shp(shapes: list, shape_type: int = 1) -> bytes:
+    """shapes: for type 1 (Point) a list of (x, y); for type 3
+    (PolyLine) a list of [(x, y), ...] single-part lines."""
+    recs = []
+    for i, sh in enumerate(shapes):
+        if shape_type == 1:
+            x, y = sh
+            content = struct.pack("<idd", 1, x, y)
+        elif shape_type == 3:
+            pts = sh
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            content = struct.pack("<i4dii i".replace(" ", ""), 3,
+                                  min(xs), min(ys), max(xs), max(ys),
+                                  1, len(pts), 0)
+            content += b"".join(struct.pack("<dd", x, y) for x, y in pts)
+        else:
+            raise NotImplementedError(f"shape type {shape_type}")
+        hdr = struct.pack(">ii", i + 1, len(content) // 2)
+        recs.append(hdr + content)
+    body = b"".join(recs)
+    allx = [p[0] for sh in shapes
+            for p in (sh if shape_type == 3 else [sh])]
+    ally = [p[1] for sh in shapes
+            for p in (sh if shape_type == 3 else [sh])]
+    file_len_words = (100 + len(body)) // 2
+    header = struct.pack(">i5i i".replace(" ", ""), 9994, 0, 0, 0, 0, 0,
+                         file_len_words)
+    header += struct.pack("<ii4d", 1000, shape_type,
+                          min(allx), min(ally), max(allx), max(ally))
+    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # Z/M ranges
+    assert len(header) == 100
+    return header + body
+
+
+def decode_shp(data: bytes) -> tuple[int, list]:
+    """.shp bytes -> (shape_type, shapes) mirroring encode_shp."""
+    if struct.unpack_from(">i", data, 0)[0] != 9994:
+        raise ValueError("not a shapefile (.shp) payload")
+    file_len = struct.unpack_from(">i", data, 24)[0] * 2
+    version, shape_type = struct.unpack_from("<ii", data, 28)
+    if version != 1000:
+        raise ValueError(f"unsupported shapefile version {version}")
+    shapes = []
+    off = 100
+    while off < file_len:
+        _recno, clen = struct.unpack_from(">ii", data, off)
+        off += 8
+        stype = struct.unpack_from("<i", data, off)[0]
+        if stype == 1:
+            _, x, y = struct.unpack_from("<idd", data, off)
+            shapes.append((x, y))
+        elif stype == 3:
+            nparts, npts = struct.unpack_from("<ii", data, off + 36)
+            if nparts != 1:
+                raise NotImplementedError("multi-part polylines")
+            pts_off = off + 44 + 4 * nparts
+            pts = [struct.unpack_from("<dd", data, pts_off + 16 * i)
+                   for i in range(npts)]
+            shapes.append(pts)
+        else:
+            raise NotImplementedError(f"shape type {stype}")
+        off += clen * 2
+    return shape_type, shapes
+
+
+def encode_dbf(field_name: str, values: list[int],
+               width: int = 12) -> bytes:
+    """Single numeric-column dBASE III table (the .dbf half of the
+    shapefile pair)."""
+    n = len(values)
+    header_size = 32 + 32 + 1
+    record_size = 1 + width
+    hdr = struct.pack("<B3BIHH20x", 3, 99, 1, 1, n, header_size,
+                      record_size)
+    name = field_name.encode("ascii")[:10].ljust(11, b"\x00")
+    fld = name + b"N" + b"\x00" * 4 + bytes([width, 0]) + b"\x00" * 14
+    body = b"".join(b" " + str(v).rjust(width).encode("ascii")
+                    for v in values)
+    return hdr + fld + b"\x0d" + body + b"\x1a"
+
+
+def decode_dbf(data: bytes) -> tuple[str, list[int]]:
+    if data[0] != 3:
+        raise ValueError("not a dBASE III (.dbf) payload")
+    n, header_size, record_size = struct.unpack_from("<IHH", data, 4)
+    name = data[32:32 + 11].split(b"\x00")[0].decode("ascii")
+    ftype = chr(data[32 + 11])
+    if ftype != "N":
+        raise NotImplementedError(f"dbf field type {ftype}")
+    vals = []
+    for i in range(n):
+        off = header_size + i * record_size
+        if data[off:off + 1] == b"*":  # deleted record
+            continue
+        vals.append(int(data[off + 1:off + record_size].decode("ascii")))
+    return name, vals

@@ -680,3 +680,70 @@ def payload_meta(pages: DataFrame, payload_col: str = "html") -> DataFrame:
             F.lit("text/html"),
         ).otherwise(F.lit("application/octet-stream")).alias("format"),
     )
+
+
+def _synth_shp(did: int) -> tuple[bytes, bytes]:
+    """Shapefile pair content contract (mirrored arithmetically by the
+    DuckDB oracle): n = 1 + id%4 geometries; vertex j at
+    x_mic = (id*37 + j*1009) % 360000001 - 180000000 (y analogous,
+    170000001/85000000), coordinates x_mic/1e6 (exact in double);
+    even ids write n Point records, odd ids ONE single-part PolyLine
+    with n+1 vertices; the .dbf carries value_j = (id*11 + j) % 1000
+    per record."""
+    from gdal_spark import codecs as C
+
+    n = 1 + did % 4
+
+    def vx(j: int) -> float:
+        return ((did * 37 + j * 1009) % 360000001 - 180000000) / 1e6
+
+    def vy(j: int) -> float:
+        return ((did * 53 + j * 2003) % 170000001 - 85000000) / 1e6
+
+    if did % 2 == 0:
+        shapes = [(vx(j), vy(j)) for j in range(n)]
+        shp = C.encode_shp(shapes, 1)
+        dbf = C.encode_dbf("val", [(did * 11 + j) % 1000
+                                   for j in range(n)])
+    else:
+        pts = [(vx(j), vy(j)) for j in range(n + 1)]
+        shp = C.encode_shp([pts], 3)
+        dbf = C.encode_dbf("val", [(did * 11) % 1000])
+    return shp, dbf
+
+
+SHP_STATS_SCHEMA = ("doc_id long, shape_type long, n_shapes long,"
+                    " n_points long, x_sum_mic long, y_sum_mic long,"
+                    " attr_sum long")
+
+
+def shapefile_ingest_stats(ids: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (.shp, .dbf) pair per id (mixed-endian format
+    headers, little-endian payload doubles; dBASE III attributes),
+    decode both through gdal_spark.codecs, and emit per-file decoded
+    statistics with integer microdegree sums (round(x*1e6) — exact, so
+    the oracle compares bit-for-bit). Arrow-batched; bytes never leave
+    the executors."""
+    from gdal_spark import codecs as C
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                shp, dbf = _synth_shp(did)
+                stype, shapes = C.decode_shp(shp)
+                _name, vals = C.decode_dbf(dbf)
+                pts = [p for sh in shapes
+                       for p in (sh if stype == 3 else [sh])]
+                rows.append({
+                    "doc_id": did, "shape_type": stype,
+                    "n_shapes": len(shapes), "n_points": len(pts),
+                    "x_sum_mic": sum(round(x * 1e6) for x, _ in pts),
+                    "y_sum_mic": sum(round(y * 1e6) for _, y in pts),
+                    "attr_sum": sum(vals),
+                })
+            yield pd.DataFrame(rows)
+
+    return ids.select(id_col).mapInPandas(_stats, SHP_STATS_SCHEMA)

@@ -704,6 +704,49 @@ def q_vector_geojson_ingest(spark: SparkSession,
                                                 geojson.SPARK))
 
 
+def q_vector_shapefile_ingest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ESRI Shapefile ingest through a pure-numpy codec pair
+    (ogr/ogrsf_frmts/shape — the reference's most iconic vector
+    format): every id becomes a REAL (.shp, .dbf) file pair
+    (mixed-endian .shp headers, little-endian payload doubles; dBASE
+    III numeric attributes), decoded back to per-file statistics with
+    exact integer microdegree sums. Even ids: n Point records; odd
+    ids: one single-part PolyLine. Arrow-batched kernel; bytes never
+    leave executors; the oracle restates the content contract
+    arithmetically (codec-blind)."""
+    from gdal_spark.multimodal import shapefile_ingest_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    return shapefile_ingest_stats(ids)
+
+
+def _vector_shapefile_oracle() -> str:
+    xm = "((doc_id * 37 + j.range * 1009) % 360000001 - 180000000)"
+    ym = "((doc_id * 53 + j.range * 2003) % 170000001 - 85000000)"
+    av = "((doc_id * 11 + j.range) % 1000)"
+    return f"""
+select doc_id,
+  cast(case when doc_id % 2 = 0 then 1 else 3 end as bigint)
+    as shape_type,
+  cast(case when doc_id % 2 = 0 then 1 + doc_id % 4 else 1 end
+    as bigint) as n_shapes,
+  cast(case when doc_id % 2 = 0 then 1 + doc_id % 4
+       else 2 + doc_id % 4 end as bigint) as n_points,
+  cast(sum({xm}) as bigint) as x_sum_mic,
+  cast(sum({ym}) as bigint) as y_sum_mic,
+  cast(case when doc_id % 2 = 0 then sum({av})
+       else max((doc_id * 11) % 1000) end as bigint) as attr_sum
+from documents
+cross join range(0, 5) j
+where j.range < (case when doc_id % 2 = 0 then 1 + doc_id % 4
+                 else 2 + doc_id % 4 end)
+group by doc_id
+"""
+
+
 def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
     engines): per-dim symmetric corpus scales, round-to-int8
@@ -1232,6 +1275,7 @@ QUERIES = {
     "train_mixture_sample": q_train_mixture_sample,
     "embed_sq8_topk": q_embed_sq8_topk,
     "vector_geojson_ingest": q_vector_geojson_ingest,
+    "vector_shapefile_ingest": q_vector_shapefile_ingest,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1295,6 +1339,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "vector_geojson_ingest": __import__(
         "gdal_spark.geojson", fromlist=["geojson_ingest_sql"]
     ).geojson_ingest_sql("documents", "duckdb"),
+    "vector_shapefile_ingest": _vector_shapefile_oracle(),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1275,11 +1275,11 @@ with w as (
   select source,
          cast(round(sqrt(sum(n_chars)) * 1000) as bigint) as wgt
   from {doc_view} group by source),
-tot as (select sum(wgt) as wsum from w),
 tgt as (
-  select w.source, w.wgt,
-         cast(floor(({budget} * w.wgt) / t.wsum) as bigint) as target_n
-  from w cross join tot t),
+  select source, wgt,
+         cast(floor(({budget} * wgt) / (sum(wgt) over ()))
+              as bigint) as target_n
+  from w),
 r as (
   select d.doc_id, d.source,
          row_number() over (

@@ -915,3 +915,58 @@ def test_tiff_tiled_layout_roundtrip():
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((8, 8), np.uint8), tiled=True,
                     tile_wh=(8, 8))
+
+
+def test_shapefile_pair_roundtrip():
+    """.shp (Point + single-part PolyLine) and .dbf (numeric column)
+    round-trip exactly, including the format's mixed endianness and
+    negative/boundary coordinates."""
+    from gdal_spark.codecs import (decode_dbf, decode_shp, encode_dbf,
+                                   encode_shp)
+
+    pts = [(1.5, -2.25), (-180.0, 85.051128), (179.999999, -89.0)]
+    st, back = decode_shp(encode_shp(pts, 1))
+    assert st == 1 and back == pts
+    lines = [[(0.0, 0.0), (1.0, 2.0), (3.5, -1.25)],
+             [(5.0, 5.0), (6.0, 7.0)]]
+    st, back = decode_shp(encode_shp(lines, 3))
+    assert st == 3 and back == lines
+    name, vals = decode_dbf(encode_dbf("val", [0, 42, -7, 123456]))
+    assert name == "val" and vals == [0, 42, -7, 123456]
+    # header invariants: magic 9994 big-endian, version 1000 LE,
+    # declared file length covers the body exactly
+    import struct
+
+    data = encode_shp(pts, 1)
+    assert struct.unpack_from(">i", data, 0)[0] == 9994
+    assert struct.unpack_from("<i", data, 28)[0] == 1000
+    assert struct.unpack_from(">i", data, 24)[0] * 2 == len(data)
+    with pytest.raises(ValueError):
+        decode_shp(b"\x00" * 100)
+
+
+def test_shapefile_contract_matches_synth():
+    """The _synth_shp content contract decodes to exactly the values
+    the oracle computes arithmetically."""
+    from gdal_spark.codecs import decode_dbf, decode_shp
+    from gdal_spark.multimodal import _synth_shp
+
+    for did in range(17):
+        shp, dbf = _synth_shp(did)
+        stype, shapes = decode_shp(shp)
+        _, vals = decode_dbf(dbf)
+        n = 1 + did % 4
+        if did % 2 == 0:
+            assert stype == 1 and len(shapes) == n
+            assert vals == [(did * 11 + j) % 1000 for j in range(n)]
+            pts = shapes
+        else:
+            assert stype == 3 and len(shapes) == 1
+            assert vals == [(did * 11) % 1000]
+            pts = shapes[0]
+            assert len(pts) == n + 1
+        for j, (x, y) in enumerate(pts):
+            assert round(x * 1e6) == \
+                (did * 37 + j * 1009) % 360000001 - 180000000
+            assert round(y * 1e6) == \
+                (did * 53 + j * 2003) % 170000001 - 85000000
