@@ -747,6 +747,20 @@ group by doc_id
 """
 
 
+def q_vector_kml_ingest(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """KML (OGC KML 2.2) Placemark ingest — GDAL's KML/LIBKML driver
+    surface: multi-placemark documents split and parsed back (name,
+    ExtendedData cls, exact microdegree coordinates via sign-exact
+    decimal-degree string assembly — integer string building keeps the
+    XML text bit-portable). Narrow per-file string work, the WARC
+    plan shape. Engine and oracle share the SQL (kml.kml_ingest_sql)."""
+    from gdal_spark import kml
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(kml.kml_ingest_sql("documents", kml.SPARK))
+
+
 def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
     engines): per-dim symmetric corpus scales, round-to-int8
@@ -1276,6 +1290,7 @@ QUERIES = {
     "embed_sq8_topk": q_embed_sq8_topk,
     "vector_geojson_ingest": q_vector_geojson_ingest,
     "vector_shapefile_ingest": q_vector_shapefile_ingest,
+    "vector_kml_ingest": q_vector_kml_ingest,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1340,6 +1355,9 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
         "gdal_spark.geojson", fromlist=["geojson_ingest_sql"]
     ).geojson_ingest_sql("documents", "duckdb"),
     "vector_shapefile_ingest": _vector_shapefile_oracle(),
+    "vector_kml_ingest": __import__(
+        "gdal_spark.kml", fromlist=["kml_ingest_sql"]
+    ).kml_ingest_sql("documents", "duckdb"),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1076,3 +1076,32 @@ def test_geojson_roundtrip_and_shoelace(spark):
         parsed = json.loads(x.f)
         assert parsed["type"] == "Feature"
         assert parsed["geometry"]["type"] in ("Point", "Polygon")
+
+
+def test_kml_coordinates_roundtrip_exactly(spark):
+    """KML parse pinned against pages synthesis: every placemark's
+    name/cls round-trips and the decimal-degree string assembly +
+    reparse reconstitutes the microdegree integers EXACTLY, including
+    negatives and |value| < 1 degree (the '-0.xxxxxx' case)."""
+    from gdal_spark import kml as K
+    from gdal_spark.pages import points_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    out = spark.sql(K.kml_ingest_sql("documents", K.SPARK)).collect()
+    pts = {r.doc_id: r for r in
+           points_from_documents(spark, sf, geotagged_only=False)
+           .collect()}
+    assert len(out) == len(pts)
+    seen_small = False
+    for r in out:
+        did = int(r.name[1:])
+        assert r.file_id == did % K.KML_FILES
+        assert r.cls == did % 7
+        assert r.lon_mic == pts[did].lon_mic
+        assert r.lat_mic == pts[did].lat_mic
+        if abs(r.lat_mic) < 1000000 or abs(r.lon_mic) < 1000000:
+            seen_small = True
+    # the fixture must actually exercise the sub-degree case
+    assert seen_small
