@@ -761,6 +761,20 @@ def q_vector_kml_ingest(spark: SparkSession,
     return spark.sql(kml.kml_ingest_sql("documents", kml.SPARK))
 
 
+def q_text_ccnet_ppl_bucket(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): corpus-unigram mean negative log-probability per doc (the
+    LM-score seam — swap in real LM perplexities, the bucketing is
+    unchanged), summed in integer nano-nats so distributed aggregation
+    is exact, terciled by rank counting rather than engine quantile
+    functions. Engine and oracle share the SQL
+    (textops.ccnet_ppl_bucket_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.ccnet_ppl_bucket_sql("documents",
+                                                  textops.SPARK))
+
+
 def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
     engines): per-dim symmetric corpus scales, round-to-int8
@@ -1291,6 +1305,7 @@ QUERIES = {
     "vector_geojson_ingest": q_vector_geojson_ingest,
     "vector_shapefile_ingest": q_vector_shapefile_ingest,
     "vector_kml_ingest": q_vector_kml_ingest,
+    "text_ccnet_ppl_bucket": q_text_ccnet_ppl_bucket,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1358,6 +1373,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "vector_kml_ingest": __import__(
         "gdal_spark.kml", fromlist=["kml_ingest_sql"]
     ).kml_ingest_sql("documents", "duckdb"),
+    "text_ccnet_ppl_bucket": textops.ccnet_ppl_bucket_sql("documents",
+                                                          DUCKDB),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

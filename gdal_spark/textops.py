@@ -1372,3 +1372,62 @@ select doc_id, n_words,
         and stop_hits >= 2) as keep
 from sig
 """
+
+
+def ccnet_ppl_bucket_sql(doc_view: str, engine: str) -> str:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score each
+    doc by a language-model proxy — here the corpus-unigram mean
+    negative log-probability (the LM is a seam: swap in real LM scores
+    and the bucketing below is unchanged) — then split the corpus into
+    head/middle/tail TERCILES, the partition CCNet publishes and
+    pretraining recipes sample from.
+
+    Determinism: per-word -ln p values are computed once per DISTINCT
+    word (ln over identical expression text — engine-agreeing), summed
+    per doc in integer NANO-NAT units (cast(round(nll*1e9) as bigint))
+    so the per-doc aggregation is exact and order-independent; the
+    tercile thresholds come from counting docs at-or-below each score
+    (a self-agg on the tiny per-doc score table), not from engine
+    quantile functions whose interpolation rules differ.
+
+    Shape: word explode → (word) count aggregate (one shuffle,
+    map-side partials) → join back (word-keyed) → per-doc aggregate
+    (doc-keyed) → rank window over the per-doc scores. At 100 TB the
+    vocabulary table is the small side (broadcast); per-doc rows are
+    tiny. Output: (doc_id, n_words, nll_nano, bucket)."""
+    toks = tokens_sql("text", engine)
+    idiv = "nll_sum div n_words" if engine == SPARK \
+        else "nll_sum // n_words"
+    return f"""
+with t as (
+  select doc_id, {toks} as _toks from {doc_view}),
+w as (
+  select doc_id, {explode_sql('_toks', 'word', engine)} from t),
+tot as (
+  select count(*) as n_total from w),
+vocab as (
+  select word, count(*) as wc from w group by word),
+wl as (
+  select word,
+         cast(round(ln(cast((select n_total from tot) as double) / wc)
+                    * 1000000000) as bigint) as nll_nano_w
+  from vocab),
+per_doc as (
+  select w.doc_id, cast(count(*) as bigint) as n_words,
+         cast(sum(wl.nll_nano_w) as bigint) as nll_sum
+  from w join wl on wl.word = w.word
+  group by w.doc_id),
+scored as (
+  select doc_id, n_words, {idiv} as nll_nano
+  from per_doc),
+ranked as (
+  select doc_id, n_words, nll_nano,
+         row_number() over (order by nll_nano, doc_id) as rnk,
+         count(*) over () as n_docs
+  from scored)
+select doc_id, n_words, nll_nano,
+       case when rnk * 3 <= n_docs then 'head'
+            when rnk * 3 <= 2 * n_docs then 'middle'
+            else 'tail' end as bucket
+from ranked
+"""

@@ -1105,3 +1105,39 @@ def test_kml_coordinates_roundtrip_exactly(spark):
             seen_small = True
     # the fixture must actually exercise the sub-degree case
     assert seen_small
+
+
+def test_ccnet_buckets_order_and_balance(spark):
+    """Bucketing semantics pinned on a constructed corpus: docs made
+    of only the most common word score lowest NLL (head); docs of
+    unique words score highest (tail); terciles balance to n/3."""
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_text_ccnet_ppl_bucket
+
+    rows = []
+    for i in range(30):
+        if i < 10:
+            text = "common " * 20            # high-freq -> low NLL
+        elif i < 20:
+            text = "common " * 10 + " ".join(f"mid{i}_{j}"
+                                             for j in range(10))
+        else:
+            text = " ".join(f"rare{i}_{j}" for j in range(20))
+        rows.append((i, text.strip(), "en"))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r for r in
+           q_text_ccnet_ppl_bucket(spark, tmp).collect()}
+    assert len(out) == 30
+    from collections import Counter
+
+    c = Counter(r.bucket for r in out.values())
+    assert c == {"head": 10, "middle": 10, "tail": 10}
+    for i in range(10):
+        assert out[i].bucket == "head"
+        assert out[i + 20].bucket == "tail"
+    # NLL ordering matches construction
+    assert max(out[i].nll_nano for i in range(10)) < \
+        min(out[i + 20].nll_nano for i in range(10))
