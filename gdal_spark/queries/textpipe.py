@@ -775,6 +775,68 @@ def q_text_ccnet_ppl_bucket(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_crawl_geocode_from_html(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The north-star chain CLOSED END-TO-END FROM RAW BYTES: messy
+    html synthesized around the GEOTAGGED page text (pages.py
+    contract), utf-8 encoded to the html:binary column, decoded and
+    extracted (textops.html_extract_stages), the geo: token parsed
+    from the EXTRACTED text, and the WebMercatorQuad z8 cell assigned
+    — with a per-row byte_identical guard that the extraction
+    reproduced the geotagged text exactly and a geo_match guard that
+    the recovered microdegrees equal the synthesis truth. One narrow
+    projection: the whole bytes→text→geotag→cell path costs zero
+    shuffles."""
+    from gdal_spark.cells import cell_id_sql
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_geocode_from_html_sql(textops.SPARK,
+                                            cell_id_sql))
+
+
+def _geocode_from_html_sql(engine: str, cell_id_sql) -> str:
+    inner = stages_to_duckdb_sql(
+        "select doc_id, text from documents",
+        synth_stages("doc_id") + [("gtext", geotag_text_sql("text"))],
+        ["doc_id", "has_geo", "lat_mic", "lon_mic", "gtext"],
+    )
+    html_expr = textops.rich_html_sql("gtext", "doc_id")
+    if engine == textops.SPARK:
+        html_col = f"decode(encode({html_expr}, 'utf-8'), 'utf-8')"
+    else:
+        html_col = html_expr
+    stages = textops.html_extract_stages(engine)
+    stage_sql = ",\n".join(f"{e} as {n}" for n, e in stages)
+    expected = ("concat(substr(gtext, 1, 40), chr(10),"
+                " substr(gtext, 41, 80), chr(10),"
+                " substr(gtext, 121), chr(10))")
+    lat_e = ("cast(regexp_extract(extracted,"
+             " 'geo:(-?[0-9]+),(-?[0-9]+)', 1) as bigint)")
+    lon_e = ("cast(regexp_extract(extracted,"
+             " 'geo:(-?[0-9]+),(-?[0-9]+)', 2) as bigint)")
+    cell = cell_id_sql("(lon_x / 1000000.0)", "(lat_x / 1000000.0)", 8)
+    return f"""
+with src as ({inner}),
+ex as (
+  select doc_id, has_geo, lat_mic, lon_mic, gtext,
+         {html_col} as html_str from src),
+ex2 as (select *, {stage_sql} from ex),
+geo as (
+  select doc_id, has_geo, lat_mic, lon_mic,
+         (extracted = {expected}) as byte_identical,
+         case when extracted like '%geo:%' then {lat_e} end as lat_x,
+         case when extracted like '%geo:%' then {lon_e} end as lon_x
+  from ex2)
+select doc_id, has_geo, byte_identical,
+       (case when has_geo
+             then lat_x = lat_mic and lon_x = lon_mic
+             else lat_x is null end) as geo_match,
+       lat_x, lon_x,
+       case when has_geo then {cell} end as cell_id
+from geo
+"""
+
+
 def q_embed_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized int8 ANN (the SQ8 layout of FAISS-class
     engines): per-dim symmetric corpus scales, round-to-int8
@@ -1306,6 +1368,7 @@ QUERIES = {
     "vector_shapefile_ingest": q_vector_shapefile_ingest,
     "vector_kml_ingest": q_vector_kml_ingest,
     "text_ccnet_ppl_bucket": q_text_ccnet_ppl_bucket,
+    "crawl_geocode_from_html": q_crawl_geocode_from_html,
     "text_decontaminate": q_decontaminate,
     "embed_neardup_cosine": q_embed_neardup,
     "ann_topk_cosine": q_ann_topk,
@@ -1375,6 +1438,9 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     ).kml_ingest_sql("documents", "duckdb"),
     "text_ccnet_ppl_bucket": textops.ccnet_ppl_bucket_sql("documents",
                                                           DUCKDB),
+    "crawl_geocode_from_html": _geocode_from_html_sql(
+        DUCKDB, __import__("gdal_spark.cells",
+                           fromlist=["cell_id_sql"]).cell_id_sql),
     "text_decontaminate": _decontaminate_oracle(),
     "embed_neardup_cosine": _embed_neardup_oracle(),
     "ann_topk_cosine": _ann_topk_oracle(),

@@ -1141,3 +1141,35 @@ def test_ccnet_buckets_order_and_balance(spark):
     # NLL ordering matches construction
     assert max(out[i].nll_nano for i in range(10)) < \
         min(out[i + 20].nll_nano for i in range(10))
+
+
+def test_geocode_from_html_chain_invariants(spark):
+    """The end-to-end bytes->text->geotag->cell chain: every row is
+    byte-identical after extraction, every geotag is recovered
+    exactly, and the assigned cell equals cells.cell_id_np evaluated
+    on the synthesis-truth coordinates."""
+    import numpy as np
+
+    from gdal_spark.cells import cell_id_np
+    from gdal_spark.pages import points_from_documents
+    from gdal_spark.queries.textpipe import q_crawl_geocode_from_html
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in
+           q_crawl_geocode_from_html(spark, sf).collect()}
+    pts = {r.doc_id: r for r in
+           points_from_documents(spark, sf, geotagged_only=False)
+           .collect()}
+    assert len(out) == len(pts)
+    n_geo = 0
+    for did, r in out.items():
+        assert r.byte_identical, did
+        assert r.geo_match, did
+        if r.has_geo:
+            n_geo += 1
+            want = cell_id_np(np.array([pts[did].lon_mic / 1e6]),
+                              np.array([pts[did].lat_mic / 1e6]), 8)[0]
+            assert r.cell_id == want
+        else:
+            assert r.cell_id is None and r.lat_x is None
+    assert 0.5 < n_geo / len(out) < 0.7  # the ~60% geotag mixture
