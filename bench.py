@@ -79,6 +79,11 @@ HEADLINE = [
     "embed_sq8_topk",
     "warp_gcp_poly",
     "warp_gcp_tps",
+    "vector_geojson_ingest",
+    "vector_shapefile_ingest",
+    "vector_kml_ingest",
+    "text_ccnet_ppl_bucket",
+    "crawl_geocode_from_html",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost
