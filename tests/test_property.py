@@ -124,3 +124,31 @@ def test_pip_matches_independent_crossing_count(pts, q):
                 and qx < (x1 - x0) * (qy - y0) / (y1 - y0) + x0:
             c += 1
     assert got == (c % 2 == 1)
+
+
+# Adversarial page text for the HTML round-trip: printable ASCII plus
+# the exact sequences that could break a naive extractor — literal
+# tags, entity spellings, the raw escape characters, newlines.
+_html_hostile = st.lists(
+    st.sampled_from(
+        list("abcdefghij <>&;/\"'=\n") + ["</p>", "<script>", "&amp;",
+                                          "&lt;", "<!--", "-->"]),
+    min_size=0, max_size=120,
+).map("".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_html_hostile)
+def test_html_extract_roundtrip_hostile_text(spark, text):
+    """crawl_html_extract's byte-identical invariant holds for text
+    containing literal tags, comment markers, entity spellings and raw
+    '&<>' — the escape/strip/unescape pipeline must be exactly
+    inverse regardless of content."""
+    import gdal_spark.textops as textops
+
+    spark.createDataFrame(
+        [(1, text, "en")], "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    r = spark.sql(textops.html_extract_sql(
+        "documents", textops.SPARK)).collect()[0]
+    assert r.byte_identical, repr(text)
