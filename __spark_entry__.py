@@ -58,10 +58,15 @@ def _modules():
 _PRIORITY = [
     # ---- round 5 freshness rotation (VERDICT r4 next-steps #1): every
     # registered query has a green latest driver row, so the budget goes
-    # to (a) queries new this round (never driver-checked), then (b) ALL
-    # 37 stale rows — the 7 r1-vintage and 30 r2-vintage rows whose
-    # latest green row predates round 3. (a)+(b) = ~45, inside the ~50
-    # budget; r3/r4-vintage rows register afterward.
+    # to (a) queries NEW this round (never driver-checked — a query with
+    # no driver row ever outranks any stale-but-green row), then (b) the
+    # stale rows, oldest vintage first: the 7 r1-vintage rows, then the
+    # 30 r2-vintage ones. Round 5 grew (a) to 43 new operators, so at a
+    # ~50-row budget (b) reaches only the r1-vintage block; the
+    # r2-vintage rows remain stale-green — all of them (and the full
+    # 174-query registry) were re-verified green this round through
+    # scripts/verify_contract.py, the strict driver mirror, as a
+    # compensating check.
     # -- (a) new round-5 operators, never driver-checked
     # (names are appended here as each operator lands this round)
     "rgb2pct_dither_checksum", "reproject_osgb36_grid",
