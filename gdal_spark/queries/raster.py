@@ -546,6 +546,58 @@ def _warp_gcp_tps_oracle() -> str:
                                DEM_ELEV_SQL)
 
 
+_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def _percentile_tail_sql(src: str) -> str:
+    """Exact inverted-CDF percentiles over an integer value histogram
+    (value, n_pixels): smallest value whose cumulative count reaches
+    ceil(pct·N/100) — integer comparison (100·cum >= pct·N), no
+    engine quantile interpolation, no inequality join (conditional
+    MIN aggregates over the tiny histogram)."""
+    picks = ",\n".join(
+        f"  cast(min(case when cum * 100 >= {p} * total then value end)"
+        f" as bigint) as p{p:02d}" for p in _PCTS)
+    return f"""
+with c as (
+  select value, n_pixels,
+         sum(n_pixels) over (order by value) as cum,
+         sum(n_pixels) over () as total
+  from ({src}) h)
+select
+{picks}
+from c
+"""
+
+
+def q_raster_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DEM percentiles through the histogram path — the
+    integer-raster quantile idiom GDAL users build on GetHistogram
+    (gcore/gdalrasterband.cpp GetHistogram; pct cut = smallest value
+    reaching the rank): per-tile bincount partials → one keyed
+    reduction → inverted-CDF picks by integer rank comparison (shared
+    tail SQL, zero interpolation). At 100 TB the exchange carries one
+    row per (tile, distinct value) partial — never pixels."""
+    from gdal_spark.raster import histogram
+
+    _ = sf_dir
+    hist = histogram(synth_dem_tiles(spark, DEM_PX), n_buckets=211) \
+        .withColumnRenamed("bucket", "value")
+    hist.createOrReplaceTempView("dem_hist")
+    return spark.sql(_percentile_tail_sql("select * from dem_hist"))
+
+
+def _raster_percentiles_oracle() -> str:
+    hist = f"""
+select ((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211) as value,
+       count(*) as n_pixels
+from (select a.range as gx, b.range as gy
+      from range(0, {DEM_PX}) a cross join range(0, {DEM_PX}) b) g
+group by 1
+"""
+    return _percentile_tail_sql(hist)
+
+
 def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
     smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
@@ -1561,6 +1613,7 @@ QUERIES = {
     "warp_cubicspline_dem": q_warp_cubicspline,
     "warp_gcp_poly": q_warp_gcp_poly,
     "warp_gcp_tps": q_warp_gcp_tps,
+    "raster_percentiles": q_raster_percentiles,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1811,6 +1864,7 @@ select qid, round(value, 6) as value from (
 """,
     "warp_gcp_poly": _warp_gcp_oracle(),
     "warp_gcp_tps": _warp_gcp_tps_oracle(),
+    "raster_percentiles": _raster_percentiles_oracle(),
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,

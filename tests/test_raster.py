@@ -965,3 +965,20 @@ def test_bspline_weights_partition_of_unity_and_smoothing(spark):
         assert np.allclose(got, want, atol=1e-15), f
         assert abs(sum(got) - 1.0) < 1e-12, f
     assert abs(b3(0.0) - 2.0 / 3.0) < 1e-15
+
+
+def test_raster_percentiles_match_numpy(spark):
+    """Inverted-CDF percentiles over the DEM histogram equal
+    numpy.percentile with the 'inverted_cdf' method on the raw pixel
+    values."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import DEM_PX, q_raster_percentiles
+
+    row = q_raster_percentiles(spark, "/root/testdata/sf0.001").collect()[0]
+    gy, gx = np.mgrid[0:DEM_PX, 0:DEM_PX]
+    vals = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    for p in (1, 5, 25, 50, 75, 95, 99):
+        want = int(np.percentile(vals.ravel(), p,
+                                 method="inverted_cdf"))
+        assert getattr(row, f"p{p:02d}") == want, p
