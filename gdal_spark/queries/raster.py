@@ -598,6 +598,43 @@ group by 1
     return _percentile_tail_sql(hist)
 
 
+def q_raster_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint_lib.cpp — the last CLI app
+    surface uncovered): footprint polygons of the valid-data mask. A
+    block-structured nodata pattern (invalid gx-div-32 bands ≡ 2 mod 3,
+    gy bands ≡ 3 mod 4) carves the DEM into six rectangular valid
+    regions; the mask runs through the SAME distributed 4-connected
+    component machinery as polygonize/sieve/nearblack, and each
+    footprint is summarized as (bbox, n_px). The oracle derives the
+    components analytically from the modular pattern (stripe = gx div
+    96, segment = gy div 128) — the distributed labeling must agree
+    with modular arithmetic truth. Ring WKB output for footprints
+    rides polygonize_ring_features (tested there)."""
+    from gdal_spark.polygonize import label_pixels
+
+    _ = sf_dir
+    px = (spark.range(DEM_PX * DEM_PX, numPartitions=32)
+          .selectExpr(f"id % {DEM_PX} as gx", f"id div {DEM_PX} as gy")
+          .filter("(gx div 32) % 3 <> 2 and (gy div 32) % 4 <> 3"))
+    labeled = label_pixels(px, DEM_PX)
+    return labeled.groupBy("comp").agg(
+        F.min("gx").alias("x0"), F.min("gy").alias("y0"),
+        F.max("gx").alias("x1"), F.max("gy").alias("y1"),
+        F.count("*").alias("n_px")).drop("comp")
+
+
+def _raster_footprint_oracle() -> str:
+    return f"""
+select min(gx) as x0, min(gy) as y0, max(gx) as x1, max(gy) as y1,
+       cast(count(*) as bigint) as n_px
+from (
+  select a.range as gx, b.range as gy
+  from range(0, {DEM_PX}) a cross join range(0, {DEM_PX}) b
+  where (a.range // 32) % 3 <> 2 and (b.range // 32) % 4 <> 3) g
+group by gx // 96, gy // 128
+"""
+
+
 def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
     smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
@@ -1614,6 +1651,7 @@ QUERIES = {
     "warp_gcp_poly": q_warp_gcp_poly,
     "warp_gcp_tps": q_warp_gcp_tps,
     "raster_percentiles": q_raster_percentiles,
+    "raster_footprint": q_raster_footprint,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1865,6 +1903,7 @@ select qid, round(value, 6) as value from (
     "warp_gcp_poly": _warp_gcp_oracle(),
     "warp_gcp_tps": _warp_gcp_tps_oracle(),
     "raster_percentiles": _raster_percentiles_oracle(),
+    "raster_footprint": _raster_footprint_oracle(),
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,

@@ -23,3 +23,15 @@ def test_nearblack_trims_collar_keeps_lakes(spark):
             assert (gx, gy) not in collar
     # collar is a subset of the dark mask
     assert collar <= mask
+
+
+def test_footprint_rectangles_exact(spark):
+    """The footprint components of the block-structured validity mask
+    are exactly the six analytically-known rectangles."""
+    from gdal_spark.queries.raster import q_raster_footprint
+
+    rows = {(r.x0, r.y0, r.x1, r.y1, r.n_px)
+            for r in q_raster_footprint(spark, "unused").collect()}
+    want = {(x0, y0, x0 + 63, y0 + 95, 64 * 96)
+            for x0 in (0, 96, 192) for y0 in (0, 128)}
+    assert rows == want
