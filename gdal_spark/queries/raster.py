@@ -635,6 +635,99 @@ group by gx // 96, gy // 128
 """
 
 
+_CM_PX = 64  # color-merge fixture grid
+
+
+def _color_merge_sql(engine: str) -> str:
+    """gdal raster color-merge (apps/gdalalg_raster_color_merge.cpp,
+    derived from hsv_merge.py): replace the VALUE channel of the color
+    raster's HSV decomposition with the grayscale raster, convert
+    back. The reference computes in float32; this restates the
+    identical algorithm in double (documented divergence: a <1 LSB
+    knife-edge could round differently — none occur on the fixture,
+    pinned by the double-transcription test). Branch ORDER is
+    semantic: maxc==b is tested before maxc==g, exactly as the
+    reference's nested branches resolve ties. Per-pixel closed-form
+    arithmetic over a range grid — zero shuffles except the final
+    per-row aggregate. All float literals are e-notation: DuckDB
+    parses plain '6.0' as DECIMAL, and DECIMAL*INT stays DECIMAL —
+    the knife-edge divergence the first spelling hit on 11 pixels."""
+    grid = (f"select a.range as gx, b.range as gy"
+            f" from range(0, {_CM_PX}) a cross join range(0, {_CM_PX}) b"
+            ) if engine == "duckdb" else (
+            f"select id % {_CM_PX} as gx, id div {_CM_PX} as gy"
+            f" from range({_CM_PX * _CM_PX})")
+    # deterministic color + grayscale fixtures
+    fix = ("select gx, gy,"
+           " (gx * 3 + gy * 5) % 256 as r,"
+           " (gx * 7 + gy * 11 + 37) % 256 as g,"
+           " (gx * 13 + gy * 17 + 101) % 256 as b,"
+           " (gx * gx * 5 + gy * gy * 3 + gx * gy) % 256 as v"
+           f" from ({grid}) t0")
+    hs = """
+  select gx, gy, v,
+         greatest(r, g, b) as maxc, least(r, g, b) as minc,
+         r, g, b
+  from fix"""
+    return f"""
+with fix as ({fix}),
+m as ({hs}),
+hsv as (
+  select gx, gy, v, r, g, b, maxc,
+         (maxc - minc) / cast(greatest(1, maxc) as double) as s,
+         case when maxc = b then 0.6666666666666666e0 + (r - g) /
+                (case when maxc - minc = 0 then 1.0e0
+                      else 6.0e0 * (maxc - minc) end)
+              when maxc = g then 0.3333333333333333e0 + (b - r) /
+                (case when maxc - minc = 0 then 1.0e0
+                      else 6.0e0 * (maxc - minc) end)
+              else (case when (g - b) /
+                     (case when maxc - minc = 0 then 1.0e0
+                           else 6.0e0 * (maxc - minc) end) < 0
+                    then (g - b) /
+                     (case when maxc - minc = 0 then 1.0e0
+                           else 6.0e0 * (maxc - minc) end) + 1.0e0
+                    else (g - b) /
+                     (case when maxc - minc = 0 then 1.0e0
+                           else 6.0e0 * (maxc - minc) end) end)
+         end as h
+  from m),
+pqt as (
+  select gx, gy, v, h, s,
+         cast(floor(6.0e0 * h) as bigint) as i,
+         6.0e0 * h - floor(6.0e0 * h) as f
+  from hsv),
+rgb2 as (
+  select gx, gy, i,
+         cast(v as bigint) as vv,
+         cast(floor(v * (1.0e0 - s) + 0.5e0) as bigint) as p,
+         cast(floor(v * (1.0e0 - s * f) + 0.5e0) as bigint) as q,
+         cast(floor(v * (1.0e0 - s * (1.0e0 - f)) + 0.5e0) as bigint) as t
+  from pqt),
+outp as (
+  select gx, gy,
+         case i when 0 then vv when 1 then q when 2 then p
+                when 3 then p when 4 then t else vv end as r2,
+         case i when 0 then t when 1 then vv when 2 then vv
+                when 3 then q when 4 then p else p end as g2,
+         case i when 0 then p when 1 then p when 2 then t
+                when 3 then vv when 4 then vv else q end as b2
+  from rgb2)
+select gy, cast(sum(r2) as bigint) as r_sum,
+       cast(sum(g2) as bigint) as g_sum,
+       cast(sum(b2) as bigint) as b_sum,
+       cast(count(*) as bigint) as n_px
+from outp group by gy
+"""
+
+
+def q_raster_color_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal raster color-merge: HSV value-channel replacement (see
+    _color_merge_sql). Engine and oracle share the SQL."""
+    _ = sf_dir
+    return spark.sql(_color_merge_sql("spark"))
+
+
 def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -r cubicspline (GWKBSpline, alg/gdalwarpkernel.cpp):
     smoothing cubic B-spline 4x4 kernel (B3 partition of unity; not
@@ -1652,6 +1745,7 @@ QUERIES = {
     "warp_gcp_tps": q_warp_gcp_tps,
     "raster_percentiles": q_raster_percentiles,
     "raster_footprint": q_raster_footprint,
+    "raster_color_merge": q_raster_color_merge,
     "raster_viewshed_exact": q_viewshed_exact,
     "raster_viewshed_exact_md": q_viewshed_exact_md,
     "warp_bilinear_dem": q_warp_bilinear,
@@ -1904,6 +1998,7 @@ select qid, round(value, 6) as value from (
     "warp_gcp_tps": _warp_gcp_tps_oracle(),
     "raster_percentiles": _raster_percentiles_oracle(),
     "raster_footprint": _raster_footprint_oracle(),
+    "raster_color_merge": _color_merge_sql("duckdb"),
     "warp_average_nodata": __import__(
         "gdal_spark.raster", fromlist=["warp_average_oracle_sql"]
     ).warp_average_oracle_sql(_AVG_DST_GT, _SRC_GT, _AVG_DST_PX, DEM_PX,

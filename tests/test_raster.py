@@ -982,3 +982,53 @@ def test_raster_percentiles_match_numpy(spark):
         want = int(np.percentile(vals.ravel(), p,
                                  method="inverted_cdf"))
         assert getattr(row, f"p{p:02d}") == want, p
+
+
+def test_color_merge_matches_reference_transcription(spark):
+    """The HSV value-replacement matches an independent double-
+    precision transcription of the reference's rgb_to_hs / hsv_to_rgb
+    (apps/gdalalg_raster_color_merge.cpp, hsv_merge.py lineage),
+    including the maxc==b-before-maxc==g tie order and the +0.5
+    truncating byte cast."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import _CM_PX, q_raster_color_merge
+
+    def merge(r, g, b, v):
+        maxc, minc = max(r, g, b), min(r, g, b)
+        mm = maxc - minc
+        s = mm / max(1, maxc)
+        denom = 1.0 if mm == 0 else 6.0 * mm
+        if maxc == b:
+            h = 4 / 6 + (r - g) / denom
+        elif maxc == g:
+            h = 2 / 6 + (b - r) / denom
+        else:
+            h = (g - b) / denom
+            if h < 0:
+                h += 1.0
+        i = int(6.0 * h)
+        f = 6.0 * h - i
+        p = int(v * (1.0 - s) + 0.5)
+        q = int(v * (1.0 - s * f) + 0.5)
+        t = int(v * (1.0 - s * (1.0 - f)) + 0.5)
+        r2 = [v, q, p, p, t, v][min(i, 5)]
+        g2 = [t, v, v, q, p, p][min(i, 5)]
+        b2 = [p, p, t, v, v, q][min(i, 5)]
+        return r2, g2, b2
+
+    want = {}
+    for gy in range(_CM_PX):
+        rs = gs = bs = 0
+        for gx in range(_CM_PX):
+            r = (gx * 3 + gy * 5) % 256
+            g = (gx * 7 + gy * 11 + 37) % 256
+            b = (gx * 13 + gy * 17 + 101) % 256
+            v = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 256
+            r2, g2, b2 = merge(r, g, b, v)
+            rs, gs, bs = rs + r2, gs + g2, bs + b2
+        want[gy] = (rs, gs, bs)
+    out = {r.gy: (r.r_sum, r.g_sum, r.b_sum)
+           for r in q_raster_color_merge(spark, "unused").collect()}
+    assert out == want
+    _ = np
