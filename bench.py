@@ -84,6 +84,9 @@ HEADLINE = [
     "vector_kml_ingest",
     "text_ccnet_ppl_bucket",
     "crawl_geocode_from_html",
+    "raster_percentiles",
+    "raster_footprint",
+    "raster_color_merge",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost
