@@ -64,7 +64,7 @@ _PRIORITY = [
     # 30 r2-vintage ones. Round 5 grew (a) to 43 new operators, so at a
     # ~50-row budget (b) reaches only the r1-vintage block; the
     # r2-vintage rows remain stale-green — all of them (and the full
-    # 174-query registry) were re-verified green this round through
+    # 177-query registry) were re-verified green this round through
     # scripts/verify_contract.py, the strict driver mirror, as a
     # compensating check.
     # -- (a) new round-5 operators, never driver-checked
