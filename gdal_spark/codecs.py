@@ -1471,7 +1471,7 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, list[np.ndarray]]:
 # that drive the north-star pipeline.
 # ---------------------------------------------------------------------------
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8}
 
 
 def _packbits_encode(row: bytes) -> bytes:
@@ -1624,7 +1624,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
                 rows_per_strip: int = 8,
                 predictor: bool = False,
                 tiled: bool = False,
-                tile_wh: tuple[int, int] = (16, 16)) -> bytes:
+                tile_wh: tuple[int, int] = (16, 16),
+                bigtiff: bool = False) -> bytes:
     """(h, w) gray or (h, w, 3) RGB -> classic little-endian TIFF.
     Sample types: uint8, uint16, float32 (GDAL's common raster
     dtypes; SampleFormat tag 339 marks floats). compression: "none" |
@@ -1633,7 +1634,10 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     ModelTiepointTag, making the output a GeoTIFF. ``tiled`` writes
     the TIFF6 tile layout (tags 322-325; tile dims must be multiples
     of 16 per the spec, edge tiles zero-padded to full size) instead
-    of strips — GDAL's default layout for large rasters."""
+    of strips — GDAL's default layout for large rasters. ``bigtiff``
+    writes the BigTIFF (version 43) header/IFD layout with 8-byte
+    offsets and LONG8 offset/count tags — what GDAL emits for >4 GB
+    rasters (-co BIGTIFF=YES)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
@@ -1722,12 +1726,39 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         tag(33550, 12, [float(pw), float(-ph), 0.0])
         tag(33922, 12, [0.0, 0.0, 0.0, float(x0), float(y0g), 0.0])
 
-    data_start = 8
+    data_start = 16 if bigtiff else 8
     strip_offsets, off = [], data_start
     for s in strips:
         strip_offsets.append(off)
         off += len(s)
     ifd_off = off
+    if bigtiff:
+        # BigTIFF (version 43): u64 entry count, 20-byte entries with
+        # 8-byte inline value slots, u64 next-IFD pointer; the
+        # offset/count tags are written as LONG8 (type 16) to exercise
+        # the format's reason to exist.
+        ifd_size = 8 + 20 * len(tags) + 8
+        ext_off = ifd_off + ifd_size
+        ifd = struct.pack("<Q", len(tags))
+        ext = b""
+        for t, typ, vals in tags:
+            if vals is None:
+                vals, typ = strip_offsets, 16
+            elif t in (279, 325):
+                typ = 16
+            fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
+            payload = struct.pack(f"<{len(vals)}{fmt}", *vals)
+            if len(payload) <= 8:
+                ifd += struct.pack("<HHQ", t, typ, len(vals)) + \
+                    payload.ljust(8, b"\x00")
+            else:
+                ifd += struct.pack("<HHQQ", t, typ, len(vals),
+                                   ext_off + len(ext))
+                ext += payload
+        ifd += struct.pack("<Q", 0)  # next-IFD pointer
+        return (struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+                + b"".join(strips) + ifd + ext)
+
     ifd_size = 2 + 12 * len(tags) + 4
     ext_off = ifd_off + ifd_size
 
@@ -1761,26 +1792,42 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
     compression None/PackBits/LZW/Deflate (+predictor 2). Palette
     and BigTIFF raise — a documented seam (GDAL reads them through
     libtiff)."""
-    if data[:4] == b"II*\x00":
+    if data[:2] == b"II":
         e = "<"
-    elif data[:4] == b"MM\x00*":
+    elif data[:2] == b"MM":
         e = ">"
     else:
-        raise ValueError("not a classic TIFF payload")
-    ifd_off = struct.unpack_from(f"{e}I", data, 4)[0]
-    n = struct.unpack_from(f"{e}H", data, ifd_off)[0]
+        raise ValueError("not a TIFF payload")
+    version = struct.unpack_from(f"{e}H", data, 2)[0]
+    if version == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        osize, pad = struct.unpack_from(f"{e}HH", data, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        ifd_off = struct.unpack_from(f"{e}Q", data, 8)[0]
+        n = struct.unpack_from(f"{e}Q", data, ifd_off)[0]
+        entry0, esz, inline = ifd_off + 8, 20, 8
+        cnt_fmt = "Q"
+    elif version == 42:
+        ifd_off = struct.unpack_from(f"{e}I", data, 4)[0]
+        n = struct.unpack_from(f"{e}H", data, ifd_off)[0]
+        entry0, esz, inline = ifd_off + 2, 12, 4
+        cnt_fmt = "I"
+    else:
+        raise ValueError(f"unsupported TIFF version {version}")
     tags: dict[int, tuple] = {}
     for i in range(n):
-        t, typ, cnt = struct.unpack_from(f"{e}HHI", data,
-                                         ifd_off + 2 + 12 * i)
+        t, typ = struct.unpack_from(f"{e}HH", data, entry0 + esz * i)
+        cnt = struct.unpack_from(f"{e}{cnt_fmt}", data,
+                                 entry0 + esz * i + 4)[0]
         ts = _TIFF_TYPE_SIZE.get(typ)
         if ts is None:
             continue
         size = ts * cnt
-        voff = ifd_off + 2 + 12 * i + 8
-        if size > 4:
-            voff = struct.unpack_from(f"{e}I", data, voff)[0]
-        fmt = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 12: "d"}[typ]
+        voff = entry0 + esz * i + 4 + struct.calcsize(cnt_fmt)
+        if size > inline:
+            voff = struct.unpack_from(f"{e}{cnt_fmt}", data, voff)[0]
+        fmt = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 12: "d",
+               16: "Q"}[typ]
         if typ == 2:
             vals = (data[voff:voff + cnt],)
         elif typ == 5:

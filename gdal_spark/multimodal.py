@@ -68,7 +68,7 @@ def decode_real(payload: bytes) -> dict:
         return {"format": "audio/wav", "width": len(samples),
                 "height": 1, "rate": rate,
                 "values": samples.astype(np.int64)}
-    if b[:4] in (b"II*\x00", b"MM\x00*"):
+    if b[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         px, _gt = C.decode_tiff(b)
         return {"format": "image/tiff", "width": px.shape[1],
                 "height": px.shape[0], "rate": 0,
@@ -464,7 +464,7 @@ def synth_gif_payloads(ids: DataFrame,
         _synth, schema="doc_id long, payload binary")
 
 
-def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool, bool]:
+def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool, bool, bool]:
     """The GeoTIFF content contract (mirrored textually by the DuckDB
     oracle): w = 12 + id%7, h = 8 + id%5, grayscale pixel (r, c)
     value = (id*31 + r*5 + c*3) % M; the sample dtype rotates by id%5
@@ -474,7 +474,9 @@ def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool, bool]:
     deflate add predictor 2 on odd integer-sample ids), so every
     strip codec x dtype lane is exercised in the contract; ids with
     id%3 == 2 use the TIFF6 tile layout (16x16 tiles, edge-padded —
-    GDAL's default for large rasters) instead of strips; north-up
+    GDAL's default for large rasters) instead of strips; ids with
+    id%7 == 1 write the BigTIFF (version 43) header/IFD layout with
+    LONG8 offsets — what GDAL emits for >4 GB rasters; north-up
     geotransform with origin ((id%10)*360, (id%7)*240) and 30-unit
     pixels."""
     w, h = 12 + did % 7, 8 + did % 5
@@ -491,7 +493,7 @@ def _synth_geotiff(did: int) -> tuple[np.ndarray, tuple, str, bool, bool]:
     comp = ("none", "packbits", "lzw", "deflate")[did % 4]
     pred = (comp in ("lzw", "deflate") and did % 2 == 1
             and px.dtype.kind == "u")
-    return px, gt, comp, pred, did % 3 == 2
+    return px, gt, comp, pred, did % 3 == 2, did % 7 == 1
 
 
 def synth_geotiff_payloads(ids: DataFrame,
@@ -507,10 +509,10 @@ def synth_geotiff_payloads(ids: DataFrame,
             ids_, payloads = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                px, gt, comp, pred, tiled = _synth_geotiff(did)
+                px, gt, comp, pred, tiled, big = _synth_geotiff(did)
                 payloads.append(C.encode_tiff(
                     px, compression=comp, geotransform=gt,
-                    predictor=pred, tiled=tiled))
+                    predictor=pred, tiled=tiled, bigtiff=big))
                 ids_.append(did)
             yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
                                 "payload": pd.Series(payloads,

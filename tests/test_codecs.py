@@ -619,10 +619,10 @@ def test_synth_geotiff_contract_matches_decode():
     from gdal_spark.multimodal import _synth_geotiff
 
     for did in range(31):
-        px, gt_in, comp, pred, tiled = _synth_geotiff(did)
+        px, gt_in, comp, pred, tiled, big = _synth_geotiff(did)
         out, gt = decode_tiff(encode_tiff(
             px, compression=comp, geotransform=gt_in, predictor=pred,
-            tiled=tiled))
+            tiled=tiled, bigtiff=big))
         assert out.dtype == px.dtype
         assert np.array_equal(out, px)
         assert gt == gt_in
@@ -970,3 +970,31 @@ def test_shapefile_contract_matches_synth():
                 (did * 37 + j * 1009) % 360000001 - 180000000
             assert round(y * 1e6) == \
                 (did * 53 + j * 2003) % 170000001 - 85000000
+
+
+def test_bigtiff_layout_roundtrip():
+    """BigTIFF (version 43): 8-byte offsets, 20-byte IFD entries,
+    LONG8 offset/count tags — round-trips across codec x tiled x
+    dtype, magic II+\\x00, and classic decode is untouched."""
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(3)
+    gt_in = (10.0, 30.0, 0.0, 900.0, 0.0, -30.0)
+    for shape in [(8, 12), (40, 53), (33, 47, 3)]:
+        for comp in ["none", "packbits", "lzw", "deflate"]:
+            for tiled in [False, True]:
+                for dt, m in [(np.uint8, 256), (np.uint16, 4096),
+                              (np.float32, 512)]:
+                    if len(shape) == 3 and dt is not np.uint8:
+                        continue
+                    a = rng.randint(0, m, shape).astype(dt)
+                    data = encode_tiff(a, compression=comp,
+                                       bigtiff=True, tiled=tiled,
+                                       geotransform=gt_in)
+                    assert data[:4] == b"II+\x00"
+                    out, gt = decode_tiff(data)
+                    assert out.dtype == a.dtype
+                    assert np.array_equal(out, a)
+                    assert gt == gt_in
+    with pytest.raises(ValueError):
+        decode_tiff(b"II\x2c\x00" + b"\x00" * 20)  # version 44

@@ -514,7 +514,7 @@ def test_geotiff_tile_partials_matches_bruteforce(spark):
 
     exp: dict[tuple[int, int], list[int]] = {}
     for did in range(25):
-        px, gt, _, _, _ = _synth_geotiff(did)
+        px, gt, _, _, _, _ = _synth_geotiff(did)
         h, w = px.shape
         for r in range(h):
             for c in range(w):
