@@ -1625,7 +1625,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
                 predictor: bool = False,
                 tiled: bool = False,
                 tile_wh: tuple[int, int] = (16, 16),
-                bigtiff: bool = False) -> bytes:
+                bigtiff: bool = False,
+                palette: "np.ndarray | None" = None) -> bytes:
     """(h, w) gray or (h, w, 3) RGB -> classic little-endian TIFF.
     Sample types: uint8, uint16, float32 (GDAL's common raster
     dtypes; SampleFormat tag 339 marks floats). compression: "none" |
@@ -1637,7 +1638,9 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     of strips — GDAL's default layout for large rasters. ``bigtiff``
     writes the BigTIFF (version 43) header/IFD layout with 8-byte
     offsets and LONG8 offset/count tags — what GDAL emits for >4 GB
-    rasters (-co BIGTIFF=YES)."""
+    rasters (-co BIGTIFF=YES). ``palette`` ((n<=256, 3) uint8) marks a
+    2-D uint8 index array as palette-color (Photometric 3 + ColorMap
+    tag 320, 16-bit planar R..G..B entries per the TIFF6 spec)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
@@ -1701,7 +1704,12 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     tag(257, 4, [h])
     tag(258, 3, [bits] * spp)
     tag(259, 3, [comp_code])
-    tag(262, 3, [1 if gray else 2])
+    if palette is not None:
+        if not gray or arr.dtype != np.uint8:
+            raise ValueError("palette TIFF needs a 2-D uint8 index array")
+        tag(262, 3, [3])
+    else:
+        tag(262, 3, [1 if gray else 2])
     if not tiled:
         tag(273, 4, None)  # strip offsets, filled later
     tag(277, 3, [spp])
@@ -1716,6 +1724,10 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         tag(323, 4, [tile_wh[1]])
         tag(324, 4, None)  # tile offsets, filled later
         tag(325, 4, [len(s) for s in strips])
+    if palette is not None:
+        pal = np.zeros((256, 3), dtype=np.uint16)
+        pal[:len(palette)] = palette.astype(np.uint16) << 8
+        tag(320, 3, [int(v) for v in pal.T.reshape(-1)])
     if sfmt != 1:
         tag(339, 3, [sfmt] * spp)
     if geotransform is not None:
@@ -1788,10 +1800,10 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
     """Classic TIFF bytes -> ((h, w) or (h, w, 3) uint8 array,
     geotransform-or-None). Supports both byte orders, gray
     (uint8/uint16/float32) and uint8 RGB, BOTH strip and TIFF6 tile
-    layouts (tags 322-325, edge tiles padded then cropped),
-    compression None/PackBits/LZW/Deflate (+predictor 2). Palette
-    and BigTIFF raise — a documented seam (GDAL reads them through
-    libtiff)."""
+    layouts (tags 322-325, edge tiles padded then cropped), classic
+    AND BigTIFF v43 headers, palette (Photometric 3 + ColorMap)
+    expansion to RGB, compression None/PackBits/LZW/Deflate
+    (+predictor 2)."""
     if data[:2] == b"II":
         e = "<"
     elif data[:2] == b"MM":
@@ -1844,6 +1856,9 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
             (bits, sfmt) not in ((8, 1), (16, 1), (32, 3)):
         raise NotImplementedError(
             "TIFF beyond uint8/uint16/float32 gray or uint8 RGB")
+    photometric = tags.get(262, (1,))[0]
+    if photometric == 3 and (320 not in tags or bits != 8):
+        raise NotImplementedError("palette TIFF needs 8-bit + ColorMap")
     if tags.get(284, (1,))[0] != 1:
         raise NotImplementedError("planar TIFF configuration")
     comp = tags.get(259, (1,))[0]
@@ -1901,6 +1916,12 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, tuple | None]:
             out[y0:y0 + nrows] = _unpack_block(data[so:so + sc],
                                                nrows, w)
     arr = out.reshape(h, w) if spp == 1 else out.reshape(h, w, 3)
+    if photometric == 3:
+        # ColorMap: 3*256 SHORTs, planar R..G..B, 16-bit entries —
+        # expand indices to 8-bit RGB (>> 8), like the PNG/GIF paths
+        cm = np.asarray(tags[320], dtype=np.uint16).reshape(3, -1)
+        arr = (cm[:, arr.astype(np.int64)] >> 8).astype(
+            np.uint8).transpose(1, 2, 0)
     gt = None
     if 33550 in tags and 33922 in tags:
         sx, sy = tags[33550][0], tags[33550][1]

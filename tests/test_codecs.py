@@ -998,3 +998,24 @@ def test_bigtiff_layout_roundtrip():
                     assert gt == gt_in
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2c\x00" + b"\x00" * 20)  # version 44
+
+
+def test_palette_tiff_roundtrip():
+    """Photometric-3 TIFF with ColorMap (16-bit planar entries):
+    indices expand to the palette's RGB exactly, across strip/tile and
+    classic/BigTIFF layouts; the no-ColorMap case raises."""
+    from gdal_spark.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    for comp in ["none", "lzw"]:
+        for tiled in [False, True]:
+            for big in [False, True]:
+                idx = rng.randint(0, 256, (23, 37)).astype(np.uint8)
+                data = encode_tiff(idx, compression=comp, tiled=tiled,
+                                   bigtiff=big, palette=pal)
+                out, _ = decode_tiff(data)
+                assert np.array_equal(out, pal[idx])
+    with pytest.raises(ValueError):
+        encode_tiff(rng.randint(0, 255, (4, 4, 3)).astype(np.uint8),
+                    palette=pal)
