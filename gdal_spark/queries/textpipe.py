@@ -514,6 +514,22 @@ def q_crawl_robots_filter(spark: SparkSession,
                                                textops.SPARK))
 
 
+def q_crawl_sitemap_coverage(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Sitemap ingest + frontier coverage (sitemaps.org protocol 0.9 —
+    the discovery companion to the robots filter): per host a real
+    urlset XML document is synthesized, parsed back from the XML text
+    (split + regexp, the WARC/KML reader shape), and reconciled
+    against the crawl's canonical (host, path) set — entries covered,
+    published-but-never-crawled gaps, crawled-but-unpublished off-map
+    counts, lastmod/priority parse pins. Joins carry (host, path)
+    pairs only; page text never shuffles. Engine and oracle run the
+    same dual-dialect SQL (textops.sitemap_coverage_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.sitemap_coverage_sql("documents",
+                                                  textops.SPARK))
+
+
 def q_crawl_html_extract(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
     """HTML -> text extraction over the pages html:binary column — the
@@ -1357,6 +1373,7 @@ QUERIES = {
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
+    "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
     "crawl_html_extract": q_crawl_html_extract,
     "warc_ingest_records": q_warc_ingest_records,
     "crawl_charset_decode": q_crawl_charset_decode,
@@ -1419,6 +1436,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                            DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
+    "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",
+                                                           DUCKDB),
     "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
     "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
     "crawl_charset_decode": _crawl_charset_decode_oracle(),

@@ -954,6 +954,107 @@ from c left join (select doc_id, prefix, allow from m where rn = 1) m
 """
 
 
+def sitemap_coverage_sql(doc_view: str, engine: str) -> str:
+    """Sitemap ingest + crawl-frontier coverage (the companion to the
+    robots filter: sitemaps.org protocol 0.9, the discovery side of
+    RFC 9309's politeness side — every production crawler reconciles
+    its frontier against the hosts' published sitemaps).
+
+    Per host a real sitemap XML document is synthesized (urlset with
+    <url><loc/><lastmod/><priority/> entries, 15–24 per host), then
+    parsed BACK from the XML text — split on '</url>' + regexp field
+    extraction, the same narrow per-file string work as the WARC/KML
+    readers. Entries with (host + k) % 7 == 3 are deterministically
+    withheld from the sitemap, so some crawled paths are off-map and
+    the reconciliation exercises every lane. The parse output is
+    reconciled against the crawl's canonical URL set
+    (distinct (host, path) from url_parts_cte). Output one row per
+    host: entry count, how many sitemap URLs the crawl covered, the
+    gap (published but never crawled), the off-map count (crawled but
+    unpublished), plus max lastmod and the priority mass as integer
+    milli-units (float-free parse verification).
+
+    Scale shape: a sitemap is per-host metadata — the XML synthesis is
+    a narrow projection over the host list, the parse is a narrow
+    split/regexp over each file, and the reconciliation joins carry
+    (host, path) pairs only; page text never shuffles. At crawl scale
+    the crawl side pre-aggregates to distinct (host, path) with
+    map-side partials before either join.
+    """
+    parts = url_parts_cte(doc_view, engine)
+    if engine == SPARK:
+        hosts = "select id as hh from range(0, 50)"
+        seq = ("filter(sequence(0, 14 + hh % 10),"
+               " k -> (hh + k) % 7 <> 3)")
+        xform = "transform"
+        ajoin = "array_join"
+        split_u = "split(doc, '</url>')"
+        expl = explode_sql("frags", "frag", SPARK)
+        scast = "string"
+    else:
+        hosts = "select range as hh from range(0, 50)"
+        seq = ("list_filter(range(0, 15 + hh % 10),"
+               " k -> (hh + k) % 7 <> 3)")
+        xform = "list_transform"
+        ajoin = "array_to_string"
+        split_u = "string_split(doc, '</url>')"
+        expl = explode_sql("frags", "frag", DUCKDB)
+        scast = "varchar"
+    entry = (
+        "concat('<url><loc>https://site', hh, '.example/a/', k,"
+        " '</loc><lastmod>2026-',"
+        f" lpad(cast(1 + (hh + k) % 12 as {scast}), 2, '0'), '-',"
+        f" lpad(cast(1 + (hh * 7 + k * 3) % 28 as {scast}), 2, '0'),"
+        " '</lastmod><priority>0.', 1 + (k * (hh + 1)) % 9,"
+        " '</priority></url>')")
+    return f"""
+with {parts},
+crawl as (select distinct host, path1 from pp),
+hosts as ({hosts}),
+xml as (
+  select hh, concat(
+    '<?xml version="1.0" encoding="UTF-8"?>',
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    {ajoin}({xform}({seq}, k -> {entry}), ''),
+    '</urlset>') as doc
+  from hosts),
+rawent as (
+  select hh, {expl} from (select hh, {split_u} as frags from xml) u),
+parsed as (
+  select hh,
+         regexp_extract(frag, '<loc>([^<]*)</loc>', 1) as loc,
+         regexp_extract(frag, '<lastmod>([^<]*)</lastmod>', 1) as lastmod,
+         regexp_extract(frag, '<priority>0[.]([0-9])</priority>', 1) as pri
+  from rawent where frag like '%<loc>%'),
+smap as (
+  select hh, loc, lastmod, cast(pri as bigint) * 100 as pri_milli,
+         substr(loc, 9,
+                position('/' in substr(loc, 9)) - 1) as shost,
+         substr(loc, 8 + position('/' in substr(loc, 9))) as spath
+  from parsed),
+offc as (
+  select c.host, cast(count(*) as bigint) as n_off
+  from crawl c left join smap s
+    on s.shost = c.host and s.spath = c.path1
+  where s.spath is null group by c.host),
+j as (
+  select s.shost, s.spath, s.lastmod, s.pri_milli, c.path1
+  from smap s left join crawl c
+    on s.shost = c.host and s.spath = c.path1)
+select j.shost as host,
+       cast(count(*) as bigint) as n_sitemap,
+       cast(sum(case when j.path1 is not null then 1 else 0 end)
+            as bigint) as n_crawled,
+       cast(sum(case when j.path1 is null then 1 else 0 end)
+            as bigint) as n_gap,
+       cast(coalesce(max(o.n_off), 0) as bigint) as n_offmap,
+       max(j.lastmod) as max_lastmod,
+       cast(sum(j.pri_milli) as bigint) as pri_milli_sum
+from j left join offc o on j.shost = o.host
+group by j.shost
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction (the north-rule per-row invariant)
 # ---------------------------------------------------------------------------

@@ -733,6 +733,43 @@ def test_robots_longest_match_semantics(spark):
     assert out[66] == (1, "")
 
 
+def test_sitemap_coverage_reconciliation(spark):
+    """Sitemap coverage pinned against hand-derived truth for one host:
+    host h lists k in 0..14+h%10 minus the withheld (h+k)%7==3 lane;
+    the crawl visits /a/<doc_id%20> on host <doc_id%50>. Counts are
+    re-derived in Python, not via the SQL under test."""
+    import gdal_spark.textops as textops
+
+    rows = [(i, "t", "en") for i in (7, 57, 107, 24, 74)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = {r.host: r for r in
+           spark.sql(textops.sitemap_coverage_sql(
+               "documents", textops.SPARK)).collect()}
+
+    for h, crawled in ((7, {7, 17}), (24, {4, 14})):
+        listed = [k for k in range(15 + h % 10) if (h + k) % 7 != 3]
+        exp_sitemap = len(listed)
+        exp_crawled = len(crawled & set(listed))
+        exp_gap = exp_sitemap - exp_crawled
+        exp_offmap = len(crawled - set(listed))
+        exp_pri = 100 * sum(1 + (k * (h + 1)) % 9 for k in listed)
+        exp_lastmod = max(
+            "2026-%02d-%02d" % (1 + (h + k) % 12, 1 + (h * 7 + k * 3) % 28)
+            for k in listed)
+        r = out[f"site{h}.example"]
+        assert (r.n_sitemap, r.n_crawled, r.n_gap, r.n_offmap) == \
+            (exp_sitemap, exp_crawled, exp_gap, exp_offmap), (h, r)
+        assert r.pri_milli_sum == exp_pri
+        assert r.max_lastmod == exp_lastmod
+    # Every host publishes a sitemap whether or not the crawl reached
+    # it; uncrawled hosts report pure gap (n_crawled = n_offmap = 0).
+    assert len(out) == 50
+    r0 = out["site0.example"]
+    assert (r0.n_crawled, r0.n_offmap) == (0, 0)
+    assert r0.n_gap == r0.n_sitemap
+
+
 def test_html_extract_byte_identical(spark):
     """The north-rule invariant: extraction recovers the page text
     byte-for-byte, independently re-derived in Python (not via the
