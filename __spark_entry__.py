@@ -88,7 +88,7 @@ _PRIORITY = [
     "vector_shapefile_ingest", "vector_kml_ingest",
     "text_ccnet_ppl_bucket", "crawl_geocode_from_html",
     "raster_percentiles", "raster_footprint", "raster_color_merge",
-    "crawl_sitemap_coverage",
+    "crawl_sitemap_coverage", "text_dsir_importance",
     # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
     "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "text_langid", "text_quality", "text_token_counts",

@@ -530,6 +530,20 @@ def q_crawl_sitemap_coverage(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_text_dsir_importance(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): hashed-unigram
+    importance log-ratio of a target (lang='en') vs the raw crawl
+    distribution in exact integer nano-nats, deterministic top-quarter
+    keep via a milli-nat histogram threshold + a window partitioned on
+    the single threshold bin — no global sort, no engine quantiles.
+    Engine and oracle run the same dual-dialect SQL
+    (textops.dsir_importance_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.dsir_importance_sql("documents",
+                                                 textops.SPARK))
+
+
 def q_crawl_html_extract(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
     """HTML -> text extraction over the pages html:binary column — the
@@ -1374,6 +1388,7 @@ QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
+    "text_dsir_importance": q_text_dsir_importance,
     "crawl_html_extract": q_crawl_html_extract,
     "warc_ingest_records": q_warc_ingest_records,
     "crawl_charset_decode": q_crawl_charset_decode,
@@ -1438,6 +1453,8 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",
                                                            DUCKDB),
+    "text_dsir_importance": textops.dsir_importance_sql("documents",
+                                                        DUCKDB),
     "crawl_html_extract": textops.html_extract_sql("documents", DUCKDB),
     "warc_ingest_records": textops.warc_ingest_sql("documents", DUCKDB),
     "crawl_charset_decode": _crawl_charset_decode_oracle(),

@@ -1532,3 +1532,114 @@ select doc_id, n_words, nll_nano,
             else 'tail' end as bucket
 from ranked
 """
+
+
+def dsir_importance_sql(doc_view: str, engine: str,
+                        n_buckets: int = 256) -> str:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by the hashed-unigram importance log-ratio
+    between a TARGET distribution (here the lang='en' slice — the
+    stand-in for "looks like the eval domain") and the RAW crawl
+    distribution, then keep the top quarter by weight.
+
+    Mechanics, kept exact and engine-agreeing:
+
+    - features: words hash (h60) into ``n_buckets`` buckets; both
+      corpora reduce to bucket-count tables (tiny: ``n_buckets`` rows).
+    - per-bucket log-ratio ln(p_b/q_b) with Laplace smoothing
+      ((c+1)/(tot+B) on both sides), materialized once per bucket in
+      integer NANO-NAT units — identical expression text in both
+      engines, so ln agrees bitwise; per-doc weights are then exact
+      integer sums, order-independent and resume-stable.
+    - selection: the paper resamples with Gumbel noise; the pipeline
+      variant here is the deterministic top-k (k = n/4) — documented
+      divergence, same selection pressure, reproducible across runs.
+      The threshold comes from a MILLI-NAT histogram (bounded bins,
+      the raster_percentiles inverted-CDF pattern) + a rank window
+      PARTITIONED BY the single threshold bin — no global sort of the
+      corpus, no engine quantile interpolation.
+
+    Shape at 100 TB: word explode → two bucket-count aggregates (one
+    shuffle each, map-side partials, output = n_buckets rows each —
+    broadcast); per-doc bucket counts groupBy (doc-keyed shuffle);
+    bucket log-ratio join is broadcast; the histogram aggregate
+    carries one row per milli-nat bin; only the threshold BIN pays a
+    window, partitioned on the bin key. Output:
+    (doc_id, n_words, w_nano, kept).
+    """
+    toks = tokens_sql("text", engine)
+    h = h60_sql("word", engine)
+    b = n_buckets
+    idiv = "div" if engine == SPARK else "//"
+    return f"""
+with t as (
+  select doc_id, lang, {toks} as _toks from {doc_view}),
+w as (
+  select doc_id, lang, {explode_sql('_toks', 'word', engine)} from t),
+wb as (
+  select doc_id, lang, {h} % {b} as bkt from w),
+raw_tot as (select cast(count(*) as bigint) as n from wb),
+tgt_tot as (select cast(count(*) as bigint) as n from wb
+            where lang = 'en'),
+raw_b as (
+  select bkt, cast(count(*) as bigint) as c from wb group by bkt),
+tgt_b as (
+  select bkt, cast(count(*) as bigint) as c from wb
+  where lang = 'en' group by bkt),
+lr as (
+  select r.bkt,
+         cast(round(ln(
+           (cast(coalesce(tg.c, 0) + 1 as double)
+              / cast((select n from tgt_tot) + {b} as double))
+           / (cast(r.c + 1 as double)
+              / cast((select n from raw_tot) + {b} as double))
+         ) * 1000000000) as bigint) as lr_nano
+  from raw_b r left join tgt_b tg on tg.bkt = r.bkt),
+doc_b as (
+  select doc_id, bkt, cast(count(*) as bigint) as c
+  from wb group by doc_id, bkt),
+scored as (
+  select d.doc_id,
+         cast(sum(d.c) as bigint) as n_words,
+         cast(sum(d.c * l.lr_nano) as bigint) as w_nano
+  from doc_b d join lr l on l.bkt = d.bkt
+  group by d.doc_id),
+binned as (
+  select doc_id, n_words, w_nano,
+         w_nano {idiv} 1000000 as w_milli from scored),
+hist as (
+  select w_milli, cast(count(*) as bigint) as c
+  from binned group by w_milli),
+cum as (
+  select w_milli, c,
+         cast(coalesce(sum(c) over (order by w_milli desc
+                rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as n_above
+  from hist),
+kparam as (
+  select cast(sum(c) as bigint) {idiv} 4 as k from hist),
+thr as (
+  select w_milli, n_above from cum
+  where n_above < (select k from kparam)
+    and n_above + c >= (select k from kparam)
+  order by w_milli asc limit 1),
+ranked as (
+  select doc_id, n_words, w_nano, w_milli,
+         row_number() over (partition by w_milli
+                            order by w_nano desc, doc_id) as rib
+  from binned
+  where w_milli = (select w_milli from thr))
+select doc_id, n_words, w_nano,
+       cast(1 as bigint) as kept
+from binned where w_milli > (select w_milli from thr)
+union all
+select doc_id, n_words, w_nano,
+       cast(case when rib <= (select k from kparam)
+                              - (select n_above from thr)
+            then 1 else 0 end as bigint) as kept
+from ranked
+union all
+select doc_id, n_words, w_nano, cast(0 as bigint) as kept
+from binned where w_milli < (select w_milli from thr)
+"""

@@ -770,6 +770,43 @@ def test_sitemap_coverage_reconciliation(spark):
     assert r0.n_gap == r0.n_sitemap
 
 
+def test_dsir_importance_selection_pressure(spark):
+    """DSIR pinned on a constructed corpus: docs made of words that
+    dominate the lang='en' target slice must outscore docs of words
+    the target never uses, and exactly n/4 docs are kept, highest
+    weights first (ties impossible by construction)."""
+    import gdal_spark.textops as textops
+
+    en = "alpha beta gamma delta"
+    de = "zug vogel wald berg"
+    rows = (
+        # 4 target docs establish the target distribution
+        [(i, en, "en") for i in range(4)] +
+        # 2 raw-only docs reusing target words -> high weight
+        [(10, en, "de"), (11, "alpha beta alpha beta", "de")] +
+        # 6 raw-only docs of non-target words -> low weight
+        [(20 + i, de, "de") for i in range(6)])
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    out = {r.doc_id: r for r in
+           spark.sql(textops.dsir_importance_sql(
+               "documents", textops.SPARK)).collect()}
+
+    assert len(out) == 12
+    assert sum(r.kept for r in out.values()) == 3  # 12 // 4
+    target_word_docs = [out[i].w_nano for i in (0, 1, 2, 3, 10, 11)]
+    nontarget_docs = [out[i].w_nano for i in range(20, 26)]
+    assert min(target_word_docs) > max(nontarget_docs)
+    # the kept set is exactly 3 of the target-word docs
+    kept_ids = {i for i, r in out.items() if r.kept}
+    assert kept_ids <= {0, 1, 2, 3, 10, 11}
+    # resume-stability: integer weights are identical on re-run
+    out2 = {r.doc_id: r.w_nano for r in
+            spark.sql(textops.dsir_importance_sql(
+                "documents", textops.SPARK)).collect()}
+    assert out2 == {i: r.w_nano for i, r in out.items()}
+
+
 def test_html_extract_byte_identical(spark):
     """The north-rule invariant: extraction recovers the page text
     byte-for-byte, independently re-derived in Python (not via the
