@@ -501,6 +501,24 @@ def q_crawl_url_canonicalize(spark: SparkSession,
                                                   textops.SPARK))
 
 
+def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction → host link graph → PageRank (Brin & Page
+    WWW'98; Common Crawl publishes exactly this host-level ranking):
+    deterministic anchor-bearing HTML per page, href extraction via
+    regexp (narrow, scan-bound), host canonicalization incl. relative
+    URL resolution (RFC 3986 §5.1), self-loop-free (src,dst) host edge
+    aggregation, then a 3-round damped power iteration in EXACT integer
+    micro-units — per-edge flow ``(rank*w) div out_w``, the unrolled
+    embed_kmeans iteration pattern, bit-stable cross-engine. The rank
+    iteration joins/aggregates only the HOST table: at 100 TB the page
+    scan is the one heavy pass and the shuffle carries host pairs, not
+    pages. Engine and oracle run the same dual-dialect SQL
+    (textops.link_graph_pagerank_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.link_graph_pagerank_sql("documents",
+                                                     textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1385,6 +1403,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_paragraph_exact": q_dedup_paragraph_exact,
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
+    "crawl_pagerank": q_crawl_pagerank,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1449,6 +1468,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                          DUCKDB),
     "crawl_url_canonicalize": textops.url_canonicalize_sql("documents",
                                                            DUCKDB),
+    "crawl_pagerank": textops.link_graph_pagerank_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

@@ -1643,3 +1643,161 @@ union all
 select doc_id, n_words, w_nano, cast(0 as bigint) as kept
 from binned where w_milli < (select w_milli from thr)
 """
+
+
+# ---------------------------------------------------------------------------
+# Link graph + host PageRank
+# ---------------------------------------------------------------------------
+
+
+def link_graph_pagerank_sql(doc_view: str, engine: str,
+                            n_hosts: int = 50, rounds: int = 3,
+                            damp_milli: int = 850) -> str:
+    """Outlink extraction → host-level link graph → PageRank (Page et
+    al. 1999 / Brin & Page WWW'98) — the crawl-frontier prioritization
+    and quality signal every web-corpus pipeline computes (Common Crawl
+    publishes exactly this as its host-level ranks; CCNet/RefinedWeb
+    use link-based host quality as a filter input).
+
+    Stages, each with its 100 TB shape stated:
+
+    1. **Anchor synthesis + href extraction** — each page gets a
+       deterministic HTML fragment with 2–4 ``<a href>`` anchors:
+       absolute URLs with messy case / ``WWW.`` prefixes (so host
+       canonicalization provably merges variants) plus one
+       RELATIVE href resolved against the page's own host (RFC 3986
+       §5.1 base resolution, the case real link extractors hit most).
+       ``regexp_extract_all`` over the page html is a pure narrow
+       projection — scan-bound, zero shuffle, no Python.
+    2. **Host edge aggregation** — (src_host, dst_host) groupBy with
+       map-side partials; self-loops dropped (standard PageRank
+       convention). The edge table is host×host — at web scale ~10⁷
+       hosts, *independent of page count*: the one full-corpus shuffle
+       carries host-pair rows only, never page text.
+    3. **Power iteration, unrolled ``rounds`` times** — EXACT integer
+       arithmetic: ranks live in micro-units summing to ~10¹²;
+       per-edge flow is ``(rank*weight) div out_weight`` (truncating
+       integer division — deterministic and identical in both engines,
+       the embed_kmeans unrolled-iteration pattern), damped as
+       ``base + damp_milli*inflow div 1000``. Dangling hosts (none in
+       the synthesized graph, guarded anyway) contribute only the
+       teleport base. Each round is one equi-join rank⋈edges + one
+       dst-keyed groupBy over the HOST table — tiny vs the corpus, and
+       exactly the iteration Spark would run at 10⁷ hosts without any
+       driver collect.
+
+    Output per host: (host, out_deg, out_w, in_w, r1, r2, r3) — all
+    bigints, bit-stable cross-engine. Divergence from float PageRank:
+    truncating integer division loses ≤1 micro-unit per edge per round
+    (bounded drift ~edges·rounds micro-units ≈ 1e-6 of total mass);
+    documented here, irrelevant to ranking order on this graph.
+    """
+    idiv = " div " if engine == SPARK else " // "
+    # deterministic messy absolute targets + one relative href per page
+    html = f"""concat(
+  '<p>intro</p><a href="',
+  case when doc_id % 2 = 0 then 'https://' else 'HTTP://' end,
+  case when doc_id % 3 = 0 then 'WWW.' else '' end,
+  case when doc_id % 4 < 2 then 'Site' else 'site' end,
+  (doc_id * 7 + 13) % {n_hosts}, '.Example/a/', (doc_id + 1) % 20,
+  '">one</a> text <a href="/local/', doc_id % 9,
+  '">rel</a>',
+  case when doc_id % 3 <> 1 then concat(
+    '<a href="https://site', (doc_id * 11 + 29) % {n_hosts},
+    '.example/b/', (doc_id + 2) % 20, '">two</a>') else '' end,
+  case when doc_id % 5 = 0 then concat(
+    '<a href="HTTPS://Site', (doc_id * 3 + 41) % {n_hosts},
+    '.EXAMPLE:443/c/', doc_id % 20, '">three</a>') else '' end)"""
+    if engine == SPARK:
+        hrefs = "explode(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1))"
+        href_rows = (f"select src_host, {hrefs} as href from pages")
+    else:
+        href_rows = ("select src_host, unnest(regexp_extract_all("
+                     "html, 'href=\"([^\"]*)\"', 1)) as href from pages")
+    # canonical dst host: strip scheme, take up-to-first-/, lowercase,
+    # strip :443 / :80 and leading www.; relative hrefs resolve to the
+    # page's own host (RFC 3986 §5.1)
+    rounds_ctes = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        rounds_ctes.append(f"""r{i} as (
+  select h.host,
+         (select base from params)
+           + ({damp_milli} * coalesce(f.inflow, 0)){idiv}1000 as r
+  from hosts h left join (
+    select e.dst as host,
+           sum((p.r * e.w){idiv}o.ow) as inflow
+    from edges e
+    join {prev} p on p.host = e.src
+    join outw o on o.src = e.src
+    group by e.dst) f on f.host = h.host)""")
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds_ctes)
+    rank_cols = ", ".join(
+        f"cast(r{i}.r as bigint) as r{i}" for i in range(1, rounds + 1))
+    rank_joins = "\n".join(
+        f"join r{i} on r{i}.host = h.host" for i in range(1, rounds + 1))
+    return f"""
+with pages as (
+  select doc_id,
+         concat(case when doc_id % 4 < 2 then 'Site' else 'site' end,
+                doc_id % {n_hosts}, '.Example') as raw_src,
+         concat('site', doc_id % {n_hosts}, '.example') as src_host,
+         {html} as html
+  from {doc_view}),
+hr as ({href_rows}),
+dst0 as (
+  select src_host,
+         case when href like '/%' then src_host
+              else lower(substr(href, position('://' in href) + 3)) end
+           as rest
+  from hr),
+dst1 as (
+  select src_host,
+         case when position('/' in rest) = 0 then rest
+              else substr(rest, 1, position('/' in rest) - 1) end as hp
+  from dst0),
+dst2 as (
+  select src_host,
+         case when hp like '%:443' then substr(hp, 1, length(hp) - 4)
+              when hp like '%:80' then substr(hp, 1, length(hp) - 3)
+              else hp end as hp2
+  from dst1),
+resolved as (
+  select src_host,
+         case when hp2 like 'www.%' then substr(hp2, 5) else hp2 end
+           as dst_host
+  from dst2),
+edges as (
+  select src_host as src, dst_host as dst,
+         cast(count(*) as bigint) as w
+  from resolved where src_host <> dst_host
+  group by src_host, dst_host),
+outw as (
+  select src, sum(w) as ow, cast(count(*) as bigint) as odeg
+  from edges group by src),
+inw as (
+  select dst, sum(w) as iw from edges group by dst),
+hosts as (
+  select src as host from edges
+  union
+  select dst from edges),
+params as (
+  select cast(1000000000000{idiv}(select count(*) from hosts) as bigint)
+           as r0,
+         cast((1000000000000 * (1000 - {damp_milli}))
+              {idiv}1000{idiv}(select count(*) from hosts) as bigint)
+           as base),
+r0 as (
+  select host, (select r0 from params) as r from hosts),
+{rounds_sql}
+select h.host,
+       cast(coalesce(o.odeg, 0) as bigint) as out_deg,
+       cast(coalesce(o.ow, 0) as bigint) as out_w,
+       cast(coalesce(i.iw, 0) as bigint) as in_w,
+       {rank_cols}
+from hosts h
+left join outw o on o.src = h.host
+left join inw i on i.dst = h.host
+{rank_joins}
+"""

@@ -1247,3 +1247,60 @@ def test_geocode_from_html_chain_invariants(spark):
         else:
             assert r.cell_id is None and r.lat_x is None
     assert 0.5 < n_geo / len(out) < 0.7  # the ~60% geotag mixture
+
+
+def test_pagerank_matches_python_transcription(spark):
+    """Integer PageRank pinned against an independent Python
+    transcription of the synthesis + power iteration (truncating //
+    everywhere), on a small constructed corpus."""
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_crawl_pagerank
+
+    n = 12
+    rows = [(i, "t", "en") for i in range(n)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.host: r for r in q_crawl_pagerank(spark, tmp).collect()}
+
+    # independent transcription of the href synthesis (n_hosts=50)
+    from collections import Counter
+    edges = Counter()
+    for d in range(n):
+        src = f"site{d % 50}.example"
+        dsts = [f"site{(d * 7 + 13) % 50}.example", src]  # abs one + rel
+        if d % 3 != 1:
+            dsts.append(f"site{(d * 11 + 29) % 50}.example")
+        if d % 5 == 0:
+            dsts.append(f"site{(d * 3 + 41) % 50}.example")
+        for t in dsts:
+            if t != src:
+                edges[(src, t)] += 1
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    ow = Counter()
+    odeg = Counter()
+    iw = Counter()
+    for (s, t), w in edges.items():
+        ow[s] += w
+        odeg[s] += 1
+        iw[t] += w
+    nh = len(hosts)
+    r = {h: 10**12 // nh for h in hosts}
+    base = (10**12 * 150) // 1000 // nh
+    ranks = []
+    for _ in range(3):
+        inflow = Counter()
+        for (s, t), w in edges.items():
+            inflow[t] += (r[s] * w) // ow[s]
+        r = {h: base + (850 * inflow[h]) // 1000 for h in hosts}
+        ranks.append(dict(r))
+
+    assert set(out) == set(hosts)
+    for h in hosts:
+        assert out[h].out_deg == odeg[h]
+        assert out[h].out_w == ow[h]
+        assert out[h].in_w == iw[h]
+        assert out[h].r1 == ranks[0][h]
+        assert out[h].r2 == ranks[1][h]
+        assert out[h].r3 == ranks[2][h]
