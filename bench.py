@@ -87,6 +87,10 @@ HEADLINE = [
     "raster_percentiles",
     "raster_footprint",
     "raster_color_merge",
+    "crawl_sitemap_coverage",
+    "text_dsir_importance",
+    "crawl_pagerank",
+    "train_bpe_merges",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -519,6 +519,23 @@ def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      textops.SPARK))
 
 
+def q_train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merges (Sennrich et al. ACL
+    2016; the GPT-2/RoBERTa vocabulary-learning algorithm): ONE
+    corpus pass aggregates (word, count) — everything after runs on
+    the vocab table only, the two-tier design real distributed
+    trainers use. Per round: overlap-counting pair aggregation,
+    deterministic best-pair pick (count desc, pair asc — documented
+    tie-break divergence from Sennrich's dict order), and
+    left-to-right non-overlapping merge application as a
+    gaps-and-islands window (run parity), no sequential scan. At
+    100 TB the vocab shuffles carry (word, syms) rows — ~10⁷ rows
+    regardless of corpus size. Engine and oracle run the same
+    dual-dialect SQL (textops.bpe_merges_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.bpe_merges_sql("documents", textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1404,6 +1421,7 @@ QUERIES = {
     "dedup_paragraph_exact": q_dedup_paragraph_exact,
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "crawl_pagerank": q_crawl_pagerank,
+    "train_bpe_merges": q_train_bpe_merges,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1469,6 +1487,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_url_canonicalize": textops.url_canonicalize_sql("documents",
                                                            DUCKDB),
     "crawl_pagerank": textops.link_graph_pagerank_sql("documents", DUCKDB),
+    "train_bpe_merges": textops.bpe_merges_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

@@ -1801,3 +1801,139 @@ left join outw o on o.src = h.host
 left join inw i on i.dst = h.host
 {rank_joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge learning over the word-frequency table)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges_sql(doc_view: str, engine: str,
+                   rounds: int = 3, topk: int = 8) -> str:
+    """Byte-pair-encoding merge learning (Sennrich, Haddow & Birch,
+    ACL 2016 "Neural Machine Translation of Rare Words with Subword
+    Units" — the tokenizer-training algorithm behind GPT-2/RoBERTa
+    vocabularies): learn the first ``rounds`` merges of a BPE
+    vocabulary from the corpus, exactly as a distributed trainer
+    would at 100 TB.
+
+    Stages, each with its scale shape stated:
+
+    1. **Word-frequency aggregation** — lowercase ``[a-z]+`` tokens →
+       (word, count). This is the ONE full-corpus pass (explode +
+       groupBy with map-side partials); every later stage touches only
+       the vocab table (~10⁷ rows at web scale, independent of corpus
+       size) — the same two-tier design as real BPE trainers
+       (HuggingFace tokenizers aggregates word counts first, then
+       iterates merges over the vocab).
+    2. **Spelling** — each word becomes space-separated single-char
+       symbols plus the Sennrich end-of-word marker ``</w>``.
+    3. **Per-round merge learning**, unrolled ``rounds`` times over
+       the vocab table only:
+       a. *pair counting*: explode adjacent symbol positions; each
+          occurrence contributes the word's corpus count (overlapping
+          occurrences each count, matching Sennrich's ``get_stats``).
+       b. *best pair*: max count, ties broken by (s1, s2) ascending —
+          a DOCUMENTED divergence from Sennrich's dict-order
+          tie-break (which is Python-insertion-order, not a spec);
+          ours is deterministic cross-engine.
+       c. *merge application*: left-to-right non-overlapping within
+          each word (Sennrich's ``re.sub`` semantics). Closed form:
+          adjacent conflicting matches are only possible when
+          s1 == s2, so a match position merges iff it sits at an EVEN
+          offset within its run of consecutive matching positions —
+          a gaps-and-islands window (run id = p − row_number), no
+          sequential scan.
+       Each round is two vocab-sized exchanges (pair groupBy + word
+       rebuild groupBy); the best-pair scalar subquery broadcasts.
+    4. **Output** — per round, the ``topk`` candidate pairs with
+       count, deterministic rank, the merged flag, and the round's
+       distinct-pair universe size. Everything integer/string →
+       bit-stable cross-engine.
+    """
+    if engine == SPARK:
+        words = (f"select explode(split(lower(text), '[^a-z]+')) as w"
+                 f" from {doc_view}")
+        spell = "concat(regexp_replace(w, '(.)', '$1 '), '</w>')"
+
+        def pos_cte(i: int) -> str:
+            return (f"select w, cnt, a, p from a{i}"
+                    f" lateral view explode(sequence(1, size(a))) t as p")
+
+        def elem(arr: str, idx: str) -> str:
+            return f"try_element_at({arr}, {idx})"
+
+        rebuild_agg = ("array_join(transform(array_sort(collect_list("
+                       "struct(p, piece))), x -> x.piece), ' ')")
+        split_syms = "split(syms, ' ')"
+    else:
+        words = (f"select unnest(string_split_regex(lower(text),"
+                 f" '[^a-z]+')) as w from {doc_view}")
+        spell = r"concat(regexp_replace(w, '(.)', '\1 ', 'g'), '</w>')"
+
+        def pos_cte(i: int) -> str:
+            return (f"select w, cnt, a, unnest(range(1, len(a) + 1)) as p"
+                    f" from a{i}")
+
+        def elem(arr: str, idx: str) -> str:
+            return f"{arr}[{idx}]"
+
+        rebuild_agg = "string_agg(piece, ' ' order by p)"
+        split_syms = "string_split(syms, ' ')"
+
+    round_ctes = []
+    out_rows = []
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        round_ctes.append(f"""a{i} as (
+  select w, cnt, {split_syms} as a from {prev}),
+pos{i} as ({pos_cte(i)}),
+pr{i} as (
+  select w, cnt, p, {elem('a', 'p')} as s1, {elem('a', 'p + 1')} as s2
+  from pos{i}),
+pc{i} as (
+  select s1, s2, cast(sum(cnt) as bigint) as pcnt
+  from pr{i} where s2 is not null group by s1, s2),
+rk{i} as (
+  select s1, s2, pcnt,
+         cast(row_number() over (order by pcnt desc, s1, s2) as bigint)
+           as rnk,
+         cast(count(*) over () as bigint) as n_pairs
+  from pc{i}),
+mt{i} as (
+  select w, p, p - row_number() over (partition by w order by p) as run
+  from pr{i}
+  where s1 = (select s1 from rk{i} where rnk = 1)
+    and s2 = (select s2 from rk{i} where rnk = 1)),
+st{i} as (
+  select w, p from (
+    select w, p, row_number() over (partition by w, run order by p) as rn
+    from mt{i}) x where rn % 2 = 1),
+v{i} as (
+  select r.w, r.cnt, {rebuild_agg} as syms
+  from (
+    select pr.w, pr.cnt, pr.p,
+           case when s.p is not null then concat(pr.s1, pr.s2)
+                when s0.p is not null then cast(null as string)
+                else pr.s1 end as piece
+    from pr{i} pr
+    left join st{i} s on s.w = pr.w and s.p = pr.p
+    left join st{i} s0 on s0.w = pr.w and s0.p = pr.p - 1) r
+  where r.piece is not null
+  group by r.w, r.cnt)""")
+        out_rows.append(f"""select cast({i} as int) as round, rnk,
+       s1 as left_sym, s2 as right_sym, pcnt as pair_cnt,
+       cast(case when rnk = 1 then 1 else 0 end as int) as merged,
+       n_pairs
+from rk{i} where rnk <= {topk}""")
+    rounds_sql = ",\n".join(round_ctes)
+    union_sql = "\nunion all\n".join(out_rows)
+    return f"""
+with words0 as ({words}),
+vocab as (
+  select w, cast(count(*) as bigint) as cnt
+  from words0 where w <> '' group by w),
+v0 as (select w, cnt, {spell} as syms from vocab),
+{rounds_sql}
+{union_sql}
+"""

@@ -1304,3 +1304,67 @@ def test_pagerank_matches_python_transcription(spark):
         assert out[h].r1 == ranks[0][h]
         assert out[h].r2 == ranks[1][h]
         assert out[h].r3 == ranks[2][h]
+
+
+def test_bpe_merges_matches_python_transcription(spark):
+    """BPE merge learning pinned against an independent Python
+    transcription of Sennrich's algorithm (overlap-counting get_stats,
+    left-to-right non-overlapping merge, our documented (count desc,
+    pair asc) tie-break) on a corpus constructed to exercise the
+    overlap case (aaaa: the run-parity merge) and an exact tie."""
+    import re
+    import tempfile
+    from collections import Counter
+
+    from gdal_spark.queries.textpipe import q_train_bpe_merges
+
+    texts = [
+        "aaaa aaaa aaaa aaaa aaaa bc bc bc",   # (a,a) dominates; overlap
+        "aaaa aaaa bc bc bc de de de",         # (b,c) vs (d,e) race
+        "de de de xbc xde aaa",                # 'aaa': odd-run parity
+    ]
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = [(r.round, r.rnk, r.left_sym, r.right_sym, r.pair_cnt, r.merged,
+            r.n_pairs)
+           for r in q_train_bpe_merges(spark, tmp).collect()]
+    got.sort()
+
+    # --- independent transcription ---
+    vocab = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                vocab[w] += 1
+    spelled = {tuple(list(w) + ["</w>"]): c for w, c in vocab.items()}
+    expected = []
+    for rnd in (1, 2, 3):
+        stats = Counter()
+        for syms, c in spelled.items():
+            for j in range(len(syms) - 1):
+                stats[(syms[j], syms[j + 1])] += c  # overlaps count
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_pairs = len(ranked)
+        for rnk, ((s1, s2), c) in enumerate(ranked[:8], start=1):
+            expected.append((rnd, rnk, s1, s2, c,
+                             1 if rnk == 1 else 0, n_pairs))
+        (a, b), _ = ranked[0]
+        new_spelled = {}
+        for syms, c in spelled.items():
+            out, j = [], 0
+            while j < len(syms):          # left-to-right non-overlap
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_spelled[tuple(out)] = new_spelled.get(tuple(out), 0) + c
+        spelled = new_spelled
+    expected.sort()
+    assert got == expected
+    # the constructed corpus must actually hit the overlap case:
+    # round 1's winner is (a,a) merged inside 'aaaa' and 'aaa'
+    assert expected[0][2] == "a" and expected[0][3] == "a"
