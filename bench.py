@@ -91,6 +91,7 @@ HEADLINE = [
     "text_dsir_importance",
     "crawl_pagerank",
     "train_bpe_merges",
+    "raster_equalize_checksum",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -598,6 +598,61 @@ group by 1
     return _percentile_tail_sql(hist)
 
 
+def q_raster_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance -equalize (apps/gdalenhance.cpp): histogram
+    equalization of the DEM to Byte. ONE data pass builds the value
+    histogram (per-tile bincount partials → keyed reduction); the
+    256-bin default-histogram frame, zeroed extremes, half-bucket CDF
+    and integer LUT (ComputeEqualizationLUTs, all exact integer SQL
+    over a 256-row table) produce a bounded value→byte map that is
+    collected and applied per tile exactly as the reference applies
+    its driver-computed LUT per block (EnhancerCallback); output is
+    per-tile GDALChecksumImage + byte sum. At 100 TB: pixels cross no
+    shuffle — the exchange carries (value, count) partials only, and
+    the LUT rides the closure."""
+    from gdal_spark.raster import (equalize_map_sql,
+                                   equalize_tile_checksums, histogram)
+
+    _ = sf_dir
+    tiles = synth_dem_tiles(spark, DEM_PX)
+    vh = histogram(tiles, n_buckets=211).withColumnRenamed("bucket", "value")
+    vh.createOrReplaceTempView("eq_vh")
+    vmap = {int(r.value): int(r.out_val) for r in spark.sql(
+        equalize_map_sql("select * from eq_vh", "spark", 0.0, 210.0)
+    ).collect()}
+    return equalize_tile_checksums(tiles, vmap)
+
+
+def _raster_equalize_oracle() -> str:
+    from gdal_spark.raster import CHECKSUM_PRIMES, equalize_map_sql
+
+    hist = f"""
+select ((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211) as value,
+       count(*) as n_pixels
+from (select a.range as gx, b.range as gy
+      from range(0, {DEM_PX}) a cross join range(0, {DEM_PX}) b) g
+group by 1
+"""
+    map_sql = equalize_map_sql(hist, "duckdb", 0.0, 210.0)
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    return f"""
+with m as ({map_sql}),
+pv as (
+  select gx, gy, ((gx * gx * 5 + gy * gy * 3 + gx * gy) % 211) as value
+  from (select a.range as gx, b.range as gy
+        from range(0, {DEM_PX}) a cross join range(0, {DEM_PX}) b) g),
+o as (
+  select gx // 64 as tx, gy // 64 as ty,
+         (gy % 64) * 64 + (gx % 64) as pos, m.out_val
+  from pv join m on m.value = pv.value)
+select cast(tx as bigint) as tx, cast(ty as bigint) as ty,
+       cast(sum(out_val % list_extract([{primes}], pos % 11 + 1))
+            % 65536 as bigint) as checksum_val,
+       cast(sum(out_val) as bigint) as sum_out
+from o group by tx, ty
+"""
+
+
 def q_raster_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_footprint (apps/gdal_footprint_lib.cpp — the last CLI app
     surface uncovered): footprint polygons of the valid-data mask. A
@@ -1744,6 +1799,7 @@ QUERIES = {
     "warp_gcp_poly": q_warp_gcp_poly,
     "warp_gcp_tps": q_warp_gcp_tps,
     "raster_percentiles": q_raster_percentiles,
+    "raster_equalize_checksum": q_raster_equalize,
     "raster_footprint": q_raster_footprint,
     "raster_color_merge": q_raster_color_merge,
     "raster_viewshed_exact": q_viewshed_exact,
@@ -1997,6 +2053,7 @@ select qid, round(value, 6) as value from (
     "warp_gcp_poly": _warp_gcp_oracle(),
     "warp_gcp_tps": _warp_gcp_tps_oracle(),
     "raster_percentiles": _raster_percentiles_oracle(),
+    "raster_equalize_checksum": _raster_equalize_oracle(),
     "raster_footprint": _raster_footprint_oracle(),
     "raster_color_merge": _color_merge_sql("duckdb"),
     "warp_average_nodata": __import__(

@@ -2745,3 +2745,110 @@ select gx, gy,
        round(100.0e0 * sqrt({zk}) / 2.0e0, 6) as slope_zt_pct
 from {rel}
 """
+
+
+# ---------------------------------------------------------------------------
+# gdalenhance -equalize (apps/gdalenhance.cpp)
+# ---------------------------------------------------------------------------
+
+
+def equalize_params(vmin: float, vmax: float,
+                    n_buckets: int = 256) -> tuple[float, float]:
+    """GDALGetDefaultHistogram's non-Byte bucket frame
+    (gcore/gdalrasterband.cpp:4896-4900): min/max from statistics,
+    expanded by half a bucket — transcribed with the identical double
+    operations so both engines' literals match the C++ values
+    bit-for-bit. Returns (lo, scale): bucket/bin index is
+    floor((v - lo) * scale), the shared expression of BOTH
+    GetHistogram (gdalrasterband.cpp:4432) and gdalenhance's
+    EnhancerCallback (apps/gdalenhance.cpp:503-528 — truncation and
+    floor agree for the in-range positives)."""
+    half = (vmax - vmin) / (2 * (n_buckets - 1))
+    lo = vmin - half
+    hi = vmax + half
+    scale = n_buckets / (hi - lo)
+    return lo, scale
+
+
+def equalize_map_sql(hist_sql: str, engine: str, vmin: float, vmax: float,
+                     n_buckets: int = 256) -> str:
+    """value → equalized-byte map (gdalenhance ComputeEqualizationLUTs,
+    apps/gdalenhance.cpp:370-461): bucket the value histogram into the
+    256 default-histogram bins, zero the extreme bins (":=0" of
+    nodata/extremes, line 405-406), build the half-bucket-offset
+    cumulative histogram ``cum[i] = prefix + h[i]/2`` (line 419-423,
+    integer division), then ``LUT[i] = clamp(cum[i]*256/total)``
+    (line 446-452, all integer) — every step exact integer SQL over a
+    256-row table, shared verbatim between engines except the
+    spine/int-div spellings.
+
+    ``hist_sql`` must yield (value, n_pixels) — the ONE data pass; at
+    100 TB that is per-tile bincount partials and a keyed reduction,
+    everything here is a 256-row table."""
+    lo, scale = equalize_params(vmin, vmax, n_buckets)
+    last = n_buckets - 1
+    if engine == "spark":
+        spine = f"select explode(sequence(0, {last})) as b"
+        idiv = " div "
+    else:
+        spine = f"select unnest(range(0, {n_buckets})) as b"
+        idiv = " // "
+    bin_expr = (f"least(greatest(cast(floor((cast(value as double)"
+                f" - cast({lo!r} as double)) * cast({scale!r} as double))"
+                f" as int), 0), {last})")
+    return f"""
+with vh as ({hist_sql}),
+bh as (
+  select {bin_expr} as b, cast(sum(n_pixels) as bigint) as h
+  from vh group by 1),
+spine as ({spine}),
+hz as (
+  select s.b,
+         case when s.b in (0, {last}) then cast(0 as bigint)
+              else coalesce(bh.h, 0) end as h
+  from spine s left join bh on bh.b = s.b),
+cum as (
+  select b,
+         cast(coalesce(sum(h) over (order by b rows between unbounded
+             preceding and 1 preceding), 0) + h{idiv}2 as bigint) as c,
+         greatest(cast(sum(h) over () as bigint), 1) as tot
+  from hz),
+lut as (
+  select b,
+         least(greatest((c * {n_buckets}){idiv}tot, cast(0 as bigint)),
+               {last}) as lv
+  from cum)
+select vh.value, cast(lut.lv as bigint) as out_val
+from vh join lut on lut.b = {bin_expr}
+"""
+
+
+def equalize_tile_checksums(tiles: DataFrame, value_map: dict[int, int],
+                            dtype: str = "int64") -> DataFrame:
+    """Apply the equalization LUT per tile and checksum the Byte
+    output — gdalenhance's EnhancerCallback applied per block, with
+    the LUT computed once up front exactly as the reference does
+    (ComputeEqualizationLUTs runs on the driver; the per-block
+    callback only indexes it). ``value_map`` is the bounded
+    value→byte table (≤ value universe, 211 here) — a broadcast
+    literal, the same two-pass shape as gdal_translate -scale."""
+    np_dtype = np.dtype(dtype)
+    lut = np.zeros(max(value_map) + 1, dtype=np.int64)
+    for v, o in value_map.items():
+        lut[v] = o
+
+    def per_tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            txs, tys, sums, outs = [], [], [], []
+            for tx, ty, raw in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                buf = np.frombuffer(raw, dtype=np_dtype).astype(np.int64)
+                out = lut[buf]
+                txs.append(int(tx))
+                tys.append(int(ty))
+                sums.append(checksum_np(out))
+                outs.append(int(out.sum()))
+            yield pd.DataFrame({"tx": txs, "ty": tys,
+                                "checksum_val": sums, "sum_out": outs})
+
+    return tiles.mapInPandas(
+        per_tile, "tx long, ty long, checksum_val long, sum_out long")

@@ -1032,3 +1032,62 @@ def test_color_merge_matches_reference_transcription(spark):
            for r in q_raster_color_merge(spark, "unused").collect()}
     assert out == want
     _ = np
+
+
+def test_equalize_matches_reference_transcription(spark):
+    """gdalenhance -equalize pinned against an independent Python
+    transcription of the reference's exact loops: GetDefaultHistogram's
+    expanded bounds (gdalrasterband.cpp:4896-4900), GetHistogram's
+    floor((v-min)*scale) bucketing (4432), ComputeEqualizationLUTs'
+    zeroed extremes / half-bucket CDF / integer LUT
+    (gdalenhance.cpp:405-452), and EnhancerCallback's float32 read +
+    truncating bin + LUT indexing (503-528)."""
+    import numpy as np
+
+    from gdal_spark.queries.raster import DEM_PX, q_raster_equalize
+    from gdal_spark.raster import CHECKSUM_PRIMES
+
+    got = {(r.tx, r.ty): (r.checksum_val, r.sum_out)
+           for r in q_raster_equalize(spark, "unused").collect()}
+
+    # ---- independent transcription of the C++ ----
+    gy, gx = np.mgrid[0:DEM_PX, 0:DEM_PX]
+    elev = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+    n_buckets = 256
+    vmin, vmax = 0.0, 210.0
+    half = (vmax - vmin) / (2 * (n_buckets - 1))
+    lo, hi = vmin - half, vmax + half
+    scale = n_buckets / (hi - lo)
+    hist = np.zeros(n_buckets, dtype=np.int64)
+    for v in elev.ravel():
+        idx = np.floor((float(v) - lo) * scale)
+        idx = 0 if idx < 0 else (n_buckets - 1 if idx >= n_buckets
+                                 else int(idx))
+        hist[idx] += 1
+    hist[0] = 0
+    hist[n_buckets - 1] = 0
+    cum = np.zeros(n_buckets, dtype=np.int64)
+    total = 0
+    for i in range(n_buckets):
+        cum[i] = total + hist[i] // 2
+        total += hist[i]
+    lut = np.clip(cum * n_buckets // max(total, 1), 0, n_buckets - 1)
+    # EnhancerCallback: read as float32, dfBin=(v-lo)*scale, trunc+clamp
+    src = elev.astype(np.float32).astype(np.float64)
+    dfbin = (src - lo) * scale
+    ibin = np.where(~(dfbin > 0), 0,
+                    np.where(~(dfbin < n_buckets - 1), n_buckets - 1,
+                             dfbin.astype(np.int64)))
+    out = lut[ibin].astype(np.uint8)
+
+    expected = {}
+    for tx in range(DEM_PX // 64):
+        for ty in range(DEM_PX // 64):
+            tile = out[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            flat = tile.ravel().astype(np.int64)
+            primes = CHECKSUM_PRIMES[np.arange(flat.size) % 11]
+            expected[(tx, ty)] = (int(np.sum(flat % primes) % 65536),
+                                  int(flat.sum()))
+    assert got == expected
+    # the equalization must actually stretch: full byte range used
+    assert out.min() == 0 and out.max() == 255
