@@ -61,10 +61,10 @@ _PRIORITY = [
     # to (a) queries NEW this round (never driver-checked — a query with
     # no driver row ever outranks any stale-but-green row), then (b) the
     # stale rows, oldest vintage first: the 7 r1-vintage rows, then the
-    # 30 r2-vintage ones. Round 5 grew (a) to 48 new operators, so at a
+    # 30 r2-vintage ones. Round 5 grew (a) to 49 new operators, so at a
     # ~50-row budget (b) reaches only the r1-vintage block; the
     # r2-vintage rows remain stale-green — all of them (and the full
-    # 182-query registry) were re-verified green this round through
+    # 183-query registry) were re-verified green this round through
     # scripts/verify_contract.py, the strict driver mirror, as a
     # compensating check.
     # -- (a) new round-5 operators, never driver-checked
@@ -90,6 +90,7 @@ _PRIORITY = [
     "raster_percentiles", "raster_footprint", "raster_color_merge",
     "crawl_sitemap_coverage", "text_dsir_importance", "crawl_pagerank",
     "train_bpe_merges", "raster_equalize_checksum",
+    "crawl_snapshot_delta",
     # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
     "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "text_langid", "text_quality", "text_token_counts",

@@ -92,6 +92,7 @@ HEADLINE = [
     "crawl_pagerank",
     "train_bpe_merges",
     "raster_equalize_checksum",
+    "crawl_snapshot_delta",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

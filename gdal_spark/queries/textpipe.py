@@ -536,6 +536,19 @@ def q_train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(textops.bpe_merges_sql("documents", textops.SPARK))
 
 
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl delta (the incremental-crawl comparison
+    Common Crawl publishes as new-vs-seen URL overlap): snapshot B
+    synthesized deterministically with gone/changed/new lanes, then
+    ONE hash-partitioned FULL OUTER equi-join on url classifies every
+    page; per-host unchanged/changed/gone/new rollup. At 10¹² docs the
+    join shuffles url + md5 only — page bodies never move. Engine and
+    oracle run the same dual-dialect SQL (textops.snapshot_delta_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.snapshot_delta_sql("documents",
+                                                textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1422,6 +1435,7 @@ QUERIES = {
     "crawl_url_canonicalize": q_crawl_url_canonicalize,
     "crawl_pagerank": q_crawl_pagerank,
     "train_bpe_merges": q_train_bpe_merges,
+    "crawl_snapshot_delta": q_crawl_snapshot_delta,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1488,6 +1502,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
                                                            DUCKDB),
     "crawl_pagerank": textops.link_graph_pagerank_sql("documents", DUCKDB),
     "train_bpe_merges": textops.bpe_merges_sql("documents", DUCKDB),
+    "crawl_snapshot_delta": textops.snapshot_delta_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

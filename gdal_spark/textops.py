@@ -1937,3 +1937,69 @@ v0 as (select w, cnt, {spell} as syms from vocab),
 {rounds_sql}
 {union_sql}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot crawl delta
+# ---------------------------------------------------------------------------
+
+
+def snapshot_delta_sql(doc_view: str, engine: str,
+                       n_hosts: int = 50) -> str:
+    """Cross-snapshot crawl delta — the incremental-crawl comparison
+    job every recurring web corpus runs (Common Crawl publishes
+    new-vs-seen URL overlap per crawl; refresh pipelines schedule
+    re-fetches from exactly this changed/gone/new classification).
+
+    Snapshot A is the corpus's canonical (url, content-hash) set;
+    snapshot B is synthesized deterministically from the same rows:
+    per doc_id decile, 10% of pages are GONE (absent from B), 20%
+    CHANGED (content hash differs), the rest unchanged; every
+    doc_id % 7 == 0 page contributes an additional NEW url. The
+    classifier is ONE hash-partitioned FULL OUTER equi-join on url —
+    at 10¹² documents this is the canonical shuffle-on-key comparison
+    (both sides carry url + 32-byte md5, never page bodies), and the
+    per-host rollup is a keyed aggregate with map-side partials.
+    Output per host: unchanged/changed/gone/new counts + totals —
+    all bigint, bit-stable cross-engine.
+    """
+    _ = engine  # shared text: md5/concat/full join are identical
+    return f"""
+with a as (
+  select concat('https://site', doc_id % {n_hosts}, '.example/p/', doc_id)
+           as url,
+         concat('site', doc_id % {n_hosts}, '.example') as host,
+         md5(text) as h
+  from {doc_view}),
+b as (
+  select concat('https://site', doc_id % {n_hosts}, '.example/p/', doc_id)
+           as url,
+         concat('site', doc_id % {n_hosts}, '.example') as host,
+         case when doc_id % 10 in (5, 6) then md5(concat(text, ' v2'))
+              else md5(text) end as h
+  from {doc_view} where doc_id % 10 <> 7
+  union all
+  select concat('https://site', doc_id % {n_hosts}, '.example/new/',
+                doc_id) as url,
+         concat('site', doc_id % {n_hosts}, '.example') as host,
+         md5(concat('new ', text)) as h
+  from {doc_view} where doc_id % 7 = 0),
+j as (
+  select coalesce(a.host, b.host) as host,
+         case when b.url is null then 'gone'
+              when a.url is null then 'new'
+              when a.h = b.h then 'unchanged'
+              else 'changed' end as status
+  from a full outer join b on a.url = b.url)
+select host,
+       cast(sum(case when status = 'unchanged' then 1 else 0 end)
+            as bigint) as n_unchanged,
+       cast(sum(case when status = 'changed' then 1 else 0 end)
+            as bigint) as n_changed,
+       cast(sum(case when status = 'gone' then 1 else 0 end)
+            as bigint) as n_gone,
+       cast(sum(case when status = 'new' then 1 else 0 end)
+            as bigint) as n_new,
+       cast(count(*) as bigint) as n_total
+from j group by host
+"""

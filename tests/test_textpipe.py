@@ -1368,3 +1368,47 @@ def test_bpe_merges_matches_python_transcription(spark):
     # the constructed corpus must actually hit the overlap case:
     # round 1's winner is (a,a) merged inside 'aaaa' and 'aaa'
     assert expected[0][2] == "a" and expected[0][3] == "a"
+
+
+def test_snapshot_delta_hand_derived(spark):
+    """Snapshot-delta classification pinned on a 70-doc corpus where
+    every lane count is hand-derivable from the doc_id modulo rules:
+    gone = doc_id%10==7, changed = doc_id%10 in (5,6), new = one extra
+    url per doc_id%7==0, everything else unchanged."""
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_crawl_snapshot_delta
+
+    n = 70
+    rows = [(i, f"text {i}", "en") for i in range(n)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.host: r for r in q_crawl_snapshot_delta(spark, tmp).collect()}
+
+    from collections import Counter
+    exp = Counter()
+    for i in range(n):
+        host = f"site{i % 50}.example"
+        if i % 10 == 7:
+            exp[(host, "gone")] += 1
+        elif i % 10 in (5, 6):
+            exp[(host, "changed")] += 1
+        else:
+            exp[(host, "unchanged")] += 1
+        if i % 7 == 0:
+            exp[(host, "new")] += 1
+    hosts = {h for h, _ in exp}
+    assert set(out) == hosts
+    for h in hosts:
+        r = out[h]
+        assert (r.n_unchanged, r.n_changed, r.n_gone, r.n_new) == (
+            exp[(h, "unchanged")], exp[(h, "changed")],
+            exp[(h, "gone")], exp[(h, "new")])
+        assert r.n_total == sum(
+            exp[(h, s)] for s in ("unchanged", "changed", "gone", "new"))
+    # every lane must be represented corpus-wide
+    tot = Counter()
+    for (h, s), c in exp.items():
+        tot[s] += c
+    assert min(tot.values()) > 0
