@@ -93,6 +93,7 @@ HEADLINE = [
     "train_bpe_merges",
     "raster_equalize_checksum",
     "crawl_snapshot_delta",
+    "text_bm25_topk",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -549,6 +549,20 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 textops.SPARK))
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Walker SIGIR'94, the
+    Lucene default scorer): top-10 docs per fixture query. One token
+    explode feeds the doc-length aggregate AND the term-filtered tf
+    aggregate — the `word IN (query terms)` filter drops everything
+    but query terms before the tf shuffle, so at 10¹² docs the shuffle
+    carries |terms|·df rows, not the corpus; df/query tables broadcast.
+    Scores in exact integer nano units (bit-agreeing ln — the
+    ccnet/dsir precedent). Engine and oracle run the same dual-dialect
+    SQL (textops.bm25_topk_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.bm25_topk_sql("documents", textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1436,6 +1450,7 @@ QUERIES = {
     "crawl_pagerank": q_crawl_pagerank,
     "train_bpe_merges": q_train_bpe_merges,
     "crawl_snapshot_delta": q_crawl_snapshot_delta,
+    "text_bm25_topk": q_text_bm25_topk,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1503,6 +1518,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_pagerank": textops.link_graph_pagerank_sql("documents", DUCKDB),
     "train_bpe_merges": textops.bpe_merges_sql("documents", DUCKDB),
     "crawl_snapshot_delta": textops.snapshot_delta_sql("documents", DUCKDB),
+    "text_bm25_topk": textops.bm25_topk_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

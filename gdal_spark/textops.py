@@ -2003,3 +2003,99 @@ select host,
        cast(count(*) as bigint) as n_total
 from j group by host
 """
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Fixture query set: terms drawn from the synthetic corpus's own
+# vocabulary with deliberately different document frequencies, so the
+# IDF term actually discriminates (same corpus-parameterization stance
+# as FIXTURE_STOPWORDS).
+BM25_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("vector", "stream", "spark")),
+    (3, ("customer", "query", "window")),
+)
+
+
+def bm25_topk_sql(doc_view: str, engine: str,
+                  queries: tuple = BM25_QUERIES,
+                  topk: int = 10) -> str:
+    """Okapi BM25 ranked retrieval (Robertson & Walker SIGIR'94; the
+    Lucene/Elasticsearch default scorer) — top-k documents per query:
+
+        score(q,d) = sum_t  ln(1 + (N - df + 0.5)/(df + 0.5))
+                          * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+
+    with k1=1.2, b=0.75 and the Lucene non-negative IDF variant.
+
+    Determinism: every score contribution is computed in DOUBLE from
+    exact integer inputs (tf, df, dl, N, total_words) through identical
+    expression text in both dialects (ln and IEEE ops bit-agree — the
+    ccnet/dsir precedent), then snapped to integer NANO units before the
+    per-(query,doc) sum, so aggregation is exact and order-independent;
+    ranking ties break on doc_id. All float literals are e-notation
+    doubles (DuckDB parses bare decimals as DECIMAL — the color-merge
+    lesson).
+
+    Scale shape (100 TB): one token explode feeds BOTH the doc-length
+    aggregate and the term-filtered tf aggregate; the `word IN (terms)`
+    filter drops everything but query terms BEFORE the tf shuffle, so
+    the expensive shuffle carries only (doc, query-term) rows — at
+    10^12 docs that is |terms| * df rows, not the corpus. df and the
+    query table are tiny (broadcast); the only doc-keyed shuffles are
+    the dl aggregate and the final per-(query,doc) sum. Reference tie:
+    the OGR SQL string/LIKE surface (ogr/swq_op_general.cpp) is the
+    reference's retrieval primitive; BM25 is the web-corpus extension.
+    """
+    toks = tokens_sql("text", engine)
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in queries
+                      for t in ts)
+    return f"""
+with t as (
+  select doc_id, {toks} as _toks from {doc_view}),
+w as (
+  select doc_id, {explode_sql('_toks', 'word', engine)} from t),
+dl as (
+  select doc_id, cast(count(*) as bigint) as dl
+  from w group by doc_id),
+g as (
+  select cast(sum(dl) as bigint) as total_words,
+         cast(count(*) as bigint) as n_docs from dl),
+q as (
+  select * from (values {qvals}) as v(query_id, term)),
+tf as (
+  select doc_id, word as term, cast(count(*) as bigint) as tf
+  from w where word in ({in_list}) group by doc_id, word),
+df as (
+  select term, cast(count(*) as bigint) as df from tf group by term),
+contrib as (
+  select q.query_id, tf.doc_id,
+         cast(round(
+           ln(1e0 + (cast((select n_docs from g) as double)
+                     - df.df + 5e-1) / (df.df + 5e-1))
+           * (tf.tf * 2.2e0)
+           / (tf.tf + 1.2e0 * (2.5e-1
+              + 7.5e-1 * dl.dl * (select n_docs from g)
+                / cast((select total_words from g) as double)))
+           * 1e9) as bigint) as c_nano
+  from q
+  join tf on tf.term = q.term
+  join dl on dl.doc_id = tf.doc_id
+  join df on df.term = tf.term),
+scored as (
+  select query_id, doc_id, cast(sum(c_nano) as bigint) as score_nano,
+         cast(count(*) as bigint) as n_terms_hit
+  from contrib group by query_id, doc_id),
+ranked as (
+  select query_id, doc_id, score_nano, n_terms_hit,
+         row_number() over (partition by query_id
+                            order by score_nano desc, doc_id) as rnk
+  from scored)
+select cast(query_id as bigint) as query_id, cast(rnk as bigint) as rnk,
+       doc_id, score_nano, n_terms_hit
+from ranked where rnk <= {topk}
+"""

@@ -1412,3 +1412,70 @@ def test_snapshot_delta_hand_derived(spark):
     for (h, s), c in exp.items():
         tot[s] += c
     assert min(tot.values()) > 0
+
+def test_bm25_matches_python_transcription(spark):
+    """BM25 pinned against an independent Python transcription of the
+    Robertson/Lucene formula (k1=1.2, b=0.75, non-negative IDF) on a
+    constructed corpus where term frequencies, doc lengths, and df all
+    differ; nano-unit snapping matches the SQL's per-contribution
+    round."""
+    import math
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_text_bm25_topk
+
+    docs = {
+        0: "hash join hash join hash the a",       # tf-heavy for q1
+        1: "hash join",                            # short doc, same terms
+        2: "vector stream spark vector",           # q2 full match
+        3: "vector the the the the the the the",   # long, 1 term
+        4: "customer query window customer",       # q3 full match
+        5: "spark stream",                         # q2 partial
+        6: "the a the a the a",                    # no query terms
+    }
+    tmp = tempfile.mkdtemp()
+    rows = [(i, t, "en") for i, t in docs.items()]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {(r.query_id, r.doc_id): (r.rnk, r.score_nano, r.n_terms_hit)
+           for r in q_text_bm25_topk(spark, tmp).collect()}
+
+    # independent transcription
+    toks = {i: t.split() for i, t in docs.items()}
+    n_docs = len(docs)
+    total_words = sum(len(v) for v in toks.values())
+    avgdl = total_words / n_docs
+    queries = {1: ["hash", "join"], 2: ["vector", "stream", "spark"],
+               3: ["customer", "query", "window"]}
+    df = {}
+    for terms in queries.values():
+        for t in terms:
+            df[t] = sum(1 for v in toks.values() if t in v)
+    exp = {}
+    for qid, terms in queries.items():
+        for d, v in toks.items():
+            s, hits = 0, 0
+            for t in terms:
+                tf = v.count(t)
+                if tf == 0:
+                    continue
+                hits += 1
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5)
+                               / (df[t] + 0.5))
+                c = idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+                s += int(round(c * 1e9))
+            if hits:
+                exp[(qid, d)] = (s, hits)
+    # ranks: score desc, doc_id asc
+    for qid in queries:
+        ranked = sorted(((v[0], d) for (q, d), v in exp.items()
+                         if q == qid), key=lambda x: (-x[0], x[1]))
+        for rnk, (s, d) in enumerate(ranked, 1):
+            assert got[(qid, d)] == (rnk, s, exp[(qid, d)][1]), \
+                (qid, d, got[(qid, d)], rnk, s)
+    assert len(got) == len(exp)
+    # fixture must exercise: a doc matching all three q2 terms ranking
+    # above a partial match, and the no-term doc absent everywhere
+    assert got[(2, 2)][0] == 1
+    assert all(d != 6 for (_, d) in got)
