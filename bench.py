@@ -94,6 +94,7 @@ HEADLINE = [
     "raster_equalize_checksum",
     "crawl_snapshot_delta",
     "text_bm25_topk",
+    "crawl_hll_distinct",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

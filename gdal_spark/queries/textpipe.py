@@ -563,6 +563,21 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(textops.bm25_topk_sql("documents", textops.SPARK))
 
 
+def q_crawl_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007 — the
+    estimator behind APPROX_COUNT_DISTINCT / Redis PFCOUNT), m=64,
+    with linear-counting small-range correction, pinned next to the
+    exact count per lane. At 10¹² rows COUNT(DISTINCT url) shuffles
+    every distinct value; the sketch shuffles only (entity, bucket,
+    max-rho) partials — map-side combinable, registers merge by max.
+    All integer arithmetic (rho via bin-length, exact 2^k registers,
+    one truncating division); engine and oracle run the same
+    dual-dialect SQL (textops.hll_distinct_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.hll_distinct_sql("documents",
+                                              textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1451,6 +1466,7 @@ QUERIES = {
     "train_bpe_merges": q_train_bpe_merges,
     "crawl_snapshot_delta": q_crawl_snapshot_delta,
     "text_bm25_topk": q_text_bm25_topk,
+    "crawl_hll_distinct": q_crawl_hll_distinct,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1519,6 +1535,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "train_bpe_merges": textops.bpe_merges_sql("documents", DUCKDB),
     "crawl_snapshot_delta": textops.snapshot_delta_sql("documents", DUCKDB),
     "text_bm25_topk": textops.bm25_topk_sql("documents", DUCKDB),
+    "crawl_hll_distinct": textops.hll_distinct_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

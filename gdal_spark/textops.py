@@ -2099,3 +2099,93 @@ select cast(query_id as bigint) as query_id, cast(rnk as bigint) as rnk,
        doc_id, score_nano, n_terms_hit
 from ranked where rnk <= {topk}
 """
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (p = 6 bucket bits)
+HLL_W = 40          # rho field width: bits 6..45 of the 60-bit hash
+HLL_ALPHA_MILLI = 709  # alpha_64 = 0.709 (Flajolet et al. 2007, Fig. 3)
+# alpha_m * m^2 * 2^W, exact in int64: numerator of the raw estimate
+_HLL_NUM = HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_W)
+
+
+def hll_distinct_sql(doc_view: str, engine: str) -> str:
+    """HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet &
+    Meunier, AofA 2007 — the cardinality estimator behind BigQuery's
+    APPROX_COUNT_DISTINCT and Redis PFCOUNT), m=64 registers, with the
+    small-range linear-counting correction, next to the exact count so
+    the contract pins the estimator's math AND its accuracy.
+
+    Three lanes exercise both branches: 'url' (one per doc — raw-HLL
+    branch), 'host' (50 distinct — linear-counting branch), 'word'
+    (corpus vocabulary). Everything is exact integer arithmetic:
+    rho via length(bin(r)) on the 40-bit field (no float log), register
+    powers 2^(41-M) are exact int64, the raw estimate is one truncating
+    integer division of alpha*m^2*2^40-scaled constants, and the LC
+    branch's ln runs over identical expression text (the ccnet/dsir
+    bit-agreement precedent).
+
+    Scale shape (100 TB): COUNT(DISTINCT url) over 10^12 rows shuffles
+    every distinct value; the sketch shuffles NOTHING but (entity,
+    bucket, max-rho) partials — max() is map-side combinable, the merge
+    is 64 rows per entity, and sketches from different partitions/days
+    merge by register max (the property that makes HLL the standard
+    crawl-scale uniques counter). The exact lane here is the oracle's
+    cross-check, not the scale path."""
+    toks = tokens_sql("text", engine)
+    h = h60_sql("v", engine)
+    idiv = "div" if engine == SPARK else "//"
+    two_w = 1 << HLL_W
+    return f"""
+with items as (
+  select 'url' as entity, concat('u', doc_id) as v from {doc_view}
+  union all
+  select 'host' as entity, concat('h', doc_id % 50) as v from {doc_view}
+  union all
+  select 'word' as entity, word as v
+  from (select {explode_sql(toks, 'word', engine)} from {doc_view})),
+exact as (
+  select entity, cast(count(distinct v) as bigint) as n_exact
+  from items group by entity),
+hashed as (
+  select entity, {h} as h from items),
+rho as (
+  select entity, h % {HLL_M} as bucket,
+         case when (h {idiv} {HLL_M}) % {two_w} = 0 then {HLL_W + 1}
+              else {HLL_W + 1}
+                   - length(bin((h {idiv} {HLL_M}) % {two_w}))
+         end as r
+  from hashed),
+regs as (
+  select entity, bucket, max(r) as m
+  from rho group by entity, bucket),
+agg as (
+  select entity,
+         cast(sum(cast(power(2e0, {HLL_W + 1} - m) as bigint))
+              as bigint) as s_present,
+         cast(count(*) as bigint) as n_present
+  from regs group by entity),
+est as (
+  select entity,
+         s_present + ({HLL_M} - n_present)
+           * cast({1 << (HLL_W + 1)} as bigint) as s,
+         {HLL_M} - n_present as v_zero
+  from agg),
+raw as (
+  select entity, v_zero,
+         cast({_HLL_NUM} as bigint) * 2 {idiv} (1000 * s) as e_raw
+  from est),
+final as (
+  select entity,
+         case when e_raw <= {(5 * HLL_M) // 2} and v_zero > 0
+              then cast(round({HLL_M}e0 * ln({HLL_M}e0 / v_zero))
+                        as bigint)
+              else e_raw end as hll_estimate
+  from raw)
+select e.entity, e.n_exact, f.hll_estimate,
+       abs(f.hll_estimate - e.n_exact) * 1000 {idiv} e.n_exact
+         as err_milli
+from exact e join final f on f.entity = e.entity
+"""

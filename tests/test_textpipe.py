@@ -1479,3 +1479,58 @@ def test_bm25_matches_python_transcription(spark):
     # above a partial match, and the no-term doc absent everywhere
     assert got[(2, 2)][0] == 1
     assert all(d != 6 for (_, d) in got)
+
+def test_hll_matches_python_transcription(spark):
+    """HLL sketch pinned exactly (not approximately) against an
+    independent Python transcription of Flajolet et al. 2007 with the
+    same md5-derived 60-bit hash: bucket = h%64, rho = leading zeros
+    of the 40-bit field + 1, alpha_64 = 0.709, linear counting when
+    E <= 2.5m and V > 0. The constructed corpus drives the url lane
+    through the raw-HLL branch and the host lane through LC."""
+    import hashlib
+    import math
+    import re
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_crawl_hll_distinct
+
+    n = 400
+    rows = [(i, f"alpha beta w{i % 37} gamma", "en") for i in range(n)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.entity: (r.n_exact, r.hll_estimate, r.err_milli)
+           for r in q_crawl_hll_distinct(spark, tmp).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sketch(values):
+        regs = {}
+        for v in values:
+            h = h60(v)
+            b, r = h % 64, (h // 64) % (1 << 40)
+            rho = 41 - r.bit_length() if r else 41
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(2 ** (41 - regs.get(b, 0)) for b in range(64))
+        v_zero = 64 - len(regs)
+        num = 709 * 64 * 64 * (1 << 40)
+        e_raw = num * 2 // (1000 * s)
+        if e_raw <= 160 and v_zero > 0:
+            return int(round(64.0 * math.log(64.0 / v_zero)))
+        return e_raw
+
+    lanes = {
+        "url": {f"u{i}" for i in range(n)},
+        "host": {f"h{i % 50}" for i in range(n)},
+        "word": {w for _, t, _ in rows for w in re.split(" +", t.strip())},
+    }
+    for entity, vals in lanes.items():
+        est = sketch(vals)
+        exact = len(vals)
+        assert got[entity] == (exact, est, abs(est - exact) * 1000 // exact), \
+            (entity, got[entity], exact, est)
+    # branch coverage: url must take the raw branch, host the LC branch
+    assert len(lanes["url"]) > 160 and len(lanes["host"]) <= 160
+    # and the estimator must actually be accurate: <=20% on the big lane
+    assert got["url"][2] <= 200
