@@ -95,6 +95,7 @@ HEADLINE = [
     "crawl_snapshot_delta",
     "text_bm25_topk",
     "crawl_hll_distinct",
+    "text_chunk_windows",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -578,6 +578,19 @@ def q_crawl_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               textops.SPARK))
 
 
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG/long-context preprocessing: 32-token
+    windows, stride 24, 8-token overlap): closed-form chunk count
+    1+ceil(max(n−w,0)/s) in integer arithmetic, chunks sliced from each
+    doc's own token array via sequence+transform — a pure narrow
+    projection, ZERO shuffle at any scale (the within-doc complement of
+    train_pack_sequences' cross-doc prefix-sum packing). Engine and
+    oracle run the same dual-dialect SQL (textops.chunk_windows_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(textops.chunk_windows_sql("documents",
+                                               textops.SPARK))
+
+
 def q_crawl_robots_filter(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Robots-exclusion filtering (RFC 9309 §2.2.2): per page, match
@@ -1467,6 +1480,7 @@ QUERIES = {
     "crawl_snapshot_delta": q_crawl_snapshot_delta,
     "text_bm25_topk": q_text_bm25_topk,
     "crawl_hll_distinct": q_crawl_hll_distinct,
+    "text_chunk_windows": q_text_chunk_windows,
     "embed_kmeans": q_embed_kmeans,
     "crawl_robots_filter": q_crawl_robots_filter,
     "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
@@ -1536,6 +1550,7 @@ from ({_crawl_d()}) c group by md5(text) having count(*) >= 2
     "crawl_snapshot_delta": textops.snapshot_delta_sql("documents", DUCKDB),
     "text_bm25_topk": textops.bm25_topk_sql("documents", DUCKDB),
     "crawl_hll_distinct": textops.hll_distinct_sql("documents", DUCKDB),
+    "text_chunk_windows": textops.chunk_windows_sql("documents", DUCKDB),
     "embed_kmeans": simsearch.kmeans_sql("embeddings", simsearch.DUCKDB),
     "crawl_robots_filter": textops.robots_filter_sql("documents", DUCKDB),
     "crawl_sitemap_coverage": textops.sitemap_coverage_sql("documents",

@@ -2189,3 +2189,65 @@ select e.entity, e.n_exact, f.hll_estimate,
          as err_milli
 from exact e join final f on f.entity = e.entity
 """
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # new tokens per step (8-token overlap)
+
+
+def chunk_windows_sql(doc_view: str, engine: str,
+                      window: int = CHUNK_WINDOW,
+                      stride: int = CHUNK_STRIDE) -> str:
+    """Sliding-window document chunking — the overlapping fixed-token
+    splitter every RAG indexer and long-context preprocessor runs
+    (LangChain's TokenTextSplitter / HF tokenizers' stride semantics):
+    window of 32 tokens advancing 24 per step, so consecutive chunks
+    share an 8-token overlap and no token is lost.
+
+    Chunk count per doc is the closed form 1 + ceil(max(n-w,0)/s),
+    spelled with integer arithmetic ((n - w + s - 1) div s) so both
+    engines agree on every boundary; chunk i slices tokens
+    [1+i*s, 1+i*s+w) — the final chunk simply runs short. Output per
+    chunk: 1-based start, token count, char count, and the md5 of the
+    space-rejoined window (the downstream chunk-dedup key).
+
+    Scale shape (100 TB): a pure narrow projection — tokens explode
+    from each doc's own array via sequence+transform, so chunking
+    shuffles NOTHING; at 10^12 docs it parallelizes by input split
+    exactly like the scan. Complements train_pack_sequences (packing
+    ACROSS docs, which needs the prefix-sum shuffle) — within-doc
+    windowing is the shuffle-free half of the pair."""
+    toks = tokens_sql("text", engine)
+    w, s = window, stride
+    if engine == SPARK:
+        nchunks = f"(1 + (greatest(size(_toks) - {w}, 0) + {s - 1}) div {s})"
+        chunk = f"slice(_toks, 1 + i * {s}, {w})"
+        iexpr = f"explode(sequence(0, {nchunks} - 1)) as i"
+        join_c = f"concat_ws(' ', _chunk)"
+        clen = "size(_chunk)"
+    else:
+        nchunks = (f"(1 + (greatest(length(_toks) - {w}, 0) + {s - 1})"
+                   f" // {s})")
+        chunk = f"list_slice(_toks, 1 + i * {s}, i * {s} + {w})"
+        iexpr = f"unnest(range(0, {nchunks})) as i"
+        join_c = "array_to_string(_chunk, ' ')"
+        clen = "length(_chunk)"
+    return f"""
+with t as (
+  select doc_id, {toks} as _toks from {doc_view}),
+idx as (
+  select doc_id, _toks, {iexpr} from t),
+c as (
+  select doc_id, cast(i as bigint) as chunk_idx,
+         cast(1 + i * {s} as bigint) as start_tok,
+         {chunk} as _chunk
+  from idx)
+select doc_id, chunk_idx, start_tok,
+       cast({clen} as bigint) as n_toks,
+       cast(length({join_c}) as bigint) as n_chars,
+       md5({join_c}) as chunk_md5
+from c
+"""

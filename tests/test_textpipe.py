@@ -1534,3 +1534,52 @@ def test_hll_matches_python_transcription(spark):
     assert len(lanes["url"]) > 160 and len(lanes["host"]) <= 160
     # and the estimator must actually be accurate: <=20% on the big lane
     assert got["url"][2] <= 200
+
+def test_chunk_windows_invariants(spark):
+    """Chunking pinned against an independent Python transcription on
+    docs straddling every boundary case: shorter than one window,
+    exactly one window, exactly window+stride, and a long doc with a
+    short tail. Invariants: no token lost, overlap exactly w-s tokens,
+    chunk hashes match a direct md5 of the sliced windows."""
+    import hashlib
+    import tempfile
+
+    from gdal_spark.queries.textpipe import q_text_chunk_windows
+
+    w, s = 32, 24
+    docs = {
+        0: " ".join(f"t{i}" for i in range(5)),        # < window
+        1: " ".join(f"t{i}" for i in range(32)),       # == window
+        2: " ".join(f"t{i}" for i in range(33)),       # window + 1
+        3: " ".join(f"t{i}" for i in range(56)),       # w + s exactly
+        4: " ".join(f"t{i}" for i in range(100)),      # short tail
+    }
+    tmp = tempfile.mkdtemp()
+    rows = [(i, t, "en") for i, t in docs.items()]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {(r.doc_id, r.chunk_idx):
+           (r.start_tok, r.n_toks, r.n_chars, r.chunk_md5)
+           for r in q_text_chunk_windows(spark, tmp).collect()}
+
+    exp = {}
+    for d, t in docs.items():
+        toks = t.split()
+        n = len(toks)
+        nch = 1 + (max(n - w, 0) + s - 1) // s
+        for i in range(nch):
+            win = toks[i * s:i * s + w]
+            joined = " ".join(win)
+            exp[(d, i)] = (1 + i * s, len(win), len(joined),
+                           hashlib.md5(joined.encode()).hexdigest())
+    assert got == exp
+    # coverage invariant: every token index appears in >= 1 chunk,
+    # and consecutive chunks overlap by exactly w - s when full
+    for d, t in docs.items():
+        n = len(t.split())
+        covered = set()
+        for (dd, i), (st, nt, _, _) in exp.items():
+            if dd == d:
+                covered.update(range(st, st + nt))
+        assert covered == set(range(1, n + 1)), d
+    assert exp[(4, 1)][0] - exp[(4, 0)][0] == s
