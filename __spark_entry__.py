@@ -91,7 +91,7 @@ _PRIORITY = [
     "crawl_sitemap_coverage", "text_dsir_importance", "crawl_pagerank",
     "train_bpe_merges", "raster_equalize_checksum",
     "crawl_snapshot_delta", "text_bm25_topk", "crawl_hll_distinct",
-    "text_chunk_windows",
+    "text_chunk_windows", "raster_compare_golden",
     # -- (b) stale rows: r1-vintage first (latest green row is r01) ...
     "ann_topk_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "text_langid", "text_quality", "text_token_counts",

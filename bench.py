@@ -96,6 +96,7 @@ HEADLINE = [
     "text_bm25_topk",
     "crawl_hll_distinct",
     "text_chunk_windows",
+    "raster_compare_golden",
 ]
 # Fixture micro-queries: 9-row constructed-geometry inputs whose wall
 # time is pure session/UDF-registration overhead, not operator cost

@@ -598,6 +598,112 @@ group by 1
     return _percentile_tail_sql(hist)
 
 
+_CMP_PX = 256
+
+# gdalcompare fixture — three golden bands plus a deterministic
+# perturbation lane per band (band 1 identical; band 2 sparse +1..+5
+# bumps on the (13gx+7gy)%997 lattice; band 3 seven +100 spikes on the
+# diagonal). SQL forms here are the authority; the numpy builder below
+# transcribes them (integer ops only, so the engines bit-agree).
+_CMP_GVAL_SQL = """case band
+  when 1 then (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+  when 2 then (gx * 7 + gy * gy * 11 + 13) % 199
+  else (gx * 3 + gy * 5) % 251 end"""
+_CMP_DELTA_SQL = """case band
+  when 2 then case when (gx * 13 + gy * 7) % 997 = 0
+              then 1 + (gx + gy) % 5 else 0 end
+  when 3 then case when gx = gy and gx % 37 = 0 then 100 else 0 end
+  else 0 end"""
+
+
+def _synth_compare_tiles(spark: SparkSession, which: str) -> DataFrame:
+    """Golden or perturbed-new 3-band tile table for the gdalcompare
+    fixture (numpy transcription of _CMP_GVAL_SQL/_CMP_DELTA_SQL)."""
+    from gdal_spark.raster import TILE_PX, TILE_SCHEMA, tile_geotransform
+    import numpy as np
+    import pandas as pd
+
+    n_tiles = _CMP_PX // TILE_PX
+    keys = spark.range(n_tiles * n_tiles * 3).select(
+        (F.col("id") % n_tiles).alias("_tx"),
+        ((F.col("id") / n_tiles).cast("long") % n_tiles).alias("_ty"),
+        ((F.col("id") / (n_tiles * n_tiles)).cast("long") + 1)
+        .cast("int").alias("_band"))
+    perturbed = which == "new"
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, band = int(key[0]), int(key[1]), int(key[2])
+        gy, gx = np.mgrid[0:TILE_PX, 0:TILE_PX]
+        gx = (gx + tx * TILE_PX).astype(np.int64)
+        gy = (gy + ty * TILE_PX).astype(np.int64)
+        if band == 1:
+            val = (gx * gx * 5 + gy * gy * 3 + gx * gy) % 211
+        elif band == 2:
+            val = (gx * 7 + gy * gy * 11 + 13) % 199
+            if perturbed:
+                val = val + np.where((gx * 13 + gy * 7) % 997 == 0,
+                                     1 + (gx + gy) % 5, 0)
+        else:
+            val = (gx * 3 + gy * 5) % 251
+            if perturbed:
+                val = val + np.where((gx == gy) & (gx % 37 == 0), 100, 0)
+        return pd.DataFrame({
+            "z": [0], "tx": [tx], "ty": [ty], "band": [band],
+            "gt": [tile_geotransform(tx, ty, 0)],
+            "data": [val.astype(np.int64).tobytes()],
+        })
+
+    return keys.groupBy("_tx", "_ty", "_band").applyInPandas(
+        build, TILE_SCHEMA)
+
+
+def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalcompare golden-diff (swig/python/gdal-utils/osgeo_utils/
+    gdalcompare.py compare_band:127 + compare_image_pixels:79): per
+    band, golden/new GDALChecksumImage checksums, found_diff per the
+    reference's checksum rule, differing-pixel count and max |diff|.
+    The two datasets meet in ONE cogroup exchange on (band, tx, ty);
+    only 5-int per-tile partials reach the band rollup — see
+    gdal_spark.raster.compare_tile_bands for the 100 TB shape."""
+    from gdal_spark.raster import compare_tile_bands
+
+    _ = sf_dir
+    return compare_tile_bands(_synth_compare_tiles(spark, "golden"),
+                              _synth_compare_tiles(spark, "new"))
+
+
+def _raster_compare_oracle() -> str:
+    from gdal_spark.raster import CHECKSUM_PRIMES, TILE_PX
+
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    t = TILE_PX
+    return f"""
+with g as (
+  select band, gx, gy,
+         ({_CMP_GVAL_SQL}) as gval,
+         ({_CMP_DELTA_SQL}) as delta,
+         ([{primes}])[(((gy % {t}) * {t} + (gx % {t})) % 11) + 1] as pr
+  from (select a.range as gx, b.range as gy
+        from range(0, {_CMP_PX}) a cross join range(0, {_CMP_PX}) b) p
+       cross join (select unnest([1, 2, 3]) as band) bands
+),
+a as (
+  select band,
+         cast(sum(gval % pr) % 65536 as bigint) as golden_checksum,
+         cast(sum((gval + delta) % pr) % 65536 as bigint) as new_checksum,
+         cast(sum(case when delta <> 0 then 1 else 0 end) as bigint)
+           as pixels_differing,
+         cast(max(delta) as bigint) as max_pixel_difference
+  from g group by band
+)
+select cast(band as int) as band, golden_checksum, new_checksum,
+       cast(case when golden_checksum <> new_checksum then 1 else 0 end
+            as bigint) as found_diff,
+       pixels_differing, max_pixel_difference
+from a order by band
+"""
+
+
 def q_raster_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalenhance -equalize (apps/gdalenhance.cpp): histogram
     equalization of the DEM to Byte. ONE data pass builds the value
@@ -1800,6 +1906,7 @@ QUERIES = {
     "warp_gcp_tps": q_warp_gcp_tps,
     "raster_percentiles": q_raster_percentiles,
     "raster_equalize_checksum": q_raster_equalize,
+    "raster_compare_golden": q_raster_compare,
     "raster_footprint": q_raster_footprint,
     "raster_color_merge": q_raster_color_merge,
     "raster_viewshed_exact": q_viewshed_exact,
@@ -2054,6 +2161,7 @@ select qid, round(value, 6) as value from (
     "warp_gcp_tps": _warp_gcp_tps_oracle(),
     "raster_percentiles": _raster_percentiles_oracle(),
     "raster_equalize_checksum": _raster_equalize_oracle(),
+    "raster_compare_golden": _raster_compare_oracle(),
     "raster_footprint": _raster_footprint_oracle(),
     "raster_color_merge": _color_merge_sql("duckdb"),
     "warp_average_nodata": __import__(

@@ -147,6 +147,64 @@ def tile_checksums(tiles: DataFrame, dtype: str = "int64") -> DataFrame:
         per_tile, "z int, tx long, ty long, checksum long, n_nonzero long")
 
 
+def compare_tile_bands(golden: DataFrame, new: DataFrame,
+                       dtype: str = "int64") -> DataFrame:
+    """gdalcompare golden-vs-new band report (swig/python/gdal-utils/
+    osgeo_utils/gdalcompare.py:127-214 compare_band /
+    compare_image_pixels:79-122): per band, both GDALChecksumImage
+    checksums, the count of differing pixels and the maximum absolute
+    pixel difference, and found_diff = 1 when the checksums disagree
+    (the reference increments once per mismatching band checksum and
+    only then walks pixels; we always report the pixel stats — a
+    deterministic superset, 0/0 for identical bands).
+
+    Distributed shape: the two tile tables are COGROUPED on
+    (band, tx, ty) — Spark's two-dataset keyed meet — so each tile
+    pair lands on one executor together; per-tile partials (raw
+    checksum sum, diff count, max |diff|) are the only rows entering
+    the final per-band aggregation. At 100 TB each pixel payload
+    crosses exactly one exchange (its own co-partitioning shuffle)
+    and the band rollup moves O(tiles) 5-int rows."""
+    np_dtype = np.dtype(dtype)
+
+    def per_pair(key, gpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[0])
+        gbuf = (np.frombuffer(gpdf["data"].iloc[0], dtype=np_dtype)
+                .astype(np.int64) if len(gpdf) else None)
+        nbuf = (np.frombuffer(npdf["data"].iloc[0], dtype=np_dtype)
+                .astype(np.int64) if len(npdf) else None)
+        primes = CHECKSUM_PRIMES[np.arange(
+            (gbuf if gbuf is not None else nbuf).size) % 11]
+        cks_g = int(np.sum(gbuf % primes)) if gbuf is not None else 0
+        cks_n = int(np.sum(nbuf % primes)) if nbuf is not None else 0
+        if gbuf is not None and nbuf is not None:
+            d = np.abs(gbuf - nbuf)
+            n_diff, max_diff = int(np.count_nonzero(d)), int(d.max())
+        else:  # tile present on one side only: every pixel differs
+            buf = gbuf if gbuf is not None else nbuf
+            n_diff, max_diff = buf.size, int(np.abs(buf).max())
+        return pd.DataFrame({
+            "band": [band], "cks_g": [cks_g], "cks_n": [cks_n],
+            "n_diff": [n_diff], "max_diff": [max_diff]})
+
+    partials = golden.groupBy("band", "tx", "ty").cogroup(
+        new.groupBy("band", "tx", "ty")
+    ).applyInPandas(
+        per_pair,
+        "band int, cks_g long, cks_n long, n_diff long, max_diff long")
+    agg = partials.groupBy("band").agg(
+        (F.sum("cks_g") % 65536).alias("golden_checksum"),
+        (F.sum("cks_n") % 65536).alias("new_checksum"),
+        F.sum("n_diff").alias("pixels_differing"),
+        F.max("max_diff").alias("max_pixel_difference"))
+    return agg.select(
+        "band", "golden_checksum", "new_checksum",
+        F.when(F.col("golden_checksum") != F.col("new_checksum"),
+               F.lit(1)).otherwise(F.lit(0)).cast("long").alias("found_diff"),
+        "pixels_differing", "max_pixel_difference",
+    ).orderBy("band")
+
+
 def projwin_to_srcwin(gt: list[float], ulx: float, uly: float,
                       lrx: float, lry: float) -> tuple[int, int, int, int]:
     """gdal_translate -projwin → integer pixel window, exactly the
